@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution-model defaults so every entry
+point (driver harness, tests, bench, flows) gets the same tuned session.
+
+Scale notes (100 TB design target; tested on local[32]):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic broadcast selection replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; on a
+  real cluster set it ~2-3x total cores and let AQE coalesce.
+- Arrow on: every pandas_udf / applyInPandas boundary is vectorized.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  correctness oracle and are stable across environments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "salesforce-prefect-etl-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster
+    master is configured; on a real cluster pass ``None`` with
+    ``spark.master`` set externally and it is left untouched.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_CONNECT_MODE_ENABLED"):
+        builder = builder.master(f"local[{cpus}]")
+
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Parquet scan batching: keep the vectorized reader fed.
+        "spark.sql.parquet.enableVectorizedReader": "true",
+        # Parquet TIMESTAMP(NANOS) (e.g. events.ts) is not a Spark type;
+        # read as long and convert at the scan edge (plans.compiler.load_table).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        # Auto-broadcast small dims (region/nation/customer at test SF);
+        # at 100 TB only genuinely small sides stay under this.
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,117 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at a given SF dir and
+compares against ``oracle_sql()`` via DuckDB: row count, column names,
+and an order-insensitive value comparison (exact for non-floats, exact
+AND abs-diff report for floats, since the engine pins deterministic
+aggregation — see plans/compiler.py).
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("datetime", "timestamp")):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        problems.append(f"columns spark={sc} oracle={oc}")
+        return problems
+    if problems:
+        return problems
+    s, o = normalize(spark_pdf), normalize(oracle_pdf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if str(sv.dtype).startswith("float") or str(ov.dtype).startswith("float"):
+            svf = pd.to_numeric(sv, errors="coerce")
+            ovf = pd.to_numeric(ov, errors="coerce")
+            if not ((svf.isna() == ovf.isna()).all()):
+                problems.append(f"col {c}: null pattern differs")
+                continue
+            diff = (svf - ovf).abs().max()
+            if not (svf.fillna(0) == ovf.fillna(0)).all():
+                problems.append(f"col {c}: float values differ (max abs diff {diff})")
+        else:
+            try:
+                eq = (sv.fillna("<NULL>") == ov.fillna("<NULL>")).all()
+            except Exception:
+                eq = list(sv) == list(ov)
+            if not eq:
+                bad = [(a, b) for a, b in zip(sv, ov) if a != b and not (pd.isna(a) and pd.isna(b))][:3]
+                problems.append(f"col {c}: values differ, e.g. {bad}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from salesforce_prefect_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    queries, oracles = e.queries(), e.oracle_sql()
+    n_fail = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only check, {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            oracle_pdf = con.sql(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error: {ex}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_pdf, oracle_pdf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({time.time()-t0:.1f}s):")
+            for p in problems:
+                print(f"   - {p}")
+        else:
+            print(f"PASS {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(queries) - n_fail}/{len(queries)} ok")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
