@@ -4,6 +4,8 @@ only, no Python UDFs (reference parity needs none, SURVEY.md §2.11)."""
 from salesforce_prefect_etl_pipeline_spark.functions.scalars import (
     duration_hours,
     ensure_columns,
+    exact_sum,
+    exact_sum_sql,
     to_date_tolerant,
     to_timestamp_tolerant,
     try_double,
@@ -12,6 +14,8 @@ from salesforce_prefect_etl_pipeline_spark.functions.scalars import (
 __all__ = [
     "duration_hours",
     "ensure_columns",
+    "exact_sum",
+    "exact_sum_sql",
     "to_date_tolerant",
     "to_timestamp_tolerant",
     "try_double",

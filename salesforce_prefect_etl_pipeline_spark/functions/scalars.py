@@ -43,6 +43,36 @@ def duration_hours(start: str | Column, end: str | Column) -> Column:
     return F.coalesce(hours, F.lit(0.0))
 
 
+#: Quantization scale for deterministic float sums (4 decimal digits).
+SUM_SCALE = 10000.0
+
+
+def exact_sum(col: str | Column) -> Column:
+    """Order-independent, engine-independent double sum.
+
+    Per-row quantization uses only IEEE-exact primitives — ``floor(x *
+    1e4 + 0.5)`` — so every engine computing it on the same input double
+    produces the same integer (a direct double->DECIMAL cast does NOT
+    have this property: Spark rounds via exact BigDecimal, DuckDB via a
+    double multiply, and they disagree near rounding boundaries). The
+    integers accumulate exactly in DECIMAL(28,0) (sum type DECIMAL(38,0),
+    ample for 100 TB-scale money sums), so the result is also independent
+    of partitioning/accumulation order — reproducible on 1 core or 1000
+    executors. See plans/compiler.py docstring §4.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    q = F.floor(c * F.lit(SUM_SCALE) + F.lit(0.5)).cast("decimal(28,0)")
+    return F.sum(q).cast("double") / F.lit(SUM_SCALE)
+
+
+def exact_sum_sql(expr: str) -> str:
+    """DuckDB-side twin of :func:`exact_sum`."""
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * 10000.0 + 0.5) AS DECIMAL(28,0)))"
+        " AS DOUBLE) / 10000.0)"
+    )
+
+
 def ensure_columns(df: DataFrame, cols: list[str], fill: str = "UNKNOWN") -> DataFrame:
     """Add any missing column as a string literal (tasks/process.py:11-16).
 

@@ -17,13 +17,13 @@ Pinned semantics (SURVEY.md §4.3 "semantic shims"):
 4. **Deterministic float aggregation**: double SUM/AVG results depend on
    accumulation order (partial aggregation over N partitions), which would
    break bit-exact comparison against any single-threaded oracle and makes
-   reruns non-reproducible at cluster scale. Sums therefore accumulate in
-   exact ``DECIMAL(18,4)`` arithmetic (per-row quantization of the metric;
-   no double is ever exactly on a 1e-4 rounding boundary, so the
-   quantization itself is engine-independent) and the final value is cast
-   back to ``double``. AVG = exact-sum / non-null-count in IEEE double.
-   This is order-independent at any parallelism — the property a 100 TB
-   engine needs for reproducible numbers.
+   reruns non-reproducible at cluster scale. Metrics are therefore
+   quantized per-row with IEEE-exact primitives (``floor(x*1e4 + 0.5)``,
+   identical on every engine — see ``functions.exact_sum``) and
+   accumulated exactly in DECIMAL, with the final value cast back to
+   ``double``. AVG = exact-sum / non-null-count in IEEE double. This is
+   order-independent at any parallelism — the property a 100 TB engine
+   needs for reproducible numbers.
 
 Output naming contract (tasks/process.py:28,45-52): group keys, then
 ``records`` (count(*), includes nulls), then ``sum_<col>/avg_<col>/
@@ -36,13 +36,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from salesforce_prefect_etl_pipeline_spark.functions import ensure_columns, try_double
+from salesforce_prefect_etl_pipeline_spark.functions import (
+    ensure_columns,
+    exact_sum,
+    exact_sum_sql,
+    try_double,
+)
 from salesforce_prefect_etl_pipeline_spark.specs import TableSpec
-
-# Per-row quantization scale for exact sum accumulation. DECIMAL(18,4)
-# holds |x| < 10^14 per row; the Spark sum widens to DECIMAL(28,4)
-# (~10^24), far beyond 100 TB-scale money sums.
-_SUM_DECIMAL = "decimal(18,4)"
 
 # Internal prefix for pre-cast metric columns.
 _M = "__metric__"
@@ -84,12 +84,12 @@ def build_agg_exprs(spec: TableSpec) -> list[Column]:
     aggs: list[Column] = [F.count(F.lit(1)).alias("records")]
     for col, op, out_name in _metric_output_cols(spec):
         d = F.col(_M + col)
-        exact_sum = F.sum(d.cast(_SUM_DECIMAL)).cast("double")
+        esum = exact_sum(d)
         if op == "sum":
-            aggs.append(F.coalesce(exact_sum, F.lit(0.0)).alias(out_name))
+            aggs.append(F.coalesce(esum, F.lit(0.0)).alias(out_name))
         elif op == "mean":
             aggs.append(
-                F.when(F.count(d) > 0, exact_sum / F.count(d)).alias(out_name)
+                F.when(F.count(d) > 0, esum / F.count(d)).alias(out_name)
             )
         elif op == "min":
             aggs.append(F.min(d).alias(out_name))
@@ -192,12 +192,12 @@ def spec_oracle_sql(spec: TableSpec) -> str:
     sel = list(spec.group_by) + ["COUNT(*) AS records"]
     for c, op, out_name in _metric_output_cols(spec):
         m = f"__metric__{c}"
-        exact_sum = f"CAST(SUM(TRY_CAST({m} AS DECIMAL(18,4))) AS DOUBLE)"
+        esum = exact_sum_sql(m)
         if op == "sum":
-            sel.append(f"COALESCE({exact_sum}, 0.0) AS {out_name}")
+            sel.append(f"COALESCE({esum}, 0.0) AS {out_name}")
         elif op == "mean":
             sel.append(
-                f"CASE WHEN COUNT({m}) > 0 THEN {exact_sum} / COUNT({m}) END AS {out_name}"
+                f"CASE WHEN COUNT({m}) > 0 THEN {esum} / COUNT({m}) END AS {out_name}"
             )
         else:
             sel.append(f"{op.upper()}({m}) AS {out_name}")

@@ -1,6 +1,550 @@
-"""Extension queries (joins, windows, set ops, LLM-data ops, streaming).
+"""Extension queries: joins, windows, set ops, richer aggregates, JSON,
+time bucketing (SURVEY.md §7.2 step 6a-c + §2.8's "not in the reference"
+surface). LLM-data ops (dedup/similarity/text) register from
+``queries_llm``; streaming from ``streaming``.
 
-Populated incrementally; each section registers into queries_registry.
+Design rules applied throughout (scale notes inline):
+- Declarative DataFrame plans only — Catalyst handles pushdown, join
+  strategy (broadcast for the small dims), and AQE handles skew/coalesce.
+- Deterministic numerics: every float SUM accumulates in DECIMAL(18,4)
+  (``functions.exact_sum``); AVG = exact-sum / count. Bit-identical at any
+  parallelism, which is what makes the DuckDB value-hash oracle (and
+  reruns on a 1000-executor cluster) reproducible.
+- Temporal outputs are stringified (the reference stringifies temporals at
+  its JSON edge too, tasks/load.py:64-71) so value hashing is
+  precision-independent.
+- Every top-k / window ordering carries a unique tiebreak column.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from salesforce_prefect_etl_pipeline_spark.functions import exact_sum, exact_sum_sql
+from salesforce_prefect_etl_pipeline_spark.plans import load_table
+from salesforce_prefect_etl_pipeline_spark.queries_registry import register_query
+
+REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------
+# TPC-H-style aggregation over the big fact (map-side partial agg; the
+# only shuffle is 4 groups wide — trivially AQE-coalesced).
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.expr(REVENUE)
+    charge = F.expr(f"{REVENUE} * (1 + l_tax)")
+    qty, price, disc = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(qty).alias("sum_qty"),
+            exact_sum(price).alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(charge).alias("sum_charge"),
+            (exact_sum(qty) / F.count(qty)).alias("avg_qty"),
+            (exact_sum(price) / F.count(price)).alias("avg_price"),
+            (exact_sum(disc) / F.count(disc)).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {exact_sum_sql('l_quantity')} AS sum_qty,
+       {exact_sum_sql('l_extendedprice')} AS sum_base_price,
+       {exact_sum_sql(REVENUE)} AS sum_disc_price,
+       {exact_sum_sql(REVENUE + ' * (1 + l_tax)')} AS sum_charge,
+       {exact_sum_sql('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+       {exact_sum_sql('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+       {exact_sum_sql('l_discount')} / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ----------------------------------------------------------------------
+# Star-schema join with explicit broadcast of the dim chain
+# (customer->nation->region). lineitem-orders stays a shuffle join on
+# orderkey (both huge at 100 TB); AQE picks SMJ/SHJ.
+def join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = F.broadcast(
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            exact_sum(F.expr(REVENUE)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name")
+    )
+
+
+JOIN_REVENUE_BY_REGION_SQL = f"""
+SELECT r_name, {exact_sum_sql(REVENUE)} AS revenue, COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# TPC-H Q3-shaped: filter both sides, join, aggregate, deterministic top-10.
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "1998-03-15"
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey")), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum(F.expr(REVENUE)).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+       {exact_sum_sql(REVENUE)} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# Existence joins: broadcast the semi/anti side's keys when small; at
+# 100 TB Spark rewrites these as shuffled left-semi/anti hash joins.
+def semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# ----------------------------------------------------------------------
+# Window functions (SURVEY §2.5 — extension surface).
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+WINDOW_TOP3_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3 ORDER BY o_custkey, rn
+"""
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
+def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev).alias("gap_days"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WINDOW_GAP_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+            LAG(CAST(o_orderdate AS DATE)) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
+def window_rank_nations_by_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank over an aggregated frame (two-level plan)."""
+    cust = _t(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        exact_sum("c_acctbal").alias("total_acctbal")
+    )
+    w = Window.orderBy(F.desc("total_acctbal"), F.asc("c_nationkey"))
+    return per_nation.select(
+        "c_nationkey",
+        "total_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).orderBy("rnk", "c_nationkey")
+
+
+WINDOW_RANK_SQL = f"""
+WITH per_nation AS (
+  SELECT c_nationkey, {exact_sum_sql('c_acctbal')} AS total_acctbal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, total_acctbal,
+       RANK()       OVER (ORDER BY total_acctbal DESC, c_nationkey ASC) AS rnk,
+       DENSE_RANK() OVER (ORDER BY total_acctbal DESC, c_nationkey ASC) AS drnk
+FROM per_nation ORDER BY rnk, c_nationkey
+"""
+
+
+# ----------------------------------------------------------------------
+# Set operations (SURVEY §2.7 "not in the reference").
+def set_union_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+SET_UNION_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def set_intersect_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+SET_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def set_except_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")  # EXCEPT (distinct) semantics
+
+
+SET_EXCEPT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+# ----------------------------------------------------------------------
+# Grouping sets / richer aggregates (SURVEY §2.4 "not in the reference").
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("records"), exact_sum("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS records,
+       {exact_sum_sql('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("records"), exact_sum("o_totalprice").alias("sum_total"))
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
+        )
+    )
+
+
+CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS records,
+       {exact_sum_sql('o_totalprice')} AS sum_total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def agg_distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("records"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+DISTINCT_AGG_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS records
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def agg_median_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete lower median (value at row floor((n+1)/2) of the sorted
+    partition) — defined via window row_number so Spark and the oracle
+    share one arithmetic-free definition (no interpolation drift)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("c_nationkey")).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("c_nationkey", F.col("c_acctbal").alias("median_acctbal"), "n")
+        .orderBy("c_nationkey")
+    )
+
+
+MEDIAN_SQL = """
+SELECT c_nationkey, c_acctbal AS median_acctbal, n FROM (
+  SELECT c_nationkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn,
+         COUNT(*)    OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+) WHERE rn = (n + 1) // 2 ORDER BY c_nationkey
+"""
+
+
+def agg_stddev_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev from exact sums (sum, sum-of-squares accumulate in
+    decimal; final arithmetic is one fixed IEEE expression on both
+    engines — order-independent, unlike built-in STDDEV merges)."""
+    cust = _t(spark, sf_dir, "customer")
+    agg = cust.groupBy("c_mktsegment").agg(
+        F.count("c_acctbal").alias("n"),
+        exact_sum("c_acctbal").alias("s1"),
+        exact_sum(F.col("c_acctbal") * F.col("c_acctbal")).alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        F.sqrt(var).alias("stddev_acctbal"),
+    ).orderBy("c_mktsegment")
+
+
+STDDEV_SQL = f"""
+WITH s AS (
+  SELECT c_mktsegment, COUNT(c_acctbal) AS n,
+         {exact_sum_sql('c_acctbal')} AS s1,
+         {exact_sum_sql('c_acctbal * c_acctbal')} AS s2
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+       SQRT((s2 - s1 * s1 / n) / (n - 1)) AS stddev_acctbal
+FROM s ORDER BY c_mktsegment
+"""
+
+
+# ----------------------------------------------------------------------
+# Date/time + JSON scalar surface (SURVEY §2.8 "not in the reference";
+# events.props is a JSON string column).
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("records"), exact_sum("o_totalprice").alias("sum_total"))
+        .orderBy("month")
+    )
+
+
+ORDERS_BY_MONTH_SQL = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS records,
+       {exact_sum_sql('o_totalprice')} AS sum_total
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            F.sum(k).alias("sum_k"),
+            (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS records,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch aggregation via F.window — the exact plan the
+    streaming path reuses (streaming/windows.py) with a watermark."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("records"), exact_sum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "records",
+            "sum_value",
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, COUNT(*) AS records,
+       {exact_sum_sql('value')} AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+"""
+
+
+for _name, _fn, _sql in [
+    ("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
+    ("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
+    ("join_revenue_by_region", join_revenue_by_region, JOIN_REVENUE_BY_REGION_SQL),
+    ("join_semi_customers_with_orders", semi_customers_with_orders, SEMI_SQL),
+    ("join_anti_customers_without_orders", anti_customers_without_orders, ANTI_SQL),
+    ("window_top3_orders_per_customer", window_top3_orders_per_customer, WINDOW_TOP3_SQL),
+    ("window_running_total", window_running_total, WINDOW_RUNNING_SQL),
+    ("window_order_gap_days", window_order_gap_days, WINDOW_GAP_SQL),
+    ("window_rank_nations_by_acctbal", window_rank_nations_by_acctbal, WINDOW_RANK_SQL),
+    ("set_union_nationkeys", set_union_nationkeys, SET_UNION_SQL),
+    ("set_intersect_nationkeys", set_intersect_nationkeys, SET_INTERSECT_SQL),
+    ("set_except_nationkeys", set_except_nationkeys, SET_EXCEPT_SQL),
+    ("rollup_lineitem", rollup_lineitem, ROLLUP_SQL),
+    ("cube_orders", cube_orders, CUBE_SQL),
+    ("agg_distinct_suppliers_per_flag", agg_distinct_suppliers_per_flag, DISTINCT_AGG_SQL),
+    ("agg_median_acctbal_by_nation", agg_median_acctbal_by_nation, MEDIAN_SQL),
+    ("agg_stddev_acctbal_by_segment", agg_stddev_acctbal_by_segment, STDDEV_SQL),
+    ("orders_by_month", orders_by_month, ORDERS_BY_MONTH_SQL),
+    ("events_json_extract", events_json_extract, EVENTS_JSON_SQL),
+    ("events_hourly_by_type", events_hourly_by_type, EVENTS_HOURLY_SQL),
+]:
+    register_query(_name, _fn, _sql)
