@@ -1,0 +1,305 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, all shuffle-conscious:
+
+- **Exact**: normalized-content fingerprint (md5) -> hash group-by. One
+  shuffle on the fingerprint; survivor = min doc_id (deterministic, unlike
+  dropDuplicates' arbitrary survivor).
+- **N-gram Jaccard** (exact near-dup): character-k-shingle explode ->
+  self-join on shingle -> pair intersection counts -> J >= t. Exact but
+  quadratic in shingle-bucket size — it is the *verifier*, not the scale
+  path.
+- **MinHash + LSH** (scale path): shingle -> 64 min-hash permutations ->
+  band into 16 buckets of 4 -> candidate pairs from bucket collisions ->
+  exact-Jaccard verification of candidates only. At 100 TB the only wide
+  ops are the signature group-by and the band-bucket join; candidate
+  verification touches a vanishing fraction of pairs. Recall for J>=0.9
+  pairs with (16 bands x 4 rows) is 1 - (1-J^4)^16 ≈ 1 - 4e-23.
+- **SimHash**: 64-bit sign-sum over token hashes; Hamming-band grouping
+  (4 x 16-bit chunks -> guarantees finding all pairs within Hamming
+  distance 3 via pigeonhole).
+
+MinHash/SimHash permutation constants are fixed (seeded) so results are
+reproducible run-to-run and cluster-to-cluster.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from salesforce_prefect_etl_pipeline_spark.operators.text import (
+    NORMALIZED_SQL,
+    fingerprints,
+    normalized,
+    tokens,
+)
+
+MERSENNE_61 = (1 << 61) - 1
+
+_rng = random.Random(42)
+#: 64 fixed odd multipliers / offsets for the minhash permutations.
+#: 31-bit constants so a * h32 + b stays under 2^63 (Spark 4 runs ANSI
+#: mode — long overflow raises instead of wrapping).
+MINHASH_A = [(_rng.getrandbits(31) | 1) for _ in range(64)]
+MINHASH_B = [_rng.getrandbits(31) for _ in range(64)]
+
+
+# ----------------------------------------------------------------------
+# Exact dedup
+def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
+    """Groups of exact duplicates (normalized text): canonical survivor
+    (min doc_id) + group size, only groups with >1 member."""
+    fp = fingerprints(docs)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+        .select("fingerprint", "canonical_doc_id", "group_size")
+        .orderBy("canonical_doc_id")
+    )
+
+
+EXACT_DUP_GROUPS_SQL = f"""
+SELECT md5({NORMALIZED_SQL}) AS fingerprint,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS group_size
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY canonical_doc_id
+"""
+
+
+def dedup_keep_first(df: DataFrame, key: str = "Id") -> DataFrame:
+    """Reference D1 (tasks/quality_parallel.py:76-101): keep one row per
+    key if the key column exists, else passthrough. Deterministic
+    variant: survivor = smallest row by all-column sort within the key
+    (the reference's keep='first' is file-order-dependent; a distributed
+    engine needs an explicit total order)."""
+    if key not in df.columns:
+        return df
+    from pyspark.sql.window import Window
+
+    others = [c for c in df.columns if c != key]
+    w = Window.partitionBy(key).orderBy(*[F.asc_nulls_first(c) for c in others])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ----------------------------------------------------------------------
+# Character shingles + exact Jaccard
+def char_shingles(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Distinct character k-shingles per document of the normalized text.
+    (doc_id, s). Narrow op: explode happens map-side."""
+    norm = normalized("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(0))),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("s")
+    )
+
+
+def _shingles_sql(k: int = 8) -> str:
+    return f"""
+  SELECT DISTINCT doc_id, substr({NORMALIZED_SQL}, i, {k}) AS s
+  FROM documents,
+       unnest(generate_series(1, greatest(length({NORMALIZED_SQL}) - {k - 1}, 0))) AS t(i)
+"""
+
+
+def jaccard_pairs(
+    docs: DataFrame, k: int = 8, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (da < db, J >= threshold).
+
+    J is an integer ratio computed in one IEEE division — engine-exact.
+    Scale note: the shingle self-join is quadratic per shingle bucket;
+    beyond ~10M docs use minhash_near_dup_pairs (this operator is its
+    verification kernel).
+    """
+    sh = char_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    j = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "da")
+        .join(sb, "db")
+        .select("da", "db", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("da", "db")
+    )
+
+
+def jaccard_pairs_sql(k: int = 8, threshold: float = 0.8) -> str:
+    return f"""
+WITH sh AS ({_shingles_sql(k)}),
+pair AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+size AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+SELECT da, db,
+       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+FROM pair JOIN size sa ON sa.doc_id = da JOIN size sb ON sb.doc_id = db
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {threshold}
+ORDER BY da, db
+"""
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+def minhash_signatures(docs: DataFrame, k: int = 8, num_hashes: int = 64) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — min over shingles of
+    pmod(a_i * xxhash64(s) + b_i, 2^61-1) per permutation i. One
+    group-by on doc_id; everything else map-side."""
+    sh = char_shingles(docs, k)
+    # Reduce the base hash to 32 bits so the affine permutation fits in a
+    # long under ANSI arithmetic (no overflow).
+    h = F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))
+    mins = [
+        F.min(F.pmod(F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i]), F.lit(MERSENNE_61))).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Distinct candidate pairs (da < db) from band-bucket collisions.
+    The band key is a hash of (band index, the band's signature slice);
+    the join shuffles on that key only."""
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(j), *[F.col("sig")[j * rows + r] for r in range(rows)])
+            for j in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame, k: int = 8, threshold: float = 0.8
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard (the standard two-stage
+    near-dup pipeline). Output (da, db, jaccard) with J >= threshold.
+
+    Equivalent to jaccard_pairs when LSH recall ~ 1 (16x4 banding at the
+    0.8 threshold: P(miss) < 2e-4 even for a pair at exactly J=0.8, and
+    ~0 for real near-dups) — verified against the exact oracle in tests.
+    """
+    cand = lsh_candidate_pairs(minhash_signatures(docs, k))
+    sh = char_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_db"), F.col("s").alias("sb"))
+    common = (
+        cand.join(a, "da")
+        .join(b, (F.col("db") == F.col("b_db")) & (F.col("sa") == F.col("sb")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    j = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "da")
+        .join(sb, "db")
+        .select("da", "db", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("da", "db")
+    )
+
+
+# ----------------------------------------------------------------------
+# SimHash
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over distinct tokens of the normalized text:
+    bit b = sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1).
+    One explode + one 64-expression group-by (map-side partial agg)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(normalized("text")))).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    packed = None
+    for b in range(bits):
+        # bit 63 contributes the long sign bit (two's complement).
+        weight = F.lit(1 << b).cast("long") if b < 63 else F.lit(-(1 << 63)).cast("long")
+        term = F.when(F.col(f"v{b}") > 0, weight).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance <= max_hamming, found by banding the
+    64-bit hash into 4 x 16-bit chunks (pigeonhole: any pair with <= 3
+    differing bits collides on at least one chunk) then verifying with
+    bit_count on the candidates."""
+    sh = simhash(docs)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+            for j in range(4)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.posexplode(chunks).alias("band", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("da", "db", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("da", "db")
+    )

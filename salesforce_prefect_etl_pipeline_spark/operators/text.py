@@ -1,0 +1,194 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All native Column expressions (JVM-side, whole-stage codegen) — no Python
+UDFs — so they run at full scan speed over 100 TB of documents and every
+operator has an exactly-equivalent SQL form for the DuckDB oracle.
+
+Operators: tokenization + token stats, quality scoring
+(length/punct/stopword ratios), heuristic language ID (marker n-grams),
+document fingerprinting (normalized md5), corpus top-k tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny stopword list used by the quality score (kept identical in the
+#: SQL oracle; extend freely — it's a parameter, not a semantic).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+#: Marker terms per language for the heuristic language ID. Real
+#: deployments would use char-trigram profiles; the mechanism (score per
+#: language -> argmax with deterministic tie order) is what matters here.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "is"),
+    "de": ("der", "und", "ist"),
+    "fr": ("le", "et", "est"),
+    "es": ("el", "y", "es"),
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (empty string -> single empty token, the
+    same convention as SQL string_split_regex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics: count, distinct count, avg length."""
+    t = tokens("text")
+    n_tokens = F.size(t)
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        (n_nonspace.cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
+       CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len
+FROM documents
+"""
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score from length / punctuation / stopword
+    ratios (the standard cheap pre-filter in LLM data pipelines).
+
+    score = 0.4*min(n_tokens/100, 1) + 0.3*(1 - punct_ratio)
+          + 0.3*min(stopword_ratio*5, 1)  — one fixed IEEE expression.
+    """
+    t = tokens("text")
+    n_tokens = F.size(t)
+    punct_ratio = (
+        F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("double")
+        / F.length("text")
+    )
+    sw = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = sw.cast("double") / n_tokens
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+QUALITY_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       punct_ratio,
+       CAST(len(list_filter(toks, x -> x IN ({_SW_LIST}))) AS DOUBLE) / len(toks)
+         AS stopword_ratio,
+       least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+         + (1.0 - punct_ratio) * 0.3
+         + least(CAST(len(list_filter(toks, x -> x IN ({_SW_LIST}))) AS DOUBLE)
+                 / len(toks) * 5.0, 1.0) * 0.3 AS quality_score
+FROM t
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language over
+    the token set; argmax with deterministic tie order (score desc, then
+    language code asc); no hits at all -> 'unknown'."""
+    t = tokens("text")
+
+    def _hits(markers: tuple[str, ...]):
+        return lambda x: x.isin(*markers)
+
+    scores = [
+        (lang, F.size(F.filter(t, _hits(markers))))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    guess = F.lit("unknown")
+    # Reverse order so earlier languages win ties via later when() layers.
+    for lang, s in reversed(scores):
+        guess = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(guess)
+    return docs.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in markers)
+    return f"len(list_filter(toks, x -> x IN ({lst})))"
+
+
+_LANG_CASE = " ".join(
+    f"WHEN {_lang_score_sql(m)} = best AND best > 0 THEN '{lang}'"
+    for lang, m in sorted(LANG_MARKERS.items())
+)
+_LANG_GREATEST = ", ".join(_lang_score_sql(m) for _, m in sorted(LANG_MARKERS.items()))
+LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, toks, greatest({_LANG_GREATEST}) AS best FROM t
+)
+SELECT doc_id, lang, CASE {_LANG_CASE} ELSE 'unknown' END AS lang_guess
+FROM s
+"""
+
+
+def normalized(col: str | Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+NORMALIZED_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of the normalized text (md5 is identical
+    across engines, unlike xxhash seeds)."""
+    return docs.select("doc_id", F.md5(normalized("text")).alias("fingerprint"))
+
+
+FINGERPRINT_SQL = f"SELECT doc_id, md5({NORMALIZED_SQL}) AS fingerprint FROM documents"
+
+
+def top_tokens(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k tokens by frequency (tiebreak: token asc).
+    explode -> count is one shuffle; at 100 TB add a partial
+    topk-per-partition pre-filter or a count-min sketch."""
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def top_tokens_sql(k: int = 20) -> str:
+    return f"""
+SELECT token, COUNT(*) AS freq FROM (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+) GROUP BY token ORDER BY freq DESC, token ASC LIMIT {k}
+"""

@@ -1,0 +1,89 @@
+"""Query registrations for the LLM-data operators (text analysis,
+dedup, similarity search) over the documents/embeddings tables."""
+
+from __future__ import annotations
+
+from salesforce_prefect_etl_pipeline_spark.operators import dedup, similarity, text
+from salesforce_prefect_etl_pipeline_spark.plans import load_table
+from salesforce_prefect_etl_pipeline_spark.queries_registry import register_query
+
+ANN_QUERY_IDS = [1, 7, 42, 99, 123]
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+register_query(
+    "text_token_stats",
+    lambda spark, sf_dir: text.token_stats(_docs(spark, sf_dir)),
+    text.TOKEN_STATS_SQL,
+)
+register_query(
+    "text_quality_score",
+    lambda spark, sf_dir: text.quality_score(_docs(spark, sf_dir)),
+    text.QUALITY_SCORE_SQL,
+)
+register_query(
+    "text_lang_id",
+    lambda spark, sf_dir: text.lang_id(_docs(spark, sf_dir)),
+    text.LANG_ID_SQL,
+)
+register_query(
+    "text_fingerprints",
+    lambda spark, sf_dir: text.fingerprints(_docs(spark, sf_dir)),
+    text.FINGERPRINT_SQL,
+)
+register_query(
+    "text_top_tokens",
+    lambda spark, sf_dir: text.top_tokens(_docs(spark, sf_dir), k=20),
+    text.top_tokens_sql(k=20),
+)
+
+register_query(
+    "dedup_exact_groups",
+    lambda spark, sf_dir: dedup.exact_duplicate_groups(_docs(spark, sf_dir)),
+    dedup.EXACT_DUP_GROUPS_SQL,
+)
+register_query(
+    "dedup_jaccard_pairs",
+    lambda spark, sf_dir: dedup.jaccard_pairs(_docs(spark, sf_dir), k=8, threshold=0.8),
+    dedup.jaccard_pairs_sql(k=8, threshold=0.8),
+)
+# LSH-accelerated variant: same contract as the exact query (recall of the
+# 16x4 banding at this threshold is ~1; tests/test_dedup.py measures it),
+# so it shares the exact-Jaccard oracle.
+register_query(
+    "dedup_minhash_lsh",
+    lambda spark, sf_dir: dedup.minhash_near_dup_pairs(
+        _docs(spark, sf_dir), k=8, threshold=0.8
+    ),
+    dedup.jaccard_pairs_sql(k=8, threshold=0.8),
+)
+# SimHash depends on xxhash64, which DuckDB cannot reproduce -> rows-only.
+register_query(
+    "dedup_simhash_pairs",
+    lambda spark, sf_dir: dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3),
+)
+
+register_query(
+    "ann_cosine_topk",
+    lambda spark, sf_dir: similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10),
+    similarity.cosine_topk_sql(ANN_QUERY_IDS, k=10),
+)
+# Testdata embeddings are near-orthogonal (max pairwise cosine ~0.5), so
+# the "near-dup" predicate is exercised at a 0.4 threshold.
+register_query(
+    "emb_near_dup_pairs",
+    lambda spark, sf_dir: similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4),
+    similarity.embedding_near_dup_sql(threshold=0.4),
+)
+# Approximate ANN (recall measured in tests, no value oracle).
+register_query(
+    "ann_srp_topk",
+    lambda spark, sf_dir: similarity.srp_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10),
+)

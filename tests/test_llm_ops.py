@@ -1,0 +1,101 @@
+"""Tests for dedup / similarity / text operators, including the
+approximate-vs-exact recall contracts the oracle can't check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from salesforce_prefect_etl_pipeline_spark.operators import dedup, similarity, text
+from salesforce_prefect_etl_pipeline_spark.plans import load_table
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings").cache()
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, docs):
+    """The LSH pipeline must find exactly the pairs the exact operator
+    finds at this threshold (recall ~1 by banding math)."""
+    exact = {(r.da, r.db) for r in dedup.jaccard_pairs(docs, k=8, threshold=0.8).collect()}
+    lsh = {(r.da, r.db) for r in dedup.minhash_near_dup_pairs(docs, k=8, threshold=0.8).collect()}
+    assert lsh == exact
+    assert exact, "testdata should contain planted near-dups"
+
+
+def test_simhash_separates_near_dups_from_random(spark, docs):
+    """Near-dup pairs must sit at much lower Hamming distance than the
+    average random pair. (With the testdata's tiny vocabulary the per-bit
+    sign-sums are small, so even near-dups land at Hamming ~4-15 — the
+    discriminative signal, not an absolute <=3 bound, is the contract.)"""
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    jac = [(r.da, r.db) for r in dedup.jaccard_pairs(docs, k=8, threshold=0.9).collect()]
+    assert jac, "testdata should contain planted near-dups"
+    near = sum(hamming(sh[a], sh[b]) for a, b in jac) / len(jac)
+    ids = sorted(sh)[:60]
+    rand_pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    rand = sum(hamming(sh[a], sh[b]) for a, b in rand_pairs) / len(rand_pairs)
+    assert near < rand * 0.55, f"near {near} not << random {rand}"
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 2), ("a", 1), ("b", 5)], ["Id", "v"]
+    )
+    got = sorted(dedup.dedup_keep_first(df, "Id").collect())
+    assert [(r.Id, r.v) for r in got] == [("a", 1), ("b", 5)]
+    # no key column -> passthrough
+    df2 = spark.createDataFrame([(1,), (1,)], ["x"])
+    assert dedup.dedup_keep_first(df2, "Id").count() == 2
+
+
+def test_srp_topk_recall(spark, emb):
+    """SRP-LSH top-10 should recover most of the exact top-10."""
+    qids = [1, 7, 42]
+    exact = similarity.cosine_topk(emb, qids, k=10).collect()
+    approx = similarity.srp_topk(emb, qids, k=10).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"SRP recall too low: {recall}"
+
+
+def test_cosine_self_similarity(spark, emb):
+    one = emb.limit(1)
+    row = one.select(
+        similarity.qcos(F.col("embedding"), F.col("embedding")).alias("q")
+    ).collect()[0]
+    assert row.q == 1_000_000  # floor(1.0 * 1e6)
+
+
+def test_lang_id_marker_logic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the hat is", "en"),
+            (2, "der hund und die katze ist", "de"),
+            (3, "xyzzy plugh", "zz"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r.doc_id: r.lang_guess for r in text.lang_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "unknown"
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = text.quality_score(docs).collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
