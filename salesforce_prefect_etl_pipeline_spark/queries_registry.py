@@ -50,3 +50,4 @@ _register_spec_queries()
 # Extension query modules register themselves on import.
 from salesforce_prefect_etl_pipeline_spark import queries_ext  # noqa: E402,F401
 from salesforce_prefect_etl_pipeline_spark import queries_llm  # noqa: E402,F401
+from salesforce_prefect_etl_pipeline_spark import queries_streaming  # noqa: E402,F401

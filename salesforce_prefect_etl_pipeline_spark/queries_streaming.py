@@ -1,0 +1,104 @@
+"""Query registrations for streaming + sessionization + QA profiling.
+
+The streaming queries execute a real Structured Streaming job
+(Trigger.AvailableNow -> memory sink) and return the materialized result;
+because the whole file arrives as one batch, results equal the batch
+window plans and share their oracles.
+"""
+
+from __future__ import annotations
+
+from salesforce_prefect_etl_pipeline_spark.functions import exact_sum_sql
+from salesforce_prefect_etl_pipeline_spark.operators.quality import (
+    profile_frame,
+    profile_frame_sql,
+)
+from salesforce_prefect_etl_pipeline_spark.plans import load_table
+from salesforce_prefect_etl_pipeline_spark.plans.compiler import TESTDATA_COLUMNS
+from salesforce_prefect_etl_pipeline_spark.queries_ext import EVENTS_HOURLY_SQL
+from salesforce_prefect_etl_pipeline_spark.queries_registry import register_query
+from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
+    run_stream_to_batch,
+    session_agg,
+    sliding_agg,
+    stream_events,
+    tumbling_agg,
+)
+
+GAP_US = 10 * 60 * 1_000_000  # 10-minute session gap in microseconds
+
+SESSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+), lagged AS (
+  SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e
+), marked AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) >= {GAP_US}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+), sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + {GAP_US} AS session_end_us,
+       COUNT(*) AS n_events,
+       {exact_sum_sql('value')} AS sum_value
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+SLIDING_SQL = """
+WITH buckets AS (
+  SELECT event_type,
+         unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                 time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - INTERVAL '30 minutes']) AS bucket_ts
+  FROM events
+)
+SELECT strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, COUNT(*) AS records
+FROM buckets GROUP BY 1, 2 ORDER BY bucket, event_type
+"""
+
+
+register_query(
+    "events_sessionization",
+    lambda spark, sf_dir: session_agg(load_table(spark, sf_dir, "events")).orderBy(
+        "user_id", "session_start_us"
+    ),
+    SESSION_SQL,
+)
+register_query(
+    "events_sliding_counts",
+    lambda spark, sf_dir: sliding_agg(load_table(spark, sf_dir, "events")).orderBy(
+        "bucket", "event_type"
+    ),
+    SLIDING_SQL,
+)
+# Real Structured Streaming executions (AvailableNow == the reference's
+# periodic-batch cadence); single-batch input => batch-equal results.
+register_query(
+    "streaming_events_hourly",
+    lambda spark, sf_dir: run_stream_to_batch(
+        tumbling_agg(stream_events(spark, sf_dir)), "stream_hourly"
+    ).orderBy("bucket", "event_type"),
+    EVENTS_HOURLY_SQL,
+)
+register_query(
+    "streaming_sessionization",
+    lambda spark, sf_dir: run_stream_to_batch(
+        session_agg(stream_events(spark, sf_dir)), "stream_sessions"
+    ).orderBy("user_id", "session_start_us"),
+    SESSION_SQL,
+)
+
+# QA profiler core (X10) over orders.
+register_query(
+    "qa_profile_orders",
+    lambda spark, sf_dir: profile_frame(load_table(spark, sf_dir, "orders")),
+    profile_frame_sql("orders", list(TESTDATA_COLUMNS["orders"])),
+)

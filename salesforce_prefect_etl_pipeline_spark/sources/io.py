@@ -1,0 +1,104 @@
+"""Source/sink edges with the reference's artifact contracts
+(SURVEY.md §2.1 S3-S7).
+
+Internal format is parquet; CSV/JSON exist only at the ingest/egress
+edges, exactly like the reference's raw-CSV-in / JSON-records-out shape —
+but without the reference's materialize-per-stage round-tripping.
+
+Single-file semantics: the reference writes one CSV / one JSON per
+artifact. For aggregated (small) outputs we reproduce that exactly
+(coalesce(1) / driver-side dump). For large raw egress ``write_jsonl``
+is the documented scale contract (one JSON object per line, parallel
+writers).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TEMPORAL_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """CSV scan (S4). Prefer an explicit schema (the engine's stance —
+    SURVEY §1.2); fall back to inference for reference fidelity."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", True).csv(path)
+
+
+def write_csv_single(df: DataFrame, out_csv: str) -> str:
+    """Single CSV file with a header row, even for 0 rows (S3 + S5:
+    the reference always emits headers, tasks/extract.py:85-90).
+
+    Spark's csv writer emits a directory of part files; for the
+    reference's one-file artifact contract we write to a temp dir and
+    move the single part into place. Aggregated outputs are small by
+    construction; do NOT use this for big facts — use write_parquet.
+    """
+    tmp = tempfile.mkdtemp(prefix="csv_out_")
+    try:
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+        parts = glob.glob(os.path.join(tmp, "part-*.csv"))
+        os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
+        if parts:
+            shutil.move(parts[0], out_csv)
+        else:
+            # 0-row frame with no partitions: synthesize the header line.
+            with open(out_csv, "w") as f:
+                f.write(",".join(df.columns) + "\n")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_csv
+
+
+def empty_csv_with_headers(spark: SparkSession, fields: list[str], out_csv: str) -> str:
+    """S5: 0-row all-string CSV from a projected field list
+    (tasks/extract.py:16-27,85-90 — including `a AS b` alias handling,
+    which callers resolve before passing ``fields``)."""
+    schema = T.StructType([T.StructField(f, T.StringType()) for f in fields])
+    return write_csv_single(spark.createDataFrame([], schema), out_csv)
+
+
+def stringify_temporals(df: DataFrame) -> DataFrame:
+    """Cast date/timestamp columns to string (tasks/load.py:64-71)."""
+    cols = [
+        F.col(c).cast("string").alias(c)
+        if isinstance(f.dataType, TEMPORAL_TYPES)
+        else F.col(c)
+        for c, f in zip(df.columns, df.schema.fields)
+    ]
+    return df.select(*cols)
+
+
+def write_json_records(df: DataFrame, out_json: str, indent: int = 2) -> str:
+    """S6: ONE json file holding an array of flat record objects with
+    temporals stringified (tasks/load.py:39-86). Collects to the driver —
+    correct for aggregated results (the reference's use), not for facts."""
+    records = [r.asDict(recursive=True) for r in stringify_temporals(df).collect()]
+    os.makedirs(os.path.dirname(os.path.abspath(out_json)), exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump(records, f, indent=indent, default=str)
+    return out_json
+
+
+def write_jsonl(df: DataFrame, out_dir: str) -> str:
+    """Scale egress: JSON-lines directory, written in parallel."""
+    stringify_temporals(df).write.mode("overwrite").json(out_dir)
+    return out_dir
+
+
+def snapshot_parquet(df: DataFrame, out_path: str, compression: str = "snappy") -> str:
+    """S7: parquet snapshot with snappy compression
+    (tasks/quality_parallel.py:143-156)."""
+    df.write.mode("overwrite").option("compression", compression).parquet(out_path)
+    return out_path

@@ -1,0 +1,135 @@
+"""Structured Streaming over the events table.
+
+The reference's "streaming" is a 15-minute cron re-run of the batch flow
+(deployments/serve_15min.py:5-14); Structured Streaming with
+``Trigger.AvailableNow`` reproduces exactly that periodic-batch semantics
+(process everything new, then stop) while upgrading the surface with real
+event-time windows, watermarks, and sessionization:
+
+- tumbling / sliding windows: ``F.window(ts, size[, slide])``
+- session windows: ``F.session_window(ts, gap)`` (also usable in batch,
+  which is how the DuckDB oracle checks it via lag+cumsum sessionization)
+- late data: ``withWatermark`` bounds state; with AvailableNow over a
+  static file everything arrives in one batch, so results equal the batch
+  plan — which is what makes the streaming path oracle-checkable.
+
+Scale: event-time aggregation state is partitioned by (window, keys);
+watermarks bound it. The drift check (reference X10,
+tasks/quality_parallel.py:159-189) becomes a foreachBatch comparison
+against a state table (see operators/quality.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from salesforce_prefect_etl_pipeline_spark.functions import exact_sum
+
+#: Explicit schema for the streaming file source (streaming requires one;
+#: ts is epoch-nanos long under spark.sql.legacy.parquet.nanosAsLong).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ns -> us timestamp at
+    the edge, like plans.compiler.load_table).
+
+    The streaming file source only accepts directories; the testdata dir
+    holds all tables side by side (and is read-only), so the events file
+    is exposed through a one-file symlink directory under /tmp.
+    """
+    link_dir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_streams", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(link_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_agg(events: DataFrame, size: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window counts+sums per event_type."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("records"), exact_sum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "records",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in size/slide buckets)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("records"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "records",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based session windows per user: session = maximal run of
+    events with inter-event gap < ``gap``; window end = last ts + gap.
+    Output times as epoch micros (exact integers, hash-stable)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_batch(result: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming plan with Trigger.AvailableNow into a memory
+    sink and return the materialized result (the reference's
+    run-the-whole-batch-now cadence, X-ref serve_15min.py)."""
+    spark = result.sparkSession
+    with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

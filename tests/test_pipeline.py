@@ -1,0 +1,191 @@
+"""End-to-end pipeline + IO + metadata + QA tests (reference artifact
+contracts, FIXTURES.md §B degenerate inputs)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from salesforce_prefect_etl_pipeline_spark.flows.pipeline import run_pipeline
+from salesforce_prefect_etl_pipeline_spark.metadata import RunMetadataStore, make_run_record
+from salesforce_prefect_etl_pipeline_spark.operators.quality import (
+    EmptyInputError,
+    SchemaGateError,
+    nonempty_gate,
+    profile_columns,
+    rowcount_drift_check,
+    schema_gate,
+)
+from salesforce_prefect_etl_pipeline_spark.sources import io as sio
+from salesforce_prefect_etl_pipeline_spark.sources.salesforce import (
+    build_soql,
+    extract_object,
+    parse_select_fields,
+    records_to_df,
+)
+from salesforce_prefect_etl_pipeline_spark.specs import TableSpec
+
+OPP_SPEC = TableSpec(
+    name="opportunity_by_stage",
+    table="Opportunity",
+    fields=("Id", "StageName", "Amount", "CloseDate"),
+    group_by=("StageName",),
+    metrics={"Amount": ("sum", "mean", "count")},
+    required_cols=("Id", "StageName", "Amount"),
+)
+
+RECORDS = [
+    {"attributes": {"type": "Opportunity"}, "Id": "1", "StageName": "Won",
+     "Amount": "100.5", "CloseDate": "2024-01-05"},
+    {"attributes": {"type": "Opportunity"}, "Id": "2", "StageName": "Won",
+     "Amount": "N/A", "CloseDate": "bogus"},
+    {"attributes": {"type": "Opportunity"}, "Id": "2", "StageName": "Lost",
+     "Amount": None, "CloseDate": None},
+]
+
+
+def test_soql_building_and_parsing():
+    soql = build_soql(OPP_SPEC, limit=50)
+    assert soql == "SELECT Id, StageName, Amount, CloseDate FROM Opportunity LIMIT 50"
+    assert parse_select_fields("SELECT a, b AS c FROM x") == ["a", "c"]
+    spec = TableSpec(name="w", table="T", fields=("Id",), where="X > 1")
+    assert build_soql(spec, limit=None) == "SELECT Id FROM T WHERE X > 1"
+
+
+def test_records_to_df_contracts(spark):
+    df, plan = extract_object(spark, OPP_SPEC, lambda soql: RECORDS)
+    assert "attributes" not in df.columns  # P4 drop
+    dt = dict(df.dtypes)
+    assert dt["Amount"] == "double" and dt["CloseDate"] == "date"  # P8 casts
+    rows = {r.Id: r for r in df.collect()}
+    assert rows["1"].Amount == 100.5
+    # empty extract -> headers-only string frame from the SELECT list (S5)
+    empty, plan = extract_object(spark, OPP_SPEC, lambda soql: [])
+    assert empty.count() == 0
+    assert empty.columns == ["Id", "StageName", "Amount", "CloseDate"]
+
+
+def test_qa_gates(spark):
+    df = spark.createDataFrame([("1", "Won")], ["Id", "StageName"])
+    assert schema_gate(df, ["Id"])["ok"]
+    with pytest.raises(SchemaGateError):
+        schema_gate(df, ["Id", "Amount"])
+    assert nonempty_gate(df)["rows"] == 1
+    with pytest.raises(EmptyInputError):
+        nonempty_gate(df.filter("Id = 'nope'"))
+
+
+def test_profile_shape(spark):
+    df = spark.createDataFrame(
+        [("1", "Won", None), ("2", "Won", 5.0), ("3", None, 6.0)],
+        ["Id", "Stage", "Amount"],
+    )
+    prof = profile_columns(df, topk=2)
+    assert prof["n_rows"] == 3
+    st = prof["columns"]["Stage"]
+    assert st["null_count"] == 1 and st["n_unique"] == 1
+    assert st["top_values"][0] == {"value": "Won", "count": 2}
+
+
+def test_drift_check(spark, tmp_path):
+    state = str(tmp_path / "qc")
+    first = rowcount_drift_check(spark, "obj", 100, state)
+    assert first["previous_rows"] is None and not first["alert"]
+    second = rowcount_drift_check(spark, "obj", 100, state)
+    assert second["previous_rows"] == 100 and not second["alert"]
+    third = rowcount_drift_check(spark, "obj", 10, state)
+    assert third["alert"] and third["relative_change"] == 0.9
+
+
+def test_io_contracts(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1.5, "2024-01-01 10:00:00")],
+        T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("v", T.DoubleType()),
+                T.StructField("ts", T.StringType()),
+            ]
+        ),
+    ).withColumn("ts", __import__("pyspark").sql.functions.to_timestamp("ts"))
+    out_csv = str(tmp_path / "out.csv")
+    sio.write_csv_single(df, out_csv)
+    content = open(out_csv).read().splitlines()
+    assert content[0] == "k,v,ts" and len(content) == 2
+    # empty frame still emits headers (S5)
+    sio.empty_csv_with_headers(spark, ["x", "y"], str(tmp_path / "e.csv"))
+    assert open(tmp_path / "e.csv").read().splitlines() == ["x,y"]
+    # JSON records array with stringified temporals (S6)
+    out_json = str(tmp_path / "out.json")
+    sio.write_json_records(df, out_json)
+    data = json.load(open(out_json))
+    assert isinstance(data, list) and data[0]["k"] == "a"
+    assert isinstance(data[0]["ts"], str) and data[0]["ts"].startswith("2024-01-01")
+    # parquet snapshot round-trip (S7)
+    snap = str(tmp_path / "snap.parquet")
+    sio.snapshot_parquet(df, snap)
+    assert spark.read.parquet(snap).count() == 1
+
+
+def test_metadata_store(tmp_path):
+    # max_bytes sized so the first three appends stay in one file (dedup
+    # is per current file, like the reference) but 20 appends rotate.
+    store = RunMetadataStore(str(tmp_path / "md"), max_bytes=2000, backups=2)
+    r1 = make_run_record("obj", run_id="r1")
+    store.append(r1)
+    store.append(make_run_record("obj", run_id="r1"))  # duplicate run_id
+    store.append(make_run_record("obj", run_id="r2"))
+    runs = store.read_runs("obj")
+    assert {r["run_id"] for r in runs} == {"r1", "r2"}  # dedup keep-last
+    # rotation: push past max_bytes
+    for i in range(20):
+        store.append(make_run_record("obj", run_id=f"x{i}"))
+    obj_dir = tmp_path / "md" / "obj"
+    assert (obj_dir / "runs.jsonl.1").exists()
+    # normalization of legacy files
+    (obj_dir / "runs.josnl").write_text(
+        json.dumps(make_run_record("obj", run_id="legacy")) + "\n"
+    )
+    n = store.normalize("obj")
+    assert any(r["run_id"] == "legacy" for r in store.read_runs("obj"))
+    store.write_latest(r1, "obj")
+    assert json.load(open(obj_dir / "latest_run.json"))["run_id"] == "r1"
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    df, _ = extract_object(spark, OPP_SPEC, lambda soql: RECORDS)
+    out = str(tmp_path / "run1")
+    res = run_pipeline(spark, OPP_SPEC, df, out)
+    assert res.row_counts["raw"] == 3
+    assert res.row_counts["dedup"] == 2  # duplicate Id collapsed
+    assert res.states["schema_gate"] == "ok"
+    assert os.path.exists(res.artifacts["output_json"])
+    summary = json.load(open(res.artifacts["output_json"]))
+    by_stage = {r["StageName"]: r for r in summary}
+    assert by_stage["Won"]["records"] == 2
+    assert by_stage["Won"]["sum_amount"] == 100.5
+    assert by_stage["Lost"]["sum_amount"] == 0.0  # all-null Polars parity
+    # drift state persisted; second run sees previous rows
+    res2 = run_pipeline(spark, OPP_SPEC, df, out)
+    assert res2.drift["previous_rows"] == 3 and not res2.drift["alert"]
+
+
+def test_pipeline_qa_advisory_vs_strict(spark, tmp_path):
+    bad_spec = TableSpec(
+        name="bad",
+        table="Opportunity",
+        group_by=("StageName",),
+        metrics={"Amount": ("sum",)},
+        required_cols=("NotThere",),
+    )
+    df, _ = extract_object(spark, OPP_SPEC, lambda soql: RECORDS)
+    res = run_pipeline(spark, bad_spec, df, str(tmp_path / "adv"))
+    assert res.states["schema_gate"].startswith("error")  # advisory
+    assert res.states["process"] == "ok"  # ETL branch unaffected
+    with pytest.raises(SchemaGateError):
+        run_pipeline(
+            spark, bad_spec, df, str(tmp_path / "strict"), fail_on_qa_error=True
+        )
