@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Headline set: one representative per operator family, weighted toward
+what dominates at 100 TB (big-fact scan+agg, multi-join, window, LSH
+dedup, ANN, sessionization). The quadratic exact verifiers
+(jaccard_pairs, emb near-dup brute force) are deliberately excluded —
+their scale path (minhash/SRP) is what's benchmarked.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "spec_orders_by_status",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_revenue_by_region",
+    "window_top3_orders_per_customer",
+    "agg_distinct_suppliers_per_flag",
+    "events_sessionization",
+    "events_json_extract",
+    "text_quality_score",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from salesforce_prefect_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    # Warm the JVM/code paths once with the flagship (not timed).
+    queries["spec_orders_by_status"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        n = df.count() if not df.isStreaming else -1
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -37,14 +37,19 @@ from salesforce_prefect_etl_pipeline_spark.operators.text import (
     tokens,
 )
 
-MERSENNE_61 = (1 << 61) - 1
+#: Carter-Wegman universal hashing modulus. The prime must be small
+#: enough that a*h wraps it many times within 63-bit long arithmetic
+#: (Spark 4 runs ANSI mode — overflow raises, so we can't rely on
+#: wrapping): a, b, h < 2^31 keeps a*h+b < 2^62 while mod 2^31-1 wraps
+#: ~2^31 times, giving genuinely independent permutations. (A first cut
+#: used mod 2^61-1 with 32-bit h — a*h+b wraps that at most once, so the
+#: "permutations" were near-monotone in h and every band collided.)
+MERSENNE_31 = (1 << 31) - 1
 
 _rng = random.Random(42)
-#: 64 fixed odd multipliers / offsets for the minhash permutations.
-#: 31-bit constants so a * h32 + b stays under 2^63 (Spark 4 runs ANSI
-#: mode — long overflow raises instead of wrapping).
-MINHASH_A = [(_rng.getrandbits(31) | 1) for _ in range(64)]
-MINHASH_B = [_rng.getrandbits(31) for _ in range(64)]
+#: 64 fixed multipliers / offsets for the minhash permutations.
+MINHASH_A = [_rng.randrange(1, MERSENNE_31) for _ in range(64)]
+MINHASH_B = [_rng.randrange(0, MERSENNE_31) for _ in range(64)]
 
 
 # ----------------------------------------------------------------------
@@ -95,17 +100,53 @@ def dedup_keep_first(df: DataFrame, key: str = "Id") -> DataFrame:
 
 # ----------------------------------------------------------------------
 # Character shingles + exact Jaccard
+def shingle_sets(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, shingles: array<string>) — the distinct character
+    k-shingle set of the normalized text, kept as an array so signature
+    computation stays a pure map (no explode/shuffle).
+
+    Documents often arrive as few large files; repartition first so the
+    per-document work spreads across the cluster instead of inheriting
+    the file parallelism (observed 1-partition scans at test SF).
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # Materialize the normalized text before the lambda: an expression
+    # referenced inside transform() is otherwise re-evaluated per array
+    # element (one regex per shingle instead of one per document).
+    base = docs.repartition(n_parts).select(
+        "doc_id", normalized("text").alias("__norm")
+    )
+    norm = F.col("__norm")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(0))),
+            lambda i: norm.substr(i, F.lit(k)),
+        )
+    )
+    return base.select("doc_id", grams.alias("shingles"))
+
+
 def char_shingles(docs: DataFrame, k: int = 8) -> DataFrame:
-    """Distinct character k-shingles per document of the normalized text.
-    (doc_id, s). Narrow op: explode happens map-side."""
-    norm = normalized("text")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(0))),
-        lambda i: norm.substr(i, F.lit(k)),
+    """Exploded shingles: (doc_id, s) rows.
+
+    The generator expression is inlined into explode() in ONE projection:
+    exploding a *named* array column from a previous select makes Spark
+    carry the whole array through the Generate child row (measured ~25x
+    slower at 1.35M shingles) — never `select(arr.alias(c)).select(
+    explode(c))`.
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(n_parts).select(
+        "doc_id", normalized("text").alias("__norm")
     )
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("s")
+    norm = F.col("__norm")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(0))),
+            lambda i: norm.substr(i, F.lit(k)),
+        )
     )
+    return base.select("doc_id", F.explode(grams).alias("s"))
 
 
 def _shingles_sql(k: int = 8) -> str:
@@ -166,21 +207,27 @@ ORDER BY da, db
 # ----------------------------------------------------------------------
 # MinHash + LSH
 def minhash_signatures(docs: DataFrame, k: int = 8, num_hashes: int = 64) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — min over shingles of
-    pmod(a_i * xxhash64(s) + b_i, 2^61-1) per permutation i. One
-    group-by on doc_id; everything else map-side."""
+    """(doc_id, sig: array<bigint>) — min over the shingle set of
+    pmod(a_i * h(s) + b_i, 2^31-1) per permutation i, with
+    h(s) = xxhash64 reduced mod 2^31-1.
+
+    Explode + one group-by with 64 min-aggregates: the aggregation is
+    whole-stage-codegen'd (array higher-order functions are interpreted,
+    measurably slower at this expression count) and the shuffle carries
+    only (doc_id, 64 longs).
+    """
     sh = char_shingles(docs, k)
-    # Reduce the base hash to 32 bits so the affine permutation fits in a
-    # long under ANSI arithmetic (no overflow).
-    h = F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))
+    h = F.pmod(F.xxhash64("s"), F.lit(MERSENNE_31))
     mins = [
-        F.min(F.pmod(F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i]), F.lit(MERSENNE_61))).alias(
-            f"h{i}"
-        )
+        F.min(
+            F.pmod(F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i]), F.lit(MERSENNE_31))
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
@@ -219,23 +266,20 @@ def minhash_near_dup_pairs(
     0.8 threshold: P(miss) < 2e-4 even for a pair at exactly J=0.8, and
     ~0 for real near-dups) — verified against the exact oracle in tests.
     """
+    sets = shingle_sets(docs, k)
     cand = lsh_candidate_pairs(minhash_signatures(docs, k))
-    sh = char_shingles(docs, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("b_db"), F.col("s").alias("sb"))
-    common = (
-        cand.join(a, "da")
-        .join(b, (F.col("db") == F.col("b_db")) & (F.col("sa") == F.col("sb")))
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    j = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    a = sets.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sb"))
+    # Verification joins candidates back to the two shingle sets and
+    # intersects the arrays map-side — candidate count x O(|set|) work,
+    # no shingle-level shuffle. AQE broadcasts the set tables when small;
+    # at corpus scale these are plain shuffled equi-joins on doc_id.
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    na, nb = F.size(F.col("sa")), F.size(F.col("sb"))
+    j = common.cast("double") / (na + nb - common)
     return (
-        common.join(sa, "da")
-        .join(sb, "db")
+        cand.join(a, "da")
+        .join(b, "db")
         .select("da", "db", j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("da", "db")
@@ -248,7 +292,8 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash over distinct tokens of the normalized text:
     bit b = sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1).
     One explode + one 64-expression group-by (map-side partial agg)."""
-    tok = docs.select(
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(n_parts).select(
         "doc_id", F.explode(F.array_distinct(tokens(normalized("text")))).alias("tok")
     )
     h = F.xxhash64("tok")
