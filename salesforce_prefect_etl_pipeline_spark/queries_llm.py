@@ -3,7 +3,12 @@ dedup, similarity search) over the documents/embeddings tables."""
 
 from __future__ import annotations
 
-from salesforce_prefect_etl_pipeline_spark.operators import dedup, similarity, text
+from salesforce_prefect_etl_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from salesforce_prefect_etl_pipeline_spark.plans import load_table
 from salesforce_prefect_etl_pipeline_spark.queries_registry import register_query
 
@@ -86,4 +91,15 @@ register_query(
 register_query(
     "ann_srp_topk",
     lambda spark, sf_dir: similarity.srp_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10),
+)
+
+# Multimodal plumbing (mapInPandas feature extraction over binary
+# payloads; decode stubbed, byte-level features real — see
+# operators/multimodal.py).
+register_query(
+    "media_feature_stats",
+    lambda spark, sf_dir: multimodal.media_feature_stats(
+        multimodal.documents_as_media(_docs(spark, sf_dir))
+    ),
+    multimodal.MEDIA_STATS_SQL,
 )
