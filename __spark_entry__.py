@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from salesforce_prefect_etl_pipeline_spark import queries_registry as _q
+from salesforce_prefect_etl_pipeline_spark import queries_all as _q
 
 
 def entry(spark: SparkSession) -> DataFrame:

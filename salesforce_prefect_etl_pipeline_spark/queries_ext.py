@@ -393,6 +393,22 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def agg_approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9's 100 TB path: HyperLogLog++ approximate distinct counts
+    (constant memory per group vs exact distinct's shuffle of every
+    distinct value). No SQL oracle — HLL sketches are engine-specific —
+    the accuracy contract (<5% error vs exact) is tested in pytest."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def agg_median_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete lower median (value at row floor((n+1)/2) of the sorted
     partition) — defined via window row_number so Spark and the oracle
@@ -541,6 +557,7 @@ for _name, _fn, _sql in [
     ("rollup_lineitem", rollup_lineitem, ROLLUP_SQL),
     ("cube_orders", cube_orders, CUBE_SQL),
     ("agg_distinct_suppliers_per_flag", agg_distinct_suppliers_per_flag, DISTINCT_AGG_SQL),
+    ("agg_approx_distinct_suppliers", agg_approx_distinct_suppliers, None),
     ("agg_median_acctbal_by_nation", agg_median_acctbal_by_nation, MEDIAN_SQL),
     ("agg_stddev_acctbal_by_segment", agg_stddev_acctbal_by_segment, STDDEV_SQL),
     ("orders_by_month", orders_by_month, ORDERS_BY_MONTH_SQL),

@@ -47,7 +47,6 @@ def _register_spec_queries() -> None:
 
 _register_spec_queries()
 
-# Extension query modules register themselves on import.
-from salesforce_prefect_etl_pipeline_spark import queries_ext  # noqa: E402,F401
-from salesforce_prefect_etl_pipeline_spark import queries_llm  # noqa: E402,F401
-from salesforce_prefect_etl_pipeline_spark import queries_streaming  # noqa: E402,F401
+# Extension query modules register themselves on import; the composition
+# root that imports them all is queries_all (kept separate so individual
+# query modules can be imported directly without a cycle through here).

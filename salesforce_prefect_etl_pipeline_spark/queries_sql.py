@@ -1,0 +1,129 @@
+"""SQL-surface queries: the engine's second query language.
+
+``spark.sql`` over temp views of the testdata tables — exercising the
+Catalyst SQL front-end (parsing, subquery decorrelation, IN/EXISTS
+rewrites, scalar subqueries, PIVOT-style conditional aggregation) that
+the DataFrame queries don't touch. The same SQL text (modulo dialect
+differences, noted inline) runs on DuckDB as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from salesforce_prefect_etl_pipeline_spark.functions import exact_sum_sql
+from salesforce_prefect_etl_pipeline_spark.plans import load_table
+from salesforce_prefect_etl_pipeline_spark.plans.compiler import TESTDATA_COLUMNS
+from salesforce_prefect_etl_pipeline_spark.queries_registry import register_query
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TESTDATA_COLUMNS:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _sql_query(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+# TPC-H Q5-shaped: 6-table star join, region-filtered revenue by nation.
+# The n_nationkey = s_nationkey AND = c_nationkey condition is the
+# classic "local supplier" constraint.
+SQL_Q5 = f"""
+SELECT n_name, {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+# Scalar subquery: orders above the global average price.
+SQL_ABOVE_AVG = """
+SELECT o_orderstatus, COUNT(*) AS n_above_avg
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+# Correlated EXISTS (decorrelation exercise): suppliers that shipped
+# at least one high-quantity line.
+SQL_CORRELATED = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+)
+ORDER BY s_suppkey
+"""
+
+# IN-subquery with aggregation inside.
+SQL_IN_SUBQ = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+)
+ORDER BY c_custkey
+"""
+
+# PIVOT-style conditional aggregation (portable dialect: CASE + SUM).
+SQL_PIVOT = """
+SELECT l_returnflag,
+       COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+       COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o,
+       COUNT(*) AS n_total
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+# UNION ALL (bag union) across two facts, then aggregate.
+SQL_UNION_ALL = """
+SELECT src, COUNT(*) AS records FROM (
+  SELECT 'orders' AS src FROM orders
+  UNION ALL
+  SELECT 'lineitem' AS src FROM lineitem
+) GROUP BY src ORDER BY src
+"""
+
+# Array/lateral surface: unnest embedding vectors, per-label stats of
+# the first 8 dimensions. Spark: posexplode via SQL; DuckDB: unnest with
+# ordinality. Dialects differ, so the oracle is written separately.
+SQL_EMBED_DIMSTATS_SPARK = """
+SELECT label, pos AS dim,
+       (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 10000.0 + 0.5) AS DECIMAL(28,0)))
+        AS DOUBLE) / 10000.0) AS sum_v,
+       COUNT(*) AS n
+FROM embeddings
+LATERAL VIEW posexplode(embedding) t AS pos, v
+WHERE pos < 8
+GROUP BY label, pos ORDER BY label, dim
+"""
+
+SQL_EMBED_DIMSTATS_DUCK = """
+SELECT label, CAST(t.i - 1 AS INT) AS dim,
+       (CAST(SUM(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 10000.0 + 0.5)
+                      AS DECIMAL(28,0))) AS DOUBLE) / 10000.0) AS sum_v,
+       COUNT(*) AS n
+FROM embeddings, unnest(generate_series(1, 8)) AS t(i)
+GROUP BY label, dim ORDER BY label, dim
+"""
+
+for _name, _spark_sql, _oracle in [
+    ("sql_q5_local_supplier", SQL_Q5, SQL_Q5),
+    ("sql_orders_above_avg", SQL_ABOVE_AVG, SQL_ABOVE_AVG),
+    ("sql_correlated_exists", SQL_CORRELATED, SQL_CORRELATED),
+    ("sql_in_subquery_having", SQL_IN_SUBQ, SQL_IN_SUBQ),
+    ("sql_pivot_counts", SQL_PIVOT, SQL_PIVOT),
+    ("sql_union_all_counts", SQL_UNION_ALL, SQL_UNION_ALL),
+    ("sql_embedding_dim_stats", SQL_EMBED_DIMSTATS_SPARK, SQL_EMBED_DIMSTATS_DUCK),
+]:
+    register_query(_name, _sql_query(_spark_sql), _oracle)

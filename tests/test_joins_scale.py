@@ -1,0 +1,91 @@
+"""Salted-join correctness and bucketed-join plan-shape tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from salesforce_prefect_etl_pipeline_spark.operators.joins import (
+    read_bucketed,
+    salted_join,
+    write_bucketed,
+)
+from salesforce_prefect_etl_pipeline_spark.plans import load_table
+
+from tests.conftest import SF_SMALL
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = orders.join(cust, "o_custkey").groupBy("o_custkey").count()
+    salted = salted_join(orders, cust, "o_custkey", salt=4).groupBy("o_custkey").count()
+    a = {(r.o_custkey, r["count"]) for r in plain.collect()}
+    b = {(r.o_custkey, r["count"]) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one pathological key with 10k rows + a small build side
+    probe = spark.range(10_000).select(F.lit(7).alias("k"), F.col("id"))
+    build = spark.createDataFrame([(7, "hot")], ["k", "v"])
+    out = salted_join(probe, build, "k", salt=8)
+    assert out.count() == 10_000
+    # the physical join key includes the salt -> 8 distinct salt groups
+    n_salts = (
+        probe.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("k"), F.monotonically_increasing_id()), F.lit(8)),
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # warehouse.dir is static config; park the test DB in tmp via LOCATION
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp_path / 'wh'}'")
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "bdb.b_orders", "o_orderkey", buckets=8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "bdb.b_lineitem", "o_orderkey", buckets=8
+    )
+    a, b = read_bucketed(spark, "bdb.b_orders"), read_bucketed(spark, "bdb.b_lineitem")
+    # disable auto-broadcast so the join would otherwise need a shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS bdb.b_orders")
+        spark.sql("DROP TABLE IF EXISTS bdb.b_lineitem")
+        spark.sql("DROP DATABASE IF EXISTS bdb")
+
+
+def test_approx_distinct_accuracy(spark):
+    from salesforce_prefect_etl_pipeline_spark.queries_ext import (
+        agg_approx_distinct_suppliers,
+        agg_distinct_suppliers_per_flag,
+    )
+
+    exact = {
+        r.l_returnflag: (r.n_suppliers, r.n_parts)
+        for r in agg_distinct_suppliers_per_flag(spark, SF_SMALL).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.approx_suppliers, r.approx_parts)
+        for r in agg_approx_distinct_suppliers(spark, SF_SMALL).collect()
+    }
+    for flag, (es, ep) in exact.items():
+        as_, ap = approx[flag]
+        assert abs(as_ - es) / es < 0.05
+        assert abs(ap - ep) / ep < 0.05
