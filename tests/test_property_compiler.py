@@ -1,0 +1,83 @@
+"""Property-based test: for randomized CSV-shaped data (nulls, garbage
+numerics, duplicate keys, unicode), the compiled Spark plan must match
+the generated DuckDB oracle exactly. This is the engine's semantic
+contract under adversarial inputs, not just the driver's fixed testdata."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from salesforce_prefect_etl_pipeline_spark.plans.compiler import (
+    build_agg_exprs,
+    prepare_input,
+    spec_oracle_sql,
+)
+from salesforce_prefect_etl_pipeline_spark.specs import TableSpec
+
+# Spec under test: group key with nulls + metric with tolerant casts.
+SPEC = TableSpec(
+    name="prop",
+    table="documents",  # reuse a known table name for oracle generation
+    group_by=("lang",),
+    metrics={"n_chars": ("sum", "mean", "min", "max")},
+)
+
+amount = st.one_of(
+    st.none(),
+    st.just("garbage"),
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ).map(lambda x: f"{x:.4f}"),
+)
+key = st.one_of(st.none(), st.sampled_from(["en", "de", "fr", "zh", "ümläut", ""]))
+rows_strategy = st.lists(st.tuples(key, amount), min_size=0, max_size=60)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_strategy)
+def test_compiler_matches_oracle_on_random_data(spark, rows):
+    pdf = pd.DataFrame(
+        {
+            "lang": pd.Series([r[0] for r in rows], dtype="string"),
+            "n_chars": pd.Series([r[1] for r in rows], dtype="string"),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "documents.parquet")
+        pdf.to_parquet(path)
+
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        prepared = prepare_input(df, SPEC)
+        out = (
+            prepared.groupBy("lang")
+            .agg(*build_agg_exprs(SPEC))
+            .orderBy(F.asc_nulls_first("lang"))
+        )
+        spark_pdf = out.toPandas()
+
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+        oracle_pdf = con.sql(spec_oracle_sql(SPEC)).df()
+        con.close()
+
+    assert len(spark_pdf) == len(oracle_pdf)
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns)
+    s = spark_pdf.reindex(sorted(spark_pdf.columns), axis=1).sort_values(
+        by=list(sorted(spark_pdf.columns)), ignore_index=True
+    )
+    o = oracle_pdf.reindex(sorted(oracle_pdf.columns), axis=1).sort_values(
+        by=list(sorted(oracle_pdf.columns)), ignore_index=True
+    )
+    pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
