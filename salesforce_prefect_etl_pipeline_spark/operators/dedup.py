@@ -256,6 +256,27 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataF
     )
 
 
+def minhash_profile(docs: DataFrame, k: int = 8, num_hashes: int = 64) -> DataFrame:
+    """(doc_id, shingles, sig) in ONE scan + ONE shuffle: the signature
+    min-aggregates and the shingle set (collect_set) come out of the same
+    group-by, so candidate generation and exact verification share a
+    single pass over the corpus."""
+    sh = char_shingles(docs, k)
+    h = F.pmod(F.xxhash64("s"), F.lit(MERSENNE_31))
+    mins = [
+        F.min(
+            F.pmod(F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i]), F.lit(MERSENNE_31))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"), *mins)
+    return agg.select(
+        "doc_id",
+        "shingles",
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame, k: int = 8, threshold: float = 0.8
 ) -> DataFrame:
@@ -266,12 +287,12 @@ def minhash_near_dup_pairs(
     0.8 threshold: P(miss) < 2e-4 even for a pair at exactly J=0.8, and
     ~0 for real near-dups) — verified against the exact oracle in tests.
     """
-    sets = shingle_sets(docs, k)
-    cand = lsh_candidate_pairs(minhash_signatures(docs, k))
-    a = sets.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sa"))
-    b = sets.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sb"))
+    prof = minhash_profile(docs, k)
+    cand = lsh_candidate_pairs(prof.select("doc_id", "sig"))
+    a = prof.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sa"))
+    b = prof.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sb"))
     # Verification joins candidates back to the two shingle sets and
-    # intersects the arrays map-side — candidate count x O(|set|) work,
+    # intersects the arrays map-side - candidate count x O(|set|) work,
     # no shingle-level shuffle. AQE broadcasts the set tables when small;
     # at corpus scale these are plain shuffled equi-joins on doc_id.
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
