@@ -287,6 +287,80 @@ FROM per_nation ORDER BY rnk, c_nationkey
 """
 
 
+def window_ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) by totalprice within each status + quartile aggregates."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderstatus", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            exact_sum("o_totalprice").alias("sum_total"),
+        )
+        .orderBy("o_orderstatus", "quartile")
+    )
+
+
+WINDOW_NTILE_SQL = f"""
+SELECT o_orderstatus, quartile, COUNT(*) AS records,
+       {exact_sum_sql('o_totalprice')} AS sum_total
+FROM (
+  SELECT o_orderstatus, o_totalprice,
+         NTILE(4) OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+  FROM orders
+) GROUP BY o_orderstatus, quartile ORDER BY o_orderstatus, quartile
+"""
+
+
+def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last order per customer over a full-partition frame."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_orderkey"),
+            F.last("o_orderkey").over(w).alias("last_orderkey"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+WINDOW_FIRST_LAST_SQL = """
+SELECT DISTINCT o_custkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+       LAST_VALUE(o_orderkey)  OVER w AS last_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey
+"""
+
+
+def agg_approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (t-digest/KLL-style sketch) — the 100 TB
+    path for medians/quantiles; accuracy vs the exact discrete median is
+    tested in pytest (no SQL oracle: sketches are engine-specific)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+            F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # ----------------------------------------------------------------------
 # Set operations (SURVEY §2.7 "not in the reference").
 def set_union_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,6 +625,9 @@ for _name, _fn, _sql in [
     ("window_running_total", window_running_total, WINDOW_RUNNING_SQL),
     ("window_order_gap_days", window_order_gap_days, WINDOW_GAP_SQL),
     ("window_rank_nations_by_acctbal", window_rank_nations_by_acctbal, WINDOW_RANK_SQL),
+    ("window_ntile_order_quartiles", window_ntile_order_quartiles, WINDOW_NTILE_SQL),
+    ("window_first_last_order", window_first_last_order, WINDOW_FIRST_LAST_SQL),
+    ("agg_approx_percentile_price", agg_approx_percentile_price, None),
     ("set_union_nationkeys", set_union_nationkeys, SET_UNION_SQL),
     ("set_intersect_nationkeys", set_intersect_nationkeys, SET_INTERSECT_SQL),
     ("set_except_nationkeys", set_except_nationkeys, SET_EXCEPT_SQL),

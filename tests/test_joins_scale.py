@@ -89,3 +89,30 @@ def test_approx_distinct_accuracy(spark):
         as_, ap = approx[flag]
         assert abs(as_ - es) / es < 0.05
         assert abs(ap - ep) / ep < 0.05
+
+
+def test_approx_percentile_accuracy(spark):
+    import duckdb
+
+    from salesforce_prefect_etl_pipeline_spark.queries_ext import (
+        agg_approx_percentile_price,
+    )
+
+    approx = {
+        r.o_orderstatus: (r.p50, r.p95)
+        for r in agg_approx_percentile_price(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    exact = {
+        s: (p50, p95)
+        for s, p50, p95 in con.sql(
+            "SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5),"
+            " quantile_cont(o_totalprice, 0.95) FROM"
+            f" read_parquet('{SF_SMALL}/orders.parquet') GROUP BY 1"
+        ).fetchall()
+    }
+    con.close()
+    for status, (e50, e95) in exact.items():
+        a50, a95 = approx[status]
+        assert abs(a50 - e50) / e50 < 0.02
+        assert abs(a95 - e95) / e95 < 0.02
