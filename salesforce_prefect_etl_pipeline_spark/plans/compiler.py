@@ -48,6 +48,21 @@ from salesforce_prefect_etl_pipeline_spark.specs import TableSpec
 _M = "__metric__"
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine's semantics depend on, applied
+    defensively so queries behave identically under a caller-created
+    SparkSession (e.g. the driver harness), not only under
+    ``session.get_spark``:
+
+    - ``nanosAsLong``: events.ts is parquet TIMESTAMP(NANOS), which the
+      Spark reader otherwise rejects outright (PARQUET_TYPE_ILLEGAL);
+    - UTC session timezone: timestamp formatting/bucketing must match
+      the UTC-based DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Parquet scan for one testdata table (TESTDATA.md layout).
 
@@ -57,6 +72,7 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     (truncation — same as DuckDB's TIMESTAMP_NS -> TIMESTAMP cast, so the
     oracle sees identical instants).
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

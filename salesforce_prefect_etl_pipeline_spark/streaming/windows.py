@@ -59,6 +59,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(link_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    from salesforce_prefect_etl_pipeline_spark.plans import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(link_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
