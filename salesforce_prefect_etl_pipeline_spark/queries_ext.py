@@ -543,6 +543,104 @@ FROM s ORDER BY c_mktsegment
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global sum — the pushdown showcase
+    (all four predicates reach the parquet scan, PLANS.md)."""
+    li = _t(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.coalesce(exact_sum(F.expr("l_extendedprice * l_discount")), F.lit(0.0)).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q6_SQL = f"""
+SELECT COALESCE({exact_sum_sql('l_extendedprice * l_discount')}, 0.0) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(exact_sum(F.expr(REVENUE)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name, {exact_sum_sql(REVENUE)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def asof_clicks_to_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each click matched to the user's most recent purchase
+    at-or-before it (operators/asof.py; DuckDB native ASOF JOIN oracle)."""
+    from salesforce_prefect_etl_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    joined = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="p_ts",
+        right_value_cols=["p_ts", "p_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.unix_micros("p_ts").alias("last_purchase_ts_us"),
+        F.col("p_value").alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
+ASOF_SQL = """
+SELECT l.event_id, l.user_id,
+       epoch_us(CAST(l.ts AS TIMESTAMP)) AS click_ts_us,
+       epoch_us(CAST(r.ts AS TIMESTAMP)) AS last_purchase_ts_us,
+       r.value AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
 # ----------------------------------------------------------------------
 # Date/time + JSON scalar surface (SURVEY §2.8 "not in the reference";
 # events.props is a JSON string column).
@@ -618,6 +716,9 @@ FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
 for _name, _fn, _sql in [
     ("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
     ("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
+    ("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
+    ("q10_returned_items", q10_returned_items, Q10_SQL),
+    ("join_asof_clicks_to_purchases", asof_clicks_to_purchases, ASOF_SQL),
     ("join_revenue_by_region", join_revenue_by_region, JOIN_REVENUE_BY_REGION_SQL),
     ("join_semi_customers_with_orders", semi_customers_with_orders, SEMI_SQL),
     ("join_anti_customers_without_orders", anti_customers_without_orders, ANTI_SQL),

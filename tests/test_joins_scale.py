@@ -116,3 +116,26 @@ def test_approx_percentile_accuracy(spark):
         a50, a95 = approx[status]
         assert abs(a50 - e50) / e50 < 0.02
         assert abs(a95 - e95) / e95 < 0.02
+
+
+def test_asof_join_semantics(spark):
+    from salesforce_prefect_etl_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "a"), ("u1", 200, "b"), ("u2", 50, "c")],
+        ["k", "lts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, 1.0), ("u1", 150, 2.0), ("u2", 60, 3.0)],
+        ["k", "rts", "rv"],
+    )
+    out = {
+        (r.k, r.lts): (r.rts, r.rv)
+        for r in asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            right_value_cols=["rts", "rv"],
+        ).collect()
+    }
+    assert out[("u1", 100)] == (100, 1.0)  # tie at equal ts matches
+    assert out[("u1", 200)] == (150, 2.0)  # most recent prior
+    assert out[("u2", 50)] == (None, None)  # no right row at-or-before
