@@ -92,6 +92,13 @@ register_query(
     "ann_srp_topk",
     lambda spark, sf_dir: similarity.srp_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10),
 )
+# Vectorized numpy brute-force (BLAS fold order differs in last-ulp from
+# the sequential oracle fold -> neighbor-set equality tested in pytest,
+# no value oracle).
+register_query(
+    "ann_cosine_topk_np",
+    lambda spark, sf_dir: similarity.cosine_topk_np(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10),
+)
 
 # Multimodal plumbing (mapInPandas feature extraction over binary
 # payloads; decode stubbed, byte-level features real — see

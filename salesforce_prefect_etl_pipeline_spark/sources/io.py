@@ -102,3 +102,13 @@ def snapshot_parquet(df: DataFrame, out_path: str, compression: str = "snappy") 
     (tasks/quality_parallel.py:143-156)."""
     df.write.mode("overwrite").option("compression", compression).parquet(out_path)
     return out_path
+
+
+def write_partitioned(df: DataFrame, out_path: str, partition_cols: list[str]) -> str:
+    """Hive-layout partitioned parquet — the warehouse-scale sink: a
+    filter on a partition column prunes whole directories at read time
+    (PartitionFilters in the scan, zero data touched for pruned values).
+    Partition columns should be low-cardinality (status, date, region) —
+    one directory per value per task otherwise."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_path)
+    return out_path

@@ -99,3 +99,12 @@ def test_quality_score_bounds(spark, docs):
     rows = text.quality_score(docs).collect()
     assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
     assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_numpy_topk_matches_expression_topk(spark, emb):
+    qids = [1, 7, 42]
+    expr_res = similarity.cosine_topk(emb, qids, k=10).collect()
+    np_res = similarity.cosine_topk_np(emb, qids, k=10).collect()
+    e = {(r.query_id, r.neighbor_id, r.rnk) for r in expr_res}
+    n = {(r.query_id, r.neighbor_id, r.rnk) for r in np_res}
+    assert e == n

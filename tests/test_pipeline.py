@@ -189,3 +189,19 @@ def test_pipeline_qa_advisory_vs_strict(spark, tmp_path):
         run_pipeline(
             spark, bad_spec, df, str(tmp_path / "strict"), fail_on_qa_error=True
         )
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    out = str(tmp_path / "orders_part")
+    sio.write_partitioned(orders, out, ["o_orderstatus"])
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    filtered = back.filter("o_orderstatus = 'F'")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # partition pruning shows up as a PartitionFilters entry on the scan
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+    assert filtered.count() == orders.filter("o_orderstatus = 'F'").count()
