@@ -445,6 +445,55 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API pivot (groupBy().pivot().agg()) — one shuffle; the
+    pivot values are pinned so the plan needs no extra distinct pass."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderpriority")
+    )
+
+
+PIVOT_DF_SQL = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — finer than rollup/cube
+    (exactly the two single-key groupings, no grand total)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS records, {exact_sum_sql('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       COUNT(*) AS records, {exact_sum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
 def agg_distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -734,6 +783,8 @@ for _name, _fn, _sql in [
     ("set_except_nationkeys", set_except_nationkeys, SET_EXCEPT_SQL),
     ("rollup_lineitem", rollup_lineitem, ROLLUP_SQL),
     ("cube_orders", cube_orders, CUBE_SQL),
+    ("grouping_sets_lineitem", grouping_sets_lineitem, GROUPING_SETS_SQL),
+    ("pivot_status_by_priority", pivot_status_by_priority, PIVOT_DF_SQL),
     ("agg_distinct_suppliers_per_flag", agg_distinct_suppliers_per_flag, DISTINCT_AGG_SQL),
     ("agg_approx_distinct_suppliers", agg_approx_distinct_suppliers, None),
     ("agg_median_acctbal_by_nation", agg_median_acctbal_by_nation, MEDIAN_SQL),

@@ -93,3 +93,64 @@ def run_stream_to_batch_append(result, name):
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode window counts with a watermark. Spark's contract:
+    a window is finalized (emitted + state evicted) once the watermark
+    passes its end; rows for an ALREADY-FINALIZED window are dropped.
+    (A late row landing in the same batch as its window's eviction still
+    merges — eviction happens at batch end — so the drop needs a window
+    finalized in an earlier batch.)"""
+    import pandas as pd
+
+    d = str(tmp_path / "wm_src")
+    os.makedirs(d)
+
+    def write_batch(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pdf["ts"].astype("int64")
+        path = os.path.join(tmp_path, name + ".tmp")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
+        part = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, name + ".parquet")
+        shutil.copy(os.path.join(path, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    H = 3_600_000_000_000  # 1 hour in ns
+    M = 60_000_000_000  # 1 minute in ns
+    # batch 0: hour-0 event + hour-10 event (watermark will reach 9h)
+    write_batch("b0", [
+        (1, 0 * H, 1, "click", 1.0, "{}"),
+        (2, 10 * H, 1, "click", 1.0, "{}"),
+    ], 1_700_000_000)
+    # batch 1: fresh event only -> hour-0 window is finalized this batch
+    write_batch("b1", [(3, 10 * H + M, 1, "click", 1.0, "{}")], 1_700_001_000)
+    # batch 2: a late hour-0 event AFTER finalization -> must be dropped
+    write_batch("b2", [
+        (4, 0 * H, 1, "click", 1.0, "{}"),
+        (5, 10 * H + 2 * M, 1, "click", 1.0, "{}"),
+    ], 1_700_002_000)
+
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("records"))
+        .select(F.col("w.start").cast("string").alias("bucket"), "records")
+    )
+    out = run_stream_to_batch_append(agg, "wm_out")
+    rows = out.collect()
+    hour0 = [r.records for r in rows if r.bucket.startswith("1970-01-01 00")]
+    # finalized once with only the on-time event; late event 4 dropped
+    assert hour0 == [1], rows
