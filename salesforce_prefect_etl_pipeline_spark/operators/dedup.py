@@ -369,3 +369,68 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("da", "db")
     )
+
+
+# ----------------------------------------------------------------------
+# Near-dup clustering (connected components)
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list (da, db) ->
+    (doc_id, component) where component = min doc_id in the component.
+
+    Large-graph label propagation: every vertex repeatedly adopts the
+    minimum label among itself and its neighbors until fixpoint. Each
+    iteration is one join + one aggregation (shuffle on doc_id);
+    convergence takes O(diameter) iterations — near-dup graphs are
+    overwhelmingly tiny cliques/chains, so 2-3 iterations in practice.
+    ``localCheckpoint`` truncates the lineage each round (an iterative
+    plan otherwise grows exponentially in the optimizer).
+
+    Iterative => not SQL-expressible for the oracle harness; verified in
+    tests against a driver-side union-find on the collected edges.
+    """
+    sym = (
+        edges.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+        .union(edges.select(F.col("db").alias("src"), F.col("da").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
+def near_dup_clusters(docs: DataFrame, k: int = 8, threshold: float = 0.8) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH pairs -> connected
+    components -> (doc_id, component) with component = canonical
+    (minimum) doc id. The standard corpus-dedup output: keep one doc per
+    component, drop the rest."""
+    pairs = minhash_near_dup_pairs(docs, k, threshold)
+    return connected_components(pairs.select("da", "db"))

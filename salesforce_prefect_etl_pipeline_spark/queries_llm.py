@@ -69,6 +69,12 @@ register_query(
     ),
     dedup.jaccard_pairs_sql(k=8, threshold=0.8),
 )
+# Iterative connected-components clustering of LSH pairs (not
+# SQL-expressible -> rows-only; verified vs union-find in pytest).
+register_query(
+    "dedup_near_dup_clusters",
+    lambda spark, sf_dir: dedup.near_dup_clusters(_docs(spark, sf_dir), k=8, threshold=0.8),
+)
 # SimHash depends on xxhash64, which DuckDB cannot reproduce -> rows-only.
 register_query(
     "dedup_simhash_pairs",

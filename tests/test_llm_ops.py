@@ -108,3 +108,40 @@ def test_numpy_topk_matches_expression_topk(spark, emb):
     e = {(r.query_id, r.neighbor_id, r.rnk) for r in expr_res}
     n = {(r.query_id, r.neighbor_id, r.rnk) for r in np_res}
     assert e == n
+
+
+def test_connected_components_matches_union_find(spark, docs):
+    pairs = dedup.minhash_near_dup_pairs(docs, k=8, threshold=0.8)
+    edges = [(r.da, r.db) for r in pairs.collect()]
+    assert edges
+    got = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(pairs.select("da", "db")).collect()
+    }
+
+    # driver-side union-find ground truth
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
+
+
+def test_connected_components_chain(spark):
+    # a chain 1-2-3-4 plus an isolated pair 10-11: diameter > 1 exercises
+    # multi-iteration propagation
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["da", "db"]
+    )
+    got = {r.doc_id: r.component for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
