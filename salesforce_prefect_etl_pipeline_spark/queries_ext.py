@@ -690,6 +690,67 @@ ORDER BY l.event_id
 """
 
 
+def range_join_ship_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join (operators/rangejoin.py): per order, count
+    lineitems shipped within [orderdate, orderdate + 30 days]. The bin
+    trick turns a range predicate into an equi-join."""
+    from salesforce_prefect_etl_pipeline_spark.operators.rangejoin import interval_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")).alias("lo"),
+    ).withColumn("hi", F.col("lo") + 30)
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1990-01-01").cast("date")).alias("ship_day"),
+    )
+    joined = interval_join(
+        orders, li, key="o_orderkey", lo="lo", hi="hi", point="ship_day", bin_width=32
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_shipped_30d"))
+        .orderBy("o_orderkey")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT o_orderkey, COUNT(*) AS n_shipped_30d
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) BETWEEN CAST(o_orderdate AS DATE)
+      AND CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+GROUP BY o_orderkey ORDER BY o_orderkey
+"""
+
+
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: explode documents into sentences via the
+    registered table function, then aggregate per language."""
+    from salesforce_prefect_etl_pipeline_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.lang, COUNT(*) AS n_sentences,
+               CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens
+        FROM documents d, LATERAL split_sentences(d.doc_id, d.text) s
+        GROUP BY d.lang ORDER BY d.lang
+        """
+    )
+
+
+# The synthetic docs have no sentence punctuation, so each document is
+# one "sentence" — the UDTF contract is still fully exercised (lateral
+# correlation, per-row expansion, token counts match the SQL oracle).
+UDTF_SENTENCE_SQL = """
+SELECT lang, COUNT(*) AS n_sentences,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens
+FROM documents WHERE trim(text) <> ''
+GROUP BY lang ORDER BY lang
+"""
+
+
 # ----------------------------------------------------------------------
 # Date/time + JSON scalar surface (SURVEY §2.8 "not in the reference";
 # events.props is a JSON string column).
@@ -768,6 +829,8 @@ for _name, _fn, _sql in [
     ("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
     ("q10_returned_items", q10_returned_items, Q10_SQL),
     ("join_asof_clicks_to_purchases", asof_clicks_to_purchases, ASOF_SQL),
+    ("join_range_ship_within_30d", range_join_ship_within_30d, RANGE_JOIN_SQL),
+    ("udtf_sentence_stats", udtf_sentence_stats, UDTF_SENTENCE_SQL),
     ("join_revenue_by_region", join_revenue_by_region, JOIN_REVENUE_BY_REGION_SQL),
     ("join_semi_customers_with_orders", semi_customers_with_orders, SEMI_SQL),
     ("join_anti_customers_without_orders", anti_customers_without_orders, ANTI_SQL),

@@ -139,3 +139,23 @@ def test_asof_join_semantics(spark):
     assert out[("u1", 100)] == (100, 1.0)  # tie at equal ts matches
     assert out[("u1", 200)] == (150, 2.0)  # most recent prior
     assert out[("u2", 50)] == (None, None)  # no right row at-or-before
+
+
+def test_interval_join_exact(spark):
+    from salesforce_prefect_etl_pipeline_spark.operators.rangejoin import interval_join
+
+    intervals = spark.createDataFrame(
+        [("k1", 10, 20), ("k1", 100, 200), ("k2", 0, 5)], ["k", "lo", "hi"]
+    )
+    points = spark.createDataFrame(
+        [("k1", 10), ("k1", 20), ("k1", 21), ("k1", 150), ("k2", 5), ("k2", 6)],
+        ["k", "p"],
+    )
+    got = {
+        (r.k, r.lo, r.p)
+        for r in interval_join(
+            intervals, points, key="k", lo="lo", hi="hi", point="p", bin_width=7
+        ).collect()
+    }
+    # inclusive bounds; no duplicates despite multi-bin intervals
+    assert got == {("k1", 10, 10), ("k1", 10, 20), ("k1", 100, 150), ("k2", 0, 5)}
