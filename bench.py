@@ -32,7 +32,10 @@ HEADLINE = [
     "events_json_extract",
     "text_quality_score",
     "dedup_minhash_lsh",
+    "dedup_near_dup_clusters",
     "ann_cosine_topk",
+    "join_asof_clicks_to_purchases",
+    "streaming_events_hourly",
 ]
 
 

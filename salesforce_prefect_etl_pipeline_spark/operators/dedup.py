@@ -388,10 +388,13 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     Iterative => not SQL-expressible for the oracle harness; verified in
     tests against a driver-side union-find on the collected edges.
     """
+    # Materialize the edge list once: its lineage may be an entire LSH
+    # pipeline, and every iteration's join would otherwise recompute it.
     sym = (
         edges.select(F.col("da").alias("src"), F.col("db").alias("dst"))
         .union(edges.select(F.col("db").alias("src"), F.col("da").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("doc_id"))
