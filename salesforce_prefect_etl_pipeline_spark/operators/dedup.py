@@ -149,6 +149,32 @@ def char_shingles(docs: DataFrame, k: int = 8) -> DataFrame:
     return base.select("doc_id", F.explode(grams).alias("s"))
 
 
+def char_shingle_hashes(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Exploded *hashed* shingles: (doc_id, h: bigint) with
+    h = xxhash64(shingle).
+
+    The minhash/verification path never needs the shingle text — only
+    set membership — so all string work (regex normalize, substr,
+    hashing) happens map-side before the explode, and everything
+    downstream (group-by shuffle, collect_set, array_intersect) carries
+    8-byte longs instead of ~32-byte strings. Two docs' hashed-set
+    Jaccard equals their string-set Jaccard unless xxhash64 collides
+    within the pair's union (~|union|^2 / 2^64 ≈ 1e-14 at union=500).
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(n_parts).select(
+        "doc_id", normalized("text").alias("__norm")
+    )
+    norm = F.col("__norm")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(0))),
+            lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+        )
+    )
+    return base.select("doc_id", F.explode(grams).alias("h"))
+
+
 def _shingles_sql(k: int = 8) -> str:
     return f"""
   SELECT DISTINCT doc_id, substr({NORMALIZED_SQL}, i, {k}) AS s
@@ -214,10 +240,11 @@ def minhash_signatures(docs: DataFrame, k: int = 8, num_hashes: int = 64) -> Dat
     Explode + one group-by with 64 min-aggregates: the aggregation is
     whole-stage-codegen'd (array higher-order functions are interpreted,
     measurably slower at this expression count) and the shuffle carries
-    only (doc_id, 64 longs).
+    only (doc_id, 64 longs). Shingles enter pre-hashed (see
+    char_shingle_hashes) so no strings cross the exchange.
     """
-    sh = char_shingles(docs, k)
-    h = F.pmod(F.xxhash64("s"), F.lit(MERSENNE_31))
+    sh = char_shingle_hashes(docs, k)
+    h = F.pmod(F.col("h"), F.lit(MERSENNE_31))
     mins = [
         F.min(
             F.pmod(F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i]), F.lit(MERSENNE_31))
@@ -257,19 +284,21 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataF
 
 
 def minhash_profile(docs: DataFrame, k: int = 8, num_hashes: int = 64) -> DataFrame:
-    """(doc_id, shingles, sig) in ONE scan + ONE shuffle: the signature
-    min-aggregates and the shingle set (collect_set) come out of the same
-    group-by, so candidate generation and exact verification share a
-    single pass over the corpus."""
-    sh = char_shingles(docs, k)
-    h = F.pmod(F.xxhash64("s"), F.lit(MERSENNE_31))
+    """(doc_id, shingles: array<bigint>, sig) in ONE scan + ONE shuffle:
+    the signature min-aggregates and the shingle set (collect_set of the
+    64-bit shingle hashes, not the strings — ~4x fewer shuffle bytes and
+    long-vs-long intersection downstream) come out of the same group-by,
+    so candidate generation and exact verification share a single pass
+    over the corpus."""
+    sh = char_shingle_hashes(docs, k)
+    h = F.pmod(F.col("h"), F.lit(MERSENNE_31))
     mins = [
         F.min(
             F.pmod(F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i]), F.lit(MERSENNE_31))
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    agg = sh.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"), *mins)
+    agg = sh.groupBy("doc_id").agg(F.collect_set("h").alias("shingles"), *mins)
     return agg.select(
         "doc_id",
         "shingles",
