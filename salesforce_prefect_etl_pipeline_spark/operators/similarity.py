@@ -203,6 +203,145 @@ def cosine_topk_np(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFra
 
 
 # ----------------------------------------------------------------------
+# IVF (inverted-file) scale path
+def train_ivf_centroids(
+    emb: DataFrame,
+    nlist: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    max_sample: int = 100_000,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    deterministic sample. Returns unit-norm centroids (nlist, dim).
+
+    Determinism: the sample is chosen by a content hash
+    (xxhash64(vec_id) mod m == 0) — independent of partitioning — and
+    sorted by vec_id before Lloyd's, so the same data always yields the
+    same centroids. Init picks nlist seeded indices; an emptied cluster
+    is reseeded to the point farthest from its centroid (also
+    deterministic). At corpus scale the sample stays ~max_sample rows:
+    training cost is O(sample * nlist * dim) on the driver, one-time.
+    """
+    n = emb.count()
+    mod = max(1, n // max_sample)
+    sample = emb
+    if mod > 1:
+        sample = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+    rows = sample.select("vec_id", "embedding").orderBy("vec_id").collect()
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=nlist, replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T  # (n, nlist); cosine since both unit-norm
+        assign = sims.argmax(axis=1)
+        new = np.zeros_like(cents)
+        for c in range(nlist):
+            members = x[assign == c]
+            if len(members) == 0:
+                # reseed to the globally worst-served point
+                worst = sims.max(axis=1).argmin()
+                new[c] = x[worst]
+            else:
+                m = members.mean(axis=0)
+                new[c] = m / np.linalg.norm(m)
+        if np.allclose(new, cents, atol=1e-9):
+            cents = new
+            break
+        cents = new
+    return cents
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, embedding, list_id): each vector tagged with its nearest
+    centroid (max cosine, ties to the lowest list id via argmax). One
+    Arrow-batched map over the corpus — no shuffle. At 100 TB, persist
+    this partitioned/bucketed by list_id so a probe reads only
+    nprobe/nlist of the data (partition pruning on list_id)."""
+    from collections.abc import Iterator
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            pdf = pdf[["vec_id", "embedding"]].copy()
+            pdf["list_id"] = (m @ cents.T).argmax(axis=1).astype(np.int32)
+            yield pdf
+
+    return emb.select("vec_id", "embedding").mapInPandas(_assign, out_schema)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF index: spherical-k-means coarse
+    quantizer -> inverted lists -> probe the nprobe nearest lists per
+    query -> exact qcos re-rank of the probed candidates.
+
+    vs cosine_topk (scan corpus x queries) this touches only
+    ~nprobe/nlist of the corpus per query; vs srp_topk the bucket
+    boundaries adapt to the data distribution instead of random
+    hyperplanes. Recall is data-dependent (near-orthogonal corpora
+    spread true neighbors across lists) and measured empirically in
+    tests; only the brute-force variant carries a value oracle.
+    """
+    cents = train_ivf_centroids(emb, nlist=nlist)
+    assigned = ivf_assign(emb, cents)
+
+    q_rows = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    spark = emb.sparkSession
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r.embedding, dtype=np.float64)
+        sims = (qv / np.linalg.norm(qv)) @ cents.T
+        for lid in np.argsort(-sims)[:nprobe]:
+            probe_rows.append((r.vec_id, [float(v) for v in r.embedding], int(lid)))
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qvec", T.ArrayType(T.FloatType())),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
+    probes = spark.createDataFrame(probe_rows, probe_schema)
+
+    cand = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        qcos(F.col("qvec"), F.col("embedding")).alias("qcos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "qcos")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ----------------------------------------------------------------------
 # SRP-LSH scale path
 def _srp_planes(dim: int = 64, nbits: int = 32, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)

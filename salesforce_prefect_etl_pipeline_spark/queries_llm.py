@@ -98,6 +98,15 @@ register_query(
     "ann_srp_topk",
     lambda spark, sf_dir: similarity.srp_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10),
 )
+# IVF index: k-means coarse quantizer + inverted lists, probing half the
+# lists (near-orthogonal testdata spreads true neighbors across cells;
+# recall ~0.85 measured in tests, no value oracle).
+register_query(
+    "ann_ivf_topk",
+    lambda spark, sf_dir: similarity.ivf_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=10, nlist=16, nprobe=8
+    ),
+)
 # Vectorized numpy brute-force (BLAS fold order differs in last-ulp from
 # the sequential oracle fold -> neighbor-set equality tested in pytest,
 # no value oracle).

@@ -72,6 +72,38 @@ def test_srp_topk_recall(spark, emb):
     assert recall >= 0.5, f"SRP recall too low: {recall}"
 
 
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    """IVF probe of half the lists recovers most exact neighbors on the
+    near-orthogonal testdata (0.87 measured; bound leaves margin), and
+    the whole index build + search is deterministic run-to-run."""
+    qids = [1, 7, 42]
+    exact = similarity.cosine_topk(emb, qids, k=10).collect()
+    approx = similarity.ivf_topk(emb, qids, k=10, nlist=16, nprobe=8).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+    again = similarity.ivf_topk(emb, qids, k=10, nlist=16, nprobe=8).collect()
+    assert approx == again
+
+
+def test_ivf_assign_covers_corpus(spark, emb):
+    """Every vector lands in exactly one inverted list, and probing ALL
+    lists makes IVF exact (candidate set == corpus)."""
+    cents = similarity.train_ivf_centroids(emb, nlist=8)
+    assigned = similarity.ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+    n_lists = assigned.select("list_id").distinct().count()
+    assert 1 <= n_lists <= 8
+    qids = [1, 7]
+    exact = similarity.cosine_topk(emb, qids, k=5).collect()
+    full_probe = similarity.ivf_topk(emb, qids, k=5, nlist=8, nprobe=8).collect()
+    assert {(r.query_id, r.neighbor_id) for r in exact} == {
+        (r.query_id, r.neighbor_id) for r in full_probe
+    }
+
+
 def test_cosine_self_similarity(spark, emb):
     one = emb.limit(1)
     row = one.select(
