@@ -10,6 +10,7 @@ from salesforce_prefect_etl_pipeline_spark import queries_ext  # noqa: F401
 from salesforce_prefect_etl_pipeline_spark import queries_llm  # noqa: F401
 from salesforce_prefect_etl_pipeline_spark import queries_sql  # noqa: F401
 from salesforce_prefect_etl_pipeline_spark import queries_streaming  # noqa: F401
+from salesforce_prefect_etl_pipeline_spark import queries_tpch  # noqa: F401
 from salesforce_prefect_etl_pipeline_spark.queries_registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]
