@@ -119,6 +119,13 @@ register_query(
 # payloads; decode stubbed, byte-level features real — see
 # operators/multimodal.py).
 register_query(
+    "media_frame_sample",
+    lambda spark, sf_dir: multimodal.frame_sample_stats(
+        multimodal.documents_as_media(_docs(spark, sf_dir)), every_n=4
+    ),
+    multimodal.frame_sample_stats_sql(every_n=4),
+)
+register_query(
     "media_feature_stats",
     lambda spark, sf_dir: multimodal.media_feature_stats(
         multimodal.documents_as_media(_docs(spark, sf_dir))

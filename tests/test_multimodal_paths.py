@@ -39,6 +39,36 @@ def test_feature_extraction_batches(spark):
     assert r.n_frames == r.n_bytes // 256
 
 
+def test_frame_sampling_content(spark):
+    """Sampled frame payloads must be the exact byte slices, at the
+    exact sampled indices, for every document — recomputed driver-side
+    (the SQL oracle can only check multiplicity/lengths)."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(20)
+    media = multimodal.documents_as_media(docs)
+    frames = multimodal.sample_frames(media, every_n=4, frame_bytes=256).collect()
+    texts = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    expected = {}
+    for mid, b in texts.items():
+        n_frames = (len(b) + 255) // 256
+        for i in range(0, n_frames, 4):
+            expected[(mid, i)] = b[i * 256 : (i + 1) * 256]
+    got = {(r.media_id, r.frame_idx): bytes(r.frame_payload) for r in frames}
+    assert got == expected
+
+
+def test_resize_stub_shapes(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(20)
+    media = multimodal.documents_as_media(docs)
+    resized = multimodal.resize_media(media, width=8, height=8).collect()
+    orig = {r.doc_id: len(r.text.encode("utf-8")) for r in docs.collect()}
+    assert len(resized) == 20
+    for r in resized:
+        assert (r.width, r.height) == (8, 8)
+        assert len(bytes(r.payload)) == min(64, orig[r.media_id])
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_media(media, decode_stub=False)
+
+
 def test_real_decode_is_explicit_stub(spark):
     docs = load_table(spark, SF_SMALL, "documents").limit(1)
     with pytest.raises(NotImplementedError):
