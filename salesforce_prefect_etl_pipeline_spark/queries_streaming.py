@@ -18,6 +18,7 @@ from salesforce_prefect_etl_pipeline_spark.plans.compiler import TESTDATA_COLUMN
 from salesforce_prefect_etl_pipeline_spark.queries_ext import EVENTS_HOURLY_SQL
 from salesforce_prefect_etl_pipeline_spark.queries_registry import register_query
 from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
+    dedup_user_type_counts,
     run_stream_to_batch,
     session_agg,
     sliding_agg,
@@ -94,6 +95,21 @@ register_query(
         session_agg(stream_events(spark, sf_dir)), "stream_sessions"
     ).orderBy("user_id", "session_start_us"),
     SESSION_SQL,
+)
+
+# Streaming dedup (dropDuplicatesWithinWatermark, bounded state) chained
+# into a streaming aggregation — two stateful operators in one query.
+# Deterministic because the aggregate is survivor-insensitive.
+STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+register_query(
+    "streaming_dedup_user_counts",
+    lambda spark, sf_dir: run_stream_to_batch(
+        dedup_user_type_counts(stream_events(spark, sf_dir)), "stream_dedup"
+    ).orderBy("event_type"),
+    STREAM_DEDUP_SQL,
 )
 
 # QA profiler core (X10) over orders.

@@ -120,6 +120,40 @@ def session_agg(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in state only until
+    the watermark passes it, so state size is (keys arriving within the
+    horizon), not (all keys ever) — the difference between a dedup that
+    survives 100 TB/day and one whose state store grows without bound
+    (plain ``dropDuplicates`` on a stream). Batch input degrades to
+    ordinary dropDuplicates (same API contract as the reference's D1
+    keep-one-per-key, tasks/quality_parallel.py:92-95).
+
+    Which duplicate survives is arrival-order-dependent — compose with
+    survivor-insensitive downstreams (aggregates over the key columns)
+    when determinism is required.
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def dedup_user_type_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Distinct (user_id, event_type) dedup -> per-type unique-user
+    counts. Two chained stateful operators when streaming (dedup state +
+    aggregation state); deterministic because the aggregate only sees
+    the key columns, never the arbitrary survivor row."""
+    deduped = dedup_within_watermark(events, ["user_id", "event_type"], watermark)
+    return (
+        deduped.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select("event_type", "n_users")
+    )
+
+
 def run_stream_to_batch(result: DataFrame, name: str) -> DataFrame:
     """Execute a streaming plan with Trigger.AvailableNow into a memory
     sink and return the materialized result (the reference's

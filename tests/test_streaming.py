@@ -76,6 +76,32 @@ def test_stateful_drift_across_microbatches(spark, two_batch_dir):
         assert r.alert  # ~60% drop
 
 
+def test_streaming_dedup_across_microbatches(spark, two_batch_dir):
+    """Every (user_id, event_type) pair in batch 2 is a literal copy of
+    a batch-1 row, so dropDuplicatesWithinWatermark state must suppress
+    all of batch 2: append output == distinct pairs of batch 1. The
+    watermark is set far above the data span so nothing is dropped as
+    late — suppression comes from dedup state alone."""
+    from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(two_batch_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    deduped = dedup_within_watermark(
+        events, ["user_id", "event_type"], watermark="3650 days"
+    ).select("user_id", "event_type")
+    out = run_stream_to_batch_append(deduped, "dedup_out")
+    batch1 = spark.read.parquet(os.path.join(two_batch_dir, "batch_0.parquet"))
+    expected = batch1.select("user_id", "event_type").distinct().count()
+    assert out.count() == expected
+    assert out.distinct().count() == expected
+
+
 def run_stream_to_batch_append(result, name):
     """Append-mode variant of run_stream_to_batch (applyInPandasWithState
     emits append output)."""
