@@ -34,8 +34,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_near_dup_clusters",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "join_asof_clicks_to_purchases",
     "streaming_events_hourly",
+    "q7_volume_shipping",
+    "q18_large_orders",
 ]
 
 
