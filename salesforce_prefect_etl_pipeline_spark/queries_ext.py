@@ -797,6 +797,72 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode of the JSON props object into (key, value) rows —
+    the generic schema-on-read path for semi-structured event payloads
+    (vs events_json_extract's fixed-path $.k). from_json to a map stays
+    JVM-side; explode is a Generate (no shuffle); only the final
+    aggregation is wide."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select("event_type", F.explode(m).alias("prop_key", "prop_val"))
+        .groupBy("event_type", "prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            F.sum(F.col("prop_val").try_cast("long")).alias("sum_val"),
+        )
+        .orderBy("event_type", "prop_key")
+    )
+
+
+EVENTS_PROPS_EXPLODE_SQL = """
+SELECT event_type, u.k AS prop_key, COUNT(*) AS records,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.' || u.k) AS BIGINT)) AS BIGINT) AS sum_val
+FROM events, unnest(json_keys(props)) u(k)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def lineitem_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot of the four lineitem measures, then per-metric
+    stats — the melt operator (DataFrame.unpivot / SQL stack()). The
+    Expand underneath emits one row per measure WITHOUT re-scanning
+    (4x rows out of one scan, still one shuffle for the agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=measures,
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            exact_sum(F.col("val")).alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+LINEITEM_UNPIVOT_SQL = f"""
+WITH u AS (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+SELECT l_returnflag, metric, COUNT(*) AS records,
+       {exact_sum_sql('val')} AS sum_val,
+       MIN(val) AS min_val, MAX(val) AS max_val
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window batch aggregation via F.window — the exact plan the
     streaming path reuses (streaming/windows.py) with a watermark."""
@@ -854,6 +920,8 @@ for _name, _fn, _sql in [
     ("agg_stddev_acctbal_by_segment", agg_stddev_acctbal_by_segment, STDDEV_SQL),
     ("orders_by_month", orders_by_month, ORDERS_BY_MONTH_SQL),
     ("events_json_extract", events_json_extract, EVENTS_JSON_SQL),
+    ("events_props_explode", events_props_explode, EVENTS_PROPS_EXPLODE_SQL),
+    ("lineitem_unpivot_stats", lineitem_unpivot_stats, LINEITEM_UNPIVOT_SQL),
     ("events_hourly_by_type", events_hourly_by_type, EVENTS_HOURLY_SQL),
 ]:
     register_query(_name, _fn, _sql)
