@@ -797,6 +797,39 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def join_salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact join (operators/joins.py): lineitem probe rows
+    scatter over 8 salts, the orders build side replicates 8x, and the
+    join key becomes (orderkey, salt) — the treatment for a single
+    pathological key AQE's skew splitting can't break up. The oracle is
+    the PLAIN join: salting must be semantically invisible."""
+    from salesforce_prefect_etl_pipeline_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr(REVENUE).alias("rev")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, key="l_orderkey", salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            exact_sum(F.col("rev")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SALTED_JOIN_SQL = f"""
+SELECT o_orderpriority, {exact_sum_sql(REVENUE)} AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral explode of the JSON props object into (key, value) rows —
     the generic schema-on-read path for semi-structured event payloads
@@ -920,6 +953,7 @@ for _name, _fn, _sql in [
     ("agg_stddev_acctbal_by_segment", agg_stddev_acctbal_by_segment, STDDEV_SQL),
     ("orders_by_month", orders_by_month, ORDERS_BY_MONTH_SQL),
     ("events_json_extract", events_json_extract, EVENTS_JSON_SQL),
+    ("join_salted_revenue_by_priority", join_salted_revenue_by_priority, SALTED_JOIN_SQL),
     ("events_props_explode", events_props_explode, EVENTS_PROPS_EXPLODE_SQL),
     ("lineitem_unpivot_stats", lineitem_unpivot_stats, LINEITEM_UNPIVOT_SQL),
     ("events_hourly_by_type", events_hourly_by_type, EVENTS_HOURLY_SQL),
