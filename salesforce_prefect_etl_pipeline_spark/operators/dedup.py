@@ -52,6 +52,19 @@ MINHASH_A = [_rng.randrange(1, MERSENNE_31) for _ in range(64)]
 MINHASH_B = [_rng.randrange(0, MERSENNE_31) for _ in range(64)]
 
 
+def _shingle_positions(norm: Column, k: int) -> Column:
+    """Start positions [1 .. len-k+1] of the k-shingles of ``norm``, or an
+    EMPTY array when the text is shorter than k. Spark's sequence(1, 0)
+    is a *descending* [1, 0] (not empty like DuckDB's generate_series),
+    so an unguarded generator would emit one spurious shingle (the whole
+    short text, or '') for docs shorter than k — diverging from the
+    oracle and polluting Jaccard/minhash for short docs."""
+    return F.when(
+        F.length(norm) >= k,
+        F.sequence(F.lit(1), F.length(norm) - (k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+
+
 # ----------------------------------------------------------------------
 # Exact dedup
 def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
@@ -119,7 +132,7 @@ def shingle_sets(docs: DataFrame, k: int = 8) -> DataFrame:
     norm = F.col("__norm")
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(0))),
+            _shingle_positions(norm, k),
             lambda i: norm.substr(i, F.lit(k)),
         )
     )
@@ -142,7 +155,7 @@ def char_shingles(docs: DataFrame, k: int = 8) -> DataFrame:
     norm = F.col("__norm")
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(0))),
+            _shingle_positions(norm, k),
             lambda i: norm.substr(i, F.lit(k)),
         )
     )
@@ -168,7 +181,7 @@ def char_shingle_hashes(docs: DataFrame, k: int = 8) -> DataFrame:
     norm = F.col("__norm")
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(0))),
+            _shingle_positions(norm, k),
             lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
         )
     )
@@ -430,6 +443,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -455,7 +469,16 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Component diameter exceeded the iteration budget: the labels are
+        # NOT a correct clustering. Silent wrong answers are worse than a
+        # failure at corpus scale (long near-dup chains are plausible).
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (component diameter too large); raise max_iterations"
+        )
     return labels.orderBy("doc_id")
 
 

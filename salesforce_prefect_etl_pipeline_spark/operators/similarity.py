@@ -282,6 +282,92 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(_assign, out_schema)
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    index_dir: str,
+    nlist: int = 16,
+    seed: int = 42,
+) -> np.ndarray:
+    """Offline IVF index build: train the coarse quantizer once, tag the
+    corpus with ``ivf_assign``, and persist the inverted lists as parquet
+    **partitioned by list_id** plus the centroids as a tiny parquet.
+
+    This is the scale contract the one-shot ``ivf_topk`` can't give: at
+    100 TB the corpus is assigned and written ONCE (one Arrow-batched
+    map + one partitioned write, no shuffle), and every subsequent probe
+    reads only ~nprobe/nlist of the data via partition pruning on
+    ``list_id`` (verified against ``inputFiles()`` in tests)."""
+    cents = train_ivf_centroids(emb, nlist=nlist, seed=seed)
+    assigned = ivf_assign(emb, cents)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{index_dir}/lists"
+    )
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        schema="list_id int, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    return cents
+
+
+def load_ivf_centroids(spark, index_dir: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("list_id").collect()
+    return np.array([r.centroid for r in rows], dtype=np.float64)
+
+
+def probe_ivf(
+    spark,
+    index_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF index: per query pick the nprobe nearest
+    centroids (driver-side, centroids are tiny), then scan ONLY those
+    inverted-list partitions (``list_id`` is a partition column, so the
+    ``isin`` filter prunes at the file listing — no data read outside
+    the probed lists) and exact-qcos re-rank the candidates.
+
+    Output: (query_id, neighbor_id, rnk, qcos) — same contract as
+    cosine_topk, approximate recall (measured in tests)."""
+    cents = load_ivf_centroids(spark, index_dir)
+    probe_rows = []
+    for qid, vec in queries:
+        qv = np.array(vec, dtype=np.float64)
+        sims = (qv / np.linalg.norm(qv)) @ cents.T
+        for lid in np.argsort(-sims)[:nprobe]:
+            probe_rows.append((qid, [float(v) for v in vec], int(lid)))
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qvec", T.ArrayType(T.FloatType())),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
+    probes = spark.createDataFrame(probe_rows, probe_schema)
+    probe_lists = sorted({r[2] for r in probe_rows})
+
+    lists = spark.read.parquet(f"{index_dir}/lists").filter(
+        F.col("list_id").isin(probe_lists)
+    )
+    cand = lists.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        qcos(F.col("qvec"), F.col("embedding")).alias("qcos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "qcos")
+        .orderBy("query_id", "rnk")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],

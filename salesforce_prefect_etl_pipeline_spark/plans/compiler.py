@@ -124,7 +124,10 @@ def prepare_input(df: DataFrame, spec: TableSpec) -> DataFrame:
     """
     if spec.fields:
         needed = set(spec.fields) | set(spec.group_by) | set(spec.metrics)
-        for expr in spec.derived.values():
+        # Columns referenced only in derived exprs or the WHERE clause must
+        # survive the projection (the reference applies WHERE in SOQL
+        # *before* projection, so specs may filter on unprojected columns).
+        for expr in [*spec.derived.values(), spec.where or ""]:
             needed |= {c for c in df.columns if c in expr}
         cols = [c for c in df.columns if c in needed]
         if cols:

@@ -159,3 +159,23 @@ def test_interval_join_exact(spark):
     }
     # inclusive bounds; no duplicates despite multi-bin intervals
     assert got == {("k1", 10, 10), ("k1", 10, 20), ("k1", 100, 150), ("k2", 0, 5)}
+
+
+def test_asof_join_null_in_matched_row_not_backfilled(spark):
+    """All value columns must come from the SAME matched right row: a NULL
+    in the most recent right row stays NULL (no leak from an older row),
+    matching DuckDB's ASOF JOIN."""
+    from salesforce_prefect_etl_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u1", 200, "a")], ["k", "lts", "tag"])
+    right = spark.createDataFrame(
+        [("u1", 100, 1.0, "old"), ("u1", 150, None, "new")],
+        ["k", "rts", "rv", "label"],
+    )
+    rows = asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        right_value_cols=["rv", "label"],
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].label == "new"
+    assert rows[0].rv is None  # matched row's NULL, not old row's 1.0

@@ -177,3 +177,91 @@ def test_connected_components_chain(spark):
     )
     got = {r.doc_id: r.component for r in dedup.connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_short_and_empty_docs_produce_no_shingles(spark):
+    """Docs shorter than k must contribute ZERO shingles (Spark's
+    sequence(1, 0) is a descending [1, 0], not empty — the guarded
+    generator must not emit the whole short text / '' as a shingle),
+    matching DuckDB's empty generate_series(1, 0). Regression: short
+    docs previously all shared the '' shingle and reported J=1.0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hi"),          # shorter than k=8
+            (2, "yo"),          # shorter than k=8
+            (3, ""),            # empty
+            (4, "   \t  "),     # whitespace-only (normalizes to '')
+            (5, "a perfectly long document body"),
+            (6, "a perfectly long document body"),
+        ],
+        ["doc_id", "text"],
+    )
+    sets = {r.doc_id: r.shingles for r in dedup.shingle_sets(docs, k=8).collect()}
+    for d in (1, 2, 3, 4):
+        assert sets[d] == [], f"doc {d} should have no shingles, got {sets[d]}"
+    assert len(sets[5]) > 0
+
+    exploded = dedup.char_shingles(docs, k=8).collect()
+    assert {r.doc_id for r in exploded} == {5, 6}
+    hashed = dedup.char_shingle_hashes(docs, k=8).collect()
+    assert {r.doc_id for r in hashed} == {5, 6}
+
+    # Jaccard must not report the short docs as J=1.0 pairs; the long
+    # identical pair is the only true near-dup.
+    pairs = {(r.da, r.db) for r in dedup.jaccard_pairs(docs, k=8, threshold=0.8).collect()}
+    assert pairs == {(5, 6)}
+    lsh = {(r.da, r.db) for r in dedup.minhash_near_dup_pairs(docs, k=8, threshold=0.8).collect()}
+    assert lsh == {(5, 6)}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["da", "db"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iterations=2)
+
+
+def test_ivf_index_lifecycle_prunes_partitions(spark, emb, tmp_path):
+    """build_ivf_index persists inverted lists partitioned by list_id;
+    probe_ivf must read ONLY the probed partitions (partition pruning),
+    and its results must equal the one-shot ivf_topk (same seed)."""
+    index_dir = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, index_dir, nlist=16)
+
+    qvecs = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin([1, 7, 42])).collect()
+    ]
+    out = similarity.probe_ivf(spark, index_dir, qvecs, k=10, nprobe=4)
+
+    # pruning: the filtered scan only lists files under probed list_id dirs
+    cents = similarity.load_ivf_centroids(spark, index_dir)
+    import numpy as np
+
+    probed = set()
+    for _, vec in qvecs:
+        qv = np.array(vec, dtype=np.float64)
+        sims = (qv / np.linalg.norm(qv)) @ cents.T
+        probed |= {int(l) for l in np.argsort(-sims)[:4]}
+    scan = spark.read.parquet(f"{index_dir}/lists").filter(
+        F.col("list_id").isin(sorted(probed))
+    )
+    assert len(probed) < 16, "probe should not touch every list"
+    # inputFiles() reflects the unpruned relation; pruning shows up as a
+    # PartitionFilters entry on the physical scan node.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
+    # and semantically: only probed lists come back
+    got_lists = {r.list_id for r in scan.select("list_id").distinct().collect()}
+    assert got_lists <= probed
+
+    # equivalence with the one-shot pipeline (identical trained centroids)
+    oneshot = similarity.ivf_topk(emb, [1, 7, 42], k=10, nlist=16, nprobe=4)
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in oneshot.collect()]

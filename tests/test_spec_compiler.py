@@ -15,7 +15,7 @@ from salesforce_prefect_etl_pipeline_spark.plans.compiler import (
 )
 from salesforce_prefect_etl_pipeline_spark.specs import SPECS, TableSpec
 
-from tests.conftest import assert_matches_oracle
+from tests.conftest import SF_SMALL, assert_matches_oracle
 
 
 def run_spec_on(df, spec):
@@ -164,3 +164,20 @@ def test_registered_specs_match_oracle(spark, duck, spec_name):
         lambda s, d: compile_spec(s, spec, d),
         spec_oracle_sql(spec),
     )
+
+
+def test_where_on_unprojected_column(spark):
+    """A spec may filter on a column absent from `fields` (the reference
+    applies WHERE in SOQL before projection); the filter column must
+    survive prepare_input's pruning."""
+    from salesforce_prefect_etl_pipeline_spark.plans import compile_spec
+
+    spec = TableSpec(
+        name="open_orders_total",
+        table="orders",
+        fields=("o_totalprice",),
+        where="o_orderstatus = 'O'",
+        metrics={"o_totalprice": ("sum",)},
+    )
+    row = compile_spec(spark, spec, SF_SMALL).collect()[0]
+    assert row.records > 0 and row.sum_o_totalprice > 0
