@@ -434,6 +434,113 @@ def _srp_planes(dim: int = 64, nbits: int = 32, seed: int = 42) -> list[list[flo
     return rng.standard_normal((nbits, dim)).tolist()
 
 
+def srp_band_keys(
+    emb: DataFrame,
+    nbits: int = 128,
+    band_bits: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, band, key): each vector's signed-random-projection band
+    keys, computed in one Arrow-batched numpy kernel (nbits hyperplane
+    dot products = one (batch x dim) @ (dim x nbits) matmul — JVM
+    expression trees at 128 planes x 64 dims are codegen-hostile).
+    Emits nbits/band_bits rows per vector; no shuffle."""
+    from collections.abc import Iterator
+
+    planes = np.asarray(_srp_planes(dim=dim, nbits=nbits, seed=seed), dtype=np.float64)
+    nbands = nbits // band_bits
+    weights = (1 << np.arange(band_bits, dtype=np.int64))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("key", T.LongType()),
+        ]
+    )
+
+    def _keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = (m @ planes.T >= 0).astype(np.int64)  # (batch, nbits)
+            keys = bits.reshape(len(ids), nbands, band_bits) @ weights  # (batch, nbands)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, nbands),
+                    "band": np.tile(np.arange(nbands, dtype=np.int32), len(ids)),
+                    "key": keys.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(_keys, out_schema)
+
+
+def srp_candidate_pairs(
+    emb: DataFrame,
+    nbits: int = 128,
+    band_bits: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Distinct candidate pairs (va < vb) from SRP band-bucket
+    collisions — the shuffle is on (band, key) only; no corpus x corpus
+    product. P(candidate) for a pair at angle θ is
+    1-(1-(1-θ/π)^band_bits)^nbands: ~1 for genuine near-dups
+    (cos >= 0.95 -> miss < 1e-7 at 16x8) and a small constant for
+    near-orthogonal pairs (~0.06 at cos 0) — the pruning that makes the
+    threshold predicate feasible at corpus scale."""
+    banded = srp_band_keys(emb, nbits=nbits, band_bits=band_bits, seed=seed, dim=dim)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+
+
+def embedding_near_dup_banded(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 128,
+    band_bits: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path for the threshold near-dup predicate: SRP band-bucket
+    candidate generation + exact quantized-cosine verification of the
+    candidates only — the two-stage design minhash_near_dup_pairs uses
+    for text, applied to embedding space. Same output contract as the
+    brute-force ``embedding_near_dup_pairs`` (va, vb, qcos >= threshold);
+    equality verified against it in tests and via the driver oracle.
+
+    At 100 TB: brute force is an O(n^2) cartesian; here the only wide ops
+    are the (band, key) self-join (bucket sizes ~n/2^band_bits per band)
+    and the candidate->embedding verification joins. Banding only prunes
+    when the threshold is a genuine near-dup regime (cos >= ~0.9);
+    below that the collision curve flattens and brute force is honest.
+    """
+    qthr = int(threshold * 1e6)
+    cand = srp_candidate_pairs(emb, nbits=nbits, band_bits=band_bits, seed=seed, dim=dim)
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(a, "va")
+        .join(b, "vb")
+        .select("va", "vb", qcos(F.col("ea"), F.col("eb")).alias("qcos"))
+        .filter(F.col("qcos") >= qthr)
+        .orderBy("va", "vb")
+    )
+
+
 def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Signed-random-projection signature: bit i = (vec . plane_i) >= 0."""
     bits = [

@@ -123,6 +123,52 @@ register_query(
     lambda spark, sf_dir: similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4),
     similarity.embedding_near_dup_sql(threshold=0.4),
 )
+
+
+def _emb_with_twins(spark, sf_dir):
+    """Deterministic near-dup-bearing corpus: every 20th vector gets a
+    twin (id + 10M, each element + 0.02 in double => cosine ~0.987-0.99
+    against its original at unit norm). The testdata itself is
+    near-orthogonal (max natural cosine ~0.5), so banding has no genuine
+    near-dup regime to exercise — the planted twins supply one, and the
+    same IEEE-exact construction is reproduced in the DuckDB oracle."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    return emb.unionByName(twins)
+
+
+_TWIN_CORPUS_SQL = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.02) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+# Scale path for the threshold predicate: SRP band-bucket candidates +
+# exact qcos verification (16 bands x 8 bits: miss < 1e-7 at the planted
+# cosine, ~16x candidate pruning on the near-orthogonal background). The
+# oracle is the BRUTE-FORCE O(n^2) SQL over the same corpus — equality is
+# the recall contract.
+register_query(
+    "emb_near_dup_banded",
+    lambda spark, sf_dir: similarity.embedding_near_dup_banded(
+        _emb_with_twins(spark, sf_dir), threshold=0.95
+    ),
+    f"""
+WITH corpus AS ({_TWIN_CORPUS_SQL})
+SELECT a.vec_id AS va, b.vec_id AS vb,
+       {similarity.qcos_sql('a.embedding', 'b.embedding')} AS qcos
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE {similarity.qcos_sql('a.embedding', 'b.embedding')} >= 950000
+ORDER BY va, vb
+""",
+)
 # Approximate ANN (recall measured in tests, no value oracle).
 register_query(
     "ann_srp_topk",

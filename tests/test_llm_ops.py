@@ -265,3 +265,32 @@ def test_ivf_index_lifecycle_prunes_partitions(spark, emb, tmp_path):
     # equivalence with the one-shot pipeline (identical trained centroids)
     oneshot = similarity.ivf_topk(emb, [1, 7, 42], k=10, nlist=16, nprobe=4)
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in oneshot.collect()]
+
+
+def test_banded_near_dup_equals_brute_force_with_pruning(spark, emb):
+    """On a corpus with planted high-cosine twins, the SRP-banded
+    threshold-pairs operator must (a) return exactly the brute-force
+    result and (b) generate far fewer candidates than all-pairs."""
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    twins = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    corpus = base.unionByName(twins).cache()
+    n = corpus.count()
+
+    brute = {
+        (r.va, r.vb, r.qcos)
+        for r in similarity.embedding_near_dup_pairs(corpus, threshold=0.95).collect()
+    }
+    banded = {
+        (r.va, r.vb, r.qcos)
+        for r in similarity.embedding_near_dup_banded(corpus, threshold=0.95).collect()
+    }
+    assert banded == brute
+    assert brute, "twin corpus must contain planted near-dups"
+
+    n_cand = similarity.srp_candidate_pairs(corpus).count()
+    all_pairs = n * (n - 1) // 2
+    assert n_cand < all_pairs * 0.25, f"{n_cand} candidates of {all_pairs} pairs"
+    corpus.unpersist()
