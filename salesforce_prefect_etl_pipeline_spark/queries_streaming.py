@@ -12,6 +12,8 @@ from salesforce_prefect_etl_pipeline_spark.functions import exact_sum_sql
 from salesforce_prefect_etl_pipeline_spark.operators.quality import (
     profile_frame,
     profile_frame_sql,
+    topk_values,
+    topk_values_sql,
 )
 from salesforce_prefect_etl_pipeline_spark.plans import load_table
 from salesforce_prefect_etl_pipeline_spark.plans.compiler import TESTDATA_COLUMNS
@@ -117,4 +119,15 @@ register_query(
     "qa_profile_orders",
     lambda spark, sf_dir: profile_frame(load_table(spark, sf_dir, "orders")),
     profile_frame_sql("orders", list(TESTDATA_COLUMNS["orders"])),
+)
+
+# Profiler top-k (A11) as ONE melted pass over the low-cardinality
+# columns (vs the reference's job-per-column loop).
+_TOPK_COLS = ["o_orderpriority", "o_orderstatus"]
+register_query(
+    "qa_profile_orders_topk",
+    lambda spark, sf_dir: topk_values(
+        load_table(spark, sf_dir, "orders"), _TOPK_COLS, k=5
+    ),
+    topk_values_sql("orders", _TOPK_COLS, k=5),
 )

@@ -182,12 +182,13 @@ def test_pipeline_qa_advisory_vs_strict(spark, tmp_path):
         required_cols=("NotThere",),
     )
     df, _ = extract_object(spark, OPP_SPEC, lambda soql: RECORDS)
-    res = run_pipeline(spark, bad_spec, df, str(tmp_path / "adv"))
+    res = run_pipeline(spark, bad_spec, df, str(tmp_path / "adv"), retry_sleep=lambda s: None)
     assert res.states["schema_gate"].startswith("error")  # advisory
     assert res.states["process"] == "ok"  # ETL branch unaffected
     with pytest.raises(SchemaGateError):
         run_pipeline(
-            spark, bad_spec, df, str(tmp_path / "strict"), fail_on_qa_error=True
+            spark, bad_spec, df, str(tmp_path / "strict"), fail_on_qa_error=True,
+            retry_sleep=lambda s: None,
         )
 
 
@@ -205,3 +206,39 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # partition pruning shows up as a PartitionFilters entry on the scan
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
     assert filtered.count() == orders.filter("o_orderstatus = 'F'").count()
+
+
+def test_topk_values_single_pass_job_count(spark):
+    """The melted top-k must not scale job count with column count (the
+    old loop ran one Spark job per column)."""
+    from salesforce_prefect_etl_pipeline_spark.operators.quality import topk_values
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+    def jobs_for(columns, group):
+        sc = spark.sparkContext
+        sc.setJobGroup(group, group)
+        topk_values(df, columns, k=3).collect()
+        sc.setJobGroup("", "")
+        tracker = sc.statusTracker()
+        return len(tracker.getJobIdsForGroup(group))
+
+    narrow = jobs_for(["o_orderstatus"], "topk_narrow")
+    wide = jobs_for(
+        ["o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey"],
+        "topk_wide",
+    )
+    assert wide == narrow, f"job count grew with width: {narrow} -> {wide}"
+
+
+def test_profile_wide_table_uses_approx_distinct(spark):
+    from salesforce_prefect_etl_pipeline_spark.operators.quality import profile_columns
+
+    df = spark.range(100).selectExpr(*[f"id + {i} AS c{i}" for i in range(6)])
+    prof = profile_columns(df, approx_distinct_at_width=5)
+    assert prof["distinct_estimated"] is True
+    # HLL estimate should be close at this cardinality
+    assert abs(prof["columns"]["c0"]["n_unique"] - 100) <= 5
+    exact = profile_columns(df, approx_distinct_at_width=50)
+    assert exact["distinct_estimated"] is False
+    assert exact["columns"]["c0"]["n_unique"] == 100
