@@ -70,6 +70,7 @@ _PRIORITY = [
     "ann_cosine_topk",
     "media_frame_sample",
     "media_feature_stats",
+    "media_decode_stats",
     "qa_profile_orders",
     "qa_profile_orders_topk",
     # --- round-1 unchecked, rows-only (approximate / iterative) ---

@@ -213,3 +213,24 @@ register_query(
     ),
     multimodal.MEDIA_STATS_SQL,
 )
+
+# REAL image decode: genuine 16x16 24-bit BMP payloads (pixel byte i of
+# media m = (m*31+i) % 256) parsed by the native BMP decoder; the oracle
+# reproduces the decoded statistics arithmetically. Exact: mean_pixel is
+# an integer sum / 768.0 in IEEE double on both engines.
+register_query(
+    "media_decode_stats",
+    lambda spark, sf_dir: multimodal.decode_image_stats(
+        multimodal.synthetic_bmp_media(_docs(spark, sf_dir))
+    ).orderBy("media_id"),
+    """
+WITH px AS (
+  SELECT d.doc_id, ((d.doc_id * 31 + t.i) % 256) AS v
+  FROM documents d, unnest(generate_series(0, 767)) AS t(i)
+)
+SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+       CAST(768 AS BIGINT) AS n_pixel_bytes,
+       SUM(v) / 768.0 AS mean_pixel
+FROM px GROUP BY doc_id ORDER BY media_id
+""",
+)

@@ -65,16 +65,18 @@ def test_resize_stub_shapes(spark):
     for r in resized:
         assert (r.width, r.height) == (8, 8)
         assert len(bytes(r.payload)) == min(64, orig[r.media_id])
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_media(media, decode_stub=False)
+    # real-decode path on a non-image payload fails loudly at the
+    # decoder dispatch (text bytes are not BMP/PPM)
+    with pytest.raises(Exception, match="unsupported image format|not a BMP"):
+        multimodal.resize_media(media, decode_stub=False).collect()
 
 
-def test_real_decode_is_explicit_stub(spark):
+def test_real_decode_rejects_non_image_payloads(spark):
     docs = load_table(spark, SF_SMALL, "documents").limit(1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception, match="unsupported image format"):
         multimodal.extract_features(
             multimodal.documents_as_media(docs), decode_stub=False
-        )
+        ).collect()
 
 
 def test_paths_conventions(tmp_path):
@@ -84,3 +86,58 @@ def test_paths_conventions(tmp_path):
     raw = timestamped_raw_path(p["raw_dir"], "My Object!", run_id="abcdef1234")
     assert re.search(r"my_object_\d{8}T\d{6}Z_abcdef12\.csv$", raw)
     assert obj_slug("Opportunity Line-Item") == "opportunity_line_item"
+
+
+def test_bmp_roundtrip_and_decode_stats(spark):
+    from salesforce_prefect_etl_pipeline_spark.operators import multimodal as M
+
+    # 3x2 image with known bytes; row padding exercised (3*3=9 -> pad to 12)
+    px = bytes(range(3 * 3 * 2))
+    bmp = M.encode_bmp(3, 2, px)
+    w, h, n, mean = M.decode_image(bmp)
+    assert (w, h, n) == (3, 2, 18)
+    assert mean == sum(px) / len(px)
+    # full pixel roundtrip (top-down row order restored from bottom-up file)
+    w2, h2, decoded = M._decode_bmp_pixels(bmp)
+    assert (w2, h2) == (3, 2) and decoded == px
+
+
+def test_ppm_decode_with_comments():
+    from salesforce_prefect_etl_pipeline_spark.operators import multimodal as M
+
+    data = bytes(range(3 * 2 * 1))
+    ppm = b"P6\n# a comment\n2 1\n# another\n255\n" + data
+    w, h, n, mean = M.decode_image(ppm)
+    assert (w, h, n) == (2, 1, 6)
+    assert mean == sum(data) / 6
+
+
+def test_decode_rejects_unknown_format():
+    from salesforce_prefect_etl_pipeline_spark.operators import multimodal as M
+
+    with pytest.raises(ValueError, match="unsupported image format"):
+        M.decode_image(b"\x89PNG\r\n")
+
+
+def test_real_extract_features_and_resize(spark):
+    from salesforce_prefect_etl_pipeline_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(1, "x"), (22, "y")], ["doc_id", "text"])
+    media = M.synthetic_bmp_media(docs, width=16, height=16)
+    feats = {r.media_id: r for r in M.extract_features(media, decode_stub=False).collect()}
+    for mid in (1, 22):
+        expected = sum((mid * 31 + i) % 256 for i in range(768)) / 768
+        assert feats[mid].mean_byte == expected  # decoded pixels, not raw file bytes
+        assert feats[mid].n_frames == 1
+
+    small = M.resize_media(media, width=4, height=4, decode_stub=False).collect()
+    for r in small:
+        w, h, n, _ = M.decode_image(bytes(r.payload))
+        assert (w, h, n) == (4, 4, 48)  # re-encoded BMP at target dims
+        # nearest-neighbor: every output pixel exists in the source image
+        _, _, src = M._decode_bmp_pixels(
+            M.encode_bmp(16, 16, bytes((r.media_id * 31 + i) % 256 for i in range(768)))
+        )
+        _, _, out_px = M._decode_bmp_pixels(bytes(r.payload))
+        src_pixels = {src[i : i + 3] for i in range(0, len(src), 3)}
+        assert all(out_px[i : i + 3] in src_pixels for i in range(0, len(out_px), 3))
