@@ -3,15 +3,24 @@
 The SOQL plan building is pure logic, ported faithfully from
 tasks/extract.py:16-57; the network client (simple-salesforce) is
 optional — inject any ``fetch(soql) -> list[dict]`` callable (tests use a
-stub). At cluster scale the driver-side pager feeds
-``spark.createDataFrame``; a genuinely large extract would wrap the REST
-cursor in ``mapInPandas`` over a frame of page offsets, but Salesforce
-API limits make the driver pager the realistic design point.
+stub).
+
+Two extract shapes:
+
+- :func:`extract_object` — driver-side fetch feeding
+  ``spark.createDataFrame`` (right at the reference's LIMIT-100
+  envelope).
+- :func:`extract_object_paged` — the scale path (SURVEY.md:115): a tiny
+  frame of id-range pages is ``mapInPandas``-mapped so each PARTITION
+  runs its own SOQL page fetch on an executor; rows never pass through
+  the driver. The injected ``fetch_page(soql, lo, hi)`` is shipped to
+  executors via cloudpickle (a real client builds its connection lazily
+  per worker — connections don't pickle).
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterable
+from collections.abc import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +61,16 @@ def build_soql(spec: TableSpec, limit: int | None = 100) -> str:
     return soql
 
 
+def apply_ingest_casts(df: DataFrame) -> DataFrame:
+    """Targeted tolerant ingest casts (tasks/extract.py:94-97): Amount ->
+    double, CloseDate -> date; shared by both extract shapes."""
+    if "Amount" in df.columns:
+        df = df.withColumn("Amount", F.col("Amount").try_cast("double"))
+    if "CloseDate" in df.columns:
+        df = df.withColumn("CloseDate", F.try_to_timestamp("CloseDate").cast("date"))
+    return df
+
+
 def records_to_df(
     spark: SparkSession, records: Iterable[dict], soql: str
 ) -> DataFrame:
@@ -71,11 +90,80 @@ def records_to_df(
         [[None if r.get(c) is None else str(r.get(c)) for c in cols] for r in rows],
         schema,
     )
-    if "Amount" in df.columns:
-        df = df.withColumn("Amount", F.col("Amount").try_cast("double"))
-    if "CloseDate" in df.columns:
-        df = df.withColumn("CloseDate", F.try_to_timestamp("CloseDate").cast("date"))
-    return df
+    return apply_ingest_casts(df)
+
+
+def soql_with_id_range(soql: str, lo: str, hi: str, id_col: str = "Id") -> str:
+    """Compose the page predicate into a SOQL plan: AND-append
+    ``id_col >= lo AND id_col < hi`` to the WHERE clause (creating one if
+    absent), preserving any trailing LIMIT."""
+    body, sep, limit = soql.rpartition(" LIMIT ")
+    if not sep:
+        body, limit = soql, None
+    pred = f"{id_col} >= '{lo}' AND {id_col} < '{hi}'"
+    if " WHERE " in body.upper():
+        idx = body.upper().rindex(" WHERE ")
+        head, clause = body[: idx + len(" WHERE ")], body[idx + len(" WHERE ") :]
+        body = f"{head}({clause}) AND {pred}"
+    else:
+        body = f"{body} WHERE {pred}"
+    return f"{body} LIMIT {limit}" if limit is not None else body
+
+
+def extract_object_paged(
+    spark: SparkSession,
+    spec: TableSpec,
+    fetch_page: Callable[[str], list[dict]],
+    id_ranges: list[tuple[str, str]],
+    soql: str | None = None,
+    id_col: str = "Id",
+) -> tuple[DataFrame, str]:
+    """S1 scale path: partition-parallel paged extract.
+
+    Each element of ``id_ranges`` becomes one row of a tiny driver frame
+    that is repartitioned so every page lands in its own partition; the
+    ``mapInPandas`` kernel runs ``fetch_page(page_soql)`` ON THE
+    EXECUTOR and emits that page's records — rows go straight from the
+    API into executor memory, never through the driver. The output
+    contract is identical to :func:`records_to_df` (attributes dropped,
+    all-string arrival schema from the SELECT list, targeted ingest
+    casts) — verified by equivalence tests against the driver-side path.
+
+    At 100 TB-scale extract volumes, id-range pages are the standard
+    Salesforce parallel-read strategy (PK chunking); cursor-style
+    queryMore paging can be wrapped the same way with (cursor, batch)
+    rows instead of ranges.
+    """
+    plan = soql or build_soql(spec, limit=None)
+    fields = parse_select_fields(plan)
+    schema = T.StructType([T.StructField(f, T.StringType()) for f in fields])
+    pages = spark.createDataFrame(
+        [(lo, hi) for lo, hi in id_ranges], "lo string, hi string"
+    ).repartition(max(len(id_ranges), 1))
+
+    def _fetch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                page_soql = soql_with_id_range(plan, lo, hi, id_col)
+                recs = [
+                    {k: v for k, v in r.items() if k != "attributes"}
+                    for r in fetch_page(page_soql)
+                ]
+                yield pd.DataFrame(
+                    {
+                        f: [
+                            None if r.get(f) is None else str(r.get(f))
+                            for r in recs
+                        ]
+                        for f in fields
+                    },
+                    columns=fields,
+                    dtype=object,
+                )
+
+    return apply_ingest_casts(pages.mapInPandas(_fetch, schema)), plan
 
 
 def extract_object(

@@ -242,3 +242,68 @@ def test_profile_wide_table_uses_approx_distinct(spark):
     exact = profile_columns(df, approx_distinct_at_width=50)
     assert exact["distinct_estimated"] is False
     assert exact["columns"]["c0"]["n_unique"] == 100
+
+
+def test_paged_extract_partition_parallel_and_contract(spark):
+    """The mapInPandas paged reader must (a) fetch pages on DIFFERENT
+    partitions, (b) compose the range predicate correctly, and (c)
+    produce the identical frame contract as the driver-side path."""
+    from salesforce_prefect_etl_pipeline_spark.sources.salesforce import (
+        extract_object_paged,
+        records_to_df,
+        soql_with_id_range,
+    )
+
+    # range predicate composition
+    assert (
+        soql_with_id_range("SELECT Id FROM Account", "a", "b")
+        == "SELECT Id FROM Account WHERE Id >= 'a' AND Id < 'b'"
+    )
+    assert (
+        soql_with_id_range("SELECT Id FROM a WHERE X = 1 LIMIT 5", "a", "b")
+        == "SELECT Id FROM a WHERE (X = 1) AND Id >= 'a' AND Id < 'b' LIMIT 5"
+    )
+
+    all_records = [
+        {"Id": f"{i:03d}", "StageName": "Won" if i % 2 else "Lost",
+         "Amount": str(100 + i), "attributes": {"type": "Opportunity"}}
+        for i in range(40)
+    ]
+
+    def fake_page_fetch(page_soql):
+        # parse the range back out of the SOQL the kernel composed
+        from pyspark import TaskContext
+        import re
+
+        lo, hi = re.search(r"Id >= '(\w+)' AND Id < '(\w+)'", page_soql).groups()
+        part = TaskContext.get().partitionId()
+        return [
+            {**r, "WorkerPart": str(part)}
+            for r in all_records
+            if lo <= r["Id"] < hi
+        ]
+
+    ranges = [("000", "010"), ("010", "020"), ("020", "030"), ("030", "040")]
+    df, plan = extract_object_paged(
+        spark, OPP_SPEC,
+        fake_page_fetch, ranges,
+        soql="SELECT Id, StageName, Amount, WorkerPart FROM Opportunity",
+    )
+    rows = df.collect()
+    assert len(rows) == 40
+    # fetched on multiple partitions (genuinely parallel, not a driver loop)
+    assert len({r.WorkerPart for r in rows}) > 1
+    # identical contract to the driver-side reader (minus the worker tag)
+    driver_df = records_to_df(
+        spark, all_records, "SELECT Id, StageName, Amount FROM Opportunity"
+    )
+    paged = sorted((r.Id, r.StageName, r.Amount) for r in rows)
+    direct = sorted((r.Id, r.StageName, r.Amount) for r in driver_df.collect())
+    assert paged == direct
+    assert dict(df.drop("WorkerPart").dtypes) == dict(driver_df.dtypes)
+    # empty ranges -> 0-row frame with the SELECT-list schema
+    empty, _ = extract_object_paged(
+        spark, OPP_SPEC, lambda s: [], [("900", "999")],
+        soql="SELECT Id, Amount FROM Opportunity",
+    )
+    assert empty.count() == 0 and empty.columns == ["Id", "Amount"]
