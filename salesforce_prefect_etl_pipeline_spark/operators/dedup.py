@@ -126,7 +126,7 @@ def shingle_sets(docs: DataFrame, k: int = 8) -> DataFrame:
     # Materialize the normalized text before the lambda: an expression
     # referenced inside transform() is otherwise re-evaluated per array
     # element (one regex per shingle instead of one per document).
-    base = docs.repartition(n_parts).select(
+    base = docs.repartition(n_parts, F.col("doc_id")).select(
         "doc_id", normalized("text").alias("__norm")
     )
     norm = F.col("__norm")
@@ -149,7 +149,7 @@ def char_shingles(docs: DataFrame, k: int = 8) -> DataFrame:
     explode(c))`.
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    base = docs.repartition(n_parts).select(
+    base = docs.repartition(n_parts, F.col("doc_id")).select(
         "doc_id", normalized("text").alias("__norm")
     )
     norm = F.col("__norm")
@@ -173,9 +173,14 @@ def char_shingle_hashes(docs: DataFrame, k: int = 8) -> DataFrame:
     8-byte longs instead of ~32-byte strings. Two docs' hashed-set
     Jaccard equals their string-set Jaccard unless xxhash64 collides
     within the pair's union (~|union|^2 / 2^64 ≈ 1e-14 at union=500).
+
+    The repartition hashes BY doc_id: explode preserves row locality, so
+    the downstream signature groupBy("doc_id") reuses this partitioning
+    and the exploded shingle rows (the big intermediate) never cross a
+    second exchange — only doc-level rows are shuffled, once.
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    base = docs.repartition(n_parts).select(
+    base = docs.repartition(n_parts, F.col("doc_id")).select(
         "doc_id", normalized("text").alias("__norm")
     )
     norm = F.col("__norm")
@@ -329,6 +334,11 @@ def minhash_near_dup_pairs(
     0.8 threshold: P(miss) < 2e-4 even for a pair at exactly J=0.8, and
     ~0 for real near-dups) — verified against the exact oracle in tests.
     """
+    # The profile feeds THREE plan branches (banding, both verification
+    # sides); Spark shares the signature group-by's shuffle output across
+    # them via ReusedExchange, so no materialization is needed here —
+    # checkpointing the (shingle-array-heavy) profile was measured
+    # SLOWER than the exchange reuse.
     prof = minhash_profile(docs, k)
     cand = lsh_candidate_pairs(prof.select("doc_id", "sig"))
     a = prof.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sa"))
@@ -356,7 +366,7 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     bit b = sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1).
     One explode + one 64-expression group-by (map-side partial agg)."""
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    tok = docs.repartition(n_parts).select(
+    tok = docs.repartition(n_parts, F.col("doc_id")).select(
         "doc_id", F.explode(F.array_distinct(tokens(normalized("text")))).alias("tok")
     )
     h = F.xxhash64("tok")

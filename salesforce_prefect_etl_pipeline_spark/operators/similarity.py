@@ -322,6 +322,7 @@ def probe_ivf(
     queries: list[tuple[int, list[float]]],
     k: int = 10,
     nprobe: int = 4,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF index: per query pick the nprobe nearest
     centroids (driver-side, centroids are tiny), then scan ONLY those
@@ -330,8 +331,10 @@ def probe_ivf(
     the probed lists) and exact-qcos re-rank the candidates.
 
     Output: (query_id, neighbor_id, rnk, qcos) — same contract as
-    cosine_topk, approximate recall (measured in tests)."""
-    cents = load_ivf_centroids(spark, index_dir)
+    cosine_topk, approximate recall (measured in tests). Pass
+    ``centroids`` to skip re-reading them (callers probing repeatedly
+    should hold them driver-side — they are nlist x dim floats)."""
+    cents = centroids if centroids is not None else load_ivf_centroids(spark, index_dir)
     probe_rows = []
     for qid, vec in queries:
         qv = np.array(vec, dtype=np.float64)
