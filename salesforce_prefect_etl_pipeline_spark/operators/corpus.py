@@ -1,0 +1,348 @@
+"""Corpus-management operators for LLM training-data pipelines.
+
+The operations that turn a deduplicated document corpus into training
+data: deterministic train/val/test splitting, benchmark-contamination
+checking, duplicate-group canonicalization by quality, context-length
+bucketing, sequence packing, and PII detection/redaction. All but the
+packer are pure native-expression plans with exact DuckDB oracle twins;
+the packer is an ``applyInPandas`` stage whose invariants are
+pytest-verified (packing is inherently order-dependent, not
+SQL-expressible).
+
+Scale notes per operator are inline; none of these shuffle more than
+once except canonicalization (one shuffle + window).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from salesforce_prefect_etl_pipeline_spark.operators.dedup import char_shingle_hashes
+from salesforce_prefect_etl_pipeline_spark.operators.text import (
+    NORMALIZED_SQL,
+    normalized,
+    tokens,
+)
+
+# ----------------------------------------------------------------------
+# Deterministic splits
+def split_bucket(id_col: Column, buckets: int = 100) -> Column:
+    """Content-addressed bucket in [0, buckets): first 8 hex digits of
+    md5(id) mod buckets. md5 is identical across engines (unlike
+    xxhash64 seeds/murmur variants), partitioning-independent, and
+    stable run-to-run — the property a reproducible corpus split needs.
+    """
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def split_bucket_sql(id_expr: str, buckets: int = 100) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)) "
+        f"AS UBIGINT) % {buckets}"
+    )
+
+
+def hash_split(
+    docs: DataFrame, train_pct: int = 90, val_pct: int = 5
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket < train -> train,
+    < train+val -> val, else test. A doc's split never changes as the
+    corpus grows (content-addressed), so re-runs and incremental loads
+    stay consistent — no global shuffle, pure projection."""
+    b = split_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+def split_counts(docs: DataFrame, train_pct: int = 90, val_pct: int = 5) -> DataFrame:
+    """Per-split doc/char totals — the sanity report after splitting."""
+    sp = hash_split(docs, train_pct, val_pct).join(docs, "doc_id")
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def split_counts_sql(train_pct: int = 90, val_pct: int = 5) -> str:
+    b = split_bucket_sql("doc_id")
+    return f"""
+SELECT CASE WHEN {b} < {train_pct} THEN 'train'
+            WHEN {b} < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(length(text)) AS total_chars
+FROM documents GROUP BY 1 ORDER BY split
+"""
+
+
+# ----------------------------------------------------------------------
+# Benchmark contamination
+def contamination_report(
+    docs: DataFrame, bench_every: int = 50, k: int = 8
+) -> DataFrame:
+    """N-gram contamination check: which corpus docs share character
+    k-shingles with a benchmark/eval set (here: every ``bench_every``-th
+    doc stands in for the benchmark). Output per contaminated doc:
+    (doc_id, n_shingles, n_overlap, overlap_frac).
+
+    Scale shape: the benchmark shingle set is small -> broadcast
+    semi-side; the corpus side is one scan + one groupBy(doc_id) that
+    reuses the pre-shingle partitioning (see char_shingle_hashes). This
+    is the standard decontamination pass before training."""
+    bench_ids = F.col("doc_id") % bench_every == 0
+    bench_sh = (
+        char_shingle_hashes(docs.filter(bench_ids), k).select("h").distinct()
+    )
+    corpus_sh = char_shingle_hashes(docs.filter(~bench_ids), k)
+    marked = corpus_sh.join(
+        F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "h", "left"
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("__hit").alias("n_overlap"),
+    )
+    return (
+        per_doc.filter(F.col("n_overlap") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_shingles")).alias(
+                "overlap_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def contamination_report_sql(bench_every: int = 50, k: int = 8) -> str:
+    shingles = f"""
+  SELECT DISTINCT doc_id, substr({NORMALIZED_SQL}, i, {k}) AS s
+  FROM documents,
+       unnest(generate_series(1, greatest(length({NORMALIZED_SQL}) - {k - 1}, 0))) AS t(i)
+  WHERE length({NORMALIZED_SQL}) >= {k}
+"""
+    return f"""
+WITH sh AS ({shingles}),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {bench_every} = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % {bench_every} <> 0),
+per_doc AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_shingles,
+         COUNT(b.s) AS n_overlap
+  FROM corpus c LEFT JOIN bench b ON c.s = b.s
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_overlap,
+       CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_frac
+FROM per_doc WHERE n_overlap > 0 ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# Duplicate-group canonicalization by quality
+def canonical_by_quality(docs: DataFrame) -> DataFrame:
+    """For every EXACT-duplicate group (md5 of normalized text), rank
+    members by quality (longer original text wins, then min doc_id) and
+    mark the canonical survivor. Output: duplicate-group members only,
+    (doc_id, fingerprint, n_chars, rnk) — rnk 1 is the keeper.
+
+    This is the "which copy do we keep" step after dedup: one shuffle on
+    the fingerprint + a bounded window (groups are tiny)."""
+    fp = docs.select(
+        "doc_id",
+        F.md5(normalized("text")).alias("fingerprint"),
+        F.length("text").alias("n_chars"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    grp = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("rnk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(grp))
+        .filter(F.col("__n") > 1)
+        .select("doc_id", "fingerprint", "n_chars", "rnk")
+        .orderBy("fingerprint", "rnk")
+    )
+
+
+CANONICAL_BY_QUALITY_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, md5({NORMALIZED_SQL}) AS fingerprint, length(text) AS n_chars
+  FROM documents
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint
+                            ORDER BY n_chars DESC, doc_id ASC) AS rnk,
+         COUNT(*) OVER (PARTITION BY fingerprint) AS n
+  FROM fp
+)
+SELECT doc_id, fingerprint, n_chars, rnk
+FROM ranked WHERE n > 1 ORDER BY fingerprint, rnk
+"""
+
+
+# ----------------------------------------------------------------------
+# Context-length bucketing + packing
+def token_length_histogram(docs: DataFrame, bin_width: int = 64, max_bin: int = 15) -> DataFrame:
+    """Histogram of documents by token count (capped bins) — the
+    planning input for sequence packing / curriculum bucketing. One
+    scan, one tiny groupBy."""
+    n_tokens = F.size(tokens("text"))
+    bucket = F.least(F.floor(n_tokens / bin_width), F.lit(max_bin)).cast("long")
+    return (
+        docs.select(bucket.alias("length_bin"), n_tokens.alias("__t"))
+        .groupBy("length_bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__t").alias("total_tokens"))
+        .orderBy("length_bin")
+    )
+
+
+def token_length_histogram_sql(bin_width: int = 64, max_bin: int = 15) -> str:
+    nt = "len(string_split_regex(trim(text), '\\s+'))"
+    return f"""
+SELECT least({nt} // {bin_width}, {max_bin}) AS length_bin,
+       COUNT(*) AS n_docs,
+       SUM({nt}) AS total_tokens
+FROM documents GROUP BY 1 ORDER BY length_bin
+"""
+
+
+PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("pack_group", T.LongType()),
+        T.StructField("pack_seq", T.LongType()),
+    ]
+)
+
+
+def pack_documents(
+    docs: DataFrame, capacity: int = 2048, n_groups: int = 64
+) -> DataFrame:
+    """Greedy sequence packing: assign docs to fixed-capacity context
+    windows. Docs are hashed into ``n_groups`` independent groups
+    (deterministic md5 bucket) and packed greedily WITHIN each group by
+    (n_tokens desc, doc_id) order — first-fit-decreasing per group. A
+    pack is identified by (pack_group, pack_seq).
+
+    Packing is order-dependent (not SQL-expressible), so the oracle
+    harness gets no twin; pytest verifies the invariants instead: every
+    doc assigned exactly once, no pack over capacity (except single
+    over-length docs, which get a pack of their own), determinism across
+    runs. Scale shape: groups are independent -> applyInPandas
+    parallelizes perfectly; state per task is one group's doc list."""
+    n_tokens = F.size(tokens("text")).cast("long")
+    grouped = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (split_bucket(F.col("doc_id"), n_groups)).alias("pack_group"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        packs: list[int] = []  # remaining capacity per open pack
+        assign = []
+        for t in pdf["n_tokens"]:
+            placed = None
+            for i, rem in enumerate(packs):
+                if rem >= t:
+                    placed = i
+                    packs[i] = rem - t
+                    break
+            if placed is None:
+                packs.append(max(capacity - t, 0))
+                placed = len(packs) - 1
+            assign.append(placed)
+        out = pdf[["doc_id", "n_tokens", "pack_group"]].copy()
+        out["pack_seq"] = pd.Series(assign, dtype="int64")
+        return out[["doc_id", "n_tokens", "pack_group", "pack_seq"]]
+
+    return grouped.groupBy("pack_group").applyInPandas(_pack, PACK_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# PII detection / redaction
+#: Simple-dialect-safe patterns (identical semantics in Java regex and
+#: RE2/DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def with_synthetic_pii(docs: DataFrame, every: int = 10) -> DataFrame:
+    """Testdata contains no PII, so plant deterministic addresses in
+    every ``every``-th doc (the SQL twin plants the identical strings) —
+    the detection/redaction pipeline then has real positives AND real
+    negatives to prove both directions."""
+    planted = F.when(
+        F.col("doc_id") % every == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("."),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.select("doc_id", planted.alias("text"))
+
+
+WITH_PII_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                          '@example.com or +1-555-01',
+                          lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '.')
+              ELSE text END AS text
+  FROM documents
+"""
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-doc PII counts + redacted text (emails -> <EMAIL>, phones ->
+    <PHONE>). Native regexp expressions — scan-speed over 100 TB; the
+    patterns avoid constructs whose semantics differ between Java regex
+    and RE2, so the oracle redacts identically."""
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PHONE_RE)).alias("n_phones"),
+        redacted.alias("redacted"),
+    ).orderBy("doc_id")
+
+
+def pii_scan_sql() -> str:
+    return f"""
+WITH src AS ({WITH_PII_SQL})
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+       regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM src ORDER BY doc_id
+"""

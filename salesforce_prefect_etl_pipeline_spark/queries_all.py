@@ -73,6 +73,12 @@ _PRIORITY = [
     "media_decode_stats",
     "qa_profile_orders",
     "qa_profile_orders_topk",
+    "corpus_split_counts",
+    "corpus_contamination",
+    "corpus_canonical_by_quality",
+    "corpus_token_length_histogram",
+    "corpus_pii_scan",
+    "corpus_pack_documents",
     # --- round-1 unchecked, rows-only (approximate / iterative) ---
     "dedup_near_dup_clusters",
     "dedup_simhash_pairs",

@@ -8,6 +8,7 @@ import os
 from pyspark.sql import functions as F
 
 from salesforce_prefect_etl_pipeline_spark.operators import (
+    corpus,
     dedup,
     multimodal,
     similarity,
@@ -276,4 +277,44 @@ SELECT doc_id AS media_id, 16 AS width, 16 AS height,
        SUM(v) / 768.0 AS mean_pixel
 FROM px GROUP BY doc_id ORDER BY media_id
 """,
+)
+
+# ----------------------------------------------------------------------
+# Corpus management (operators/corpus.py): the post-dedup steps that turn
+# a document corpus into training data.
+register_query(
+    "corpus_split_counts",
+    lambda spark, sf_dir: corpus.split_counts(_docs(spark, sf_dir)),
+    corpus.split_counts_sql(),
+)
+register_query(
+    "corpus_contamination",
+    lambda spark, sf_dir: corpus.contamination_report(_docs(spark, sf_dir)),
+    corpus.contamination_report_sql(),
+)
+register_query(
+    "corpus_canonical_by_quality",
+    lambda spark, sf_dir: corpus.canonical_by_quality(_docs(spark, sf_dir)),
+    corpus.CANONICAL_BY_QUALITY_SQL,
+)
+register_query(
+    "corpus_token_length_histogram",
+    lambda spark, sf_dir: corpus.token_length_histogram(_docs(spark, sf_dir)),
+    corpus.token_length_histogram_sql(),
+)
+register_query(
+    "corpus_pii_scan",
+    lambda spark, sf_dir: corpus.pii_scan(
+        corpus.with_synthetic_pii(_docs(spark, sf_dir))
+    ),
+    corpus.pii_scan_sql(),
+)
+# Greedy packing is order-dependent (not SQL-expressible): rows-only
+# check here; invariants (each doc exactly once, no pack over capacity,
+# determinism) are pytest-verified.
+register_query(
+    "corpus_pack_documents",
+    lambda spark, sf_dir: corpus.pack_documents(_docs(spark, sf_dir)).orderBy(
+        "pack_group", "pack_seq", "doc_id"
+    ),
 )

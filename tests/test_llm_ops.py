@@ -294,3 +294,60 @@ def test_banded_near_dup_equals_brute_force_with_pruning(spark, emb):
     all_pairs = n * (n - 1) // 2
     assert n_cand < all_pairs * 0.25, f"{n_cand} candidates of {all_pairs} pairs"
     corpus.unpersist()
+
+
+def test_pack_documents_invariants(spark, docs):
+    """Greedy packer: every doc assigned exactly once; no pack exceeds
+    capacity except single over-length docs; deterministic."""
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    capacity = 512
+    out = corpus.pack_documents(docs, capacity=capacity, n_groups=8).collect()
+    n_docs = docs.count()
+    assert len(out) == n_docs
+    assert len({r.doc_id for r in out}) == n_docs
+
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for r in out:
+        packs[(r.pack_group, r.pack_seq)].append(r.n_tokens)
+    for members in packs.values():
+        if len(members) > 1:
+            assert sum(members) <= capacity
+        else:
+            assert members[0] <= capacity or True  # over-length doc alone is legal
+    multi = [m for m in packs.values() if len(m) > 1]
+    assert multi, "testdata docs should co-pack at this capacity"
+
+    again = corpus.pack_documents(docs, capacity=capacity, n_groups=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_hash_split_stability_and_proportions(spark, docs):
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    sp = {r.doc_id: r.split for r in corpus.hash_split(docs).collect()}
+    # growing the corpus must not reassign existing docs
+    subset = docs.limit(100)
+    sp_sub = {r.doc_id: r.split for r in corpus.hash_split(subset).collect()}
+    assert all(sp[d] == s for d, s in sp_sub.items())
+    # rough proportions at n=500 (md5 buckets: train ~90%)
+    from collections import Counter
+
+    c = Counter(sp.values())
+    assert c["train"] > 0.8 * len(sp)
+    assert set(c) <= {"train", "val", "test"}
+
+
+def test_pii_scan_detects_and_redacts(spark):
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(10, "hello world"), (3, "no pii here")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in corpus.pii_scan(corpus.with_synthetic_pii(docs)).collect()}
+    assert out[10].n_emails == 1 and out[10].n_phones == 1
+    assert "<EMAIL>" in out[10].redacted and "<PHONE>" in out[10].redacted
+    assert "@" not in out[10].redacted
+    assert out[3].n_emails == 0 and out[3].redacted == "no pii here"
