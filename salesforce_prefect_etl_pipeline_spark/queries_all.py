@@ -63,6 +63,7 @@ _PRIORITY = [
     "streaming_events_hourly",
     "streaming_sessionization",
     "streaming_dedup_user_counts",
+    "streaming_enriched_segment_counts",
     # --- round-1 unchecked, oracle-backed: LLM-data ops ---
     "dedup_minhash_lsh",
     "emb_near_dup_pairs",

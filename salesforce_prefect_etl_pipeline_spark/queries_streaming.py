@@ -25,6 +25,7 @@ from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
     session_agg,
     sliding_agg,
     stream_events,
+    stream_static_enriched,
     tumbling_agg,
 )
 
@@ -112,6 +113,32 @@ register_query(
         dedup_user_type_counts(stream_events(spark, sf_dir)), "stream_dedup"
     ).orderBy("event_type"),
     STREAM_DEDUP_SQL,
+)
+
+# Stream-static enrichment join: streaming events broadcast-joined to
+# the customer dim (derived key), hourly counts per segment. Single-batch
+# AvailableNow input => equals the batch plan, which the oracle mirrors.
+ENRICHED_SQL = """
+WITH m AS (SELECT MAX(c_custkey) AS mk FROM customer),
+e AS (
+  SELECT (user_id % (SELECT mk FROM m)) + 1 AS cust_key,
+         CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+)
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       c_mktsegment, COUNT(*) AS records
+FROM e JOIN customer ON c_custkey = cust_key
+GROUP BY 1, 2 ORDER BY bucket, c_mktsegment
+"""
+register_query(
+    "streaming_enriched_segment_counts",
+    lambda spark, sf_dir: run_stream_to_batch(
+        stream_static_enriched(
+            stream_events(spark, sf_dir), load_table(spark, sf_dir, "customer")
+        ),
+        "stream_enriched",
+    ).orderBy("bucket", "c_mktsegment"),
+    ENRICHED_SQL,
 )
 
 # QA profiler core (X10) over orders.

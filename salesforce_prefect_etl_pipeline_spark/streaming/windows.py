@@ -154,6 +154,38 @@ def dedup_user_type_counts(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def stream_static_enriched(
+    events: DataFrame,
+    customer: DataFrame,
+    size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STATIC join: enrich each (possibly streaming) event with a
+    dimension row — the canonical streaming-ETL enrichment shape. The
+    static side is broadcast, so the streaming side never shuffles for
+    the join; the only stateful operator is the windowed aggregate.
+
+    Events carry no customer key, so one is derived deterministically
+    (user_id mod max(c_custkey) + 1 — the oracle reproduces it); output
+    is hourly counts per market segment."""
+    max_key = customer.agg(F.max("c_custkey")).collect()[0][0]
+    dim = customer.select(F.col("c_custkey").alias("cust_key"), "c_mktsegment")
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    mapped = src.withColumn(
+        "cust_key", F.pmod(F.col("user_id"), F.lit(max_key)) + F.lit(1)
+    )
+    joined = mapped.join(F.broadcast(dim), "cust_key")
+    return (
+        joined.groupBy(F.window("ts", size).alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("records"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "c_mktsegment",
+            "records",
+        )
+    )
+
+
 def run_stream_to_batch(result: DataFrame, name: str) -> DataFrame:
     """Execute a streaming plan with Trigger.AvailableNow into a memory
     sink and return the materialized result (the reference's

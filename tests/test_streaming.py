@@ -180,3 +180,26 @@ def test_watermark_drops_late_data(spark, tmp_path):
     hour0 = [r.records for r in rows if r.bucket.startswith("1970-01-01 00")]
     # finalized once with only the on-time event; late event 4 dropped
     assert hour0 == [1], rows
+
+
+def test_stream_static_enriched_matches_batch(spark):
+    """Stream-static broadcast join: the streaming execution must equal
+    the same plan run in batch (single AvailableNow batch)."""
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
+        run_stream_to_batch,
+        stream_events,
+        stream_static_enriched,
+    )
+
+    customer = load_table(spark, SF_SMALL, "customer")
+    batch = stream_static_enriched(
+        load_table(spark, SF_SMALL, "events"), customer
+    )
+    streamed = run_stream_to_batch(
+        stream_static_enriched(stream_events(spark, SF_SMALL), customer),
+        "t_enriched",
+    )
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, streamed.collect()))
+    assert b == s and len(b) > 0
