@@ -429,11 +429,14 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     """Connected components over an undirected edge list (da, db) ->
     (doc_id, component) where component = min doc_id in the component.
 
-    Large-graph label propagation: every vertex repeatedly adopts the
-    minimum label among itself and its neighbors until fixpoint. Each
-    iteration is one join + one aggregation (shuffle on doc_id);
-    convergence takes O(diameter) iterations — near-dup graphs are
-    overwhelmingly tiny cliques/chains, so 2-3 iterations in practice.
+    Label propagation with POINTER JUMPING: each iteration every vertex
+    adopts (1) the minimum label among itself and its neighbors, then
+    (2) its label's label (shortcutting, L(v) <- L(L(v))). Step 1 alone
+    converges in O(diameter) rounds; adding step 2 doubles the jump
+    distance each round, giving O(log diameter) — a 100-node chain
+    converges in ~8 iterations instead of 100, so the default budget is
+    safe even for pathological near-dup chains at corpus scale. Each
+    iteration is two joins + an aggregation (shuffle on doc_id/label);
     ``localCheckpoint`` truncates the lineage each round (an iterative
     plan otherwise grows exponentially in the optimizer).
 
@@ -460,12 +463,25 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: L(v) <- min(L(v), L(L(v))) — halves the
+        # remaining chain depth every round (O(log diameter) total).
+        jump = propagated.select(
+            F.col("doc_id").alias("__l"), F.col("component").alias("__ll")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            propagated.join(jump, propagated.component == F.col("__l"), "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("__ll"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)

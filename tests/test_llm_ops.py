@@ -216,10 +216,21 @@ def test_short_and_empty_docs_produce_no_shingles(spark):
 
 def test_connected_components_raises_on_non_convergence(spark):
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 8)], ["da", "db"]
+        [(i, i + 1) for i in range(1, 40)], ["da", "db"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(edges, max_iterations=2)
+        dedup.connected_components(edges, max_iterations=1)
+
+
+def test_connected_components_long_chain_log_convergence(spark):
+    """Pointer jumping: a 100-node chain converges within the default
+    budget (O(log n) rounds, not O(n))."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 100)], ["da", "db"]
+    )
+    got = {r.doc_id: r.component for r in dedup.connected_components(edges, max_iterations=12).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == 100
 
 
 def test_ivf_index_lifecycle_prunes_partitions(spark, emb, tmp_path):
