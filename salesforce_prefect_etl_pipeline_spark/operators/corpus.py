@@ -346,3 +346,72 @@ SELECT doc_id,
                       '{PHONE_RE}', '<PHONE>', 'g') AS redacted
 FROM src ORDER BY doc_id
 """
+
+
+# ----------------------------------------------------------------------
+# End-to-end curation manifest
+def training_manifest(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """The whole curation flow as ONE declarative plan: exact-dedup with
+    quality-aware survivor selection -> quality-threshold filter ->
+    deterministic split assignment -> the training manifest
+    (doc_id, split, n_tokens, quality_score).
+
+    This is the query a user actually runs end-to-end before training;
+    Catalyst fuses the projection/filter stages, so the plan is one scan
+    + one fingerprint shuffle/window + one doc_id join. Near-dup
+    clustering (iterative) intentionally sits OUTSIDE this manifest so
+    the whole thing stays a pure, oracle-checkable SQL plan; feed
+    `near_dup_clusters` survivors in as a pre-filter when needed."""
+    from salesforce_prefect_etl_pipeline_spark.operators.text import quality_score
+
+    fp = docs.select(
+        "doc_id",
+        F.md5(normalized("text")).alias("fingerprint"),
+        F.length("text").alias("n_chars"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    kept = fp.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    b = split_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return (
+        kept.join(q, "doc_id")
+        .filter(F.col("quality_score") >= min_quality)
+        .select("doc_id", split.alias("split"), "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+def training_manifest_sql(
+    min_quality: float = 0.5, train_pct: int = 90, val_pct: int = 5
+) -> str:
+    from salesforce_prefect_etl_pipeline_spark.operators.text import QUALITY_SCORE_SQL
+
+    b = split_bucket_sql("doc_id")
+    return f"""
+WITH fp AS (
+  SELECT doc_id, md5({NORMALIZED_SQL}) AS fingerprint, length(text) AS n_chars
+  FROM documents
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                               ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM fp
+), q AS ({QUALITY_SCORE_SQL})
+SELECT r.doc_id,
+       CASE WHEN {b.replace('doc_id', 'r.doc_id')} < {train_pct} THEN 'train'
+            WHEN {b.replace('doc_id', 'r.doc_id')} < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split,
+       q.n_tokens, q.quality_score
+FROM ranked r JOIN q ON q.doc_id = r.doc_id
+WHERE r.rnk = 1 AND q.quality_score >= {min_quality}
+ORDER BY r.doc_id
+"""

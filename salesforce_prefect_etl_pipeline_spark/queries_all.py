@@ -80,6 +80,7 @@ _PRIORITY = [
     "corpus_token_length_histogram",
     "corpus_pii_scan",
     "corpus_pack_documents",
+    "corpus_training_manifest",
     # --- round-1 unchecked, rows-only (approximate / iterative) ---
     "dedup_near_dup_clusters",
     "dedup_simhash_pairs",

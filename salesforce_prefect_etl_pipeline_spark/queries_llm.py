@@ -318,3 +318,10 @@ register_query(
         "pack_group", "pack_seq", "doc_id"
     ),
 )
+# End-to-end curation manifest: dedup (quality-aware survivor) ->
+# quality filter -> deterministic split, as one fused Catalyst plan.
+register_query(
+    "corpus_training_manifest",
+    lambda spark, sf_dir: corpus.training_manifest(_docs(spark, sf_dir)),
+    corpus.training_manifest_sql(),
+)

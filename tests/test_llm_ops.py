@@ -362,3 +362,29 @@ def test_pii_scan_detects_and_redacts(spark):
     assert "<EMAIL>" in out[10].redacted and "<PHONE>" in out[10].redacted
     assert "@" not in out[10].redacted
     assert out[3].n_emails == 0 and out[3].redacted == "no pii here"
+
+
+def test_training_manifest_consistency(spark, docs):
+    """The manifest must agree with its constituent operators: survivors
+    are exact-dup canonicals, every row passes the quality threshold,
+    splits match hash_split."""
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    rows = corpus.training_manifest(docs, min_quality=0.5).collect()
+    assert rows
+    ids = {r.doc_id for r in rows}
+    assert len(ids) == len(rows)
+    assert all(r.quality_score >= 0.5 for r in rows)
+
+    # no two manifest docs share a fingerprint
+    fps = {
+        r.doc_id: r.fingerprint
+        for r in docs.select(
+            "doc_id", F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("fingerprint")
+        ).collect()
+    }
+    manifest_fps = [fps[i] for i in ids]
+    assert len(manifest_fps) == len(set(manifest_fps))
+
+    splits = {r.doc_id: r.split for r in corpus.hash_split(docs).collect()}
+    assert all(splits[r.doc_id] == r.split for r in rows)

@@ -81,3 +81,34 @@ def test_compiler_matches_oracle_on_random_data(spark, rows):
         by=list(sorted(oracle_pdf.columns)), ignore_index=True
     )
     pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    token_counts=st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=60),
+    capacity=st.integers(min_value=64, max_value=1024),
+)
+def test_pack_documents_property(spark, token_counts, capacity):
+    """Packing invariants hold for arbitrary token-count distributions:
+    exactly-once assignment and the capacity bound for multi-doc packs."""
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * max(t, 1))) for i, t in enumerate(token_counts)],
+        ["doc_id", "text"],
+    )
+    out = corpus.pack_documents(docs, capacity=capacity, n_groups=4).collect()
+    assert len(out) == len(token_counts)
+    assert len({r.doc_id for r in out}) == len(token_counts)
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for r in out:
+        packs[(r.pack_group, r.pack_seq)].append(r.n_tokens)
+    for members in packs.values():
+        if len(members) > 1:
+            assert sum(members) <= capacity
