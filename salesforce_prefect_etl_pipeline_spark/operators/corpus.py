@@ -415,3 +415,35 @@ FROM ranked r JOIN q ON q.doc_id = r.doc_id
 WHERE r.rnk = 1 AND q.quality_score >= {min_quality}
 ORDER BY r.doc_id
 """
+
+
+# ----------------------------------------------------------------------
+# Deterministic stratified sampling
+def stratified_sample(
+    docs: DataFrame, strata_col: str = "lang", n_per_stratum: int = 20
+) -> DataFrame:
+    """Exactly-n-per-stratum sample, deterministic and
+    partitioning-independent: rank docs within each stratum by
+    md5(doc_id) (a stable pseudo-random order both engines reproduce)
+    and keep the first n. One shuffle on the stratum + bounded window —
+    the standard eval-set / inspection draw from a giant corpus."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", strata_col)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n_per_stratum)
+        .orderBy(strata_col, "rnk")
+    )
+
+
+def stratified_sample_sql(strata_col: str = "lang", n_per_stratum: int = 20) -> str:
+    return f"""
+SELECT doc_id, {strata_col}, rnk FROM (
+  SELECT doc_id, {strata_col},
+         ROW_NUMBER() OVER (PARTITION BY {strata_col}
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id ASC) AS rnk
+  FROM documents
+) WHERE rnk <= {n_per_stratum} ORDER BY {strata_col}, rnk
+"""

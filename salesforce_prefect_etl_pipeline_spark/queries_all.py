@@ -81,6 +81,7 @@ _PRIORITY = [
     "corpus_pii_scan",
     "corpus_pack_documents",
     "corpus_training_manifest",
+    "corpus_stratified_sample",
     # --- round-1 unchecked, rows-only (approximate / iterative) ---
     "dedup_near_dup_clusters",
     "dedup_simhash_pairs",

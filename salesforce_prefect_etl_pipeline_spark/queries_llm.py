@@ -325,3 +325,10 @@ register_query(
     lambda spark, sf_dir: corpus.training_manifest(_docs(spark, sf_dir)),
     corpus.training_manifest_sql(),
 )
+# Deterministic stratified sampling: exactly-n-per-stratum by a stable
+# md5 pseudo-random order (partitioning-independent; both engines agree).
+register_query(
+    "corpus_stratified_sample",
+    lambda spark, sf_dir: corpus.stratified_sample(_docs(spark, sf_dir)),
+    corpus.stratified_sample_sql(),
+)
