@@ -68,13 +68,23 @@ def hash_split(
 
 
 def split_counts(docs: DataFrame, train_pct: int = 90, val_pct: int = 5) -> DataFrame:
-    """Per-split doc/char totals — the sanity report after splitting."""
-    sp = hash_split(docs, train_pct, val_pct).join(docs, "doc_id")
+    """Per-split doc/char totals — the sanity report after splitting.
+
+    The split is a pure expression of doc_id, so it is computed inline:
+    one scan + one tiny groupBy, no join (a self-join here would become
+    a full sort-merge join of the corpus against itself at scale)."""
+    b = split_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
     return (
-        sp.groupBy("split")
+        docs.select(split.alias("split"), F.length("text").alias("__chars"))
+        .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.length("text")).alias("total_chars"),
+            F.sum("__chars").alias("total_chars"),
         )
         .orderBy("split")
     )
@@ -87,7 +97,7 @@ SELECT CASE WHEN {b} < {train_pct} THEN 'train'
             WHEN {b} < {train_pct + val_pct} THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       SUM(length(text)) AS total_chars
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1 ORDER BY split
 """
 
@@ -221,7 +231,7 @@ def token_length_histogram_sql(bin_width: int = 64, max_bin: int = 15) -> str:
     return f"""
 SELECT least({nt} // {bin_width}, {max_bin}) AS length_bin,
        COUNT(*) AS n_docs,
-       SUM({nt}) AS total_tokens
+       CAST(SUM({nt}) AS BIGINT) AS total_tokens
 FROM documents GROUP BY 1 ORDER BY length_bin
 """
 

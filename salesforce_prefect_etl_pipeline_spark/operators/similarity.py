@@ -378,16 +378,14 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
 ) -> DataFrame:
-    """Approximate top-k via an IVF index: spherical-k-means coarse
-    quantizer -> inverted lists -> probe the nprobe nearest lists per
-    query -> exact qcos re-rank of the probed candidates.
-
-    vs cosine_topk (scan corpus x queries) this touches only
-    ~nprobe/nlist of the corpus per query; vs srp_topk the bucket
-    boundaries adapt to the data distribution instead of random
-    hyperplanes. Recall is data-dependent (near-orthogonal corpora
-    spread true neighbors across lists) and measured empirically in
-    tests; only the brute-force variant carries a value oracle.
+    """TEST-ONLY one-shot IVF top-k: trains the coarse quantizer and
+    re-assigns the corpus on EVERY call, which is exactly the cost the
+    ``build_ivf_index`` / ``probe_ivf`` lifecycle exists to amortize.
+    Not registered as a query and excluded from bench; kept solely so
+    tests can assert lifecycle-probe results equal a from-scratch
+    build+probe with the same seed, and for small in-memory recall
+    experiments. Production callers: ``build_ivf_index`` once, then
+    ``probe_ivf`` per query batch (see queries_llm.ensure_ivf_index).
     """
     cents = train_ivf_centroids(emb, nlist=nlist)
     assigned = ivf_assign(emb, cents)

@@ -218,19 +218,12 @@ register_query(
     "ann_srp_topk",
     lambda spark, sf_dir: similarity.srp_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10),
 )
-# IVF index: k-means coarse quantizer + inverted lists, probing half the
-# lists (near-orthogonal testdata spreads true neighbors across cells;
-# recall ~0.85 measured in tests, no value oracle).
-register_query(
-    "ann_ivf_topk",
-    lambda spark, sf_dir: similarity.ivf_topk(
-        _emb(spark, sf_dir), ANN_QUERY_IDS, k=10, nlist=16, nprobe=8
-    ),
-)
-# Index-lifecycle variant: probe a PERSISTED index (built once per sf_dir;
-# partition pruning on list_id means the probe reads only ~nprobe/nlist of
-# the corpus). Same output contract as ann_ivf_topk (identical results for
-# the same centroids/seed); approximate -> rows-only.
+# IVF index (THE production ANN path): probe a PERSISTED index — k-means
+# coarse quantizer trained once, inverted lists written as parquet
+# partitioned by list_id, probes read only ~nprobe/nlist of the corpus via
+# partition pruning. The legacy one-shot ivf_topk (train+assign per call)
+# is a test-only helper, no longer registered; tests assert probe results
+# equal the one-shot for the same seed. Approximate -> rows-only.
 register_query("ann_ivf_probe", _ivf_probe_query)
 # Vectorized numpy brute-force (BLAS fold order differs in last-ulp from
 # the sequential oracle fold -> neighbor-set equality tested in pytest,

@@ -48,6 +48,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     s, o = normalize(spark_pdf), normalize(oracle_pdf)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # The driver's value hash is dtype-sensitive: an int64 Spark column
+        # vs a float64 oracle column (e.g. DuckDB SUM(int) -> HUGEINT ->
+        # float64 in pandas) hash-mismatches even when values are equal.
+        # Catch that class here so it can't pass locally and fail the gate.
+        skind, okind = sv.dtype.kind, ov.dtype.kind
+        if {skind, okind} == {"i", "f"} or {skind, okind} == {"u", "f"}:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={sv.dtype} oracle={ov.dtype}"
+                " (driver hash would fail — CAST the oracle aggregate)"
+            )
+            continue
         if str(sv.dtype).startswith("float") or str(ov.dtype).startswith("float"):
             svf = pd.to_numeric(sv, errors="coerce")
             ovf = pd.to_numeric(ov, errors="coerce")
