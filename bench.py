@@ -45,6 +45,9 @@ HEADLINE = [
     "streaming_events_hourly",
     "q7_volume_shipping",
     "q18_large_orders",
+    # Packer throughput: full FFD packing (applyInPandas over md5 groups)
+    # plus the per-group fill-ratio aggregation.
+    "corpus_pack_stats",
 ]
 
 

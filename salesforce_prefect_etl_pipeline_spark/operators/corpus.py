@@ -292,6 +292,110 @@ def pack_documents(
     return grouped.groupBy("pack_group").applyInPandas(_pack, PACK_SCHEMA)
 
 
+def pack_documents_sql(capacity: int = 2048, n_groups: int = 64) -> str:
+    """Exact SQL twin of ``pack_documents``: first-fit-decreasing replayed
+    as a recursive CTE that threads each group's open-pack remaining
+    capacities (a list column) doc by doc in (n_tokens DESC, doc_id)
+    order. Sequential by construction — this is the ORACLE for the
+    distributed ``applyInPandas`` packer at verification scale, not a
+    path anyone should run at corpus scale (the recursion is one step
+    per document)."""
+    b = split_bucket_sql("doc_id", n_groups)
+    nt = "len(string_split_regex(trim(text), '\\s+'))"
+    return f"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, CAST({nt} AS BIGINT) AS n_tokens,
+         CAST({b} AS BIGINT) AS pack_group
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pack_group
+                               ORDER BY n_tokens DESC, doc_id ASC) AS idx
+  FROM toks
+),
+fit(pack_group, idx, packs, doc_id, n_tokens, pack_seq) AS (
+  SELECT pack_group, idx, [greatest({capacity} - n_tokens, 0)], doc_id,
+         n_tokens, CAST(0 AS BIGINT)
+  FROM ranked WHERE idx = 1
+  UNION ALL
+  SELECT r.pack_group, r.idx,
+         CASE WHEN j IS NULL THEN f.packs || [greatest({capacity} - r.n_tokens, 0)]
+              ELSE list_slice(f.packs, 1, j - 1) || [f.packs[j] - r.n_tokens]
+                   || list_slice(f.packs, j + 1, len(f.packs)) END,
+         r.doc_id, r.n_tokens,
+         CAST(coalesce(j, len(f.packs) + 1) - 1 AS BIGINT)
+  FROM fit f
+  JOIN ranked r ON r.pack_group = f.pack_group AND r.idx = f.idx + 1,
+  LATERAL (SELECT list_position(list_transform(f.packs,
+             x -> CASE WHEN x >= r.n_tokens THEN 1 ELSE 0 END), 1) AS j) l
+)
+SELECT doc_id, n_tokens, pack_group, pack_seq
+FROM fit ORDER BY pack_group, pack_seq, doc_id
+"""
+
+
+def pack_stats(
+    docs: DataFrame, capacity: int = 2048, n_groups: int = 64
+) -> DataFrame:
+    """Packing-quality report: per pack_group, how many packs FFD opened
+    and how full they are. fill_ratio = total_tokens / (n_packs *
+    capacity) — the fraction of context-window budget actually used
+    (can exceed 1 only if oversize single-doc packs exist). All columns
+    are integer totals plus one exact IEEE division, so the recursive
+    FFD oracle reproduces them bit-for-bit. Two tiny aggregations over
+    the packer output; the packer itself is the only non-relational
+    stage."""
+    per_pack = (
+        pack_documents(docs, capacity, n_groups)
+        .groupBy("pack_group", "pack_seq")
+        .agg(
+            F.count(F.lit(1)).alias("__docs"),
+            F.sum("n_tokens").alias("__tok"),
+        )
+    )
+    return (
+        per_pack.groupBy("pack_group")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("__docs").alias("n_docs"),
+            F.sum("__tok").alias("total_tokens"),
+            F.max("__tok").alias("max_pack_tokens"),
+        )
+        .select(
+            "pack_group",
+            "n_packs",
+            "n_docs",
+            "total_tokens",
+            "max_pack_tokens",
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("n_packs") * F.lit(capacity)).cast("double")
+            ).alias("fill_ratio"),
+        )
+        .orderBy("pack_group")
+    )
+
+
+def pack_stats_sql(capacity: int = 2048, n_groups: int = 64) -> str:
+    ffd = pack_documents_sql(capacity, n_groups)
+    return f"""
+WITH assignment AS ({ffd}),
+per_pack AS (
+  SELECT pack_group, pack_seq, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+  FROM assignment GROUP BY pack_group, pack_seq
+)
+SELECT pack_group,
+       COUNT(*) AS n_packs,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(pack_tokens) AS BIGINT) AS max_pack_tokens,
+       CAST(SUM(pack_tokens) AS DOUBLE) / (COUNT(*) * {capacity}) AS fill_ratio
+FROM per_pack GROUP BY pack_group ORDER BY pack_group
+"""
+
+
 # ----------------------------------------------------------------------
 # PII detection / redaction
 #: Simple-dialect-safe patterns (identical semantics in Java regex and
@@ -456,4 +560,265 @@ SELECT doc_id, {strata_col}, rnk FROM (
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id ASC) AS rnk
   FROM documents
 ) WHERE rnk <= {n_per_stratum} ORDER BY {strata_col}, rnk
+"""
+
+
+# ----------------------------------------------------------------------
+# Data-mixture report
+def domain_mix(docs: DataFrame, train_pct: int = 90, val_pct: int = 5) -> DataFrame:
+    """The data-mixture report: per (source, lang, split), doc count,
+    token total, and the share of all corpus tokens — what you check
+    before setting sampling weights for a training run. One scan + one
+    tiny groupBy; the share is an unpartitioned window over the already
+    tiny grouped result (a handful of rows, not the corpus)."""
+    b = split_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    grouped = (
+        docs.select(
+            "source",
+            "lang",
+            split.alias("split"),
+            F.size(tokens("text")).cast("long").alias("__t"),
+        )
+        .groupBy("source", "lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__t").alias("total_tokens"))
+    )
+    w = Window.partitionBy()
+    return grouped.select(
+        "source",
+        "lang",
+        "split",
+        "n_docs",
+        "total_tokens",
+        (
+            F.col("total_tokens").cast("double")
+            / F.sum("total_tokens").over(w).cast("double")
+        ).alias("token_share"),
+    ).orderBy("source", "lang", "split")
+
+
+def domain_mix_sql(train_pct: int = 90, val_pct: int = 5) -> str:
+    b = split_bucket_sql("doc_id")
+    nt = "len(string_split_regex(trim(text), '\\s+'))"
+    return f"""
+WITH g AS (
+  SELECT source, lang,
+         CASE WHEN {b} < {train_pct} THEN 'train'
+              WHEN {b} < {train_pct + val_pct} THEN 'val'
+              ELSE 'test' END AS split,
+         COUNT(*) AS n_docs,
+         CAST(SUM({nt}) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT source, lang, split, n_docs, total_tokens,
+       CAST(total_tokens AS DOUBLE)
+         / CAST(SUM(total_tokens) OVER () AS DOUBLE) AS token_share
+FROM g ORDER BY source, lang, split
+"""
+
+
+# ----------------------------------------------------------------------
+# Dedup impact report
+def dedup_survivor_stats(
+    docs: DataFrame, train_pct: int = 90, val_pct: int = 5
+) -> DataFrame:
+    """Dedup impact per split: how many docs survive exact dedup
+    (quality-aware survivor = longest text, then min doc_id — the same
+    rule as training_manifest) and how many chars the removed copies
+    held. One fingerprint shuffle + window, then one tiny groupBy."""
+    b = split_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    fp = docs.select(
+        split.alias("split"),
+        F.md5(normalized("text")).alias("fingerprint"),
+        F.length("text").alias("n_chars"),
+        F.col("doc_id"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = fp.withColumn("rnk", F.row_number().over(w))
+    survivor = (F.col("rnk") == 1).cast("long")
+    return (
+        ranked.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(survivor).alias("n_survivors"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("n_chars") * survivor).alias("survivor_chars"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_survivors",
+            (F.col("n_docs") - F.col("n_survivors")).alias("n_removed"),
+            (F.col("total_chars") - F.col("survivor_chars")).alias("chars_removed"),
+        )
+        .orderBy("split")
+    )
+
+
+def dedup_survivor_stats_sql(train_pct: int = 90, val_pct: int = 5) -> str:
+    b = split_bucket_sql("doc_id")
+    return f"""
+WITH fp AS (
+  SELECT CASE WHEN {b} < {train_pct} THEN 'train'
+              WHEN {b} < {train_pct + val_pct} THEN 'val'
+              ELSE 'test' END AS split,
+         md5({NORMALIZED_SQL}) AS fingerprint,
+         length(text) AS n_chars, doc_id
+  FROM documents
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                               ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM fp
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(COUNT(*) - SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(n_chars) - SUM(CASE WHEN rnk = 1 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS chars_removed
+FROM ranked GROUP BY split ORDER BY split
+"""
+
+
+# ----------------------------------------------------------------------
+# Per-filter quality gate report
+#: (name, fail-predicate SQL over the stats CTE) — the C4/Gopher-style
+#: cheap document filters; thresholds are parameters, not semantics.
+_LENGTH_FILTERS: tuple[tuple[str, str], ...] = (
+    ("too_few_tokens", "n_tokens < 16"),
+    ("too_many_tokens", "n_tokens > 1024"),
+    ("mean_word_len_out_of_range", "avg_token_len < 2.0 OR avg_token_len > 12.0"),
+    ("symbol_heavy", "punct_ratio > 0.2"),
+    ("repetitive", "dup_token_frac > 0.9"),
+)
+
+
+def length_filter_report(docs: DataFrame) -> DataFrame:
+    """Per-filter pass/fail counts for the standard cheap document
+    filters (token-count bounds, mean word length, symbol ratio,
+    repetition) — the report a pipeline prints before dropping docs, so
+    threshold tuning is informed. One scan computes every flag, one
+    global aggregate, then a 5-row unpivot of the counters; nothing here
+    shuffles more than the 1-row aggregate."""
+    t = tokens("text")
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    avg_len = (
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n
+    )
+    punct = (
+        F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("double")
+        / F.length("text")
+    )
+    dup_frac = (n - nd).cast("double") / n
+    flags = {
+        "too_few_tokens": n < 16,
+        "too_many_tokens": n > 1024,
+        "mean_word_len_out_of_range": (avg_len < 2.0) | (avg_len > 12.0),
+        "symbol_heavy": punct > 0.2,
+        "repetitive": dup_frac > 0.9,
+    }
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(c.cast("long")).alias(f"__f_{name}") for name, c in flags.items()],
+    )
+    stack_expr = ", ".join(f"'{name}', __f_{name}" for name in flags)
+    return (
+        agg.selectExpr("__n", f"stack({len(flags)}, {stack_expr}) AS (filter, n_fail)")
+        .select(
+            "filter",
+            "n_fail",
+            (F.col("__n") - F.col("n_fail")).alias("n_pass"),
+            (F.col("n_fail").cast("double") / F.col("__n")).alias("fail_frac"),
+        )
+        .orderBy("filter")
+    )
+
+
+def length_filter_report_sql() -> str:
+    nt = "len(string_split_regex(trim(text), '\\s+'))"
+    stats = f"""
+  SELECT {nt} AS n_tokens,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+           / {nt} AS avg_token_len,
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio,
+         CAST({nt} - len(list_distinct(string_split_regex(trim(text), '\\s+')))
+              AS DOUBLE) / {nt} AS dup_token_frac
+  FROM documents
+"""
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS filter, "
+        f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail, "
+        f"CAST(SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) AS BIGINT) AS n_pass, "
+        f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) "
+        f"AS fail_frac FROM s"
+        for name, pred in _LENGTH_FILTERS
+    )
+    return f"WITH s AS ({stats})\nSELECT * FROM ({branches}) ORDER BY filter"
+
+
+# ----------------------------------------------------------------------
+# URL detection / stripping
+#: Dialect-safe (no lookaround; identical under Java regex and RE2).
+URL_RE = r"https?://[a-zA-Z0-9./_-]+"
+
+
+def with_synthetic_urls(docs: DataFrame, every: int = 7) -> DataFrame:
+    """Testdata contains no URLs; plant deterministic ones in every
+    ``every``-th doc (mirrored exactly in the SQL twin) so detection and
+    stripping both have real positives and negatives."""
+    planted = F.when(
+        F.col("doc_id") % every == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://mirror.example.org/d-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" for details."),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.select("doc_id", planted.alias("text"))
+
+
+WITH_URLS_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN concat(text, ' see https://example.com/d/',
+                          CAST(doc_id AS VARCHAR),
+                          ' and http://mirror.example.org/d-',
+                          CAST(doc_id AS VARCHAR), ' for details.')
+              ELSE text END AS text
+  FROM documents
+"""
+
+
+def url_scan(docs: DataFrame) -> DataFrame:
+    """Per-doc URL count + URL-stripped text — boilerplate/link removal
+    before training. Native regexp expressions, scan speed at 100 TB."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(URL_RE)).alias("n_urls"),
+        F.regexp_replace("text", URL_RE, "").alias("cleaned"),
+    ).orderBy("doc_id")
+
+
+def url_scan_sql() -> str:
+    return f"""
+WITH src AS ({WITH_URLS_SQL})
+SELECT doc_id,
+       len(regexp_extract_all(text, '{URL_RE}')) AS n_urls,
+       regexp_replace(text, '{URL_RE}', '', 'g') AS cleaned
+FROM src ORDER BY doc_id
 """

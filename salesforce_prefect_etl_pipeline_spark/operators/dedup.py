@@ -440,8 +440,11 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     ``localCheckpoint`` truncates the lineage each round (an iterative
     plan otherwise grows exponentially in the optimizer).
 
-    Iterative => not SQL-expressible for the oracle harness; verified in
-    tests against a driver-side union-find on the collected edges.
+    Verified two ways: against a driver-side union-find in tests, and
+    against a recursive-CTE transitive-closure oracle
+    (``connected_components_sql``) in the driver's correctness gate —
+    closure is O(n^2) memory so the oracle exists at verification scale
+    only; this pointer-jumping plan is the scale path.
     """
     # Materialize the edge list once: its lineage may be an entire LSH
     # pipeline, and every iteration's join would otherwise recompute it.
@@ -506,6 +509,26 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             "iterations (component diameter too large); raise max_iterations"
         )
     return labels.orderBy("doc_id")
+
+
+def connected_components_sql(pairs_sql: str) -> str:
+    """Oracle twin for ``connected_components``: min-label per node via
+    recursive transitive closure over the (da, db) pairs produced by
+    ``pairs_sql``. Exact but O(reachable-pairs) — verification scale
+    only; the engine path is the O(log diameter) pointer-jumping loop."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (SELECT da AS a, db AS b FROM pairs
+          UNION SELECT db AS a, da AS b FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, MIN(b)) AS component
+FROM reach GROUP BY a ORDER BY doc_id
+"""
 
 
 def near_dup_clusters(docs: DataFrame, k: int = 8, threshold: float = 0.8) -> DataFrame:

@@ -117,8 +117,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, float]:
       padding.
     - ``P6``: binary PPM — whitespace/comment-tolerant header, maxval
       <= 255.
-
-    Raises ValueError for any other format (the PIL/ffmpeg slot)."""
+    - anything else: PIL when installed (JPEG/PNG/...; optional
+      dependency, import-gated), else ValueError. Malformed headers
+      (non-positive width, pixel array past end of payload) also raise
+      rather than silently producing short-slice statistics."""
     b = bytes(payload)
     if b[:2] == b"BM":
         off = int.from_bytes(b[10:14], "little")
@@ -129,8 +131,16 @@ def decode_image(payload: bytes) -> tuple[int, int, int, float]:
         if bpp != 24 or compression != 0:
             raise ValueError(f"unsupported BMP variant: bpp={bpp} comp={compression}")
         height = abs(height_raw)
+        if width <= 0:
+            raise ValueError(f"malformed BMP header: width={width}")
         row_used = 3 * width
         row_size = (row_used + 3) & ~3
+        if off + row_size * height > len(b) + (row_size - row_used):
+            # allow the final row to omit padding, nothing more
+            raise ValueError(
+                f"truncated BMP payload: need {off + row_size * height} bytes, "
+                f"have {len(b)}"
+            )
         total = 0
         for r in range(height):
             start = off + r * row_size
@@ -156,9 +166,31 @@ def decode_image(payload: bytes) -> tuple[int, int, int, float]:
         if maxval > 255:
             raise ValueError("16-bit PPM not supported")
         n = 3 * width * height
+        if width <= 0 or height <= 0 or pos + n > len(b):
+            raise ValueError(
+                f"malformed PPM: {width}x{height}, {len(b) - pos} data bytes"
+            )
         data = b[pos : pos + n]
         return width, height, n, (sum(data) / n if n else 0.0)
-    raise ValueError(f"unsupported image format (magic {b[:2]!r})")
+    try:  # optional dependency: JPEG/PNG/... via PIL when installed
+        import io
+
+        from PIL import Image
+    except ImportError:
+        raise ValueError(
+            f"unsupported image format (magic {b[:2]!r}); install Pillow for "
+            "JPEG/PNG decode"
+        ) from None
+    try:
+        with Image.open(io.BytesIO(b)) as img:
+            rgb = img.convert("RGB")
+            data = rgb.tobytes()
+            n = len(data)
+            return rgb.width, rgb.height, n, (sum(data) / n if n else 0.0)
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"PIL could not decode payload: {exc}") from exc
 
 
 def synthetic_bmp_media(docs: DataFrame, width: int = 16, height: int = 16) -> DataFrame:

@@ -62,7 +62,13 @@ def topk_values(df: DataFrame, columns: list[str], k: int = 5) -> DataFrame:
     from pyspark.sql.window import Window
 
     n = len(columns)
-    stack_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in columns)
+    # Backtick-quote identifiers and escape the label literal: a generic
+    # profiler API sees arbitrary column names, which must never be able
+    # to alter the stack() expression.
+    stack_args = ", ".join(
+        f"""'{c.replace("'", "''")}', CAST(`{c.replace('`', '``')}` AS STRING)"""
+        for c in columns
+    )
     melted = df.select(
         F.expr(f"stack({n}, {stack_args}) AS (column_name, value)")
     )

@@ -173,6 +173,98 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 FINGERPRINT_SQL = f"SELECT doc_id, md5({NORMALIZED_SQL}) AS fingerprint FROM documents"
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document — the standard
+    "is this doc degenerate boilerplate/spam" filters in LLM data
+    pipelines (Rae et al. 2021 §A1.1 use duplicate-line and repeated
+    n-gram fractions; this is the token-level analogue for testdata
+    without line structure):
+
+    - ``dup_token_frac``: fraction of token occurrences that repeat an
+      earlier token (1 - distinct/total).
+    - ``top_token_frac``: share of the single most frequent token.
+    - ``dup_2gram_frac``: fraction of adjacent-2-gram occurrences that
+      are repeats.
+
+    All ratios are exact integer/int divisions (IEEE-identical in the
+    oracle). Shape: the distinct/2-gram columns are pure array
+    expressions (scan speed); the top-token share needs per-(doc, token)
+    counts — one explode + two doc_id-partitioned aggregations, which
+    AQE coalesces; at 100 TB this is the one repetition signal worth a
+    shuffle, and it shares the doc_id partitioning end-to-end."""
+    t = tokens("text")
+    base = docs.select("doc_id", t.alias("toks"))
+    n = F.size("toks")
+    nd = F.size(F.array_distinct("toks"))
+    grams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("toks", 1, n - 1),
+            F.slice("toks", 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(grams)
+    ngd = F.size(F.array_distinct(grams))
+    arr_stats = base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ((n - nd).cast("double") / n).alias("dup_token_frac"),
+        F.when(ng > 0, (ng - ngd).cast("double") / ng)
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+    )
+    top = (
+        base.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    return (
+        arr_stats.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+            "dup_2gram_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS grams
+  FROM t
+), cnt AS (
+  SELECT doc_id, token, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS token FROM t) GROUP BY doc_id, token
+), top AS (
+  SELECT doc_id, MAX(c) AS top_cnt FROM cnt GROUP BY doc_id
+)
+SELECT g.doc_id,
+       len(toks) AS n_tokens,
+       CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         AS dup_token_frac,
+       CAST(top.top_cnt AS DOUBLE) / len(toks) AS top_token_frac,
+       CASE WHEN len(grams) > 0
+            THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+            ELSE 0.0 END AS dup_2gram_frac
+FROM g JOIN top ON g.doc_id = top.doc_id
+ORDER BY g.doc_id
+"""
+
+
 def top_tokens(docs: DataFrame, k: int = 20) -> DataFrame:
     """Corpus-wide top-k tokens by frequency (tiebreak: token asc).
     explode -> count is one shuffle; at 100 TB add a partial

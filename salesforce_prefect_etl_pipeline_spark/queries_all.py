@@ -49,15 +49,15 @@ _PRIORITY = [
     # --- the two r2 hash-fail fixes (HUGEINT casts + split inline) ---
     "corpus_split_counts",
     "corpus_token_length_histogram",
-    # --- new in round 3 (unknown names ignored until registered) ---
+    # --- new or oracle-upgraded in round 3 ---
     "corpus_pack_stats",
+    "corpus_pack_documents",  # rows-only -> recursive-FFD oracle
+    "dedup_near_dup_clusters",  # rows-only -> recursive-closure oracle
     "text_repetition_stats",
     "corpus_domain_mix",
     "corpus_dedup_survivor_stats",
-    "text_ngram_lm_score",
-    "corpus_url_scan",
     "corpus_length_filter_report",
-    "corpus_minhash_cluster_sizes",
+    "corpus_url_scan",
     # --- stale (r1-only row, code changed since): TPC-H + joins ---
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -141,13 +141,16 @@ register_query(
     lambda spark, sf_dir: _minhash_pairs_cached(spark, sf_dir).orderBy("da", "db"),
     dedup.jaccard_pairs_sql(k=8, threshold=0.8),
 )
-# Iterative connected-components clustering of LSH pairs (not
-# SQL-expressible -> rows-only; verified vs union-find in pytest).
+# Iterative connected-components clustering of LSH pairs. The engine path
+# is O(log diameter) pointer jumping; the oracle replays it as a
+# recursive-CTE transitive closure over the exact-Jaccard pairs (valid at
+# verification scale; LSH recall at this threshold is ~1, measured).
 register_query(
     "dedup_near_dup_clusters",
     lambda spark, sf_dir: dedup.connected_components(
         _minhash_pairs_cached(spark, sf_dir).select("da", "db")
     ),
+    dedup.connected_components_sql(dedup.jaccard_pairs_sql(k=8, threshold=0.8)),
 )
 # SimHash depends on xxhash64, which DuckDB cannot reproduce -> rows-only.
 register_query(
@@ -302,14 +305,24 @@ register_query(
     ),
     corpus.pii_scan_sql(),
 )
-# Greedy packing is order-dependent (not SQL-expressible): rows-only
-# check here; invariants (each doc exactly once, no pack over capacity,
-# determinism) are pytest-verified.
+# Greedy first-fit-decreasing packing. The engine path packs each md5
+# group independently via applyInPandas; the oracle replays the identical
+# sequential FFD as a recursive CTE (one step per doc — verification
+# scale only). Invariants (each doc exactly once, no pack over capacity,
+# determinism) are additionally pytest-verified.
 register_query(
     "corpus_pack_documents",
     lambda spark, sf_dir: corpus.pack_documents(_docs(spark, sf_dir)).orderBy(
         "pack_group", "pack_seq", "doc_id"
     ),
+    corpus.pack_documents_sql(),
+)
+# Packing-quality report: packs opened + fill ratio per group — the
+# "did packing waste context-window budget" check after the packer runs.
+register_query(
+    "corpus_pack_stats",
+    lambda spark, sf_dir: corpus.pack_stats(_docs(spark, sf_dir)),
+    corpus.pack_stats_sql(),
 )
 # End-to-end curation manifest: dedup (quality-aware survivor) ->
 # quality filter -> deterministic split, as one fused Catalyst plan.
@@ -324,4 +337,38 @@ register_query(
     "corpus_stratified_sample",
     lambda spark, sf_dir: corpus.stratified_sample(_docs(spark, sf_dir)),
     corpus.stratified_sample_sql(),
+)
+# Data-mixture report: (source, lang, split) composition with token
+# shares — the input to sampling-weight decisions before a training run.
+register_query(
+    "corpus_domain_mix",
+    lambda spark, sf_dir: corpus.domain_mix(_docs(spark, sf_dir)),
+    corpus.domain_mix_sql(),
+)
+# Dedup impact per split: survivors vs removed copies and chars saved.
+register_query(
+    "corpus_dedup_survivor_stats",
+    lambda spark, sf_dir: corpus.dedup_survivor_stats(_docs(spark, sf_dir)),
+    corpus.dedup_survivor_stats_sql(),
+)
+# Per-filter pass/fail report for the cheap C4/Gopher-style doc filters.
+register_query(
+    "corpus_length_filter_report",
+    lambda spark, sf_dir: corpus.length_filter_report(_docs(spark, sf_dir)),
+    corpus.length_filter_report_sql(),
+)
+# URL detection + stripping over planted positives (testdata has none).
+register_query(
+    "corpus_url_scan",
+    lambda spark, sf_dir: corpus.url_scan(
+        corpus.with_synthetic_urls(_docs(spark, sf_dir))
+    ),
+    corpus.url_scan_sql(),
+)
+# Gopher-style repetition signals (dup-token / top-token / dup-2-gram
+# fractions) — the degenerate-document filters.
+register_query(
+    "text_repetition_stats",
+    lambda spark, sf_dir: text.repetition_stats(_docs(spark, sf_dir)),
+    text.REPETITION_STATS_SQL,
 )

@@ -93,18 +93,51 @@ def records_to_df(
     return apply_ingest_casts(df)
 
 
+def _keyword_pos(soql: str, keyword: str) -> int:
+    """Position of the OUTER ``keyword`` clause: case-insensitive,
+    space-delimited, outside single-quoted string literals (SOQL escapes
+    embedded quotes as ``\\'``) and at parenthesis depth 0 — subqueries
+    in SELECT or WHERE are always parenthesized, so depth 0 is exactly
+    the outer query. Returns -1 if absent."""
+    target = f" {keyword.upper()} "
+    in_str = False
+    depth = 0
+    i = 0
+    while i < len(soql):
+        ch = soql[i]
+        if in_str:
+            if ch == "\\":
+                i += 1  # skip escaped char inside the literal
+            elif ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and soql[i : i + len(target)].upper() == target:
+            return i
+        i += 1
+    return -1
+
+
 def soql_with_id_range(soql: str, lo: str, hi: str, id_col: str = "Id") -> str:
     """Compose the page predicate into a SOQL plan: AND-append
     ``id_col >= lo AND id_col < hi`` to the WHERE clause (creating one if
-    absent), preserving any trailing LIMIT."""
-    body, sep, limit = soql.rpartition(" LIMIT ")
-    if not sep:
-        body, limit = soql, None
+    absent), preserving any trailing LIMIT.
+
+    Clause detection is structural: keywords match case-insensitively,
+    outside quoted string literals (so ``Name = 'see where it goes'`` is
+    safe) and at parenthesis depth 0 (so a ``WHERE`` or ``LIMIT`` inside
+    a parenthesized subquery is never mistaken for the outer clause)."""
+    li = _keyword_pos(soql, "LIMIT")
+    body, limit = (soql[:li], soql[li + len(" LIMIT ") :]) if li >= 0 else (soql, None)
     pred = f"{id_col} >= '{lo}' AND {id_col} < '{hi}'"
-    if " WHERE " in body.upper():
-        idx = body.upper().rindex(" WHERE ")
-        head, clause = body[: idx + len(" WHERE ")], body[idx + len(" WHERE ") :]
-        body = f"{head}({clause}) AND {pred}"
+    wi = _keyword_pos(body, "WHERE")
+    if wi >= 0:
+        cut = wi + len(" WHERE ")
+        body = f"{body[:cut]}({body[cut:]}) AND {pred}"
     else:
         body = f"{body} WHERE {pred}"
     return f"{body} LIMIT {limit}" if limit is not None else body

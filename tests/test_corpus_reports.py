@@ -1,0 +1,97 @@
+"""Tests for the round-3 corpus report operators (domain mix, dedup
+impact, filter report, URL scan, repetition stats, pack stats) — the
+semantic invariants the per-value oracle compare doesn't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from salesforce_prefect_etl_pipeline_spark.operators import corpus, text
+from salesforce_prefect_etl_pipeline_spark.plans import load_table
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents").cache()
+
+
+def test_domain_mix_shares_sum_to_one(spark, docs):
+    rows = corpus.domain_mix(docs).collect()
+    assert rows, "testdata has documents"
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert all(r.total_tokens > 0 for r in rows)
+
+
+def test_dedup_survivor_stats_consistency(spark, docs):
+    rows = {r.split: r for r in corpus.dedup_survivor_stats(docs).collect()}
+    assert sum(r.n_docs for r in rows.values()) == docs.count()
+    n_unique_fp = (
+        docs.select(F.md5(text.normalized("text")).alias("fp")).distinct().count()
+    )
+    assert sum(r.n_survivors for r in rows.values()) == n_unique_fp
+    for r in rows.values():
+        assert r.n_removed == r.n_docs - r.n_survivors
+        assert r.n_removed >= 0 and r.chars_removed >= 0
+        # removed copies hold at most as many chars as any copy kept
+        if r.n_removed == 0:
+            assert r.chars_removed == 0
+
+
+def test_length_filter_report_counts(spark, docs):
+    n = docs.count()
+    rows = corpus.length_filter_report(docs).collect()
+    assert {r.filter for r in rows} == {name for name, _ in corpus._LENGTH_FILTERS}
+    for r in rows:
+        assert r.n_fail + r.n_pass == n
+        assert abs(r.fail_frac - r.n_fail / n) < 1e-12
+
+
+def test_url_scan_detects_and_strips(spark, docs):
+    out = corpus.url_scan(corpus.with_synthetic_urls(docs)).collect()
+    planted = [r for r in out if r.doc_id % 7 == 0]
+    clean = [r for r in out if r.doc_id % 7 != 0]
+    assert planted and all(r.n_urls == 2 for r in planted)
+    assert all(r.n_urls == 0 for r in clean)
+    assert all("http" not in r.cleaned for r in planted)
+    # stripping leaves the surrounding prose intact
+    assert all(r.cleaned.endswith("for details.") for r in planted)
+
+
+def test_repetition_stats_on_constructed_docs(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # one token repeated
+            (2, "all tokens here are unique"),
+            (3, "one"),  # single token: no 2-grams
+            (4, "ab cd ab cd ab cd"),  # repeated 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(rows).collect()}
+    assert out[1].dup_token_frac == pytest.approx(3 / 4)
+    assert out[1].top_token_frac == 1.0
+    assert out[1].dup_2gram_frac == pytest.approx(2 / 3)
+    assert out[2].dup_token_frac == 0.0
+    assert out[2].dup_2gram_frac == 0.0
+    assert out[3].n_tokens == 1 and out[3].dup_2gram_frac == 0.0
+    # "ab cd" x3 + "cd ab" x2 -> 5 grams, 2 distinct -> 3/5 repeats
+    assert out[4].dup_2gram_frac == pytest.approx(3 / 5)
+
+
+def test_pack_stats_fill_ratio_bounds(spark, docs):
+    cap = 2048
+    rows = corpus.pack_stats(docs, capacity=cap).collect()
+    assert rows
+    packed_docs = sum(r.n_docs for r in rows)
+    assert packed_docs == docs.count()
+    for r in rows:
+        assert r.n_packs >= 1
+        assert 0.0 < r.fill_ratio
+        # fill can only exceed 1 if a single doc exceeds capacity
+        if r.max_pack_tokens <= cap:
+            assert r.fill_ratio <= 1.0
+        assert r.total_tokens == pytest.approx(r.fill_ratio * r.n_packs * cap)

@@ -141,3 +141,48 @@ def test_real_extract_features_and_resize(spark):
         _, _, out_px = M._decode_bmp_pixels(bytes(r.payload))
         src_pixels = {src[i : i + 3] for i in range(0, len(src), 3)}
         assert all(out_px[i : i + 3] in src_pixels for i in range(0, len(out_px), 3))
+
+
+def test_decode_rejects_malformed_payloads():
+    """Truncated or nonsense headers must raise, never return silently
+    wrong statistics from short slices."""
+    good = multimodal.encode_bmp(4, 4, bytes(range(48)))
+    w, h, n, mean = multimodal.decode_image(good)
+    assert (w, h, n) == (4, 4, 48)
+    # truncate the pixel array
+    with pytest.raises(ValueError, match="truncated BMP"):
+        multimodal.decode_image(good[: len(good) - 8])
+    # corrupt the width to a non-positive value
+    bad_width = bytearray(good)
+    bad_width[18:22] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="malformed BMP"):
+        multimodal.decode_image(bytes(bad_width))
+    # PPM with fewer data bytes than the header promises
+    with pytest.raises(ValueError, match="malformed PPM"):
+        multimodal.decode_image(b"P6 4 4 255\n" + b"\x00" * 10)
+
+
+def test_decode_jpeg_png_via_pil_when_available():
+    """JPEG/PNG go through the optional PIL slot; without Pillow the
+    error message must say how to enable it."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (8, 8), color=(10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    w, h, n, mean = multimodal.decode_image(buf.getvalue())
+    assert (w, h, n) == (8, 8, 192)
+    assert mean == pytest.approx((10 + 20 + 30) / 3)
+
+
+def test_decode_unknown_format_message_mentions_pillow():
+    try:
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\nnot-a-real-png")
+    except ValueError as exc:
+        # without Pillow: install hint; with Pillow: decode failure
+        assert "Pillow" in str(exc) or "PIL" in str(exc)
+    else:  # pragma: no cover - only reachable with Pillow + valid PNG
+        pytest.fail("expected ValueError")

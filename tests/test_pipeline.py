@@ -263,6 +263,27 @@ def test_paged_extract_partition_parallel_and_contract(spark):
         soql_with_id_range("SELECT Id FROM a WHERE X = 1 LIMIT 5", "a", "b")
         == "SELECT Id FROM a WHERE (X = 1) AND Id >= 'a' AND Id < 'b' LIMIT 5"
     )
+    # structural clause detection: lowercase keywords, keyword-lookalike
+    # text inside string literals, and subquery WHERE/LIMIT must not
+    # confuse the composer
+    # (the composer re-emits the LIMIT keyword in canonical uppercase)
+    assert (
+        soql_with_id_range("select Id from a where X = 1 limit 5", "a", "b")
+        == "select Id from a where (X = 1) AND Id >= 'a' AND Id < 'b' LIMIT 5"
+    )
+    assert (
+        soql_with_id_range("SELECT Id FROM a WHERE Name = 'see where it goes'", "a", "b")
+        == "SELECT Id FROM a WHERE (Name = 'see where it goes') AND Id >= 'a' AND Id < 'b'"
+    )
+    assert (
+        soql_with_id_range(
+            "SELECT Id FROM a WHERE Id IN (SELECT Id FROM b WHERE Y = 2 LIMIT 3)",
+            "a",
+            "b",
+        )
+        == "SELECT Id FROM a WHERE (Id IN (SELECT Id FROM b WHERE Y = 2 LIMIT 3))"
+        " AND Id >= 'a' AND Id < 'b'"
+    )
 
     all_records = [
         {"Id": f"{i:03d}", "StageName": "Won" if i % 2 else "Lost",
