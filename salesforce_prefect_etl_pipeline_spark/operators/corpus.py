@@ -769,6 +769,54 @@ def length_filter_report_sql() -> str:
 
 
 # ----------------------------------------------------------------------
+# Deterministic shard assignment (the pre-write global shuffle)
+def shard_assignment(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Deterministic global shuffle + sharding: every doc gets a
+    (shard, shard_idx) that is a pure function of content-addressed ids
+    — shard = md5 bucket, shard_idx = position in md5 pseudo-random
+    order within the shard. This is the step before writing N training
+    shards: the "shuffle" is reproducible run-to-run and independent of
+    input partitioning (unlike zipWithIndex/monotonically_increasing_id,
+    which both depend on physical partition layout). One shuffle on the
+    shard key + a bounded per-shard window."""
+    shard = split_bucket(F.col("doc_id"), n_shards)
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", shard.alias("shard"))
+        .withColumn("shard_idx", F.row_number().over(w) - 1)
+        .orderBy("shard", "shard_idx")
+    )
+
+
+def shard_assignment_sql(n_shards: int = 8) -> str:
+    b = split_bucket_sql("doc_id", n_shards)
+    return f"""
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id ASC)
+         - 1 AS shard_idx
+FROM (SELECT doc_id, CAST({b} AS BIGINT) AS shard FROM documents)
+ORDER BY shard, shard_idx
+"""
+
+
+def write_training_shards(
+    docs: DataFrame, path: str, n_shards: int = 8
+) -> DataFrame:
+    """Write the corpus as ``n_shards`` deterministic parquet shards
+    (directory per shard via partitionBy — partition pruning applies on
+    read-back; within-shard order is carried by shard_idx, since parquet
+    row order is not a contract). Returns the sharded frame."""
+    sharded = shard_assignment(docs, n_shards).join(docs, "doc_id")
+    sharded.repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)
+    return sharded
+
+
+# ----------------------------------------------------------------------
 # URL detection / stripping
 #: Dialect-safe (no lookaround; identical under Java regex and RE2).
 URL_RE = r"https?://[a-zA-Z0-9./_-]+"

@@ -265,6 +265,54 @@ ORDER BY g.doc_id
 """
 
 
+def unigram_freq_score(docs: DataFrame) -> DataFrame:
+    """Unigram "familiarity" score per document: the mean corpus-wide
+    frequency of the doc's tokens — the exact-arithmetic stand-in for
+    unigram-LM log-probability scoring (rare-token-heavy docs score low;
+    boilerplate scores high). Log-prob itself is deliberately avoided:
+    ``log`` differs in last-ulp between engines, while SUM(freq)/COUNT
+    is integer math + one IEEE division, so the oracle matches exactly.
+
+    Shape: one explode, one token-keyed count (the vocabulary), one join
+    back, one doc_id aggregation. At 100 TB the vocabulary table after
+    the count is typically small enough to broadcast — Spark's AQE makes
+    that call at runtime; the explode side never shuffles twice."""
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            (F.col("sum_freq").cast("double") / F.col("n_tokens")).alias(
+                "familiarity"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_FREQ_SCORE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(freq) AS BIGINT) AS sum_freq,
+       CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS familiarity
+FROM tok JOIN vocab USING (token)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def top_tokens(docs: DataFrame, k: int = 20) -> DataFrame:
     """Corpus-wide top-k tokens by frequency (tiebreak: token asc).
     explode -> count is one shuffle; at 100 TB add a partial

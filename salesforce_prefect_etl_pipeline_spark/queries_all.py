@@ -103,6 +103,11 @@ _PRIORITY = [
     "dedup_exact_groups",
     "dedup_jaccard_pairs",
     "udtf_sentence_stats",
+    # --- beyond slot 50: new late-round-3 queries, verified by the local
+    # sweep this round; they lead the round-4 window rotation ---
+    "streaming_click_attribution",
+    "text_unigram_familiarity",
+    "corpus_shard_assignment",
 ]
 
 

@@ -372,3 +372,15 @@ register_query(
     lambda spark, sf_dir: text.repetition_stats(_docs(spark, sf_dir)),
     text.REPETITION_STATS_SQL,
 )
+# Unigram familiarity score (exact-arithmetic unigram-LM stand-in).
+register_query(
+    "text_unigram_familiarity",
+    lambda spark, sf_dir: text.unigram_freq_score(_docs(spark, sf_dir)),
+    text.UNIGRAM_FREQ_SCORE_SQL,
+)
+# Deterministic global shuffle + shard assignment before writing shards.
+register_query(
+    "corpus_shard_assignment",
+    lambda spark, sf_dir: corpus.shard_assignment(_docs(spark, sf_dir)),
+    corpus.shard_assignment_sql(),
+)

@@ -26,6 +26,7 @@ from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
     sliding_agg,
     stream_events,
     stream_static_enriched,
+    stream_stream_attribution,
     tumbling_agg,
 )
 
@@ -139,6 +140,33 @@ register_query(
         "stream_enriched",
     ).orderBy("bucket", "c_mktsegment"),
     ENRICHED_SQL,
+)
+
+# STREAM-STREAM interval join (click -> purchase attribution): both sides
+# watermarked, join state bounded by the event-time range condition;
+# append mode (rows finalize as the watermark passes). Single-batch
+# AvailableNow input => equals the static range self-join the oracle runs.
+ATTRIBUTION_SQL = """
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us,
+       epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+ORDER BY c.user_id, click_id, purchase_id
+"""
+register_query(
+    "streaming_click_attribution",
+    lambda spark, sf_dir: run_stream_to_batch(
+        stream_stream_attribution(stream_events(spark, sf_dir)),
+        "stream_attribution",
+        mode="append",
+    ).orderBy("user_id", "click_id", "purchase_id"),
+    ATTRIBUTION_SQL,
 )
 
 # QA profiler core (X10) over orders.

@@ -186,16 +186,71 @@ def stream_static_enriched(
     )
 
 
-def run_stream_to_batch(result: DataFrame, name: str) -> DataFrame:
+def stream_stream_attribution(
+    events: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join: attribute each purchase to the same
+    user's clicks in the preceding ``attribution_window`` — the canonical
+    streaming attribution shape (two live streams, neither broadcastable).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire join state: a buffered click is dropped
+    once the purchase-side watermark passes click_ts + window. Without
+    the time-range condition stream-stream state grows without bound —
+    THAT is the 100 TB/day contract here, not the join itself. State is
+    keyed by user_id (the equi-join key), so both streams shuffle once on
+    user_id. Batch input degrades to an ordinary range self-join, which
+    is exactly what the DuckDB oracle replays (single-batch AvailableNow
+    input makes the streaming result batch-equal).
+
+    Output: one row per (click, purchase) attribution pair, times as
+    epoch micros (exact integers, hash-stable)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {attribution_window}
+            """
+        ),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+
+
+def run_stream_to_batch(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Execute a streaming plan with Trigger.AvailableNow into a memory
     sink and return the materialized result (the reference's
-    run-the-whole-batch-now cadence, X-ref serve_15min.py)."""
+    run-the-whole-batch-now cadence, X-ref serve_15min.py). Aggregating
+    plans use ``complete`` mode; stream-stream joins emit with
+    ``append`` (rows finalize when the watermark passes them)."""
     spark = result.sparkSession
     with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
         q = (
             result.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

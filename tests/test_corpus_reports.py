@@ -95,3 +95,29 @@ def test_pack_stats_fill_ratio_bounds(spark, docs):
         if r.max_pack_tokens <= cap:
             assert r.fill_ratio <= 1.0
         assert r.total_tokens == pytest.approx(r.fill_ratio * r.n_packs * cap)
+
+
+def test_write_training_shards_roundtrip(spark, docs, tmp_path):
+    """Sharded egress: partitionBy(shard) layout, deterministic
+    assignment, lossless round-trip, and partition pruning on read-back."""
+    from pathlib import Path
+
+    path = str(tmp_path / "shards")
+    sharded = corpus.write_training_shards(docs, path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    # directory-per-shard layout
+    shard_dirs = sorted(p.name for p in Path(path).iterdir() if p.name.startswith("shard="))
+    assert shard_dirs == [f"shard={i}" for i in range(4)]
+    # shard_idx is a dense 0..n-1 sequence within every shard
+    for row in back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("shard_idx").alias("mx"), F.min("shard_idx").alias("mn")
+    ).collect():
+        assert (row.mn, row.mx) == (0, row.n - 1)
+    # assignment is deterministic across runs
+    again = corpus.shard_assignment(docs, n_shards=4)
+    assert sharded.select("doc_id", "shard", "shard_idx").exceptAll(again).isEmpty()
+    # read-back with a shard filter prunes at the partition level
+    pruned = back.filter(F.col("shard") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters")[1][:200]

@@ -203,3 +203,28 @@ def test_stream_static_enriched_matches_batch(spark):
     b = sorted(map(tuple, batch.collect()))
     s = sorted(map(tuple, streamed.collect()))
     assert b == s and len(b) > 0
+
+
+def test_stream_stream_attribution_matches_batch(spark):
+    """Stream-STREAM interval join (click -> purchase attribution): the
+    streaming execution (append mode, watermarked both sides) must equal
+    the batch range self-join, and every pair must satisfy the
+    attribution window."""
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
+        run_stream_to_batch,
+        stream_events,
+        stream_stream_attribution,
+    )
+
+    batch = stream_stream_attribution(load_table(spark, SF_SMALL, "events"))
+    streamed = run_stream_to_batch(
+        stream_stream_attribution(stream_events(spark, SF_SMALL)),
+        "t_attribution",
+        mode="append",
+    )
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, streamed.collect()))
+    assert b == s and len(b) > 0
+    for _user, _c, _p, click_us, purchase_us in b:
+        assert 0 <= purchase_us - click_us <= 30 * 60 * 1_000_000
