@@ -108,6 +108,8 @@ _PRIORITY = [
     "streaming_click_attribution",
     "text_unigram_familiarity",
     "corpus_shard_assignment",
+    "events_funnel",
+    "events_retention_cohorts",
 ]
 
 

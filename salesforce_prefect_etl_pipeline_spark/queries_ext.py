@@ -922,6 +922,109 @@ FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the events stream: view -> click (after the
+    user's first view) -> purchase (after that first qualifying click).
+    Output is one row of stage-reach counts — the standard conversion
+    report.
+
+    Each stage is a conditional min-timestamp aggregation keyed by
+    user_id joined to the previous stage's frontier; all three shuffles
+    hash on user_id, so Catalyst reuses one partitioning end-to-end and
+    the frontier frames shrink monotonically (stage N is a subset of the
+    users of stage N-1)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view_users"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_users")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_users")))
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), v AS (
+  SELECT user_id, MIN(ts) AS vt FROM e WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(ts) AS ct FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts > vt GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(ts) AS pt FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts > ct GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+       (SELECT COUNT(*) FROM c) AS n_click_users,
+       (SELECT COUNT(*) FROM p) AS n_purchase_users
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week
+    (ISO Monday start — identical truncation in both engines), counted
+    as active per subsequent week offset. The cohort-triangle report
+    behind every retention dashboard.
+
+    Shape: one user-keyed min-aggregation for the cohort, one join back
+    (user-keyed again — partitioning reused), one distinct-count per
+    (cohort, offset); week offsets as exact integer day-diffs // 7, so
+    no timezone/week-numbering dialect drift."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("w0")
+    )
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("w")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("w", "w0") / 7).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS w0
+  FROM e GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM e
+)
+SELECT strftime(w0, '%Y-%m-%d') AS cohort_week,
+       date_diff('day', w0, w) // 7 AS week_offset,
+       COUNT(*) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+"""
+
+
 for _name, _fn, _sql in [
     ("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
     ("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
@@ -957,5 +1060,7 @@ for _name, _fn, _sql in [
     ("events_props_explode", events_props_explode, EVENTS_PROPS_EXPLODE_SQL),
     ("lineitem_unpivot_stats", lineitem_unpivot_stats, LINEITEM_UNPIVOT_SQL),
     ("events_hourly_by_type", events_hourly_by_type, EVENTS_HOURLY_SQL),
+    ("events_funnel", events_funnel, EVENTS_FUNNEL_SQL),
+    ("events_retention_cohorts", events_retention_cohorts, EVENTS_RETENTION_SQL),
 ]:
     register_query(_name, _fn, _sql)
