@@ -716,10 +716,13 @@ def length_filter_report(docs: DataFrame) -> DataFrame:
     avg_len = (
         F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n
     )
-    punct = (
+    # Empty text: punct ratio defined as 0 (ANSI mode raises on x/0;
+    # empty docs must flow through the filter report, not crash it).
+    punct = F.when(
+        F.length("text") > 0,
         F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("double")
-        / F.length("text")
-    )
+        / F.length("text"),
+    ).otherwise(F.lit(0.0))
     dup_frac = (n - nd).cast("double") / n
     flags = {
         "too_few_tokens": n < 16,
@@ -751,8 +754,10 @@ def length_filter_report_sql() -> str:
   SELECT {nt} AS n_tokens,
          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
            / {nt} AS avg_token_len,
-         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-           / length(text) AS punct_ratio,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                        AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_ratio,
          CAST({nt} - len(list_distinct(string_split_regex(trim(text), '\\s+')))
               AS DOUBLE) / {nt} AS dup_token_frac
   FROM documents

@@ -70,10 +70,14 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """
     t = tokens("text")
     n_tokens = F.size(t)
-    punct_ratio = (
+    # Empty text: define punct_ratio = 0 (ANSI mode raises on x/0, and
+    # an empty doc crashing the quality pass is unacceptable at corpus
+    # scale — found by the differential hypothesis test).
+    punct_ratio = F.when(
+        F.length("text") > 0,
         F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("double")
-        / F.length("text")
-    )
+        / F.length("text"),
+    ).otherwise(F.lit(0.0))
     sw = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
     stop_ratio = sw.cast("double") / n_tokens
     score = (
@@ -95,8 +99,10 @@ QUALITY_SCORE_SQL = f"""
 WITH t AS (
   SELECT doc_id,
          string_split_regex(trim(text), '\\s+') AS toks,
-         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-           / length(text) AS punct_ratio
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                        AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_ratio
   FROM documents
 )
 SELECT doc_id,
