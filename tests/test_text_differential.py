@@ -102,3 +102,96 @@ def test_length_filter_report_differential(spark, docs_list):
     )
     want = con.sql(corpus.length_filter_report_sql()).df()
     _assert_frames_equal(got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_DOC, min_size=2, max_size=5), st.data())
+def test_jaccard_pairs_differential(spark, docs_list, data):
+    """Exact n-gram Jaccard vs its SQL twin on random docs, with forced
+    duplicates so pairs actually exist; k=4 so short docs still shingle.
+    Locks in the short-doc shingle guard (sequence(1,0) is descending in
+    Spark, empty in DuckDB)."""
+    from salesforce_prefect_etl_pipeline_spark.operators import dedup
+
+    # duplicate a random subset so near-dup pairs exist
+    dups = data.draw(st.lists(st.sampled_from(docs_list), max_size=3))
+    full = docs_list + dups
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(full)], "doc_id long, text string"
+    )
+    got = dedup.jaccard_pairs(sdf, k=4, threshold=0.2).toPandas()
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(full)), "text": full})
+    )
+    want = con.sql(dedup.jaccard_pairs_sql(k=4, threshold=0.2)).df()
+    _assert_frames_equal(got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**61), min_size=1, max_size=8, unique=True))
+def test_split_bucket_differential(spark, ids):
+    """md5-hex bucketing (the split/shard primitive) must agree across
+    engines for arbitrary 63-bit ids."""
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    sdf = spark.createDataFrame([(i, "x") for i in ids], "doc_id long, text string")
+    got = corpus.split_counts(sdf).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": ids, "text": ["x"] * len(ids)}))
+    want = con.sql(corpus.split_counts_sql()).df()
+    _assert_frames_equal(got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=5))
+def test_pii_url_regex_differential(spark, docs_list):
+    """Email/phone/URL regex semantics (count + replace) must be
+    byte-identical between Java regex and DuckDB RE2 on arbitrary text,
+    including text that embeds plausible matches."""
+    from pyspark.sql import functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    # salt in genuine matches so replacement paths execute
+    salted = [
+        t + " a@b.co +1-555-0199 https://x.io/p " for t in docs_list
+    ] + docs_list
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(salted)], "doc_id long, text string"
+    )
+    got = (
+        sdf.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(corpus.EMAIL_RE)).alias("n_emails"),
+            F.regexp_count("text", F.lit(corpus.PHONE_RE)).alias("n_phones"),
+            F.regexp_count("text", F.lit(corpus.URL_RE)).alias("n_urls"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("text", corpus.EMAIL_RE, "<EMAIL>"),
+                    corpus.PHONE_RE,
+                    "<PHONE>",
+                ),
+                corpus.URL_RE,
+                "",
+            ).alias("redacted"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(salted)), "text": salted})
+    )
+    want = con.sql(f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{corpus.EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{corpus.PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(text, '{corpus.URL_RE}')) AS n_urls,
+       regexp_replace(regexp_replace(regexp_replace(
+         text, '{corpus.EMAIL_RE}', '<EMAIL>', 'g'),
+         '{corpus.PHONE_RE}', '<PHONE>', 'g'),
+         '{corpus.URL_RE}', '', 'g') AS redacted
+FROM documents ORDER BY doc_id
+""").df()
+    _assert_frames_equal(got, want)
