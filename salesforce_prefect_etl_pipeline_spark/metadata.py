@@ -145,6 +145,30 @@ class RunMetadataStore:
             json.dump(history[-keep_last:], f, indent=2, default=str)
         return latest
 
+    # -- incremental-extract watermarks ---------------------------------
+    # Extension beyond the reference (which re-extracts fully each run):
+    # one watermark value per object, written atomically (tmp + replace)
+    # so a crash mid-write never corrupts the cursor that decides what
+    # the NEXT run extracts.
+    def get_watermark(self, object_name: str) -> str | None:
+        path = os.path.join(self._obj_dir(object_name), "watermark.json")
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as f:
+                return json.load(f).get("watermark")
+        except json.JSONDecodeError:
+            return None
+
+    def set_watermark(self, object_name: str, value: str) -> str:
+        d = self._obj_dir(object_name)
+        path = os.path.join(d, "watermark.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"object": object_name, "watermark": value}, f, indent=2)
+        os.replace(tmp, path)
+        return path
+
     # -- legacy normalization (utils/paths.py:99-144) -------------------
     def normalize(self, object_name: str) -> int:
         """Merge legacy-named logs into the canonical file, dedup, remove

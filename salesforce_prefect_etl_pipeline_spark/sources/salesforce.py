@@ -131,9 +131,15 @@ def soql_with_id_range(soql: str, lo: str, hi: str, id_col: str = "Id") -> str:
     outside quoted string literals (so ``Name = 'see where it goes'`` is
     safe) and at parenthesis depth 0 (so a ``WHERE`` or ``LIMIT`` inside
     a parenthesized subquery is never mistaken for the outer clause)."""
+    return soql_with_predicate(soql, f"{id_col} >= '{lo}' AND {id_col} < '{hi}'")
+
+
+def soql_with_predicate(soql: str, pred: str) -> str:
+    """AND-compose ``pred`` into the outer WHERE clause of a SOQL plan
+    (creating one if absent), preserving any trailing LIMIT. Clause
+    detection is structural (see ``_keyword_pos``)."""
     li = _keyword_pos(soql, "LIMIT")
     body, limit = (soql[:li], soql[li + len(" LIMIT ") :]) if li >= 0 else (soql, None)
-    pred = f"{id_col} >= '{lo}' AND {id_col} < '{hi}'"
     wi = _keyword_pos(body, "WHERE")
     if wi >= 0:
         cut = wi + len(" WHERE ")
@@ -141,6 +147,45 @@ def soql_with_id_range(soql: str, lo: str, hi: str, id_col: str = "Id") -> str:
     else:
         body = f"{body} WHERE {pred}"
     return f"{body} LIMIT {limit}" if limit is not None else body
+
+
+def extract_object_incremental(
+    spark: SparkSession,
+    spec: TableSpec,
+    fetch: Callable[[str], list[dict]],
+    store,
+    modstamp_col: str = "SystemModstamp",
+    soql: str | None = None,
+) -> tuple[DataFrame, str, str | None]:
+    """Watermark-based incremental extract: fetch only records whose
+    ``modstamp_col`` is strictly greater than the persisted watermark,
+    then advance the watermark to the max modstamp seen. Extension
+    beyond the reference (tasks/extract.py re-extracts fully each run) —
+    at real extract volumes, incremental + the paged scale path is how a
+    Salesforce source keeps up.
+
+    Contract notes: SOQL datetime literals are UNQUOTED ISO-8601, and
+    ISO-8601 strings in one timezone format order lexicographically, so
+    the max-seen watermark needs no datetime parsing. The watermark is
+    only advanced AFTER the fetch returns (at-least-once on failure —
+    re-runs re-fetch the same window rather than skipping records; the
+    strictly-greater predicate plus run-id dedup downstream keeps that
+    harmless). Returns (df, soql_used, new_watermark).
+    """
+    base = soql or build_soql(spec, limit=None)
+    wm = store.get_watermark(spec.name)
+    plan = soql_with_predicate(base, f"{modstamp_col} > {wm}") if wm else base
+    records = fetch(plan)
+    df = records_to_df(spark, records, plan)
+    stamps = [
+        r[modstamp_col]
+        for r in records
+        if isinstance(r, dict) and r.get(modstamp_col) is not None
+    ]
+    new_wm = max(stamps) if stamps else wm
+    if new_wm is not None and new_wm != wm:
+        store.set_watermark(spec.name, str(new_wm))
+    return df, plan, new_wm
 
 
 def extract_object_paged(

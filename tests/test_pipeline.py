@@ -328,3 +328,57 @@ def test_paged_extract_partition_parallel_and_contract(spark):
         soql="SELECT Id, Amount FROM Opportunity",
     )
     assert empty.count() == 0 and empty.columns == ["Id", "Amount"]
+
+
+def test_incremental_extract_watermark_flow(spark, tmp_path):
+    """Watermark lifecycle: first run extracts everything and sets the
+    watermark; the next run's SOQL carries the strictly-greater modstamp
+    predicate and returns only newer records; a fetch that fails must
+    NOT advance the watermark (at-least-once)."""
+    from salesforce_prefect_etl_pipeline_spark.metadata import RunMetadataStore
+    from salesforce_prefect_etl_pipeline_spark.sources.salesforce import (
+        extract_object_incremental,
+    )
+    from salesforce_prefect_etl_pipeline_spark.specs import TableSpec
+
+    spec = TableSpec(name="opportunity", table="Opportunity",
+                     fields=("Id", "Amount", "SystemModstamp"))
+    store = RunMetadataStore(str(tmp_path / "meta"))
+    data = [
+        {"Id": "a", "Amount": "1", "SystemModstamp": "2024-01-01T00:00:00Z"},
+        {"Id": "b", "Amount": "2", "SystemModstamp": "2024-01-02T00:00:00Z"},
+    ]
+    issued = []
+
+    def fetch(soql):
+        issued.append(soql)
+        if "SystemModstamp >" in soql:
+            wm = soql.split("SystemModstamp > ")[1].rstrip(")")
+            return [r for r in data if r["SystemModstamp"] > wm]
+        return list(data)
+
+    df1, soql1, wm1 = extract_object_incremental(spark, spec, fetch, store)
+    assert df1.count() == 2 and wm1 == "2024-01-02T00:00:00Z"
+    assert "SystemModstamp >" not in soql1
+    assert store.get_watermark("opportunity") == wm1
+
+    # nothing new -> empty frame, watermark unchanged, predicate present
+    df2, soql2, wm2 = extract_object_incremental(spark, spec, fetch, store)
+    assert df2.count() == 0 and wm2 == wm1
+    assert "SystemModstamp > 2024-01-02T00:00:00Z" in soql2
+
+    # a newer record arrives -> only it is extracted, watermark advances
+    data.append({"Id": "c", "Amount": "3", "SystemModstamp": "2024-01-03T00:00:00Z"})
+    df3, _soql3, wm3 = extract_object_incremental(spark, spec, fetch, store)
+    assert [r.Id for r in df3.collect()] == ["c"]
+    assert wm3 == "2024-01-03T00:00:00Z"
+
+    # failed fetch leaves the watermark untouched
+    def boom(soql):
+        raise ConnectionError("api down")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectionError):
+        extract_object_incremental(spark, spec, boom, store)
+    assert store.get_watermark("opportunity") == wm3
