@@ -1025,6 +1025,60 @@ GROUP BY 1, 2 ORDER BY cohort_week, week_offset
 """
 
 
+def events_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-corpus construction: one training "document" per user
+    session — the session's event types in time order, joined into a
+    sequence string. This is how raw logs become sequence-model training
+    data (next-action prediction, session embeddings).
+
+    Shape: the same session_window state machine the streaming path
+    uses, but aggregating an ordered sequence instead of counts —
+    collect structs, array_sort (total order: ts, then event_id for
+    ties), project types, join. One shuffle on user_id; sequences stay
+    bounded because the session gap bounds session length."""
+    ev = _t(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+    )
+    return agg.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.size("evs").alias("n_events"),
+        F.concat_ws(" ", F.transform("evs", lambda e: e.event_type)).alias("seq"),
+    ).orderBy("user_id", "session_start_us")
+
+
+GAP_US_SEQ = 10 * 60 * 1_000_000
+EVENTS_SESSION_SEQ_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), lagged AS (
+  SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e
+), marked AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) >= {GAP_US_SEQ}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+), sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*) AS n_events,
+       string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
 for _name, _fn, _sql in [
     ("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
     ("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
@@ -1062,5 +1116,6 @@ for _name, _fn, _sql in [
     ("events_hourly_by_type", events_hourly_by_type, EVENTS_HOURLY_SQL),
     ("events_funnel", events_funnel, EVENTS_FUNNEL_SQL),
     ("events_retention_cohorts", events_retention_cohorts, EVENTS_RETENTION_SQL),
+    ("events_session_sequences", events_session_sequences, EVENTS_SESSION_SEQ_SQL),
 ]:
     register_query(_name, _fn, _sql)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from salesforce_prefect_etl_pipeline_spark.operators import (
     corpus,
@@ -384,3 +385,25 @@ register_query(
     lambda spark, sf_dir: corpus.shard_assignment(_docs(spark, sf_dir)),
     corpus.shard_assignment_sql(),
 )
+
+
+def _emb_cluster_mix(spark, sf_dir: str):
+    """Semantic data-mixture report: corpus composition by embedding
+    cluster (the persisted IVF coarse quantizer doubles as the semantic
+    clustering) — cluster-balanced sampling starts from exactly this
+    table. Assignment is one Arrow-batched map against broadcast-size
+    centroids; the report is a tiny groupBy. Deterministic given the
+    index seed, but k-means is not SQL-expressible -> rows-only."""
+    index_dir = ensure_ivf_index(spark, sf_dir)
+    cents = _IVF_CENTROID_CACHE[index_dir]
+    assigned = similarity.ivf_assign(_emb(spark, sf_dir), cents)
+    counts = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+    total = F.sum("n_vectors").over(Window.partitionBy())
+    return counts.select(
+        "list_id",
+        "n_vectors",
+        (F.col("n_vectors").cast("double") / total.cast("double")).alias("share"),
+    ).orderBy("list_id")
+
+
+register_query("emb_cluster_mix", _emb_cluster_mix)
