@@ -327,8 +327,8 @@ fit(pack_group, idx, packs, doc_id, n_tokens, pack_seq) AS (
          CAST(coalesce(j, len(f.packs) + 1) - 1 AS BIGINT)
   FROM fit f
   JOIN ranked r ON r.pack_group = f.pack_group AND r.idx = f.idx + 1,
-  LATERAL (SELECT list_position(list_transform(f.packs,
-             x -> CASE WHEN x >= r.n_tokens THEN 1 ELSE 0 END), 1) AS j) l
+  LATERAL (SELECT NULLIF(list_position(list_transform(f.packs,
+             x -> CASE WHEN x >= r.n_tokens THEN 1 ELSE 0 END), 1), 0) AS j) l
 )
 SELECT doc_id, n_tokens, pack_group, pack_seq
 FROM fit ORDER BY pack_group, pack_seq, doc_id

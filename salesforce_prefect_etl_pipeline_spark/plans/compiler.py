@@ -66,16 +66,27 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Parquet scan for one testdata table (TESTDATA.md layout).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark has no native
-    type for; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
-    epoch-nanos long and is converted here to a microsecond timestamp
-    (truncation — same as DuckDB's TIMESTAMP_NS -> TIMESTAMP cast, so the
-    oracle sees identical instants).
+    ``events.ts`` normalizes to a session-tz TIMESTAMP regardless of how
+    the testdata was written (the generator has shipped both):
+
+    - TIMESTAMP(NANOS): no native Spark type; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos
+      long and is truncated to micros (same as DuckDB's
+      TIMESTAMP_NS -> TIMESTAMP cast, so the oracle sees identical
+      instants);
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+      cast to TIMESTAMP interprets the wall-clock in the session zone
+      (pinned UTC above), which is exactly how DuckDB treats the same
+      naive values.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if table == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -39,77 +39,83 @@ _PRUNE = {
 #: follows in raw registration order. Unknown names are ignored so the
 #: list may reference queries introduced in a later module version.
 #:
-#: Round-3 window: slots 1-2 re-check the two oracle-cast fixes (the only
-#: red r2 rows), slots 3-10 are reserved for queries NEW this round, and
-#: the remaining 40 are every query whose latest driver row predates the
-#: round-2 code changes (r1-only rows are stale after the shingle-guard /
-#: as-of / profiler rewrites). Together with CORRECTNESS_r02 this gives
-#: every registered query a post-round-2-code driver row.
+#: Round-5 window: slots 1-3 re-check the queries whose oracle/engine
+#: changed this round (FFD pack-oracle ``NULLIF(list_position)`` fix,
+#: deterministic IVF centroid init), slots 4-16 are the 13 queries that
+#: have NEVER had a driver CORRECTNESS row (registered beyond the old
+#: 50-cap), slots 17-18 are queries new this round, and the remaining 32
+#: are every query whose only driver row is from round 2 (spec/q1,
+#: minhash/ANN, media, corpus round-2 family, sql_*, sessionization,
+#: streaming, qa profilers). Everything double-green (r2+r4) and the
+#: no-oracle sketch queries (accuracy-covered by pytest) sit past slot
+#: 50. Together with CORRECTNESS_r02/r04 this gives every oracle-bearing
+#: query a green driver row.
 _PRIORITY = [
-    # --- the two r2 hash-fail fixes (HUGEINT casts + split inline) ---
-    "corpus_split_counts",
-    "corpus_token_length_histogram",
-    # --- new or oracle-upgraded in round 3 ---
+    # --- oracle/engine changed this round: must re-verify ---
     "corpus_pack_stats",
-    "corpus_pack_documents",  # rows-only -> recursive-FFD oracle
-    "dedup_near_dup_clusters",  # rows-only -> recursive-closure oracle
-    "text_repetition_stats",
-    "corpus_domain_mix",
-    "corpus_dedup_survivor_stats",
-    "corpus_length_filter_report",
-    "corpus_url_scan",
-    # --- stale (r1-only row, code changed since): TPC-H + joins ---
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "join_revenue_by_region",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_salted_revenue_by_priority",
-    "join_asof_clicks_to_purchases",
-    "join_range_ship_within_30d",
-    # --- stale: windows ---
-    "window_top3_orders_per_customer",
-    "window_running_total",
-    "window_order_gap_days",
-    "window_rank_nations_by_acctbal",
-    "window_ntile_order_quartiles",
-    "window_first_last_order",
-    # --- stale: grouping extensions + set ops + sketches ---
-    "rollup_lineitem",
-    "cube_orders",
-    "grouping_sets_lineitem",
-    "pivot_status_by_priority",
-    "set_union_nationkeys",
-    "set_intersect_nationkeys",
-    "set_except_nationkeys",
-    "agg_distinct_suppliers_per_flag",
-    "agg_approx_distinct_suppliers",
-    "agg_median_acctbal_by_nation",
-    "agg_stddev_acctbal_by_segment",
-    "agg_approx_percentile_price",
-    # --- stale: events/json/unpivot ---
-    "orders_by_month",
-    "events_json_extract",
-    "events_props_explode",
-    "events_hourly_by_type",
-    "lineitem_unpivot_stats",
-    # --- stale: text + dedup + UDTF ---
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprints",
-    "text_top_tokens",
-    "dedup_exact_groups",
-    "dedup_jaccard_pairs",
-    "udtf_sentence_stats",
-    # --- beyond slot 50: new late-round-3 queries, verified by the local
-    # sweep this round; they lead the round-4 window rotation ---
+    "corpus_pack_documents",  # list_position NULLIF overflow fix
+    "emb_cluster_mix",  # RNG init -> content-deterministic, now oracled
+    # --- never driver-checked (beyond the old 50-query window) ---
     "streaming_click_attribution",
     "text_unigram_familiarity",
     "corpus_shard_assignment",
     "events_funnel",
     "events_retention_cohorts",
+    "events_session_sequences",
+    "q9_product_profit",
+    "q12_ship_latency",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_idle_balance",
+    # --- new this round ---
+    "events_transition_counts",
+    "q2_min_cost_supplier",
+    # --- r2-only rows: refresh ---
+    "spec_orders_by_status",
+    "spec_lineitem_global",
+    "spec_orders_by_missing_channel",
+    "spec_orders_missing_metric",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "emb_near_dup_pairs",
+    "emb_near_dup_banded",
+    "media_frame_sample",
+    "media_feature_stats",
+    "media_decode_stats",
+    "corpus_contamination",
+    "corpus_canonical_by_quality",
+    "corpus_pii_scan",
+    "corpus_training_manifest",
+    "corpus_stratified_sample",
+    "sql_q5_local_supplier",
+    "sql_orders_above_avg",
+    "sql_correlated_exists",
+    "sql_in_subquery_having",
+    "sql_pivot_counts",
+    "sql_union_all_counts",
+    "sql_embedding_dim_stats",
+    "events_sessionization",
+    "events_sliding_counts",
+    "streaming_events_hourly",
+    "streaming_sessionization",
+    "streaming_dedup_user_counts",
+    "streaming_enriched_segment_counts",
+    "qa_profile_orders",
+    "qa_profile_orders_topk",
+    # --- beyond slot 50: double-green r2+r4 rows and the no-oracle
+    # sketch queries (agg_approx_*, simhash, srp/ivf/np ANN — covered by
+    # accuracy pytests); all keep their oracles for local sweeps ---
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
 ]
 
 

@@ -26,27 +26,53 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from salesforce_prefect_etl_pipeline_spark.functions import exact_sum
 
-#: Explicit schema for the streaming file source (streaming requires one;
-#: ts is epoch-nanos long under spark.sql.legacy.parquet.nanosAsLong).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _normalize_ts(df: DataFrame, ts_type: str | None) -> DataFrame:
+    """``ts`` -> session-tz TIMESTAMP, dispatched on the physical read
+    type (the testdata generator has shipped several encodings):
+
+    - ``bigint``: epoch-nanos under spark.sql.legacy.parquet.nanosAsLong
+      (TIMESTAMP(NANOS) files) — truncate to micros, same as DuckDB's
+      TIMESTAMP_NS -> TIMESTAMP cast;
+    - ``timestamp_ntz``: TIMESTAMP(MICROS, isAdjustedToUTC=false) files —
+      cast interprets the wall-clock in the session zone (pinned UTC),
+      matching DuckDB's naive TIMESTAMP reading;
+    - ``timestamp``: already the target type.
+    """
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def stream_events_dir(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    Streaming requires an explicit schema, which must match the physical
+    file encoding — a hardcoded one silently misreads when the encoding
+    changes (e.g. a LongType field over a MICROS column reads micros as
+    if they were nanos, collapsing every timestamp to ~1970). The schema
+    is therefore sniffed from a batch footer read of the same directory,
+    and the dtype-dispatched ts normalization applied on top.
+    """
+    from salesforce_prefect_etl_pipeline_spark.plans import ensure_session_confs
+
+    ensure_session_confs(spark)
+    static = spark.read.parquet(src_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _normalize_ts(reader.parquet(src_dir), dict(static.dtypes).get("ts"))
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ns -> us timestamp at
-    the edge, like plans.compiler.load_table).
+    """File-source stream over the testdata events table (ts normalized
+    exactly like ``plans.compiler.load_table``).
 
     The streaming file source only accepts directories; the testdata dir
     holds all tables side by side (and is read-only), so the events file
@@ -59,11 +85,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(link_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    from salesforce_prefect_etl_pipeline_spark.plans import ensure_session_confs
-
-    ensure_session_confs(spark)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(link_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream_events_dir(spark, link_dir)
 
 
 def tumbling_agg(events: DataFrame, size: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

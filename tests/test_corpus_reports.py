@@ -121,3 +121,47 @@ def test_write_training_shards_roundtrip(spark, docs, tmp_path):
     pruned = back.filter(F.col("shard") == 2)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_pack_oracle_overflow_differential(spark, tmp_path):
+    """FFD oracle vs engine on data whose groups OVERFLOW one pack.
+
+    The sf0.01 testdata happens to fit every md5 group into a single
+    pack, so the driver's green rows never exercised the oracle's
+    new-pack branch — where DuckDB's ``list_position`` returns 0 (not
+    NULL) on a failed fit probe and, before the ``NULLIF`` guard, every
+    overflowing doc got pack_seq = -1 and a corrupted capacity list.
+    This pins the branch: one over-length doc (oversize pack of its
+    own), three docs that each demand a fresh pack, then smaller docs
+    that must land back in earlier packs' remaining capacity."""
+    import duckdb
+    import pandas as pd
+
+    counts = [600, 400, 400, 400, 300, 200, 120, 100, 60, 10]
+    rows = [(i, ("tok " * c).strip()) for i, c in enumerate(counts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sdf = corpus.pack_documents(docs, capacity=512, n_groups=1).toPandas()
+    assert int(sdf["pack_seq"].max()) >= 4, "data must overflow several packs"
+    assert (sdf["pack_seq"] >= 0).all()
+
+    pq = str(tmp_path / "documents.parquet")
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    odf = con.sql(corpus.pack_documents_sql(capacity=512, n_groups=1)).df()
+
+    s = sdf.sort_values("doc_id").reset_index(drop=True)
+    o = odf.sort_values("doc_id").reset_index(drop=True)[s.columns]
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+    # the aggregated twin must agree on the same overflowing input
+    stats_s = (
+        corpus.pack_stats(docs, capacity=512, n_groups=1)
+        .toPandas()
+        .sort_values("pack_group")
+        .reset_index(drop=True)
+    )
+    stats_o = con.sql(corpus.pack_stats_sql(capacity=512, n_groups=1)).df()
+    stats_o = stats_o.sort_values("pack_group").reset_index(drop=True)[stats_s.columns]
+    pd.testing.assert_frame_equal(stats_s, stats_o, check_dtype=False)

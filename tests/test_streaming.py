@@ -13,9 +13,9 @@ from pyspark.sql import functions as F
 from salesforce_prefect_etl_pipeline_spark.plans import load_table
 from salesforce_prefect_etl_pipeline_spark.streaming.drift import drift_stream
 from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
-    EVENTS_SCHEMA,
     run_stream_to_batch,
     stream_events,
+    stream_events_dir,
     tumbling_agg,
 )
 
@@ -36,7 +36,6 @@ def test_streaming_tumbling_equals_batch(spark):
 def two_batch_dir(spark):
     """Split the events table into two parquet files in a temp dir so the
     file source (maxFilesPerTrigger=1) delivers two real micro-batches."""
-    # raw read keeps ts as epoch-nanos long, matching EVENTS_SCHEMA
     events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
     d = tempfile.mkdtemp(prefix="drift_batches_")
     # batch 1: full data; batch 2: roughly 40% (triggers >=50% drift)
@@ -57,12 +56,7 @@ def two_batch_dir(spark):
 
 
 def test_stateful_drift_across_microbatches(spark, two_batch_dir):
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(two_batch_dir)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    events = stream_events_dir(spark, two_batch_dir, max_files_per_trigger=1)
     out = run_stream_to_batch_append(drift_stream(events, threshold=0.5), "drift_out")
     rows = out.collect()
     # two batches x n event_types
@@ -86,12 +80,7 @@ def test_streaming_dedup_across_microbatches(spark, two_batch_dir):
         dedup_within_watermark,
     )
 
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(two_batch_dir)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    events = stream_events_dir(spark, two_batch_dir, max_files_per_trigger=1)
     deduped = dedup_within_watermark(
         events, ["user_id", "event_type"], watermark="3650 days"
     ).select("user_id", "event_type")
@@ -163,12 +152,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    events = stream_events_dir(spark, d, max_files_per_trigger=1)
     agg = (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))
