@@ -22,6 +22,8 @@ broken by vec_id, so the output is stable and hash-comparable.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -208,19 +210,25 @@ def train_ivf_centroids(
     emb: DataFrame,
     nlist: int = 16,
     iters: int = 10,
-    seed: int = 42,
     max_sample: int = 100_000,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer, trained driver-side on a
     deterministic sample. Returns unit-norm centroids (nlist, dim).
 
-    Determinism: the sample is chosen by a content hash
-    (xxhash64(vec_id) mod m == 0) — independent of partitioning — and
-    sorted by vec_id before Lloyd's, so the same data always yields the
-    same centroids. Init picks nlist seeded indices; an emptied cluster
-    is reseeded to the point farthest from its centroid (also
-    deterministic). At corpus scale the sample stays ~max_sample rows:
-    training cost is O(sample * nlist * dim) on the driver, one-time.
+    Fully content-deterministic — no RNG anywhere: the sample is chosen
+    by a content hash (xxhash64(vec_id) mod m == 0, independent of
+    partitioning), sorted by vec_id before Lloyd's, and the init picks
+    the ``nlist`` vectors with the smallest md5(vec_id) (hex order, the
+    same parity trick the corpus split uses) — so the same data always
+    yields the same centroids on any cluster layout, and the iteration-0
+    quantizer is reproducible in SQL (``md5(CAST(vec_id AS VARCHAR))``
+    orders identically in DuckDB). An emptied cluster is reseeded to the
+    point farthest from its centroid (also deterministic). At corpus
+    scale the sample stays ~max_sample rows: training cost is
+    O(sample * nlist * dim) on the driver, one-time.
+
+    ``iters=0`` returns the md5-seeded init itself — the oracle-checkable
+    coarse quantizer the cluster-mix report runs on.
     """
     n = emb.count()
     mod = max(1, n // max_sample)
@@ -230,8 +238,11 @@ def train_ivf_centroids(
     rows = sample.select("vec_id", "embedding").orderBy("vec_id").collect()
     x = np.array([r.embedding for r in rows], dtype=np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    cents = x[rng.choice(len(x), size=nlist, replace=False)]
+    md5_order = sorted(
+        range(len(rows)),
+        key=lambda i: (hashlib.md5(str(rows[i].vec_id).encode()).hexdigest(), rows[i].vec_id),
+    )
+    cents = x[md5_order[:nlist]]
     for _ in range(iters):
         sims = x @ cents.T  # (n, nlist); cosine since both unit-norm
         assign = sims.argmax(axis=1)
@@ -286,7 +297,6 @@ def build_ivf_index(
     emb: DataFrame,
     index_dir: str,
     nlist: int = 16,
-    seed: int = 42,
 ) -> np.ndarray:
     """Offline IVF index build: train the coarse quantizer once, tag the
     corpus with ``ivf_assign``, and persist the inverted lists as parquet
@@ -297,7 +307,7 @@ def build_ivf_index(
     map + one partitioned write, no shuffle), and every subsequent probe
     reads only ~nprobe/nlist of the data via partition pruning on
     ``list_id`` (verified against ``inputFiles()`` in tests)."""
-    cents = train_ivf_centroids(emb, nlist=nlist, seed=seed)
+    cents = train_ivf_centroids(emb, nlist=nlist)
     assigned = ivf_assign(emb, cents)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{index_dir}/lists"

@@ -35,10 +35,21 @@ def ensure_ivf_index(spark, sf_dir: str, nlist: int = 16) -> str:
     """Build the persisted IVF index for a testdata dir once per process
     lifetime (train -> assign -> partitioned-by-list_id parquet); return
     its path. The offline-build / online-probe split is the 100 TB
-    contract — see similarity.build_ivf_index."""
+    contract — see similarity.build_ivf_index.
+
+    Staleness: an index persisted before the source embeddings file was
+    (re)written is rebuilt, not reused — the testdata generator does
+    regenerate between rounds, and probing a stale index silently
+    returns assignments of data that no longer exists."""
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-nlist{nlist}")
-    if not os.path.exists(os.path.join(index_dir, "centroids", "_SUCCESS")):
+    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-nlist{nlist}-det1")
+    success = os.path.join(index_dir, "centroids", "_SUCCESS")
+    stale = os.path.exists(success) and os.path.getmtime(success) < os.path.getmtime(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    if stale:
+        _IVF_CENTROID_CACHE.pop(index_dir, None)
+    if stale or not os.path.exists(success):
         cents = similarity.build_ivf_index(_emb(spark, sf_dir), index_dir, nlist=nlist)
         _IVF_CENTROID_CACHE[index_dir] = cents
     elif index_dir not in _IVF_CENTROID_CACHE:
@@ -387,15 +398,32 @@ register_query(
 )
 
 
+_CLUSTER_MIX_NLIST = 16
+
+#: Per-(app, sf_dir) memo of the iteration-0 seed centroids — one
+#: count+collect per process, like the IVF centroid cache.
+_SEED_CENT_CACHE: dict = {}
+
+
 def _emb_cluster_mix(spark, sf_dir: str):
     """Semantic data-mixture report: corpus composition by embedding
-    cluster (the persisted IVF coarse quantizer doubles as the semantic
-    clustering) — cluster-balanced sampling starts from exactly this
-    table. Assignment is one Arrow-batched map against broadcast-size
-    centroids; the report is a tiny groupBy. Deterministic given the
-    index seed, but k-means is not SQL-expressible -> rows-only."""
-    index_dir = ensure_ivf_index(spark, sf_dir)
-    cents = _IVF_CENTROID_CACHE[index_dir]
+    cluster — cluster-balanced sampling starts from exactly this table.
+
+    The clustering is the ITERATION-0 coarse quantizer: nearest seed
+    vector by cosine, seeds = the nlist embeddings with the smallest
+    md5(vec_id) (``train_ivf_centroids(iters=0)``). Unlike the Lloyd's-
+    refined quantizer the ANN index uses, iteration 0 is exactly
+    SQL-replayable (md5 ordering + cosine argmax), which upgrades this
+    report from rows-only to a full value-hash oracle row. Assignment is
+    one Arrow-batched map against broadcast-size centroids; the report
+    is a tiny groupBy."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _SEED_CENT_CACHE.get(key)
+    if cents is None:
+        cents = similarity.train_ivf_centroids(
+            _emb(spark, sf_dir), nlist=_CLUSTER_MIX_NLIST, iters=0
+        )
+        _SEED_CENT_CACHE[key] = cents
     assigned = similarity.ivf_assign(_emb(spark, sf_dir), cents)
     counts = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vectors"))
     total = F.sum("n_vectors").over(Window.partitionBy())
@@ -406,4 +434,35 @@ def _emb_cluster_mix(spark, sf_dir: str):
     ).orderBy("list_id")
 
 
-register_query("emb_cluster_mix", _emb_cluster_mix)
+#: DuckDB twin: same seed pick (md5 hex order), same cosine argmax with
+#: ties to the lowest list_id, double math on both sides.
+EMB_CLUSTER_MIX_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_CLUSTER_MIX_NLIST}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS list_id,
+         c
+  FROM seeds
+),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC,
+                      c.list_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+)
+SELECT list_id, COUNT(*) AS n_vectors,
+       CAST(COUNT(*) AS DOUBLE)
+         / (SELECT COUNT(*) FROM embeddings) AS share
+FROM assigned GROUP BY list_id ORDER BY list_id
+"""
+
+register_query("emb_cluster_mix", _emb_cluster_mix, EMB_CLUSTER_MIX_SQL)

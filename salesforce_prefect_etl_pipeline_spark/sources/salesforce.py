@@ -166,11 +166,16 @@ def extract_object_incremental(
 
     Contract notes: SOQL datetime literals are UNQUOTED ISO-8601, and
     ISO-8601 strings in one timezone format order lexicographically, so
-    the max-seen watermark needs no datetime parsing. The watermark is
-    only advanced AFTER the fetch returns (at-least-once on failure —
-    re-runs re-fetch the same window rather than skipping records; the
-    strictly-greater predicate plus run-id dedup downstream keeps that
-    harmless). Returns (df, soql_used, new_watermark).
+    the max-seen watermark needs no datetime parsing.
+
+    The extractor itself never persists the watermark — it returns the
+    candidate and the CALLER commits it (``store.set_watermark``) only
+    after the batch is durably written. Committing inside the extractor
+    would make a crash between fetch and load silently skip those
+    records on the re-run (at-most-once); commit-after-write keeps the
+    pipeline at-least-once — re-runs re-fetch the same window, and the
+    strictly-greater predicate plus run-id dedup downstream makes the
+    replay harmless. Returns (df, soql_used, new_watermark).
     """
     base = soql or build_soql(spec, limit=None)
     wm = store.get_watermark(spec.name)
@@ -183,8 +188,6 @@ def extract_object_incremental(
         if isinstance(r, dict) and r.get(modstamp_col) is not None
     ]
     new_wm = max(stamps) if stamps else wm
-    if new_wm is not None and new_wm != wm:
-        store.set_watermark(spec.name, str(new_wm))
     return df, plan, new_wm
 
 

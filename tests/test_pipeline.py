@@ -331,10 +331,12 @@ def test_paged_extract_partition_parallel_and_contract(spark):
 
 
 def test_incremental_extract_watermark_flow(spark, tmp_path):
-    """Watermark lifecycle: first run extracts everything and sets the
-    watermark; the next run's SOQL carries the strictly-greater modstamp
-    predicate and returns only newer records; a fetch that fails must
-    NOT advance the watermark (at-least-once)."""
+    """Watermark lifecycle with commit-after-durable-write: the extractor
+    returns the candidate watermark but never persists it; the caller
+    commits only after the load lands. A crash ANYWHERE before that
+    commit — fetch failure or a load failure after a successful fetch —
+    leaves the store untouched, so the next run re-fetches the same
+    window (at-least-once, never silent skip)."""
     from salesforce_prefect_etl_pipeline_spark.metadata import RunMetadataStore
     from salesforce_prefect_etl_pipeline_spark.sources.salesforce import (
         extract_object_incremental,
@@ -360,20 +362,30 @@ def test_incremental_extract_watermark_flow(spark, tmp_path):
     df1, soql1, wm1 = extract_object_incremental(spark, spec, fetch, store)
     assert df1.count() == 2 and wm1 == "2024-01-02T00:00:00Z"
     assert "SystemModstamp >" not in soql1
-    assert store.get_watermark("opportunity") == wm1
+    # extractor must NOT have committed anything on its own
+    assert store.get_watermark("opportunity") is None
+    store.set_watermark(spec.name, wm1)  # caller commits after the write
 
     # nothing new -> empty frame, watermark unchanged, predicate present
     df2, soql2, wm2 = extract_object_incremental(spark, spec, fetch, store)
     assert df2.count() == 0 and wm2 == wm1
     assert "SystemModstamp > 2024-01-02T00:00:00Z" in soql2
 
-    # a newer record arrives -> only it is extracted, watermark advances
+    # crash BETWEEN fetch and load: a newer record is fetched, but the
+    # caller dies before committing -> watermark still wm1, and the next
+    # run RE-FETCHES the same record instead of skipping it
     data.append({"Id": "c", "Amount": "3", "SystemModstamp": "2024-01-03T00:00:00Z"})
     df3, _soql3, wm3 = extract_object_incremental(spark, spec, fetch, store)
     assert [r.Id for r in df3.collect()] == ["c"]
     assert wm3 == "2024-01-03T00:00:00Z"
+    # (no commit here — simulated load failure)
+    assert store.get_watermark("opportunity") == wm1
+    df3b, _soql3b, wm3b = extract_object_incremental(spark, spec, fetch, store)
+    assert [r.Id for r in df3b.collect()] == ["c"] and wm3b == wm3
+    store.set_watermark(spec.name, wm3b)
+    assert store.get_watermark("opportunity") == wm3
 
-    # failed fetch leaves the watermark untouched
+    # failed fetch propagates and leaves the watermark untouched
     def boom(soql):
         raise ConnectionError("api down")
 
