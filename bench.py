@@ -45,6 +45,12 @@ HEADLINE = [
     "streaming_events_hourly",
     "q7_volume_shipping",
     "q18_large_orders",
+    # The heaviest shuffle plans in the repo: q21's double lineitem
+    # semi/anti self-join, q9's three-way fact join with part filter,
+    # and the funnel's three chained user-keyed aggregations.
+    "q21_suppliers_kept_waiting",
+    "q9_product_profit",
+    "events_funnel",
     # Packer throughput: full FFD packing (applyInPandas over md5 groups)
     # plus the per-group fill-ratio aggregation.
     "corpus_pack_stats",

@@ -1079,6 +1079,57 @@ ORDER BY user_id, session_start_us
 """
 
 
+def events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session Markov-chain transition counts: how often each event type
+    is followed by each other type WITHIN a session (same 10-minute gap
+    rule as the sequence builder). The transition matrix is the model
+    behind next-action prediction baselines and behavioral anomaly
+    scoring — and the natural aggregate on top of
+    ``events_session_sequences``' corpus.
+
+    Shape: one lag window per user (hash shuffle on user_id, the same
+    partitioning every event-analytics query here uses), then a tiny
+    groupBy on (src, dst). A consecutive pair is a transition only when
+    the inter-event gap keeps it inside one session; session boundaries
+    (gap >= 10 min) contribute no pair, exactly like the sequence
+    builder starting a new document."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("src"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    pairs = lagged.filter(
+        F.col("prev_ts").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("prev_ts") < F.lit(GAP_US_SEQ))
+    )
+    return (
+        pairs.groupBy(F.col("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("src", "dst")
+    )
+
+
+EVENTS_TRANSITION_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), lagged AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         ts
+  FROM e
+)
+SELECT src, event_type AS dst, COUNT(*) AS n_transitions
+FROM lagged
+WHERE prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) < {GAP_US_SEQ}
+GROUP BY src, dst ORDER BY src, dst
+"""
+
+
 for _name, _fn, _sql in [
     ("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
     ("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
@@ -1117,5 +1168,6 @@ for _name, _fn, _sql in [
     ("events_funnel", events_funnel, EVENTS_FUNNEL_SQL),
     ("events_retention_cohorts", events_retention_cohorts, EVENTS_RETENTION_SQL),
     ("events_session_sequences", events_session_sequences, EVENTS_SESSION_SEQ_SQL),
+    ("events_transition_counts", events_transition_counts, EVENTS_TRANSITION_SQL),
 ]:
     register_query(_name, _fn, _sql)

@@ -14,9 +14,11 @@ stand in for partsupp), dominant-supplier detection (Q20, shipped-share
 replaces availqty), the waiting-supplier double EXISTS/NOT-EXISTS
 (Q21, shipdate lateness replaces receipt-vs-commit), and idle
 above-average-balance customers (Q22, nations replace phone prefixes).
-Q2 and Q11 are NOT adaptable: both are primarily ABOUT partsupp
-(min-cost supplier, stock-value shares) and have no faithful shape
-without it.
+min-cost-supplier selection (Q2, observed lineitem supply — the
+distinct (l_partkey, l_suppkey) pairs with their minimum shipped unit
+price — stands in for partsupp supplycost). Q11 remains NOT adaptable:
+it is primarily ABOUT partsupp stock-value (availqty * supplycost)
+shares and has no faithful shape without that column pair.
 
 Same determinism rules as queries_ext: float sums accumulate via
 ``exact_sum`` (DECIMAL quantization — partition-order independent),
@@ -678,7 +680,85 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+# ----------------------------------------------------------------------
+# Q2: min-cost supplier per part — partsupp is absent (TESTDATA.md), so
+# OBSERVED supply stands in: per (l_partkey, l_suppkey), the minimum
+# unit price ever shipped, quantized to integer cents (floor(price/qty
+# * 100) — identical IEEE double ops in both engines, then exact bigint
+# min/compare, so the per-part minimum is hash-stable). The plan keeps
+# Q2's shape: a fact-sized supply aggregate, broadcast dim filters
+# (part selection, region-gated suppliers), and a per-part window min
+# keeping every supplier that achieves it.
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ucost = (
+        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
+    )
+    supply = (
+        li.select("l_partkey", "l_suppkey", ucost.alias("ucost"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("ucost").alias("unit_cost_cents"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & F.col("p_size").between(30, 50))
+        .select("p_partkey", "p_brand")
+    )
+    cand = supply.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    best = F.min("unit_cost_cents").over(Window.partitionBy("p_partkey"))
+    return (
+        cand.withColumn("__min", best)
+        .filter(F.col("unit_cost_cents") == F.col("__min"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "unit_cost_cents",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100) AS BIGINT))
+           AS unit_cost_cents
+  FROM lineitem GROUP BY 1, 2
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), cand AS (
+  SELECT p.p_partkey, p.p_brand, e.s_acctbal, e.s_name, e.n_name,
+         s.unit_cost_cents
+  FROM supply s
+  JOIN part p ON s.l_partkey = p.p_partkey
+  JOIN eu e ON s.l_suppkey = e.s_suppkey
+  WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 30 AND 50
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost_cents
+FROM cand c
+WHERE unit_cost_cents = (SELECT MIN(unit_cost_cents) FROM cand c2
+                         WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
 for _name, _fn, _sql in [
+    ("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
     ("q4_order_priority", q4_order_priority, Q4_SQL),
     ("q7_volume_shipping", q7_volume_shipping, Q7_SQL),
     ("q8_market_share", q8_market_share, Q8_SQL),
