@@ -93,9 +93,11 @@ def main() -> int:
 
     queries, oracles = e.queries(), e.oracle_sql()
     n_fail = 0
+    n_run = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
@@ -120,7 +122,7 @@ def main() -> int:
                 print(f"   - {p}")
         else:
             print(f"PASS {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
-    print(f"\n{len(queries) - n_fail}/{len(queries)} ok")
+    print(f"\n{n_run - n_fail}/{n_run} ok")
     return 1 if n_fail else 0
 
 
