@@ -293,6 +293,32 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(_assign, out_schema)
 
 
+def cluster_balanced_sample(
+    emb: DataFrame, centroids: np.ndarray, n_per_cluster: int = 8
+) -> DataFrame:
+    """Cluster-balanced corpus sample: the ``n_per_cluster`` vectors with
+    the smallest md5(vec_id) inside each assignment cluster — the
+    selection step a semantically balanced training mix runs after the
+    cluster-mix report says which clusters are over/under-represented.
+
+    Content-deterministic (md5 rank, vec_id tiebreak — no RNG, identical
+    on any partitioning) and one shuffle: the assignment map is
+    shuffle-free, and the per-cluster rank windows on list_id. At corpus
+    scale the window's partial top-n per partition (WindowGroupLimit)
+    keeps the shuffle input at ~n_per_cluster rows per partition per
+    cluster, not the full corpus."""
+    assigned = ivf_assign(emb, centroids).select("vec_id", "list_id")
+    w = Window.partitionBy("list_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per_cluster)
+        .select("list_id", "rk", "vec_id")
+        .orderBy("list_id", "rk")
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     index_dir: str,

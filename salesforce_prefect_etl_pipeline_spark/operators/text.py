@@ -61,6 +61,56 @@ FROM documents
 """
 
 
+#: GPT-2-style pre-tokenizer approximation, restricted to the regex
+#: subset Java and RE2/DuckDB execute identically: contraction suffixes,
+#: space-glued letter runs, space-glued digit runs, space-glued
+#: punctuation runs, then residual whitespace. (The real GPT-2 pattern's
+#: ``\s+(?!\S)`` lookahead is not RE2-expressible; pure-whitespace
+#: matches are filtered out of the count instead, which yields the same
+#: token count on any input.)
+BPE_PIECE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_estimate(docs: DataFrame) -> DataFrame:
+    """Subword token-count estimate: how many pieces a BPE-family
+    tokenizer's PRE-tokenizer would split each document into — the
+    standard cheap stand-in for exact tokenizer counts when budgeting
+    context windows / pricing corpora (pre-token count >= merged-BPE
+    count, same order of magnitude, no vocab shipped to executors).
+
+    Native path: one ``regexp_extract_all`` + a lambda filter dropping
+    pure-whitespace pieces, all inside codegen. chars_per_token is the
+    single IEEE division both engines compute identically."""
+    pieces = F.expr(
+        f"filter(regexp_extract_all(text, \"{BPE_PIECE_RE}\", 0), x -> x rlike '\\\\S')"
+    )
+    n_bpe = F.size(pieces)
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        F.when(
+            n_bpe > 0, F.length("text").cast("double") / n_bpe.cast("double")
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+BPE_TOKEN_ESTIMATE_SQL = rf"""
+WITH pieces AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_extract_all(text, '{BPE_PIECE_RE.replace("'", "''")}'),
+             x -> regexp_matches(x, '\S'))) AS n_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, n_bpe_tokens,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       CASE WHEN n_bpe_tokens > 0
+            THEN CAST(length(text) AS DOUBLE) / n_bpe_tokens END
+         AS chars_per_bpe_token
+FROM pieces
+"""
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality score from length / punctuation / stopword
     ratios (the standard cheap pre-filter in LLM data pipelines).

@@ -71,6 +71,8 @@ _PRIORITY = [
     # --- new this round ---
     "events_transition_counts",
     "q2_min_cost_supplier",
+    "text_bpe_token_estimate",
+    "emb_cluster_sample",
     # --- r2-only rows: refresh ---
     "spec_orders_by_status",
     "spec_lineitem_global",

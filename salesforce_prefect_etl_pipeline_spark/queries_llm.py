@@ -91,6 +91,11 @@ def _emb(spark, sf_dir):
 
 
 register_query(
+    "text_bpe_token_estimate",
+    lambda spark, sf_dir: text.bpe_token_estimate(_docs(spark, sf_dir)),
+    text.BPE_TOKEN_ESTIMATE_SQL,
+)
+register_query(
     "text_token_stats",
     lambda spark, sf_dir: text.token_stats(_docs(spark, sf_dir)),
     text.TOKEN_STATS_SQL,
@@ -466,3 +471,59 @@ FROM assigned GROUP BY list_id ORDER BY list_id
 """
 
 register_query("emb_cluster_mix", _emb_cluster_mix, EMB_CLUSTER_MIX_SQL)
+
+
+_SAMPLE_PER_CLUSTER = 8
+
+
+def _emb_cluster_sample(spark, sf_dir: str):
+    """Cluster-balanced sample over the same iteration-0 seed quantizer
+    as the mix report (see ``_emb_cluster_mix``); md5-rank selection
+    makes the sample itself oracle-checkable."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _SEED_CENT_CACHE.get(key)
+    if cents is None:
+        cents = similarity.train_ivf_centroids(
+            _emb(spark, sf_dir), nlist=_CLUSTER_MIX_NLIST, iters=0
+        )
+        _SEED_CENT_CACHE[key] = cents
+    return similarity.cluster_balanced_sample(
+        _emb(spark, sf_dir), cents, n_per_cluster=_SAMPLE_PER_CLUSTER
+    )
+
+
+#: Same assignment CTE as EMB_CLUSTER_MIX_SQL, then the md5-rank pick.
+EMB_CLUSTER_SAMPLE_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_CLUSTER_MIX_NLIST}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS list_id,
+         c
+  FROM seeds
+),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC,
+                      c.list_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+)
+SELECT list_id, rk, vec_id FROM (
+  SELECT list_id, vec_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY list_id
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS rk
+  FROM assigned
+) WHERE rk <= {_SAMPLE_PER_CLUSTER}
+ORDER BY list_id, rk
+"""
+
+register_query("emb_cluster_sample", _emb_cluster_sample, EMB_CLUSTER_SAMPLE_SQL)

@@ -388,3 +388,37 @@ def test_training_manifest_consistency(spark, docs):
 
     splits = {r.doc_id: r.split for r in corpus.hash_split(docs).collect()}
     assert all(splits[r.doc_id] == r.split for r in rows)
+
+
+def test_bpe_token_estimate_bounds(spark, docs):
+    """Pre-tokenizer pieces never span whitespace and consume at most
+    one leading space, so every whitespace token yields >= 1 piece:
+    n_bpe >= n_ws on any doc with visible content. chars_per_bpe_token
+    stays within [1, len(text)]."""
+    rows = text.bpe_token_estimate(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bpe_tokens >= r.n_ws_tokens >= 1
+        if r.n_bpe_tokens:
+            assert r.chars_per_bpe_token >= 1.0
+
+
+def test_cluster_balanced_sample_contract(spark, emb):
+    """The balanced sample picks <= n vectors per cluster, each actually
+    assigned to that cluster, ranked by md5 — deterministic across
+    runs."""
+    cents = similarity.train_ivf_centroids(emb, nlist=8, iters=0)
+    sample = similarity.cluster_balanced_sample(emb, cents, n_per_cluster=5)
+    rows = sample.collect()
+    assigned = {
+        r.vec_id: r.list_id
+        for r in similarity.ivf_assign(emb, cents).select("vec_id", "list_id").collect()
+    }
+    per_cluster = {}
+    for r in rows:
+        per_cluster.setdefault(r.list_id, []).append(r.rk)
+        assert assigned[r.vec_id] == r.list_id
+    for rks in per_cluster.values():
+        assert rks == list(range(1, len(rks) + 1)) and len(rks) <= 5
+    again = similarity.cluster_balanced_sample(emb, cents, n_per_cluster=5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
