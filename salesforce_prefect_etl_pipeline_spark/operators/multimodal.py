@@ -460,3 +460,151 @@ SELECT 'image' AS modality,
 FROM documents
 ORDER BY modality
 """
+
+
+# ----------------------------------------------------------------------
+# Native audio codec: RIFF/WAVE PCM16 mono (the soundfile/ffmpeg slot).
+# Same design as the BMP/PPM tier: a genuinely parsed container format,
+# synthetic payloads whose samples are a pure function of (media_id, i)
+# so decoded statistics replay arithmetically in the DuckDB oracle.
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Minimal standards-conforming RIFF/WAVE writer: PCM (format 1),
+    mono, 16-bit little-endian."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, float, int]:
+    """Real RIFF/WAVE PCM16-mono decode ->
+    (sample_rate, n_samples, mean_abs_sample, n_zero_cross).
+
+    Tolerant chunk walk (unknown chunks skipped, odd sizes padded per
+    spec); raises ValueError on non-RIFF payloads, compressed/stereo/
+    non-16-bit streams, or a missing data chunk — the dispatch point
+    where soundfile/ffmpeg would plug in for other codecs."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM16 mono supported: fmt={audio_format} ch={channels} bits={bits}"
+        )
+    x = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.int64)
+    if len(x) == 0:
+        return sample_rate, 0, 0.0, 0
+    mean_abs = float(np.abs(x).sum()) / len(x)
+    n_zero_cross = int(np.count_nonzero(x[:-1] * x[1:] < 0))
+    return sample_rate, int(len(x)), mean_abs, n_zero_cross
+
+
+def synthetic_wav_media(
+    docs: DataFrame, n_samples: int = 256, sample_rate: int = 8000
+) -> DataFrame:
+    """Real WAV payload per document: sample i of media m is
+    ``((m * 31 + i) % 4096) - 2048`` — a pure integer function of the
+    id, so decoded statistics replay arithmetically in the oracle while
+    the payload is a genuine, header-complete RIFF/WAVE file."""
+    import numpy as np
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "audio",
+                    "mime": "audio/wav",
+                    "payload": [
+                        encode_wav(sample_rate, ((int(m) * 31 + i) % 4096) - 2048)
+                        for m in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_abs_sample", T.DoubleType()),
+        T.StructField("n_zero_cross", T.LongType()),
+    ]
+)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """Real-decode face of the audio pipeline: parse each RIFF payload
+    with :func:`decode_audio` and emit per-item sample statistics
+    (energy proxy + zero-crossing count — the first two features every
+    audio-quality filter computes)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_audio(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "sample_rate": [r[0] for r in rows],
+                    "n_samples": [r[1] for r in rows],
+                    "mean_abs_sample": [r[2] for r in rows],
+                    "n_zero_cross": [r[3] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(_decode, AUDIO_STATS_SCHEMA)
+
+
+def audio_stats_sql(n_samples: int = 256, sample_rate: int = 8000) -> str:
+    """Arithmetic replay of decode_audio_stats over the synthetic WAV
+    corpus: integer sample reconstruction, exact integer sums, one IEEE
+    division. Zero crossings recompute sample i-1 directly instead of a
+    window lag (i >= 1 guard)."""
+    return f"""
+WITH s AS (
+  SELECT d.doc_id, t.i,
+         ((d.doc_id * 31 + t.i) % 4096) - 2048 AS v
+  FROM documents d, unnest(generate_series(0, {n_samples - 1})) AS t(i)
+)
+SELECT doc_id AS media_id,
+       CAST({sample_rate} AS INT) AS sample_rate,
+       CAST({n_samples} AS BIGINT) AS n_samples,
+       SUM(ABS(v)) / {n_samples}.0 AS mean_abs_sample,
+       CAST(SUM(CASE WHEN i > 0
+                      AND (((doc_id * 31 + i - 1) % 4096) - 2048) * v < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+FROM s GROUP BY doc_id ORDER BY media_id
+"""

@@ -73,6 +73,7 @@ _PRIORITY = [
     "q2_min_cost_supplier",
     "text_bpe_token_estimate",
     "emb_cluster_sample",
+    "media_audio_stats",
     # --- r2-only rows: refresh ---
     "spec_orders_by_status",
     "spec_lineitem_global",

@@ -271,6 +271,17 @@ register_query(
     multimodal.MEDIA_STATS_SQL,
 )
 
+# REAL audio decode: genuine RIFF/WAVE PCM16 payloads (sample i of
+# media m = ((m*31+i) % 4096) - 2048) parsed by the native WAV decoder;
+# the oracle replays the decoded statistics arithmetically.
+register_query(
+    "media_audio_stats",
+    lambda spark, sf_dir: multimodal.decode_audio_stats(
+        multimodal.synthetic_wav_media(_docs(spark, sf_dir))
+    ).orderBy("media_id"),
+    multimodal.audio_stats_sql(),
+)
+
 # REAL image decode: genuine 16x16 24-bit BMP payloads (pixel byte i of
 # media m = (m*31+i) % 256) parsed by the native BMP decoder; the oracle
 # reproduces the decoded statistics arithmetically. Exact: mean_pixel is

@@ -186,3 +186,48 @@ def test_decode_unknown_format_message_mentions_pillow():
         assert "Pillow" in str(exc) or "PIL" in str(exc)
     else:  # pragma: no cover - only reachable with Pillow + valid PNG
         pytest.fail("expected ValueError")
+
+
+def test_wav_roundtrip_and_audio_stats(spark):
+    """encode_wav -> decode_audio roundtrip reproduces the synthetic
+    sample formula exactly; the Spark decode query matches a driver-side
+    recomputation on a small slice."""
+    import numpy as np
+
+    m = 7
+    i = np.arange(256, dtype=np.int64)
+    samples = ((m * 31 + i) % 4096) - 2048
+    rate, n, mean_abs, zc = multimodal.decode_audio(
+        multimodal.encode_wav(8000, samples)
+    )
+    assert (rate, n) == (8000, 256)
+    assert mean_abs == float(np.abs(samples).sum()) / 256
+    assert zc == int(np.count_nonzero(samples[:-1] * samples[1:] < 0))
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(5)
+    rows = multimodal.decode_audio_stats(
+        multimodal.synthetic_wav_media(docs)
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        s = ((r.media_id * 31 + i) % 4096) - 2048
+        assert r.n_samples == 256 and r.sample_rate == 8000
+        assert r.mean_abs_sample == float(np.abs(s).sum()) / 256
+        assert r.n_zero_cross == int(np.count_nonzero(s[:-1] * s[1:] < 0))
+
+
+def test_decode_audio_rejects_malformed_payloads():
+    import numpy as np
+
+    import pytest as _pytest
+
+    good = multimodal.encode_wav(8000, np.zeros(4, dtype=np.int64))
+    with _pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_audio(b"not audio at all")
+    with _pytest.raises(ValueError, match="missing fmt/data"):
+        multimodal.decode_audio(good[:12])
+    # stereo stream: flip the channel count in the fmt chunk
+    stereo = bytearray(good)
+    stereo[22:24] = (2).to_bytes(2, "little")
+    with _pytest.raises(ValueError, match="PCM16 mono"):
+        multimodal.decode_audio(bytes(stereo))
