@@ -80,9 +80,13 @@ def bpe_token_estimate(docs: DataFrame) -> DataFrame:
 
     Native path: one ``regexp_extract_all`` + a lambda filter dropping
     pure-whitespace pieces, all inside codegen. chars_per_token is the
-    single IEEE division both engines compute identically."""
-    pieces = F.expr(
-        f"filter(regexp_extract_all(text, \"{BPE_PIECE_RE}\", 0), x -> x rlike '\\\\S')"
+    single IEEE division both engines compute identically. Built with
+    the Column API, NOT ``F.expr`` — a SQL-string literal would eat the
+    pattern's backslashes (``\\s`` -> ``s``), silently corrupting the
+    character classes (caught by the hypothesis differential test)."""
+    pieces = F.filter(
+        F.regexp_extract_all("text", F.lit(BPE_PIECE_RE), F.lit(0)),
+        lambda x: x.rlike(r"\S"),
     )
     n_bpe = F.size(pieces)
     return docs.select(

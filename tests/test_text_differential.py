@@ -195,3 +195,17 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """).df()
     _assert_frames_equal(got, want)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=6))
+def test_bpe_token_estimate_differential(spark, docs_list):
+    """The BPE pre-tokenizer regex must match identically under Java
+    (Spark) and RE2 (DuckDB) — alternation order, greedy runs, the
+    apostrophe contractions, unicode falling into the punctuation
+    class — including empty/whitespace-only docs (0 pieces, NULL
+    chars-per-token)."""
+    got, want = _both(
+        spark, docs_list, text.bpe_token_estimate, text.BPE_TOKEN_ESTIMATE_SQL
+    )
+    _assert_frames_equal(got, want)
