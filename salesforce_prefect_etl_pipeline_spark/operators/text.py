@@ -233,6 +233,56 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 FINGERPRINT_SQL = f"SELECT doc_id, md5({NORMALIZED_SQL}) AS fingerprint FROM documents"
 
 
+#: Rabin-Karp base/modulus. M = 2^31-1 keeps acc*B + code < 2^40, far
+#: inside bigint — no overflow in either engine's (ANSI) arithmetic.
+ROLL_B = 257
+ROLL_M = 2_147_483_647
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp):
+    ``h = fold(chars, 0, (acc, c) -> (acc*B + code(c)) % M)`` — the
+    order-sensitive cousin of the md5 fingerprint (``fingerprints``):
+    two docs with the same multiset of characters in different order
+    get different hashes, and the same fold extends to substring/chunk
+    dedup schemes (content-defined chunking) where md5-of-whole cannot.
+
+    The fold runs over the printable-ASCII projection of the text so the
+    per-character code is engine-independent (unicode segmentation of
+    ``split('')`` differs across engines; codepoints of 0x20-0x7E do
+    not). Native higher-order ``aggregate`` — no Python, no shuffle."""
+    ascii_only = F.regexp_replace("text", r"[^\x20-\x7E]", "")
+    chars = F.split(ascii_only, "")
+    fold = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(ROLL_B) + F.ascii(c)) % F.lit(ROLL_M),
+    )
+    n = F.length(ascii_only)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("ascii_len"),
+        F.when(n > 0, fold).otherwise(F.lit(0).cast("long")).alias("roll_hash"),
+    )
+
+
+ROLLING_FINGERPRINT_SQL = rf"""
+WITH a AS (
+  SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS ascii_len,
+       CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+            ELSE list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                list_transform(string_split(t, ''), c -> ord(c))),
+                   (acc, c) -> (acc * {ROLL_B} + c) % {ROLL_M})
+       END AS roll_hash
+FROM a
+"""
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition signals per document — the standard
     "is this doc degenerate boilerplate/spam" filters in LLM data

@@ -74,6 +74,7 @@ _PRIORITY = [
     "text_bpe_token_estimate",
     "emb_cluster_sample",
     "media_audio_stats",
+    "text_rolling_fingerprint",
     # --- r2-only rows: refresh ---
     "spec_orders_by_status",
     "spec_lineitem_global",

@@ -91,6 +91,11 @@ def _emb(spark, sf_dir):
 
 
 register_query(
+    "text_rolling_fingerprint",
+    lambda spark, sf_dir: text.rolling_fingerprint(_docs(spark, sf_dir)),
+    text.ROLLING_FINGERPRINT_SQL,
+)
+register_query(
     "text_bpe_token_estimate",
     lambda spark, sf_dir: text.bpe_token_estimate(_docs(spark, sf_dir)),
     text.BPE_TOKEN_ESTIMATE_SQL,

@@ -209,3 +209,15 @@ def test_bpe_token_estimate_differential(spark, docs_list):
         spark, docs_list, text.bpe_token_estimate, text.BPE_TOKEN_ESTIMATE_SQL
     )
     _assert_frames_equal(got, want)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=6))
+def test_rolling_fingerprint_differential(spark, docs_list):
+    """Rabin-Karp fold parity: Spark aggregate() vs DuckDB list_reduce()
+    over the printable-ASCII projection — unicode stripped identically,
+    empty/whitespace-only docs hash to 0 in both engines."""
+    got, want = _both(
+        spark, docs_list, text.rolling_fingerprint, text.ROLLING_FINGERPRINT_SQL
+    )
+    _assert_frames_equal(got, want)
