@@ -361,15 +361,25 @@ def minhash_near_dup_pairs(
 
 # ----------------------------------------------------------------------
 # SimHash
-def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over distinct tokens of the normalized text:
-    bit b = sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1).
-    One explode + one 64-expression group-by (map-side partial agg)."""
+#: SimHash width: 60 bits = 15 md5 hex chars. md5 (not xxhash64) is the
+#: token hash ON PURPOSE: it exists with identical output in DuckDB, so
+#: the entire signature -> banded pairs pipeline is SQL-replayable and
+#: oracle-checked (xxhash64 has no DuckDB twin, which kept this operator
+#: rows-only). 60 bits also stays clear of the long sign bit, so the
+#:  packed signature needs no two's-complement special case.
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over distinct tokens of the normalized text:
+    bit b = sign of sum over tokens of (bit b of h(token) ? +1 : -1),
+    h = the low 60 bits (15 hex chars) of md5. One explode + one
+    60-expression group-by (map-side partial agg)."""
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     tok = docs.repartition(n_parts, F.col("doc_id")).select(
         "doc_id", F.explode(F.array_distinct(tokens(normalized("text")))).alias("tok")
     )
-    h = F.xxhash64("tok")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     sums = [
         F.sum(
             F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -379,22 +389,22 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     agg = tok.groupBy("doc_id").agg(*sums)
     packed = None
     for b in range(bits):
-        # bit 63 contributes the long sign bit (two's complement).
-        weight = F.lit(1 << b).cast("long") if b < 63 else F.lit(-(1 << 63)).cast("long")
-        term = F.when(F.col(f"v{b}") > 0, weight).otherwise(F.lit(0).cast("long"))
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         packed = term if packed is None else packed + term
     return agg.select("doc_id", packed.alias("simhash"))
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Pairs within Hamming distance <= max_hamming, found by banding the
-    64-bit hash into 4 x 16-bit chunks (pigeonhole: any pair with <= 3
+    60-bit hash into 4 x 15-bit chunks (pigeonhole: any pair with <= 3
     differing bits collides on at least one chunk) then verifying with
     bit_count on the candidates."""
     sh = simhash(docs)
     chunks = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col("simhash"), 15 * j).bitwiseAND(F.lit(0x7FFF))
             for j in range(4)
         ]
     )
@@ -421,6 +431,45 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("da", "db")
     )
+
+
+def simhash_pairs_sql(max_hamming: int = 3, bits: int = SIMHASH_BITS) -> str:
+    """Exact SQL twin of ``simhash_near_dup_pairs``: the identical md5
+    token hash, per-bit sign sums, packed signature, then an exhaustive
+    pair join on bit_count(xor) — banding is exact at <= max_hamming
+    (pigeonhole), so the banded engine output equals this brute-force
+    replay."""
+    vsums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    packed = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex({NORMALIZED_SQL}, '\s+')) AS tok
+    FROM documents
+  )
+), hh AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+  FROM tok
+), sums AS (
+  SELECT doc_id,
+         {vsums}
+  FROM hh GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {packed} AS s FROM sums
+)
+SELECT a.doc_id AS da, b.doc_id AS db,
+       bit_count(xor(a.s, b.s)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+ORDER BY da, db
+"""
 
 
 # ----------------------------------------------------------------------

@@ -55,6 +55,7 @@ _PRIORITY = [
     "corpus_pack_stats",
     "corpus_pack_documents",  # list_position NULLIF overflow fix
     "emb_cluster_mix",  # RNG init -> content-deterministic, now oracled
+    "dedup_simhash_pairs",  # xxhash64 -> md5 token hash, now oracled
     # --- never driver-checked (beyond the old 50-query window) ---
     "streaming_click_attribution",
     "text_unigram_familiarity",

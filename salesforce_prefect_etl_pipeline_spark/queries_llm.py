@@ -178,6 +178,7 @@ register_query(
 register_query(
     "dedup_simhash_pairs",
     lambda spark, sf_dir: dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3),
+    dedup.simhash_pairs_sql(max_hamming=3),
 )
 
 register_query(
