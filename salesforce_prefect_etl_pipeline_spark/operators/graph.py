@@ -1,0 +1,128 @@
+"""Iterative graph analytics over relational-derived edge lists.
+
+Companion to the pointer-jumping connected components in
+``operators/dedup.py``: where CC shows convergence-bounded iteration,
+PageRank shows FIXED-count iteration with exactly reproducible numbers.
+
+Determinism contract (same philosophy as ``functions.exact_sum``): all
+rank arithmetic is INTEGER — ranks live as bigints scaled by ``SCALE``,
+per-edge contributions use floor division, and the damping factor is a
+ratio of integers. Every operation is order-independent (bigint sums)
+and dialect-identical (``DIV`` in Spark, ``//`` in DuckDB), so a
+fixed-iteration run value-hashes against a SQL replay — no float drift,
+on any cluster layout. At 1e9+ edges the per-iteration plan is one
+hash join (ranks ⋈ edges on src) + one aggregation (sum by dst), both
+shuffling on graph keys; iterations reuse the same partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point scale for integer ranks: 1e9 ~ 9 decimal digits.
+SCALE = 1_000_000_000
+
+#: Damping factor as an integer ratio (0.85).
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    n_nodes: int,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Weighted PageRank, ``iters`` fixed iterations, integer-exact.
+
+    ``edges``: (src, dst, weight>0). Update rule (scaled bigints):
+
+        R'(v) = SCALE*(DEN-NUM)//(DEN*N)
+              + NUM * sum_u( R(u) * w(u,v) // W(u) ) // DEN
+
+    where W(u) is u's total out-weight. Floor divisions make each term
+    exact; dangling mass (nodes with no out-edges) is dropped, the
+    standard simplification (documented, matched by the oracle).
+
+    Returns (node, rank_scaled) for every node that has at least one
+    edge. The caller supplies ``n_nodes`` (a one-row control-plane
+    count, not data-plane state).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = e.join(outw, "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = F.expr(
+        f"CAST({SCALE * (DAMP_DEN - DAMP_NUM)} AS BIGINT)"
+        f" DIV {DAMP_DEN * n_nodes}"
+    )
+    ranks = nodes.select("node", base.alias("rank_scaled"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.expr("rank_scaled * w DIV out_w").alias("term"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("term").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"{DAMP_NUM} * coalesce(in_sum, 0L) DIV {DAMP_DEN}"
+                    )
+                ).alias("rank_scaled"),
+            )
+        )
+    return ranks.orderBy("node")
+
+
+def pagerank_sql(
+    edges_sql: str, n_nodes_sql: str, iters: int = 5
+) -> str:
+    """SQL replay of :func:`pagerank_exact`: the fixed iteration count
+    unrolls into chained CTEs (no recursion, no aggregate-in-recursive-
+    term restrictions), every step the same integer arithmetic."""
+    base = (
+        f"(CAST({SCALE} AS BIGINT) * {DAMP_DEN - DAMP_NUM})"
+        f" // ({DAMP_DEN} * ({n_nodes_sql}))"
+    )
+    out = [
+        f"""
+WITH e0 AS ({edges_sql}),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, e0.w, outw.out_w FROM e0 JOIN outw USING (src)),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+r0 AS (SELECT node, CAST({base} AS BIGINT) AS rank_scaled FROM nodes)"""
+    ]
+    for i in range(iters):
+        out.append(
+            f""",
+c{i + 1} AS (
+  SELECT e.dst, SUM(r.rank_scaled * e.w // e.out_w) AS in_sum
+  FROM e JOIN r{i} r ON e.src = r.node GROUP BY e.dst
+),
+r{i + 1} AS (
+  SELECT n.node,
+         CAST({base} + {DAMP_NUM} * COALESCE(c.in_sum, 0) // {DAMP_DEN}
+              AS BIGINT) AS rank_scaled
+  FROM nodes n LEFT JOIN c{i + 1} c ON n.node = c.dst
+)"""
+        )
+    out.append(f"\nSELECT node, rank_scaled FROM r{iters} ORDER BY node")
+    return "".join(out)

@@ -76,6 +76,7 @@ _PRIORITY = [
     "emb_cluster_sample",
     "media_audio_stats",
     "text_rolling_fingerprint",
+    "graph_nation_pagerank",
     # --- r2-only rows: refresh ---
     "spec_orders_by_status",
     "spec_lineitem_global",

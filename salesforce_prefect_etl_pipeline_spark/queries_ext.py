@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from salesforce_prefect_etl_pipeline_spark.functions import exact_sum, exact_sum_sql
+from salesforce_prefect_etl_pipeline_spark.operators import graph
 from salesforce_prefect_etl_pipeline_spark.plans import load_table
 from salesforce_prefect_etl_pipeline_spark.queries_registry import register_query
 
@@ -1130,6 +1131,58 @@ GROUP BY src, dst ORDER BY src, dst
 """
 
 
+def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-level trade graph: one edge per
+    (supplier nation -> customer nation) with weight = lineitem count —
+    which nations sit at the center of the trade flow. Demonstrates the
+    FIXED-iteration exact-arithmetic pattern (operators/graph.py): all
+    rank math is scaled-bigint with floor division, so five distributed
+    iterations value-hash against an unrolled-CTE SQL replay.
+
+    Plan: the edge list is a fact-scan + three joins (dims broadcast,
+    orders⋈lineitem on orderkey) aggregated once; each iteration is a
+    join + sum on the (tiny here, huge in general) edge frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    pr = graph.pagerank_exact(edges, n_nodes=nat.count(), iters=5)
+    return (
+        pr.join(F.broadcast(nat), pr["node"] == nat["n_nationkey"])
+        .select("node", "n_name", "rank_scaled")
+        .orderBy("node")
+    )
+
+
+_PAGERANK_EDGES_SQL = """
+SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+       CAST(COUNT(*) AS BIGINT) AS w
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+"""
+
+GRAPH_PAGERANK_SQL = f"""
+SELECT p.node, n.n_name, p.rank_scaled
+FROM ({graph.pagerank_sql(_PAGERANK_EDGES_SQL, "SELECT COUNT(*) FROM nation", iters=5)}) p
+JOIN nation n ON p.node = n.n_nationkey
+ORDER BY p.node
+"""
+
+
 for _name, _fn, _sql in [
     ("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
     ("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
@@ -1169,5 +1222,6 @@ for _name, _fn, _sql in [
     ("events_retention_cohorts", events_retention_cohorts, EVENTS_RETENTION_SQL),
     ("events_session_sequences", events_session_sequences, EVENTS_SESSION_SEQ_SQL),
     ("events_transition_counts", events_transition_counts, EVENTS_TRANSITION_SQL),
+    ("graph_nation_pagerank", graph_nation_pagerank, GRAPH_PAGERANK_SQL),
 ]:
     register_query(_name, _fn, _sql)

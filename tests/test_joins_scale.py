@@ -179,3 +179,25 @@ def test_asof_join_null_in_matched_row_not_backfilled(spark):
     assert len(rows) == 1
     assert rows[0].label == "new"
     assert rows[0].rv is None  # matched row's NULL, not old row's 1.0
+
+
+def test_pagerank_exact_invariants(spark):
+    """Integer-exact PageRank: total rank mass stays below SCALE (floor
+    losses only shrink it), every node gets at least the base mass, a
+    heavier-in-degree hub outranks a leaf, and reruns are bit-identical."""
+    from salesforce_prefect_etl_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (2, 3, 5), (3, 1, 5), (4, 3, 2)],
+        "src int, dst int, weight long",
+    )
+    out = graph.pagerank_exact(edges, n_nodes=4, iters=5).collect()
+    ranks = {r.node: r.rank_scaled for r in out}
+    assert set(ranks) == {1, 2, 3, 4}
+    base = (graph.SCALE * 15) // (100 * 4)
+    assert all(v >= base for v in ranks.values())
+    assert sum(ranks.values()) <= graph.SCALE
+    # node 3 receives from three sources; node 4 receives nothing
+    assert ranks[3] > ranks[4] and ranks[3] == max(ranks.values())
+    again = {r.node: r.rank_scaled for r in graph.pagerank_exact(edges, 4, 5).collect()}
+    assert again == ranks
