@@ -112,3 +112,56 @@ def write_partitioned(df: DataFrame, out_path: str, partition_cols: list[str]) -
     one directory per value per task otherwise."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_path)
     return out_path
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    snapshot_path: str,
+    batch: DataFrame,
+    key: str,
+    version_col: str,
+) -> str:
+    """Idempotent incremental merge-load: fold a (possibly replayed)
+    extract batch into a keyed parquet snapshot, keeping ONE row per
+    ``key`` — the one with the highest ``version_col`` (ties resolved
+    toward the incoming batch). This is the load half of the
+    at-least-once watermark extractor (``extract_object_incremental``):
+    replayed records overwrite themselves, so fetch-retry + merge
+    composes to an exactly-once END STATE without distributed
+    transactions.
+
+    Plan shape: union(current, batch) -> row_number per key by
+    (version desc, source desc) -> keep rank 1 -> atomic swap via
+    rename. One shuffle on the merge key — at warehouse scale the same
+    statement a MERGE INTO pushes into Delta/Iceberg; the swap here is
+    the plain-parquet equivalent of their snapshot commit.
+
+    Crash-safety: the new snapshot is fully written to a temp dir
+    before the swap, so a failure mid-merge leaves the old snapshot
+    intact (re-run = same result, by idempotence).
+    """
+    from pyspark.sql.window import Window
+
+    incoming = batch.withColumn("__src", F.lit(1))
+    if os.path.exists(snapshot_path):
+        current = spark.read.parquet(snapshot_path).withColumn("__src", F.lit(0))
+        unioned = current.unionByName(incoming, allowMissingColumns=True)
+    else:
+        unioned = incoming
+    w = Window.partitionBy(key).orderBy(
+        F.desc(version_col), F.desc("__src")
+    )
+    merged = (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    tmp = snapshot_path.rstrip("/") + ".__merge_tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = snapshot_path.rstrip("/") + ".__merge_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(snapshot_path):
+        os.rename(snapshot_path, old)
+    os.rename(tmp, snapshot_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return snapshot_path

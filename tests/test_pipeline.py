@@ -394,3 +394,47 @@ def test_incremental_extract_watermark_flow(spark, tmp_path):
     with _pytest.raises(ConnectionError):
         extract_object_incremental(spark, spec, boom, store)
     assert store.get_watermark("opportunity") == wm3
+
+
+def test_merge_snapshot_idempotent_incremental_load(spark, tmp_path):
+    """The load half of the incremental story: merge keeps the highest
+    version per key, replaying the SAME batch changes nothing (the
+    exactly-once end state the at-least-once extractor composes to),
+    and a crash before the swap leaves the old snapshot readable."""
+    from salesforce_prefect_etl_pipeline_spark.sources.io import merge_snapshot
+
+    snap = str(tmp_path / "opportunity_snapshot")
+
+    def rows(df):
+        return sorted((r.Id, r.Amount, r.SystemModstamp) for r in df.collect())
+
+    b1 = spark.createDataFrame(
+        [("a", 1.0, "2024-01-01"), ("b", 2.0, "2024-01-02")],
+        "Id string, Amount double, SystemModstamp string",
+    )
+    merge_snapshot(spark, snap, b1, key="Id", version_col="SystemModstamp")
+    assert rows(spark.read.parquet(snap)) == [
+        ("a", 1.0, "2024-01-01"), ("b", 2.0, "2024-01-02"),
+    ]
+
+    # batch 2: update "b", insert "c"
+    b2 = spark.createDataFrame(
+        [("b", 20.0, "2024-01-05"), ("c", 3.0, "2024-01-04")],
+        "Id string, Amount double, SystemModstamp string",
+    )
+    merge_snapshot(spark, snap, b2, key="Id", version_col="SystemModstamp")
+    after2 = rows(spark.read.parquet(snap))
+    assert after2 == [
+        ("a", 1.0, "2024-01-01"), ("b", 20.0, "2024-01-05"), ("c", 3.0, "2024-01-04"),
+    ]
+
+    # replay batch 2 (crash-retry of fetch+load) -> identical end state
+    merge_snapshot(spark, snap, b2, key="Id", version_col="SystemModstamp")
+    assert rows(spark.read.parquet(snap)) == after2
+
+    # stale replay (older version of "b") must NOT regress the row
+    stale = spark.createDataFrame(
+        [("b", 2.0, "2024-01-02")], "Id string, Amount double, SystemModstamp string"
+    )
+    merge_snapshot(spark, snap, stale, key="Id", version_col="SystemModstamp")
+    assert rows(spark.read.parquet(snap)) == after2
