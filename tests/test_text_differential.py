@@ -221,3 +221,35 @@ def test_rolling_fingerprint_differential(spark, docs_list):
         spark, docs_list, text.rolling_fingerprint, text.ROLLING_FINGERPRINT_SQL
     )
     _assert_frames_equal(got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_DOC, min_size=2, max_size=5))
+def test_simhash_pairs_differential(spark, docs_list):
+    """Full SimHash pipeline parity on adversarial docs: md5 token hash,
+    per-bit sign sums, packed signature, banded candidates vs the
+    brute-force SQL replay — empty docs, unicode tokens, duplicate
+    texts (Hamming 0) included."""
+    from salesforce_prefect_etl_pipeline_spark.operators import dedup
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_list)], "doc_id long, text string"
+    )
+    got = (
+        dedup.simhash_near_dup_pairs(sdf, max_hamming=3)
+        .toPandas()
+        .sort_values(["da", "db"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(docs_list)), "text": docs_list}),
+    )
+    want = (
+        con.sql(dedup.simhash_pairs_sql(max_hamming=3))
+        .df()
+        .sort_values(["da", "db"])
+        .reset_index(drop=True)
+    )
+    _assert_frames_equal(got, want)
