@@ -72,6 +72,7 @@ _PRIORITY = [
     # --- new this round ---
     "events_transition_counts",
     "q2_min_cost_supplier",
+    "q11_supply_value_share",
     "text_bpe_token_estimate",
     "emb_cluster_sample",
     "media_audio_stats",

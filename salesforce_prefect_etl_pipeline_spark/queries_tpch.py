@@ -14,11 +14,11 @@ stand in for partsupp), dominant-supplier detection (Q20, shipped-share
 replaces availqty), the waiting-supplier double EXISTS/NOT-EXISTS
 (Q21, shipdate lateness replaces receipt-vs-commit), and idle
 above-average-balance customers (Q22, nations replace phone prefixes).
-min-cost-supplier selection (Q2, observed lineitem supply — the
-distinct (l_partkey, l_suppkey) pairs with their minimum shipped unit
-price — stands in for partsupp supplycost). Q11 remains NOT adaptable:
-it is primarily ABOUT partsupp stock-value (availqty * supplycost)
-shares and has no faithful shape without that column pair.
+min-cost-supplier selection (Q2) and stock-value shares (Q11) — for
+both, observed lineitem supply stands in for partsupp: the distinct
+(l_partkey, l_suppkey) pairs with their minimum shipped unit price
+(supplycost proxy) and total shipped quantity (availqty proxy). That
+completes the adapted TPC-H set: every query shape is represented.
 
 Same determinism rules as queries_ext: float sums accumulate via
 ``exact_sum`` (DECIMAL quantization — partition-order independent),
@@ -757,8 +757,82 @@ LIMIT 100
 """
 
 
+# ----------------------------------------------------------------------
+# Q11: important stock — partsupp value (availqty * supplycost) becomes
+# observed supply value: min shipped unit price (cents) * total shipped
+# quantity per (part, supplier), suppliers restricted to one nation.
+# All arithmetic is bigint (integral l_quantity cast per row before the
+# sum; integer cents), and the HAVING threshold is the cross-multiplied
+# integer comparison value * n_parts > total — "parts above the average
+# value share", the scale-invariant analog of Q11's 0.0001/SF fraction
+# (a fixed fraction empties at higher SF and saturates at lower) — with
+# no division anywhere, so the share filter is bit-exact in both
+# engines.
+_Q11_NATION = "NATION_7"
+
+
+def q11_supply_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == _Q11_NATION)
+    nat_supp = sup.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    ucost = (
+        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
+    )
+    supply = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            ucost.alias("ucost"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("ucost").alias("ucost"), F.sum("qty").alias("qty"))
+    )
+    val = (
+        supply.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", (F.col("ucost") * F.col("qty")).alias("v"))
+        .groupBy("l_partkey")
+        .agg(F.sum("v").alias("value_cents"))
+    )
+    w = Window.partitionBy()
+    return (
+        val.withColumn("__tot", F.sum("value_cents").over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("value_cents") * F.col("__n") > F.col("__tot"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "l_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH nat_supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{_Q11_NATION}'
+), supply AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100) AS BIGINT)) AS ucost,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+), val AS (
+  SELECT l_partkey, CAST(SUM(ucost * qty) AS BIGINT) AS value_cents
+  FROM supply JOIN nat_supp ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT l_partkey, value_cents
+FROM val
+WHERE value_cents * (SELECT COUNT(*) FROM val)
+      > (SELECT SUM(value_cents) FROM val)
+ORDER BY value_cents DESC, l_partkey
+"""
+
+
 for _name, _fn, _sql in [
     ("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL),
+    ("q11_supply_value_share", q11_supply_value_share, Q11_SQL),
     ("q4_order_priority", q4_order_priority, Q4_SQL),
     ("q7_volume_shipping", q7_volume_shipping, Q7_SQL),
     ("q8_market_share", q8_market_share, Q8_SQL),
