@@ -283,6 +283,141 @@ FROM a
 """
 
 
+#: Content-defined chunking: window width and boundary modulus. A
+#: position ends a chunk when the rolling hash of the last CDC_W chars
+#: is divisible by CDC_MOD -> average chunk ~CDC_MOD chars.
+CDC_W = 8
+CDC_MOD = 64
+
+
+def chunk_fingerprints(docs: DataFrame) -> DataFrame:
+    """Content-defined chunking + per-chunk fingerprints — the primitive
+    behind chunk-level dedup: two near-identical documents that differ
+    by an insertion still share every chunk outside the edited region,
+    because boundaries depend on local CONTENT (a rolling hash over the
+    trailing ``CDC_W`` chars), not on absolute offsets. Grouping the
+    output by ``chunk_md5`` finds shared chunks across the corpus.
+
+    Gear-less CDC without min/max bounds: every boundary is decided
+    independently (hash % CDC_MOD == 0), so the whole computation is
+    position-parallel — no Python, no sequential state, and exactly
+    replayable in SQL. The window hash is evaluated as a fixed
+    ``CDC_W``-term polynomial over a precomputed char-code array
+    (``sum(code[p-j] * B^j) % M`` with O(1) element access), NOT a
+    per-position string fold — ``substr`` inside a per-position lambda
+    is O(len) per access and turns the scan O(n^2 * W). Runs over the
+    printable-ASCII projection for cross-engine char-code parity (like
+    ``rolling_fingerprint``).
+
+    Output: (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5),
+    1-based chunk_start, one row per non-empty chunk.
+    """
+    # Each intermediate is MATERIALIZED as a projection column before
+    # the next stage references it: Catalyst does not share lambda
+    # subexpressions, so an inline ``codes`` would be rebuilt on every
+    # element_at probe (O(n^2) again, measured, not theoretical).
+    pows = [pow(ROLL_B, j, ROLL_M) for j in range(CDC_W)]
+    staged = docs.select(
+        "doc_id", F.regexp_replace("text", r"[^\x20-\x7E]", "").alias("__t")
+    ).select(
+        "doc_id",
+        "__t",
+        F.length("__t").alias("__n"),
+        F.transform(
+            F.split("__t", ""), lambda ch: F.ascii(ch).cast("long")
+        ).alias("__codes"),
+    )
+    codes = F.col("__codes")
+    n = F.col("__n")
+
+    def win_hash(p):
+        acc = F.element_at(codes, p) * F.lit(pows[0])
+        for j in range(1, CDC_W):
+            acc = acc + F.element_at(codes, p - F.lit(j)) * F.lit(pows[j])
+        return acc % F.lit(ROLL_M)
+
+    cuts = F.when(
+        n >= CDC_W,
+        F.filter(
+            F.sequence(F.lit(CDC_W), n),
+            lambda p: win_hash(p) % F.lit(CDC_MOD) == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    with_bounds = staged.select(
+        "doc_id",
+        "__t",
+        F.array_sort(
+            F.array_distinct(
+                F.concat(F.array(F.lit(0)), cuts, F.array(n))
+            )
+        ).alias("__bounds"),
+    )
+    bounds = F.col("__bounds")
+    pair_idx = F.when(
+        F.size(bounds) >= 2, F.sequence(F.lit(2), F.size(bounds))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.filter(
+        F.transform(
+            pair_idx,
+            lambda j: F.struct(
+                (F.element_at(bounds, j - 1) + 1).alias("start"),
+                (F.element_at(bounds, j) - F.element_at(bounds, j - 1)).alias(
+                    "len"
+                ),
+            ),
+        ),
+        lambda c: c["len"] > 0,
+    )
+    out = with_bounds.select(
+        "doc_id", "__t", F.posexplode(chunks).alias("i", "c")
+    )
+    return out.select(
+        "doc_id",
+        (F.col("i") + 1).alias("chunk_idx"),
+        F.col("c.start").alias("chunk_start"),
+        F.col("c.len").cast("long").alias("chunk_len"),
+        F.md5(F.col("__t").substr(F.col("c.start"), F.col("c.len"))).alias(
+            "chunk_md5"
+        ),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+CHUNK_FINGERPRINTS_SQL = rf"""
+WITH a AS (
+  SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS t
+  FROM documents
+), a2 AS (
+  SELECT doc_id, t,
+         list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)) AS codes
+  FROM a
+), b AS (
+  SELECT doc_id, t,
+         list_sort(list_distinct(
+           [0] ||
+           CASE WHEN length(t) >= {CDC_W} THEN
+             list_filter(range({CDC_W}, length(t) + 1),
+               p -> ((codes[p] * 1 + codes[p - 1] * 257 + codes[p - 2] * 66049 + codes[p - 3] * 16974593 + codes[p - 4] * 67503107 + codes[p - 5] * 168429323 + codes[p - 6] * 336663071 + codes[p - 7] * 623063367) % {ROLL_M}) % {CDC_MOD} = 0)
+           ELSE [] END ||
+           [length(t)])) AS bounds
+  FROM a2
+), c AS (
+  SELECT doc_id, t, bounds,
+         unnest(range(2, len(bounds) + 1)) AS j
+  FROM b
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS INT)
+         AS chunk_idx,
+       CAST(bounds[j - 1] + 1 AS INT) AS chunk_start,
+       CAST(bounds[j] - bounds[j - 1] AS BIGINT) AS chunk_len,
+       md5(substr(t, bounds[j - 1] + 1, bounds[j] - bounds[j - 1]))
+         AS chunk_md5
+FROM c
+WHERE bounds[j] - bounds[j - 1] > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition signals per document — the standard
     "is this doc degenerate boilerplate/spam" filters in LLM data

@@ -78,6 +78,7 @@ _PRIORITY = [
     "media_audio_stats",
     "text_rolling_fingerprint",
     "graph_nation_pagerank",
+    "text_chunk_fingerprints",
     # --- r2-only rows: refresh ---
     "spec_orders_by_status",
     "spec_lineitem_global",

@@ -91,6 +91,11 @@ def _emb(spark, sf_dir):
 
 
 register_query(
+    "text_chunk_fingerprints",
+    lambda spark, sf_dir: text.chunk_fingerprints(_docs(spark, sf_dir)),
+    text.CHUNK_FINGERPRINTS_SQL,
+)
+register_query(
     "text_rolling_fingerprint",
     lambda spark, sf_dir: text.rolling_fingerprint(_docs(spark, sf_dir)),
     text.ROLLING_FINGERPRINT_SQL,

@@ -422,3 +422,33 @@ def test_cluster_balanced_sample_contract(spark, emb):
         assert rks == list(range(1, len(rks) + 1)) and len(rks) <= 5
     again = similarity.cluster_balanced_sample(emb, cents, n_per_cluster=5).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_chunk_fingerprints_cdc_contract(spark):
+    """The content-defined property: inserting text near the front must
+    leave the chunks after the edit region identical (same md5 multiset
+    suffix), which offset-based fixed-size chunking cannot do. Chunks
+    must also tile the document exactly."""
+    # varied (non-periodic) content: a periodic string can cycle through
+    # a handful of window hashes and legitimately never hit the boundary
+    # residue, yielding one whole-doc chunk
+    base = " ".join(f"tok{(i * i) % 1000}" for i in range(250))
+    edited = "INSERTED PREFIX! " + base
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, text string"
+    )
+    rows = text.chunk_fingerprints(docs).collect()
+    by_doc = {0: [], 1: []}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc[r.doc_id].append(r)
+    for d, text_val in [(0, base), (1, edited)]:
+        chunks = by_doc[d]
+        assert chunks[0].chunk_start == 1
+        assert sum(c.chunk_len for c in chunks) == len(text_val)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.chunk_start == a.chunk_start + a.chunk_len
+    h0 = [c.chunk_md5 for c in by_doc[0]]
+    h1 = [c.chunk_md5 for c in by_doc[1]]
+    # all but the first few edited-region chunks are shared
+    shared = set(h0) & set(h1)
+    assert len(shared) >= len(h0) - 2 and len(h0) > 5

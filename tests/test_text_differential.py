@@ -253,3 +253,17 @@ def test_simhash_pairs_differential(spark, docs_list):
         .reset_index(drop=True)
     )
     _assert_frames_equal(got, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=5))
+def test_chunk_fingerprints_differential(spark, docs_list):
+    """CDC parity: identical boundary polynomial, bounds assembly, and
+    chunk md5 across engines — including docs shorter than the window,
+    empty docs, and unicode (stripped identically)."""
+    got, want = _both(
+        spark, docs_list, text.chunk_fingerprints, text.CHUNK_FINGERPRINTS_SQL
+    )
+    got = got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    _assert_frames_equal(got, want)
