@@ -79,6 +79,7 @@ _PRIORITY = [
     "text_rolling_fingerprint",
     "graph_nation_pagerank",
     "text_chunk_fingerprints",
+    "dedup_chunk_overlap",
     # --- r2-only rows: refresh ---
     "spec_orders_by_status",
     "spec_lineitem_global",

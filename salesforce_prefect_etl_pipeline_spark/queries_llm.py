@@ -95,6 +95,42 @@ register_query(
     lambda spark, sf_dir: text.chunk_fingerprints(_docs(spark, sf_dir)),
     text.CHUNK_FINGERPRINTS_SQL,
 )
+
+
+def _dedup_chunk_overlap(spark, sf_dir: str):
+    """Chunk-level duplication report: which CDC chunks recur (within or
+    across documents) and how many bytes deduplicating at chunk
+    granularity would reclaim — the measurement that motivates
+    chunk-level storage/dedup over whole-document fingerprints. One
+    groupBy on chunk_md5 over the chunker output."""
+    chunks = text.chunk_fingerprints(_docs(spark, sf_dir))
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("chunk_len").alias("chunk_len"),
+            ((F.count(F.lit(1)) - 1) * F.max("chunk_len")).alias("wasted_bytes"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("wasted_bytes"), "chunk_md5")
+    )
+
+
+DEDUP_CHUNK_OVERLAP_SQL = f"""
+WITH chunks AS ({text.CHUNK_FINGERPRINTS_SQL})
+SELECT chunk_md5,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(MAX(chunk_len) AS BIGINT) AS chunk_len,
+       CAST((COUNT(*) - 1) * MAX(chunk_len) AS BIGINT) AS wasted_bytes
+FROM chunks
+GROUP BY chunk_md5
+HAVING COUNT(*) >= 2
+ORDER BY wasted_bytes DESC, chunk_md5
+"""
+
+register_query("dedup_chunk_overlap", _dedup_chunk_overlap, DEDUP_CHUNK_OVERLAP_SQL)
 register_query(
     "text_rolling_fingerprint",
     lambda spark, sf_dir: text.rolling_fingerprint(_docs(spark, sf_dir)),
