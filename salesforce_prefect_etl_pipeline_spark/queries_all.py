@@ -80,7 +80,23 @@ _PRIORITY = [
     "graph_nation_pagerank",
     "text_chunk_fingerprints",
     "dedup_chunk_overlap",
-    # --- r2-only rows: refresh ---
+    # --- refresh, most-stale-evidence first. The events/streaming group
+    # leads: the ts load-edge changed this round (TIMESTAMP_NTZ testdata
+    # encoding), so their existing driver rows predate both the code AND
+    # the data — every events-dependent query must re-verify in-window.
+    # Unchanged-code refreshes (spec compiler, dedup/ANN, sql front-end,
+    # profiler) follow; media/corpus r2 rows ride on untouched paths and
+    # sit past the window (re-verified by local sweeps). ---
+    "events_sessionization",
+    "events_sliding_counts",
+    "streaming_events_hourly",
+    "streaming_sessionization",
+    "streaming_dedup_user_counts",
+    "streaming_enriched_segment_counts",
+    "events_json_extract",
+    "events_props_explode",
+    "events_hourly_by_type",
+    "join_asof_clicks_to_purchases",
     "spec_orders_by_status",
     "spec_lineitem_global",
     "spec_orders_by_missing_channel",
@@ -90,6 +106,14 @@ _PRIORITY = [
     "ann_cosine_topk",
     "emb_near_dup_pairs",
     "emb_near_dup_banded",
+    "sql_q5_local_supplier",
+    "sql_orders_above_avg",
+    "sql_correlated_exists",
+    "qa_profile_orders",
+    "sql_in_subquery_having",
+    "sql_pivot_counts",
+    "sql_union_all_counts",
+    "sql_embedding_dim_stats",
     "media_frame_sample",
     "media_feature_stats",
     "media_decode_stats",
@@ -98,20 +122,6 @@ _PRIORITY = [
     "corpus_pii_scan",
     "corpus_training_manifest",
     "corpus_stratified_sample",
-    "sql_q5_local_supplier",
-    "sql_orders_above_avg",
-    "sql_correlated_exists",
-    "sql_in_subquery_having",
-    "sql_pivot_counts",
-    "sql_union_all_counts",
-    "sql_embedding_dim_stats",
-    "events_sessionization",
-    "events_sliding_counts",
-    "streaming_events_hourly",
-    "streaming_sessionization",
-    "streaming_dedup_user_counts",
-    "streaming_enriched_segment_counts",
-    "qa_profile_orders",
     "qa_profile_orders_topk",
     # --- beyond slot 50: double-green r2+r4 rows and the no-oracle
     # sketch queries (agg_approx_*, simhash, srp/ivf/np ANN — covered by
