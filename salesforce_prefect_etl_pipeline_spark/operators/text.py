@@ -418,6 +418,51 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def bigram_counts(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-wide bigram frequencies (top-k with deterministic
+    tiebreak) — the first statistic an n-gram LM or a contamination
+    n-gram index needs. Pairs are formed WITHIN each document over the
+    normalized tokenization (no cross-document bigrams).
+
+    Shape: token array materialized as a column (lambda subexpressions
+    are not shared — see ``chunk_fingerprints``), pair construction is a
+    position-parallel transform, then one explode + one count shuffle;
+    top-k plans as TakeOrderedAndProject."""
+    staged = docs.select(tokens(normalized("text")).alias("__toks"))
+    toks = F.col("__toks")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        staged.select(F.explode(pairs).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def bigram_counts_sql(k: int = 50) -> str:
+    return rf"""
+WITH t AS (
+  SELECT string_split_regex({NORMALIZED_SQL}, '\s+') AS toks FROM documents
+), p AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS n
+FROM p GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT {k}
+"""
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition signals per document — the standard
     "is this doc degenerate boilerplate/spam" filters in LLM data

@@ -80,6 +80,7 @@ _PRIORITY = [
     "graph_nation_pagerank",
     "text_chunk_fingerprints",
     "dedup_chunk_overlap",
+    "text_bigram_counts",
     # --- refresh, most-stale-evidence first. The events/streaming group
     # leads: the ts load-edge changed this round (TIMESTAMP_NTZ testdata
     # encoding), so their existing driver rows predate both the code AND

@@ -132,6 +132,11 @@ ORDER BY wasted_bytes DESC, chunk_md5
 
 register_query("dedup_chunk_overlap", _dedup_chunk_overlap, DEDUP_CHUNK_OVERLAP_SQL)
 register_query(
+    "text_bigram_counts",
+    lambda spark, sf_dir: text.bigram_counts(_docs(spark, sf_dir), k=50),
+    text.bigram_counts_sql(k=50),
+)
+register_query(
     "text_rolling_fingerprint",
     lambda spark, sf_dir: text.rolling_fingerprint(_docs(spark, sf_dir)),
     text.ROLLING_FINGERPRINT_SQL,
