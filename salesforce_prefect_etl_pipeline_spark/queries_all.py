@@ -81,6 +81,7 @@ _PRIORITY = [
     "text_chunk_fingerprints",
     "dedup_chunk_overlap",
     "text_bigram_counts",
+    "agg_mode_priority_by_segment",
     # --- refresh, most-stale-evidence first. The events/streaming group
     # leads: the ts load-edge changed this round (TIMESTAMP_NTZ testdata
     # encoding), so their existing driver rows predate both the code AND

@@ -1131,6 +1131,64 @@ GROUP BY src, dst ORDER BY src, dst
 """
 
 
+def agg_mode_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group (most frequent order priority per
+    customer market segment, plus its count and share) — the one
+    classical descriptive aggregate the median/stddev family here didn't
+    cover. Mode needs a deterministic tiebreak to be well-defined:
+    highest count, then lowest priority value.
+
+    Shape: count per (segment, priority) — one shuffle — then a
+    row_number over the tiny per-segment count frame; the join to
+    customer broadcasts."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    counts = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seg_total = F.sum("n").over(Window.partitionBy("c_mktsegment"))
+    rn = F.row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy(
+            F.desc("n"), F.asc("o_orderpriority")
+        )
+    )
+    return (
+        counts.withColumn("__tot", seg_total)
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+            (F.col("n").cast("double") / F.col("__tot").cast("double")).alias(
+                "mode_share"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+AGG_MODE_SQL = """
+WITH counts AS (
+  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY n DESC, o_orderpriority ASC) AS rn,
+         SUM(n) OVER (PARTITION BY c_mktsegment) AS tot
+  FROM counts
+)
+SELECT c_mktsegment, o_orderpriority AS mode_priority,
+       CAST(n AS BIGINT) AS mode_count,
+       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS mode_share
+FROM ranked WHERE rn = 1 ORDER BY c_mktsegment
+"""
+
+
 def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the nation-level trade graph: one edge per
     (supplier nation -> customer nation) with weight = lineitem count —
@@ -1223,5 +1281,6 @@ for _name, _fn, _sql in [
     ("events_session_sequences", events_session_sequences, EVENTS_SESSION_SEQ_SQL),
     ("events_transition_counts", events_transition_counts, EVENTS_TRANSITION_SQL),
     ("graph_nation_pagerank", graph_nation_pagerank, GRAPH_PAGERANK_SQL),
+    ("agg_mode_priority_by_segment", agg_mode_priority_by_segment, AGG_MODE_SQL),
 ]:
     register_query(_name, _fn, _sql)
