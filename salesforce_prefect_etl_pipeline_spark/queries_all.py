@@ -39,17 +39,17 @@ _PRUNE = {
 #: follows in raw registration order. Unknown names are ignored so the
 #: list may reference queries introduced in a later module version.
 #:
-#: Round-5 window: slots 1-3 re-check the queries whose oracle/engine
+#: Round-5 window, in three tiers: (1) queries whose oracle/engine
 #: changed this round (FFD pack-oracle ``NULLIF(list_position)`` fix,
-#: deterministic IVF centroid init), slots 4-16 are the 13 queries that
-#: have NEVER had a driver CORRECTNESS row (registered beyond the old
-#: 50-cap), slots 17-18 are queries new this round, and the remaining 32
-#: are every query whose only driver row is from round 2 (spec/q1,
-#: minhash/ANN, media, corpus round-2 family, sql_*, sessionization,
-#: streaming, qa profilers). Everything double-green (r2+r4) and the
-#: no-oracle sketch queries (accuracy-covered by pytest) sit past slot
-#: 50. Together with CORRECTNESS_r02/r04 this gives every oracle-bearing
-#: query a green driver row.
+#: deterministic IVF centroid init, md5 SimHash), (2) the 12 queries
+#: that had NEVER had a driver CORRECTNESS row plus the 14 queries NEW
+#: this round, (3) refreshes ordered by evidence staleness — the
+#: events/streaming group first because the ts load-edge changed under
+#: their old rows. Unchanged-path r2/r4-green queries and the no-oracle
+#: sketch queries (accuracy-covered by pytest) sit past slot 50,
+#: re-verified every round by the local 100%-registry sweep
+#: (tools/check_oracle.py). Together with CORRECTNESS_r02/r04 this
+#: gives every oracle-bearing query a green driver row.
 _PRIORITY = [
     # --- oracle/engine changed this round: must re-verify ---
     "corpus_pack_stats",
