@@ -82,6 +82,7 @@ _PRIORITY = [
     "dedup_chunk_overlap",
     "text_bigram_counts",
     "agg_mode_priority_by_segment",
+    "agg_corr_price_qty",
     # --- refresh, most-stale-evidence first. The events/streaming group
     # leads: the ts load-edge changed this round (TIMESTAMP_NTZ testdata
     # encoding), so their existing driver rows predate both the code AND

@@ -533,6 +533,71 @@ def agg_approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def agg_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of extended price vs quantity per return
+    flag, with REPRODUCIBLE numbers: the built-in ``corr`` accumulates
+    doubles in partition order (different cluster layout -> different
+    last bits), so instead both variables are quantized per row
+    (floor(x*1e4 + 0.5), the exact_sum trick) and the five sufficient
+    statistics (n, Sx, Sy, Sxy, Sxx, Syy) accumulate as EXACT decimal
+    integers. The final formula converts each exact integer to double
+    once and evaluates identically in both engines — bit-stable at any
+    parallelism. Semantics: correlation of the 1e-4-quantized values
+    (indistinguishable from raw corr at these magnitudes; quantization
+    scale cancels in the ratio).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    xq = F.floor(F.col("l_extendedprice") * 10000.0 + 0.5).cast("decimal(38,0)")
+    yq = F.floor(F.col("l_quantity") * 10000.0 + 0.5).cast("decimal(38,0)")
+    agg = li.select("l_returnflag", xq.alias("x"), yq.alias("y")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select("l_returnflag", "n_rows", corr.alias("corr_price_qty")).orderBy(
+        "l_returnflag"
+    )
+
+
+AGG_CORR_SQL = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS HUGEINT) AS x,
+         CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS HUGEINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, COUNT(*) AS n_rows,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM q GROUP BY 1
+)
+SELECT l_returnflag, n_rows,
+       (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_price_qty
+FROM s ORDER BY l_returnflag
+"""
+
+
 def agg_median_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete lower median (value at row floor((n+1)/2) of the sorted
     partition) — defined via window row_number so Spark and the oracle
@@ -1269,6 +1334,7 @@ for _name, _fn, _sql in [
     ("agg_distinct_suppliers_per_flag", agg_distinct_suppliers_per_flag, DISTINCT_AGG_SQL),
     ("agg_approx_distinct_suppliers", agg_approx_distinct_suppliers, None),
     ("agg_median_acctbal_by_nation", agg_median_acctbal_by_nation, MEDIAN_SQL),
+    ("agg_corr_price_qty", agg_corr_price_qty, AGG_CORR_SQL),
     ("agg_stddev_acctbal_by_segment", agg_stddev_acctbal_by_segment, STDDEV_SQL),
     ("orders_by_month", orders_by_month, ORDERS_BY_MONTH_SQL),
     ("events_json_extract", events_json_extract, EVENTS_JSON_SQL),
