@@ -138,9 +138,21 @@ def merge_snapshot(
 
     Crash-safety: the new snapshot is fully written to a temp dir
     before the swap, so a failure mid-merge leaves the old snapshot
-    intact (re-run = same result, by idempotence).
+    intact (re-run = same result, by idempotence). The swap itself is
+    two renames (snapshot -> .__merge_old__, tmp -> snapshot), which is
+    NOT atomic: a crash between them leaves no snapshot but a live
+    ``.__merge_old__``. We recover on entry — if the snapshot is
+    missing and ``.__merge_old__`` exists, it IS the last committed
+    snapshot and is renamed back before merging — so the prior state is
+    never silently discarded as a fresh initial load.
     """
     from pyspark.sql.window import Window
+
+    old = snapshot_path.rstrip("/") + ".__merge_old__"
+    if not os.path.exists(snapshot_path) and os.path.exists(old):
+        # Crash happened after snapshot->old but before tmp->snapshot:
+        # `old` holds the last committed snapshot. Restore it.
+        os.rename(old, snapshot_path)
 
     incoming = batch.withColumn("__src", F.lit(1))
     if os.path.exists(snapshot_path):
@@ -158,7 +170,6 @@ def merge_snapshot(
     )
     tmp = snapshot_path.rstrip("/") + ".__merge_tmp__"
     merged.write.mode("overwrite").parquet(tmp)
-    old = snapshot_path.rstrip("/") + ".__merge_old__"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(snapshot_path):
         os.rename(snapshot_path, old)

@@ -438,3 +438,41 @@ def test_merge_snapshot_idempotent_incremental_load(spark, tmp_path):
     )
     merge_snapshot(spark, snap, stale, key="Id", version_col="SystemModstamp")
     assert rows(spark.read.parquet(snap)) == after2
+
+
+def test_merge_snapshot_recovers_from_interrupted_swap(spark, tmp_path):
+    """A crash BETWEEN the two swap renames (snapshot -> __merge_old__
+    done, tmp -> snapshot not) leaves no snapshot but a live
+    __merge_old__. The next merge must recover that state — not treat
+    the batch as an initial load and silently discard the prior
+    snapshot."""
+    import os
+
+    from salesforce_prefect_etl_pipeline_spark.sources.io import merge_snapshot
+
+    snap = str(tmp_path / "account_snapshot")
+
+    def rows(df):
+        return sorted((r.Id, r.Amount, r.SystemModstamp) for r in df.collect())
+
+    b1 = spark.createDataFrame(
+        [("a", 1.0, "2024-01-01"), ("b", 2.0, "2024-01-02")],
+        "Id string, Amount double, SystemModstamp string",
+    )
+    merge_snapshot(spark, snap, b1, key="Id", version_col="SystemModstamp")
+
+    # Simulate the torn swap: first rename happened, second did not.
+    os.rename(snap, snap + ".__merge_old__")
+    assert not os.path.exists(snap)
+
+    # Incremental batch touching only "b"; "a" lives only in __merge_old__.
+    b2 = spark.createDataFrame(
+        [("b", 20.0, "2024-01-05")],
+        "Id string, Amount double, SystemModstamp string",
+    )
+    merge_snapshot(spark, snap, b2, key="Id", version_col="SystemModstamp")
+    assert rows(spark.read.parquet(snap)) == [
+        ("a", 1.0, "2024-01-01"),  # recovered, NOT discarded
+        ("b", 20.0, "2024-01-05"),
+    ]
+    assert not os.path.exists(snap + ".__merge_old__")
