@@ -71,7 +71,15 @@ def pagerank_exact(
             e.join(ranks, e["src"] == ranks["node"])
             .select(
                 "dst",
-                F.expr("rank_scaled * w DIV out_w").alias("term"),
+                # Product in DECIMAL(38,0): rank_scaled approaches SCALE
+                # (1e9) and per-edge weights can reach ~1e9+ at the
+                # module's advertised scale, so a bigint product would
+                # silently wrap near 9.2e18. The quotient is <= the
+                # source rank (w <= out_w), so it always fits bigint.
+                F.expr(
+                    "CAST(CAST(rank_scaled AS DECIMAL(38,0)) * w DIV out_w"
+                    " AS BIGINT)"
+                ).alias("term"),
             )
             .groupBy("dst")
             .agg(F.sum("term").alias("in_sum"))
@@ -114,7 +122,9 @@ r0 AS (SELECT node, CAST({base} AS BIGINT) AS rank_scaled FROM nodes)"""
         out.append(
             f""",
 c{i + 1} AS (
-  SELECT e.dst, SUM(r.rank_scaled * e.w // e.out_w) AS in_sum
+  SELECT e.dst,
+         SUM(CAST(CAST(r.rank_scaled AS HUGEINT) * e.w // e.out_w
+             AS BIGINT)) AS in_sum
   FROM e JOIN r{i} r ON e.src = r.node GROUP BY e.dst
 ),
 r{i + 1} AS (

@@ -265,10 +265,15 @@ def train_ivf_centroids(
 
 def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
     """(vec_id, embedding, list_id): each vector tagged with its nearest
-    centroid (max cosine, ties to the lowest list id via argmax). One
-    Arrow-batched map over the corpus — no shuffle. At 100 TB, persist
-    this partitioned/bucketed by list_id so a probe reads only
-    nprobe/nlist of the data (partition pruning on list_id)."""
+    centroid (max QUANTIZED cosine — the module's ``floor(cos * 1e6)``
+    key — ties to the lowest list id via argmax-first). Quantizing
+    before the argmax makes the assignment bit-identical across engines:
+    numpy's normalize-then-dot and DuckDB's list_cosine_similarity
+    evaluate in different fp orders, and a raw-double argmax can flip a
+    near-tie between two centroids per engine. One Arrow-batched map
+    over the corpus — no shuffle. At 100 TB, persist this
+    partitioned/bucketed by list_id so a probe reads only nprobe/nlist
+    of the data (partition pruning on list_id)."""
     from collections.abc import Iterator
 
     cents = np.asarray(centroids, dtype=np.float64)
@@ -287,7 +292,8 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
             pdf = pdf[["vec_id", "embedding"]].copy()
-            pdf["list_id"] = (m @ cents.T).argmax(axis=1).astype(np.int32)
+            qsims = np.floor((m @ cents.T) * 1e6).astype(np.int64)
+            pdf["list_id"] = qsims.argmax(axis=1).astype(np.int32)
             yield pdf
 
     return emb.select("vec_id", "embedding").mapInPandas(_assign, out_schema)

@@ -289,6 +289,11 @@ FROM a
 CDC_W = 8
 CDC_MOD = 64
 
+#: Window-polynomial coefficients, shared verbatim by the Spark engine
+#: (``win_hash``) and the DuckDB oracle (``CHUNK_FINGERPRINTS_SQL``) so
+#: editing ROLL_B/ROLL_M/CDC_W can never desynchronize the two.
+CDC_POWS = [pow(ROLL_B, j, ROLL_M) for j in range(CDC_W)]
+
 
 def chunk_fingerprints(docs: DataFrame) -> DataFrame:
     """Content-defined chunking + per-chunk fingerprints — the primitive
@@ -316,7 +321,7 @@ def chunk_fingerprints(docs: DataFrame) -> DataFrame:
     # the next stage references it: Catalyst does not share lambda
     # subexpressions, so an inline ``codes`` would be rebuilt on every
     # element_at probe (O(n^2) again, measured, not theoretical).
-    pows = [pow(ROLL_B, j, ROLL_M) for j in range(CDC_W)]
+    pows = CDC_POWS
     staged = docs.select(
         "doc_id", F.regexp_replace("text", r"[^\x20-\x7E]", "").alias("__t")
     ).select(
@@ -382,6 +387,12 @@ def chunk_fingerprints(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+#: The same fixed-window polynomial ``sum(code[p-j] * B^j)`` the engine
+#: evaluates, rendered for DuckDB from CDC_POWS (never hand-written).
+_CDC_POLY_SQL = " + ".join(
+    f"codes[p{f' - {j}' if j else ''}] * {w}" for j, w in enumerate(CDC_POWS)
+)
+
 CHUNK_FINGERPRINTS_SQL = rf"""
 WITH a AS (
   SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS t
@@ -396,7 +407,7 @@ WITH a AS (
            [0] ||
            CASE WHEN length(t) >= {CDC_W} THEN
              list_filter(range({CDC_W}, length(t) + 1),
-               p -> ((codes[p] * 1 + codes[p - 1] * 257 + codes[p - 2] * 66049 + codes[p - 3] * 16974593 + codes[p - 4] * 67503107 + codes[p - 5] * 168429323 + codes[p - 6] * 336663071 + codes[p - 7] * 623063367) % {ROLL_M}) % {CDC_MOD} = 0)
+               p -> (({_CDC_POLY_SQL}) % {ROLL_M}) % {CDC_MOD} = 0)
            ELSE [] END ||
            [length(t)])) AS bounds
   FROM a2

@@ -502,8 +502,10 @@ def _emb_cluster_mix(spark, sf_dir: str):
     ).orderBy("list_id")
 
 
-#: DuckDB twin: same seed pick (md5 hex order), same cosine argmax with
-#: ties to the lowest list_id, double math on both sides.
+#: DuckDB twin: same seed pick (md5 hex order), same argmax over the
+#: QUANTIZED cosine (floor(cos * 1e6), matching ``ivf_assign``) with
+#: ties to the lowest list_id — raw-double argmax could flip a near-tie
+#: between engines (different fp summation orders).
 EMB_CLUSTER_MIX_SQL = f"""
 WITH seeds AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
@@ -522,7 +524,9 @@ assigned AS (
     SELECT e.vec_id, c.list_id,
            ROW_NUMBER() OVER (
              PARTITION BY e.vec_id
-             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC,
+             ORDER BY CAST(FLOOR(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), c.c) * 1000000.0)
+                        AS BIGINT) DESC,
                       c.list_id ASC) AS r
     FROM embeddings e CROSS JOIN cents c
   ) WHERE r = 1
@@ -574,7 +578,9 @@ assigned AS (
     SELECT e.vec_id, c.list_id,
            ROW_NUMBER() OVER (
              PARTITION BY e.vec_id
-             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC,
+             ORDER BY CAST(FLOOR(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), c.c) * 1000000.0)
+                        AS BIGINT) DESC,
                       c.list_id ASC) AS r
     FROM embeddings e CROSS JOIN cents c
   ) WHERE r = 1

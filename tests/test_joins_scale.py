@@ -201,3 +201,35 @@ def test_pagerank_exact_invariants(spark):
     assert ranks[3] > ranks[4] and ranks[3] == max(ranks.values())
     again = {r.node: r.rank_scaled for r in graph.pagerank_exact(edges, 4, 5).collect()}
     assert again == ranks
+
+
+def test_pagerank_exact_survives_huge_weights(spark):
+    """Per-edge products run in DECIMAL(38,0): with rank approaching
+    SCALE and a weight of ~1e11 a bigint product would exceed 2^63 and
+    wrap (or raise under ANSI), breaking the integer-exactness contract
+    at exactly the 1e9+-edge scale the module advertises. The engine
+    must match DuckDB's HUGEINT replay on an overflow-forcing graph."""
+    import duckdb
+
+    from salesforce_prefect_etl_pipeline_spark.operators import graph
+
+    # Star: 10 spokes feed hub 0 (raising hub rank well above base),
+    # hub's single out-edge carries w=9e10 -> rank*w ~ 1.2e19 > 2^63.
+    w_huge = 90_000_000_000
+    rows = [(s, 0, 1) for s in range(1, 11)] + [(0, 1, w_huge)]
+    edges = spark.createDataFrame(rows, "src int, dst int, weight long")
+    out = {
+        r.node: r.rank_scaled
+        for r in graph.pagerank_exact(edges, n_nodes=11, iters=5).collect()
+    }
+    assert all(v >= 0 for v in out.values())  # no silent wrap to negative
+
+    edges_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({s}, {d}, CAST({w} AS BIGINT))" for s, d, w in rows
+    ) + ") AS t(src, dst, w)"
+    oracle = dict(
+        duckdb.sql(
+            graph.pagerank_sql(edges_sql, "11", iters=5)
+        ).fetchall()
+    )
+    assert out == oracle
