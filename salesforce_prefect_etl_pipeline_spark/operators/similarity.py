@@ -329,6 +329,7 @@ def build_ivf_index(
     emb: DataFrame,
     index_dir: str,
     nlist: int = 16,
+    iters: int = 10,
 ) -> np.ndarray:
     """Offline IVF index build: train the coarse quantizer once, tag the
     corpus with ``ivf_assign``, and persist the inverted lists as parquet
@@ -338,8 +339,13 @@ def build_ivf_index(
     100 TB the corpus is assigned and written ONCE (one Arrow-batched
     map + one partitioned write, no shuffle), and every subsequent probe
     reads only ~nprobe/nlist of the data via partition pruning on
-    ``list_id`` (verified against ``inputFiles()`` in tests)."""
-    cents = train_ivf_centroids(emb, nlist=nlist)
+    ``list_id`` (verified against ``inputFiles()`` in tests).
+
+    ``iters=0`` builds on the md5-seeded iteration-0 quantizer, whose
+    whole probe lifecycle is SQL-replayable (see queries_llm's
+    ``ann_ivf_probe_exact``); the default Lloyd's-refined quantizer
+    trades that replayability for tighter lists."""
+    cents = train_ivf_centroids(emb, nlist=nlist, iters=iters)
     assigned = ivf_assign(emb, cents)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{index_dir}/lists"
@@ -380,8 +386,12 @@ def probe_ivf(
     probe_rows = []
     for qid, vec in queries:
         qv = np.array(vec, dtype=np.float64)
-        sims = (qv / np.linalg.norm(qv)) @ cents.T
-        for lid in np.argsort(-sims)[:nprobe]:
+        # Probe selection on the module's quantized key with a stable
+        # sort (ties -> lowest list_id), same reasoning as ivf_assign:
+        # raw-double argsort could pick a different near-tied list per
+        # engine, and the iters=0 oracle replays this exact selection.
+        qsims = np.floor(((qv / np.linalg.norm(qv)) @ cents.T) * 1e6).astype(np.int64)
+        for lid in np.argsort(-qsims, kind="stable")[:nprobe]:
             probe_rows.append((qid, [float(v) for v in vec], int(lid)))
     probe_schema = T.StructType(
         [

@@ -23,6 +23,41 @@ ANN_QUERY_IDS = [1, 7, 42, 99, 123]
 #: Root for persisted ANN index artifacts (offline build -> cheap probe).
 IVF_INDEX_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".ivf_index")
 
+#: Seed count of the md5-seeded iteration-0 coarse quantizer shared by
+#: the cluster-mix/sample reports and the exact-probe IVF variant.
+_SEED_NLIST = 16
+
+#: DuckDB replay of ``train_ivf_centroids(iters=0)`` + ``ivf_assign``:
+#: seeds are the _SEED_NLIST embeddings with the smallest md5(vec_id)
+#: (hex order), assignment is argmax of the QUANTIZED cosine
+#: (floor(cos * 1e6), exactly what ivf_assign computes) with ties to the
+#: lowest list_id. Shared verbatim by every oracle that replays the
+#: quantizer so they can never drift apart.
+_SEED_QUANTIZER_CTES = f"""seeds AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_SEED_NLIST}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS list_id,
+         c
+  FROM seeds
+),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY CAST(FLOOR(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), c.c) * 1000000.0)
+                        AS BIGINT) DESC,
+                      c.list_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+)"""
+
 
 #: (index_dir) -> centroids ndarray; (app, sf_dir) -> query vectors.
 #: Driver-side memo: centroids/query vectors are tiny and immutable per
@@ -31,7 +66,7 @@ _IVF_CENTROID_CACHE: dict = {}
 _QVEC_CACHE: dict = {}
 
 
-def ensure_ivf_index(spark, sf_dir: str, nlist: int = 16) -> str:
+def ensure_ivf_index(spark, sf_dir: str, nlist: int = 16, iters: int = 10) -> str:
     """Build the persisted IVF index for a testdata dir once per process
     lifetime (train -> assign -> partitioned-by-list_id parquet); return
     its path. The offline-build / online-probe split is the 100 TB
@@ -42,7 +77,9 @@ def ensure_ivf_index(spark, sf_dir: str, nlist: int = 16) -> str:
     regenerate between rounds, and probing a stale index silently
     returns assignments of data that no longer exists."""
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-nlist{nlist}-det1")
+    index_dir = os.path.join(
+        IVF_INDEX_ROOT, f"{tag}-nlist{nlist}-iters{iters}-det2"
+    )
     success = os.path.join(index_dir, "centroids", "_SUCCESS")
     stale = os.path.exists(success) and os.path.getmtime(success) < os.path.getmtime(
         os.path.join(sf_dir, "embeddings.parquet")
@@ -50,7 +87,9 @@ def ensure_ivf_index(spark, sf_dir: str, nlist: int = 16) -> str:
     if stale:
         _IVF_CENTROID_CACHE.pop(index_dir, None)
     if stale or not os.path.exists(success):
-        cents = similarity.build_ivf_index(_emb(spark, sf_dir), index_dir, nlist=nlist)
+        cents = similarity.build_ivf_index(
+            _emb(spark, sf_dir), index_dir, nlist=nlist, iters=iters
+        )
         _IVF_CENTROID_CACHE[index_dir] = cents
     elif index_dir not in _IVF_CENTROID_CACHE:
         # an online ANN service holds the (nlist x dim) centroids in
@@ -297,6 +336,78 @@ register_query(
 # is a test-only helper, no longer registered; tests assert probe results
 # equal the one-shot for the same seed. Approximate -> rows-only.
 register_query("ann_ivf_probe", _ivf_probe_query)
+
+
+def _ivf_probe_exact_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
+    """The ORACLE-CHECKED IVF probe: identical lifecycle to
+    ``ann_ivf_probe`` (persisted partitioned index, pruned probe scan,
+    qcos re-rank) but over the iteration-0 md5-seeded quantizer, whose
+    every step — seed pick, quantized-cosine assignment, quantized probe
+    selection, qcos top-k — is deterministic integer arithmetic both
+    engines reproduce bit-identically. The Lloyd's-refined variant keeps
+    tighter lists (better recall per probe) at the cost of that
+    replayability; this query proves the probe MACHINERY exact, the
+    other keeps the production quantizer honest via recall pytests."""
+    index_dir = ensure_ivf_index(spark, sf_dir, iters=0)
+    cents = _IVF_CENTROID_CACHE.get(index_dir)
+    if cents is None:
+        cents = similarity.load_ivf_centroids(spark, index_dir)
+        _IVF_CENTROID_CACHE[index_dir] = cents
+    qkey = (spark.sparkContext.applicationId, sf_dir)
+    qvecs = _QVEC_CACHE.get(qkey)
+    if qvecs is None:
+        qvecs = [
+            (r.vec_id, list(r.embedding))
+            for r in load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+            .collect()
+        ]
+        _QVEC_CACHE[qkey] = qvecs
+    return similarity.probe_ivf(
+        spark, index_dir, qvecs, k=k, nprobe=nprobe, centroids=cents
+    )
+
+
+def _ivf_probe_exact_sql(k: int = 10, nprobe: int = 4) -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH {_SEED_QUANTIZER_CTES},
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+probe AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, c.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY CAST(FLOOR(list_cosine_similarity(q.qvec, c.c)
+                        * 1000000.0) AS BIGINT) DESC,
+                      c.list_id ASC) AS r
+    FROM q CROSS JOIN cents c
+  ) WHERE r <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assigned a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         {similarity.qcos_sql('q.qvec', 'e.embedding')} AS qcos
+  FROM cand cd
+  JOIN q ON q.query_id = cd.query_id
+  JOIN embeddings e ON e.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, rnk, qcos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qcos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k} ORDER BY query_id, rnk
+"""
+
+
+register_query("ann_ivf_probe_exact", _ivf_probe_exact_query, _ivf_probe_exact_sql())
 # Vectorized numpy brute-force (BLAS fold order differs in last-ulp from
 # the sequential oracle fold -> neighbor-set equality tested in pytest,
 # no value oracle).
@@ -466,7 +577,7 @@ register_query(
 )
 
 
-_CLUSTER_MIX_NLIST = 16
+_CLUSTER_MIX_NLIST = _SEED_NLIST
 
 #: Per-(app, sf_dir) memo of the iteration-0 seed centroids — one
 #: count+collect per process, like the IVF centroid cache.
@@ -502,35 +613,10 @@ def _emb_cluster_mix(spark, sf_dir: str):
     ).orderBy("list_id")
 
 
-#: DuckDB twin: same seed pick (md5 hex order), same argmax over the
-#: QUANTIZED cosine (floor(cos * 1e6), matching ``ivf_assign``) with
-#: ties to the lowest list_id — raw-double argmax could flip a near-tie
-#: between engines (different fp summation orders).
+#: DuckDB twin: the shared md5-seed + quantized-argmax quantizer replay
+#: (``_SEED_QUANTIZER_CTES``), then the tiny composition report.
 EMB_CLUSTER_MIX_SQL = f"""
-WITH seeds AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
-  FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-  LIMIT {_CLUSTER_MIX_NLIST}
-),
-cents AS (
-  SELECT CAST(ROW_NUMBER() OVER (
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS list_id,
-         c
-  FROM seeds
-),
-assigned AS (
-  SELECT vec_id, list_id FROM (
-    SELECT e.vec_id, c.list_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY CAST(FLOOR(list_cosine_similarity(
-                        CAST(e.embedding AS DOUBLE[]), c.c) * 1000000.0)
-                        AS BIGINT) DESC,
-                      c.list_id ASC) AS r
-    FROM embeddings e CROSS JOIN cents c
-  ) WHERE r = 1
-)
+WITH {_SEED_QUANTIZER_CTES}
 SELECT list_id, COUNT(*) AS n_vectors,
        CAST(COUNT(*) AS DOUBLE)
          / (SELECT COUNT(*) FROM embeddings) AS share
@@ -559,32 +645,9 @@ def _emb_cluster_sample(spark, sf_dir: str):
     )
 
 
-#: Same assignment CTE as EMB_CLUSTER_MIX_SQL, then the md5-rank pick.
+#: Same shared quantizer replay, then the md5-rank pick.
 EMB_CLUSTER_SAMPLE_SQL = f"""
-WITH seeds AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
-  FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-  LIMIT {_CLUSTER_MIX_NLIST}
-),
-cents AS (
-  SELECT CAST(ROW_NUMBER() OVER (
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS list_id,
-         c
-  FROM seeds
-),
-assigned AS (
-  SELECT vec_id, list_id FROM (
-    SELECT e.vec_id, c.list_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY CAST(FLOOR(list_cosine_similarity(
-                        CAST(e.embedding AS DOUBLE[]), c.c) * 1000000.0)
-                        AS BIGINT) DESC,
-                      c.list_id ASC) AS r
-    FROM embeddings e CROSS JOIN cents c
-  ) WHERE r = 1
-)
+WITH {_SEED_QUANTIZER_CTES}
 SELECT list_id, rk, vec_id FROM (
   SELECT list_id, vec_id,
          CAST(ROW_NUMBER() OVER (
