@@ -7,11 +7,14 @@ Two paths:
   Python), broadcast of the query vectors, windowed rank per query. At
   100 TB this is one scan of the corpus per query batch — the right
   answer when the query set is small.
-- **SRP-LSH (signed random projections)** — the scale path: 32-bit
-  hyperplane signatures, band into 8 x 4-bit buckets, candidates from
-  bucket collisions, exact cosine re-rank of candidates only. Recall is
-  probabilistic (verified empirically in tests), so only the brute-force
-  variant carries a value oracle.
+- **SRP-LSH (signed random projections)** — the scale path: 48-bit
+  hyperplane signatures, band into 12 x 4-bit buckets, candidates from
+  bucket collisions, exact cosine re-rank of candidates only. RECALL is
+  probabilistic (verified empirically in tests), but the OUTPUT is
+  deterministic: planes are md5-derived integers and projections run
+  over ``floor(e * 1e6)`` quantized coordinates, so signatures and the
+  candidate set are exact bigint arithmetic both engines replay
+  bit-for-bit (``srp_topk_sql``).
 
 Determinism: cosines are compared/ranked on a quantized key
 ``qcos = floor(cos * 1e6)`` (bigint). Fold-order differences between
@@ -482,9 +485,35 @@ def ivf_topk(
 
 # ----------------------------------------------------------------------
 # SRP-LSH scale path
-def _srp_planes(dim: int = 64, nbits: int = 32, seed: int = 42) -> list[list[float]]:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((nbits, dim)).tolist()
+
+#: Quantization scale applied to embedding coordinates before the
+#: integer projection dot product (below).
+_SRP_QSCALE = 1_000_000
+
+
+def _srp_planes(dim: int = 64, nbits: int = 32, seed: int = 42) -> np.ndarray:
+    """Content-derived INTEGER hyperplanes: entry (i, j) is a
+    symmetric pseudo-uniform int in [-512, 511] taken from
+    md5(f"srp:{seed}:{i}:{j}") — no RNG state anywhere, so the planes
+    are a pure function of (seed, i, j) that the generated oracle SQL
+    inlines verbatim. Integer entries (vs Gaussian floats) make each
+    projection bit sign(sum_j floor(e_j * 1e6) * p_ij) EXACT
+    order-independent bigint arithmetic, replayable bit-for-bit in SQL
+    — a float dot's sign can flip between engines' summation orders
+    when the projection lands within fp-noise of zero. Symmetric
+    bounded entries keep the SRP collision geometry (Achlioptas-style
+    sparse/discrete projections); recall is measured in tests."""
+    return np.array(
+        [
+            [
+                (int(hashlib.md5(f"srp:{seed}:{i}:{j}".encode()).hexdigest()[:8], 16) % 1024)
+                - 512
+                for j in range(dim)
+            ]
+            for i in range(nbits)
+        ],
+        dtype=np.int64,
+    )
 
 
 def srp_band_keys(
@@ -501,7 +530,7 @@ def srp_band_keys(
     Emits nbits/band_bits rows per vector; no shuffle."""
     from collections.abc import Iterator
 
-    planes = np.asarray(_srp_planes(dim=dim, nbits=nbits, seed=seed), dtype=np.float64)
+    planes = _srp_planes(dim=dim, nbits=nbits, seed=seed)  # int64 (nbits, dim)
     nbands = nbits // band_bits
     weights = (1 << np.arange(band_bits, dtype=np.int64))
 
@@ -519,7 +548,11 @@ def srp_band_keys(
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
-            bits = (m @ planes.T >= 0).astype(np.int64)  # (batch, nbits)
+            # floor(e * 1e6) is IEEE-exact on the double widening of the
+            # stored floats, so both engines quantize identically; the
+            # integer matmul after it is order-independent by nature.
+            q = np.floor(m * _SRP_QSCALE).astype(np.int64)
+            bits = (q @ planes.T >= 0).astype(np.int64)  # (batch, nbits)
             keys = bits.reshape(len(ids), nbands, band_bits) @ weights  # (batch, nbands)
             yield pd.DataFrame(
                 {
@@ -594,10 +627,27 @@ def embedding_near_dup_banded(
     )
 
 
-def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Signed-random-projection signature: bit i = (vec . plane_i) >= 0."""
+def srp_signature(qvec: Column, planes: np.ndarray) -> Column:
+    """Signed-random-projection signature over a PRE-QUANTIZED
+    (``floor(e * 1e6)`` bigint array) vector: bit i =
+    (sum_j qvec[j] * planes[i][j]) >= 0 — exact integer arithmetic,
+    identical in any engine/summation order. Callers materialize the
+    quantized array once (Catalyst does not share subexpressions
+    across lambda bodies) and pass it here."""
     bits = [
-        F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    qvec,
+                    F.array(*[F.lit(int(x)) for x in p]),
+                    lambda a, b: a * b.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
         for i, p in enumerate(planes)
     ]
     sig = bits[0]
@@ -610,11 +660,12 @@ def srp_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    nbits: int = 32,
+    nbits: int = 48,
     band_bits: int = 4,
 ) -> DataFrame:
     """Approximate top-k: SRP signatures, band-bucket candidate join
-    (8 x 4-bit bands by default), exact qcos re-rank of candidates.
+    (12 x 4-bit bands by default; nbits must stay < 64 — the signature
+    packs into one signed long), exact qcos re-rank of candidates.
 
     vs cosine_topk: the corpus-x-queries product is replaced by a join
     on band keys — at 100 TB that's the difference between scanning the
@@ -622,7 +673,17 @@ def srp_topk(
     is tuned by nbits/band_bits (tests measure it against cosine_topk).
     """
     planes = _srp_planes(nbits=nbits)
-    sig = emb.select("vec_id", "embedding", srp_signature(F.col("embedding"), planes).alias("sig"))
+    quantized = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(float(_SRP_QSCALE))).cast("long"),
+        ).alias("__qv"),
+    )
+    sig = quantized.select(
+        "vec_id", "embedding", srp_signature(F.col("__qv"), planes).alias("sig")
+    )
     nbands = nbits // band_bits
     mask = (1 << band_bits) - 1
     chunks = F.array(
@@ -656,3 +717,65 @@ def srp_topk(
         .select("query_id", "neighbor_id", "rnk", "qcos")
         .orderBy("query_id", "rnk")
     )
+
+
+def srp_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    nbits: int = 48,
+    band_bits: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of :func:`srp_topk`, exact by construction: the
+    md5-derived integer planes are inlined as a VALUES table, each
+    projection bit is the sign of a bigint dot over the same
+    ``floor(e * 1e6)`` quantization, band keys pack bits with the same
+    shifts, and the candidate set is the same (band, key) equi-join —
+    so the approximate index's OUTPUT value-hashes across engines."""
+    planes = _srp_planes(dim=dim, nbits=nbits)
+    vals = ", ".join(
+        f"({i}, {j}, {int(planes[i, j])})"
+        for i in range(nbits)
+        for j in range(dim)
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH planes AS (SELECT * FROM (VALUES {vals}) AS t(bit, j, w)),
+qe AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * {_SRP_QSCALE}.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+bits AS (
+  SELECT e.vec_id, p.bit,
+         CASE WHEN SUM(e.q[p.j + 1] * p.w) >= 0 THEN 1 ELSE 0 END AS b
+  FROM qe e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.bit
+),
+keys AS (
+  SELECT vec_id, CAST(bit // {band_bits} AS INT) AS band,
+         CAST(SUM(b << (bit % {band_bits})) AS BIGINT) AS key
+  FROM bits GROUP BY vec_id, bit // {band_bits}
+),
+qk AS (
+  SELECT vec_id AS query_id, band, key FROM keys WHERE vec_id IN ({ids})
+),
+cand AS (
+  SELECT DISTINCT qk.query_id, kk.vec_id AS neighbor_id
+  FROM qk JOIN keys kk USING (band, key)
+  WHERE kk.vec_id <> qk.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {qcos_sql('qq.embedding', 'e.embedding')} AS qcos
+  FROM cand c
+  JOIN embeddings qq ON qq.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rnk, qcos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qcos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k} ORDER BY query_id, rnk
+"""

@@ -324,10 +324,15 @@ WHERE {similarity.qcos_sql('a.embedding', 'b.embedding')} >= 950000
 ORDER BY va, vb
 """,
 )
-# Approximate ANN (recall measured in tests, no value oracle).
+# Approximate ANN whose OUTPUT is nonetheless value-hash exact: the
+# md5-derived integer planes + quantized-embedding integer projections
+# make signatures, band keys, candidate set and qcos re-rank all
+# engine-independent, so the oracle replays the index bit-for-bit
+# (recall vs exact top-k is still measured separately in tests).
 register_query(
     "ann_srp_topk",
     lambda spark, sf_dir: similarity.srp_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10),
+    similarity.srp_topk_sql(ANN_QUERY_IDS, k=10),
 )
 # IVF index (THE production ANN path): probe a PERSISTED index — k-means
 # coarse quantizer trained once, inverted lists written as parquet
