@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from salesforce_prefect_etl_pipeline_spark.operators.dedup import char_shingle_hashes
+from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
+    char_shingle_hashes,
+    connected_components,
+    jaccard_pairs_sql,
+    minhash_near_dup_pairs,
+)
 from salesforce_prefect_etl_pipeline_spark.operators.text import (
     NORMALIZED_SQL,
     normalized,
@@ -292,7 +297,9 @@ def pack_documents(
     return grouped.groupBy("pack_group").applyInPandas(_pack, PACK_SCHEMA)
 
 
-def pack_documents_sql(capacity: int = 2048, n_groups: int = 64) -> str:
+def pack_documents_sql(
+    capacity: int = 2048, n_groups: int = 64, source: str = "documents"
+) -> str:
     """Exact SQL twin of ``pack_documents``: first-fit-decreasing replayed
     as a recursive CTE that threads each group's open-pack remaining
     capacities (a list column) doc by doc in (n_tokens DESC, doc_id)
@@ -307,7 +314,7 @@ WITH RECURSIVE
 toks AS (
   SELECT doc_id, CAST({nt} AS BIGINT) AS n_tokens,
          CAST({b} AS BIGINT) AS pack_group
-  FROM documents
+  FROM {source}
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY pack_group
@@ -874,4 +881,127 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{URL_RE}')) AS n_urls,
        regexp_replace(text, '{URL_RE}', '', 'g') AS cleaned
 FROM src ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# End-to-end curation pipeline (composition proof)
+def e2e_curation(
+    docs: DataFrame,
+    min_tokens: int = 16,
+    max_tokens: int = 1024,
+    k: int = 8,
+    threshold: float = 0.8,
+    capacity: int = 2048,
+    n_groups: int = 64,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """The WHOLE curation pipeline as one composed query: token-count
+    filter -> exact dedup (quality-aware survivor) -> MinHash-LSH
+    near-dup clustering (keep the min-doc_id doc per component) ->
+    deterministic split assignment -> FFD sequence packing. Returns the
+    final training manifest (doc_id, n_tokens, split, pack_group,
+    pack_seq) — what a training run actually consumes.
+
+    Each stage is individually green elsewhere; this query proves the
+    COMPOSITION: filters feed the dedup scan, near-dup survivors feed
+    the packer, and the lazy stages fuse into one Catalyst plan up to
+    the two genuinely iterative steps (pointer-jumping components, the
+    applyInPandas packer), which remain the documented scale paths.
+    The oracle replays every stage in DuckDB, recursion included."""
+    nt = F.size(tokens("text"))
+    filtered = docs.filter((nt >= min_tokens) & (nt <= max_tokens))
+    fp = filtered.select(
+        "doc_id",
+        "text",
+        F.md5(normalized("text")).alias("fingerprint"),
+        F.length("text").alias("n_chars"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    exact = (
+        fp.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") == 1)
+        .select("doc_id", "text")
+    )
+    pairs = minhash_near_dup_pairs(exact, k=k, threshold=threshold)
+    comp = connected_components(pairs.select("da", "db"))
+    dropped = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    survivors = exact.join(dropped, "doc_id", "left_anti")
+    packed = pack_documents(survivors, capacity=capacity, n_groups=n_groups)
+    b = split_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return packed.select(
+        "doc_id", "n_tokens", split.alias("split"), "pack_group", "pack_seq"
+    ).orderBy("doc_id")
+
+
+def e2e_curation_sql(
+    min_tokens: int = 16,
+    max_tokens: int = 1024,
+    k: int = 8,
+    threshold: float = 0.8,
+    capacity: int = 2048,
+    n_groups: int = 64,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> str:
+    """DuckDB replay of :func:`e2e_curation` — the per-stage oracles
+    chained as CTEs (the two iterative stages nest their own
+    WITH RECURSIVE bodies): filter -> exact-dedup rank -> exact Jaccard
+    pairs over the survivors (LSH recall ~1 at this threshold, the same
+    equivalence dedup_minhash_lsh relies on) -> transitive-closure
+    components -> FFD packing -> split tag.
+
+    Every chained CTE is MATERIALIZED: DuckDB otherwise inlines them,
+    re-deriving the windowed dedup inside each shingle unnest — 157 s
+    vs 0.8 s measured at sf0.01 for the identical result."""
+    nt = r"len(string_split_regex(trim(text), '\s+'))"
+    b = split_bucket_sql("doc_id")
+    return f"""
+WITH
+filtered AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  WHERE {nt} BETWEEN {min_tokens} AND {max_tokens}
+),
+fp AS (
+  SELECT doc_id, text, md5({NORMALIZED_SQL}) AS fingerprint,
+         length(text) AS n_chars
+  FROM filtered
+),
+exact AS MATERIALIZED (
+  SELECT doc_id, text FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                 ORDER BY n_chars DESC, doc_id ASC) AS rnk
+    FROM fp
+  ) WHERE rnk = 1
+),
+jp AS MATERIALIZED ({jaccard_pairs_sql(k, threshold, source="exact")}),
+edges AS MATERIALIZED (SELECT da AS a, db AS b FROM jp UNION SELECT db AS a, da AS b FROM jp),
+comp AS MATERIALIZED (
+  WITH RECURSIVE reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+  )
+  SELECT a AS doc_id, least(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+survivors AS MATERIALIZED (
+  SELECT e.doc_id, e.text FROM exact e
+  WHERE e.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
+),
+pk AS MATERIALIZED ({pack_documents_sql(capacity, n_groups, source="survivors")})
+SELECT doc_id, n_tokens,
+       CASE WHEN {b} < {train_pct} THEN 'train'
+            WHEN {b} < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split,
+       pack_group, pack_seq
+FROM pk
+ORDER BY doc_id
 """

@@ -193,10 +193,10 @@ def char_shingle_hashes(docs: DataFrame, k: int = 8) -> DataFrame:
     return base.select("doc_id", F.explode(grams).alias("h"))
 
 
-def _shingles_sql(k: int = 8) -> str:
+def _shingles_sql(k: int = 8, source: str = "documents") -> str:
     return f"""
   SELECT DISTINCT doc_id, substr({NORMALIZED_SQL}, i, {k}) AS s
-  FROM documents,
+  FROM {source},
        unnest(generate_series(1, greatest(length({NORMALIZED_SQL}) - {k - 1}, 0))) AS t(i)
 """
 
@@ -231,9 +231,11 @@ def jaccard_pairs(
     )
 
 
-def jaccard_pairs_sql(k: int = 8, threshold: float = 0.8) -> str:
+def jaccard_pairs_sql(
+    k: int = 8, threshold: float = 0.8, source: str = "documents"
+) -> str:
     return f"""
-WITH sh AS ({_shingles_sql(k)}),
+WITH sh AS ({_shingles_sql(k, source)}),
 pair AS (
   SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -527,6 +527,14 @@ register_query(
     lambda spark, sf_dir: corpus.training_manifest(_docs(spark, sf_dir)),
     corpus.training_manifest_sql(),
 )
+# End-to-end curation COMPOSITION: token filter -> exact dedup ->
+# MinHash-LSH near-dup clustering -> split -> FFD pack, one query.
+# Every stage is individually green; this row proves they chain.
+register_query(
+    "corpus_e2e_curation",
+    lambda spark, sf_dir: corpus.e2e_curation(_docs(spark, sf_dir)),
+    corpus.e2e_curation_sql(),
+)
 # Deterministic stratified sampling: exactly-n-per-stratum by a stable
 # md5 pseudo-random order (partitioning-independent; both engines agree).
 register_query(
