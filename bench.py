@@ -54,6 +54,13 @@ HEADLINE = [
     # Packer throughput: full FFD packing (applyInPandas over md5 groups)
     # plus the per-group fill-ratio aggregation.
     "corpus_pack_stats",
+    # Round-6 heavies: per-character window polynomial over full text
+    # (CDC chunking), 5 chained join+agg iterations (PageRank), and the
+    # stream-stream interval join (bounded-state click attribution) —
+    # the slowest single query in the repo, previously unbenched.
+    "text_chunk_fingerprints",
+    "graph_nation_pagerank",
+    "streaming_click_attribution",
 ]
 
 

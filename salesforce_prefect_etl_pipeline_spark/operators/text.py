@@ -633,3 +633,62 @@ SELECT token, COUNT(*) AS freq FROM (
   SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
 ) GROUP BY token ORDER BY freq DESC, token ASC LIMIT {k}
 """
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` characteristic terms per document by a TF-IDF-family
+    score — the classic "what is this document about" primitive behind
+    keyword extraction and topical corpus slicing.
+
+    Scoring uses the RATIONAL idf ``1/df`` instead of ``log(N/df)``:
+    within a document the two rank identically for fixed tf ordering up
+    to the monotone transform, and ``score_scaled = 1e6 * tf DIV df``
+    is exact integer arithmetic both engines replay bit-for-bit — the
+    same log-avoidance contract as ``unigram_freq_score`` (log differs
+    in last-ulp between engines; integer division does not). Ties break
+    on term text ascending, so the output value-hashes.
+
+    Shape: explode -> (doc, term) count -> term-keyed doc-frequency
+    count -> join + per-doc top-k window. Two shuffles total (term
+    grouping, doc window); at 100 TB the df table is vocabulary-sized —
+    AQE broadcasts it when small."""
+    from pyspark.sql.window import Window as _W
+
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr("1000000 * tf DIV df").cast("long").alias("score_scaled"),
+    )
+    w = _W.partitionBy("doc_id").orderBy(
+        F.desc("score_scaled"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "rnk", "term", "tf", "df", "score_scaled")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 5) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT doc_id, rnk, term, tf, df, score_scaled FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(1000000 * tf.tf // dfreq.df AS BIGINT) AS score_scaled,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY 1000000 * tf.tf // dfreq.df DESC, tf.term ASC) AS INT) AS rnk
+  FROM tf JOIN dfreq USING (term)
+) WHERE rnk <= {k} ORDER BY doc_id, rnk
+"""

@@ -39,84 +39,43 @@ _PRUNE = {
 #: follows in raw registration order. Unknown names are ignored so the
 #: list may reference queries introduced in a later module version.
 #:
-#: Round-5 window, in three tiers: (1) queries whose oracle/engine
-#: changed this round (FFD pack-oracle ``NULLIF(list_position)`` fix,
-#: deterministic IVF centroid init, md5 SimHash), (2) the 12 queries
-#: that had NEVER had a driver CORRECTNESS row plus the 14 queries NEW
-#: this round, (3) refreshes ordered by evidence staleness — the
-#: events/streaming group first because the ts load-edge changed under
-#: their old rows. Unchanged-path r2/r4-green queries and the no-oracle
-#: sketch queries (accuracy-covered by pytest) sit past slot 50,
-#: re-verified every round by the local 100%-registry sweep
-#: (tools/check_oracle.py). Together with CORRECTNESS_r02/r04 this
-#: gives every oracle-bearing query a green driver row.
+#: Round-6 window, in three tiers: (1) queries NEW this round or whose
+#: engine/oracle changed (the e2e curation composition, the two newly
+#: oracled ANN paths, the quantized-argmax cluster queries, the
+#: decimal-product PageRank, and every query sharing the refactored
+#: jaccard/pack SQL generators), (2) the 24 queries whose latest driver
+#: row was round 2 — all sweep-green locally since, but two rounds of
+#: churn sit between that evidence and today, (3) round-4-stale
+#: refreshes (windows, set ops, the q3/q6/q10 joins). Fresh round-5
+#: rows and the 4 remaining no-oracle sketch queries (pytest accuracy
+#: contracts) sit past slot 50, re-verified every round by the local
+#: 100%-registry sweep (tools/check_oracle.py). Together with
+#: CORRECTNESS_r04/r05 this keeps every oracle-bearing query's driver
+#: row at most two rounds old.
 _PRIORITY = [
-    # --- oracle/engine changed this round: must re-verify ---
-    "corpus_pack_stats",
-    "corpus_pack_documents",  # list_position NULLIF overflow fix
-    "emb_cluster_mix",  # RNG init -> content-deterministic, now oracled
-    "dedup_simhash_pairs",  # xxhash64 -> md5 token hash, now oracled
-    # --- never driver-checked (beyond the old 50-query window) ---
-    "streaming_click_attribution",
-    "text_unigram_familiarity",
-    "corpus_shard_assignment",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_session_sequences",
-    "q9_product_profit",
-    "q12_ship_latency",
-    "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    "q21_suppliers_kept_waiting",
-    "q22_idle_balance",
-    # --- new this round ---
-    "events_transition_counts",
-    "q2_min_cost_supplier",
-    "q11_supply_value_share",
-    "text_bpe_token_estimate",
+    # --- tier 1: new or engine/oracle changed this round ---
+    "corpus_e2e_curation",  # new: filter->dedup->LSH->split->pack chain
+    "ann_ivf_probe_exact",  # new: iters=0 probe lifecycle, full oracle
+    "text_tfidf_top_terms",  # new: rational-idf TF-IDF top terms
+    "events_zorder_layout",  # new: Morton clustering key
+    "ann_srp_topk",  # newly oracled: md5 integer planes
+    "emb_cluster_mix",  # argmax now on quantized cosine (both sides)
     "emb_cluster_sample",
-    "media_audio_stats",
-    "text_rolling_fingerprint",
-    "graph_nation_pagerank",
-    "text_chunk_fingerprints",
-    "dedup_chunk_overlap",
-    "text_bigram_counts",
-    "agg_mode_priority_by_segment",
-    "agg_corr_price_qty",
-    # --- refresh, most-stale-evidence first. The events/streaming group
-    # leads: the ts load-edge changed this round (TIMESTAMP_NTZ testdata
-    # encoding), so their existing driver rows predate both the code AND
-    # the data — every events-dependent query must re-verify in-window.
-    # Unchanged-code refreshes (spec compiler, dedup/ANN, sql front-end,
-    # profiler) follow; media/corpus r2 rows ride on untouched paths and
-    # sit past the window (re-verified by local sweeps). ---
-    "events_sessionization",
-    "events_sliding_counts",
-    "streaming_events_hourly",
-    "streaming_sessionization",
-    "streaming_dedup_user_counts",
-    "streaming_enriched_segment_counts",
-    "events_json_extract",
-    "events_props_explode",
-    "events_hourly_by_type",
-    "join_asof_clicks_to_purchases",
-    "spec_orders_by_status",
-    "spec_lineitem_global",
-    "spec_orders_by_missing_channel",
-    "spec_orders_missing_metric",
-    "q1_pricing_summary",
-    "dedup_minhash_lsh",
-    "ann_cosine_topk",
-    "emb_near_dup_pairs",
-    "emb_near_dup_banded",
-    "sql_q5_local_supplier",
-    "sql_orders_above_avg",
+    "emb_near_dup_banded",  # SRP banding now integer projections
+    "graph_nation_pagerank",  # per-edge product DECIMAL(38,0)/HUGEINT
+    "text_chunk_fingerprints",  # oracle polynomial now generated
+    "dedup_minhash_lsh",  # jaccard SQL generator refactor
+    "dedup_near_dup_clusters",
+    "corpus_pack_documents",  # pack SQL generator refactor
+    "corpus_pack_stats",
+    # --- tier 2: the 24 round-2-stale driver rows ---
     "sql_correlated_exists",
-    "qa_profile_orders",
     "sql_in_subquery_having",
     "sql_pivot_counts",
     "sql_union_all_counts",
     "sql_embedding_dim_stats",
+    "qa_profile_orders",
+    "qa_profile_orders_topk",
     "media_frame_sample",
     "media_feature_stats",
     "media_decode_stats",
@@ -125,10 +84,6 @@ _PRIORITY = [
     "corpus_pii_scan",
     "corpus_training_manifest",
     "corpus_stratified_sample",
-    "qa_profile_orders_topk",
-    # --- beyond slot 50: double-green r2+r4 rows and the no-oracle
-    # sketch queries (agg_approx_*, simhash, srp/ivf/np ANN — covered by
-    # accuracy pytests); all keep their oracles for local sweeps ---
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -138,6 +93,32 @@ _PRIORITY = [
     "q17_small_qty_revenue",
     "q18_large_orders",
     "q19_disjunctive",
+    # --- tier 3: round-4-stale refreshes ---
+    "window_top3_orders_per_customer",
+    "window_rank_nations_by_acctbal",
+    "window_running_total",
+    "window_first_last_order",
+    "window_ntile_order_quartiles",
+    "window_order_gap_days",
+    "set_union_nationkeys",
+    "set_intersect_nationkeys",
+    "set_except_nationkeys",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    # (q3_shipping_priority / join_revenue_by_region stay r4-stale in
+    # the driver gate but run count-checked in every round's bench)
+    "agg_distinct_suppliers_per_flag",
+    # --- beyond slot 50: fresh round-5 rows (events/streaming, the new
+    # text/agg operators, q2/q9/q11/q12/q16/q20-q22, spec family) and
+    # the 4 no-oracle sketches (agg_approx_*, ann_ivf_probe,
+    # ann_cosine_topk_np — pytest accuracy contracts); all keep their
+    # oracles for local sweeps ---
+    "events_sessionization",
+    "streaming_events_hourly",
+    "streaming_click_attribution",
+    "q1_pricing_summary",
+    "ann_cosine_topk",
+    "spec_orders_by_status",
 ]
 
 

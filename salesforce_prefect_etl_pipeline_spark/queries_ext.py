@@ -1306,6 +1306,43 @@ ORDER BY p.node
 """
 
 
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering key over (user_id,
+    floor(value)) — the write-time layout that makes parquet min/max
+    statistics prune range predicates on BOTH dimensions (the
+    multi-column generalization of partition pruning; what Delta's
+    OPTIMIZE ZORDER BY computes). The key derivation is exact bit
+    arithmetic, so the layout itself is oracle-checked; at scale the
+    frame feeds repartitionByRange(zkey) + sortWithinPartitions before
+    the write (operators/layout.py)."""
+    from salesforce_prefect_etl_pipeline_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.floor("value").cast("long").alias("vbucket")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "vbucket",
+        zorder_key(F.col("user_id"), F.col("vbucket")).alias("zkey"),
+    ).orderBy("zkey", "event_id")
+
+
+def _events_zorder_sql() -> str:
+    from salesforce_prefect_etl_pipeline_spark.operators.layout import (
+        zorder_key_sql,
+    )
+
+    zk = zorder_key_sql("user_id", "CAST(FLOOR(value) AS BIGINT)")
+    return f"""
+SELECT event_id, user_id, CAST(FLOOR(value) AS BIGINT) AS vbucket, {zk} AS zkey
+FROM events ORDER BY zkey, event_id
+"""
+
+
+EVENTS_ZORDER_SQL = _events_zorder_sql()
+
+
 for _name, _fn, _sql in [
     ("q1_pricing_summary", q1_pricing_summary, Q1_SQL),
     ("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
@@ -1348,5 +1385,6 @@ for _name, _fn, _sql in [
     ("events_transition_counts", events_transition_counts, EVENTS_TRANSITION_SQL),
     ("graph_nation_pagerank", graph_nation_pagerank, GRAPH_PAGERANK_SQL),
     ("agg_mode_priority_by_segment", agg_mode_priority_by_segment, AGG_MODE_SQL),
+    ("events_zorder_layout", events_zorder_layout, EVENTS_ZORDER_SQL),
 ]:
     register_query(_name, _fn, _sql)

@@ -582,6 +582,12 @@ register_query(
     lambda spark, sf_dir: text.unigram_freq_score(_docs(spark, sf_dir)),
     text.UNIGRAM_FREQ_SCORE_SQL,
 )
+# TF-IDF top terms per doc (rational idf — exact integer score).
+register_query(
+    "text_tfidf_top_terms",
+    lambda spark, sf_dir: text.tfidf_top_terms(_docs(spark, sf_dir)),
+    text.tfidf_top_terms_sql(),
+)
 # Deterministic global shuffle + shard assignment before writing shards.
 register_query(
     "corpus_shard_assignment",
