@@ -648,16 +648,22 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     in last-ulp between engines; integer division does not). Ties break
     on term text ascending, so the output value-hashes.
 
-    Shape: explode -> (doc, term) count -> term-keyed doc-frequency
-    count -> join + per-doc top-k window. Two shuffles total (term
-    grouping, doc window); at 100 TB the df table is vocabulary-sized —
-    AQE broadcasts it when small."""
+    Shape: ONE explode -> (doc, term) count -> df as COUNT over a
+    term-partitioned window on the tf frame (no second scan: a separate
+    df aggregate + join re-derives the explode — Spark only reuses
+    identical exchanges, and the df branch's extra aggregation breaks
+    that, measured as a doubled scan in the executed plan) -> per-doc
+    top-k window. Three shuffles, each on a different key ((doc, term)
+    agg, term window, doc window), all on post-aggregate vocabulary- or
+    doc-sized frames — the corpus is scanned and exploded exactly
+    once."""
     from pyspark.sql.window import Window as _W
 
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "term").select(
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(_W.partitionBy("term"))
+    ).select(
         "doc_id",
         "term",
         "tf",
@@ -682,13 +688,17 @@ WITH tok AS (
   FROM documents
 ),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
-dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+scored AS (
+  SELECT doc_id, term, tf,
+         CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+  FROM tf
+)
 SELECT doc_id, rnk, term, tf, df, score_scaled FROM (
-  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-         CAST(1000000 * tf.tf // dfreq.df AS BIGINT) AS score_scaled,
+  SELECT doc_id, term, tf, df,
+         CAST(1000000 * tf // df AS BIGINT) AS score_scaled,
          CAST(ROW_NUMBER() OVER (
-           PARTITION BY tf.doc_id
-           ORDER BY 1000000 * tf.tf // dfreq.df DESC, tf.term ASC) AS INT) AS rnk
-  FROM tf JOIN dfreq USING (term)
+           PARTITION BY doc_id
+           ORDER BY 1000000 * tf // df DESC, term ASC) AS INT) AS rnk
+  FROM scored
 ) WHERE rnk <= {k} ORDER BY doc_id, rnk
 """
