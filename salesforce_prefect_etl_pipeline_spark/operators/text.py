@@ -702,3 +702,100 @@ SELECT doc_id, rnk, term, tf, df, score_scaled FROM (
   FROM scored
 ) WHERE rnk <= {k} ORDER BY doc_id, rnk
 """
+
+
+#: Count-min sketch geometry: depth (independent hash rows) x width.
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_bucket(term: Column, row: int, width: int = CMS_W) -> Column:
+    """Row-``row``'s bucket for ``term``: first 8 md5 hex digits of
+    "row:term" mod width — the same engine-portable md5 hashing the
+    corpus split uses, so the sketch is deterministic and replayable."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}:"), term)), 1, 8), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+def cms_top_token_estimates(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus top-``k``
+    tokens, next to their true counts — the bounded-state path the
+    exact ``top_tokens`` docstring promises at 100 TB, demonstrated and
+    verified: the sketch is CMS_D x CMS_W counters TOTAL (a fixed-size,
+    map-side-mergeable aggregation state) regardless of corpus size,
+    where the exact count's keyspace grows with the vocabulary.
+
+    Every estimate satisfies ``est_freq >= freq`` (CMS never
+    underestimates), with overestimates bounded by row collisions.
+    Unlike HLL/KLL sketches whose binary state defies SQL replay, a CMS
+    with md5-derived hash rows is pure integer arithmetic — the oracle
+    rebuilds the identical sketch and the output value-hashes.
+
+    Shape: one explode feeds both the exact count (vocabulary-keyed)
+    and the sketch (posexplode to CMS_D (row, bucket) pairs ->
+    4096-cell groupBy); estimates join the k candidate tokens to the
+    tiny sketch table. At scale only the exact-count branch's shuffle
+    grows; the sketch shuffle is constant-size by construction."""
+    tok = docs.select(F.explode(tokens("text")).alias("term"))
+    buckets = F.array(*[_cms_bucket(F.col("term"), j) for j in range(CMS_D)])
+    cms = (
+        tok.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cand = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(k)
+    )
+    cand_rows = cand.select(
+        "term", "freq", F.posexplode(buckets).alias("row", "bucket")
+    )
+    return (
+        cand_rows.join(cms, ["row", "bucket"])
+        .groupBy("term", "freq")
+        .agg(F.min("cnt").alias("est_freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+    )
+
+
+def cms_top_token_estimates_sql(k: int = 20) -> str:
+    def bucket(row: int) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{row}:', term)), 1, 8)) "
+            f"AS UBIGINT) % {CMS_W}"
+        )
+
+    rows_sql = " UNION ALL ".join(
+        f"SELECT term, {j} AS row, CAST({bucket(j)} AS BIGINT) AS bucket FROM tok"
+        for j in range(CMS_D)
+    )
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+hashed AS MATERIALIZED ({rows_sql}),
+cms AS MATERIALIZED (
+  SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY 1, 2
+),
+cand AS MATERIALIZED (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM tok GROUP BY term ORDER BY freq DESC, term ASC LIMIT {k}
+),
+cand_rows AS (
+  SELECT c.term, c.freq, h.row, h.bucket
+  FROM cand c JOIN (SELECT DISTINCT term, row, bucket FROM hashed) h
+    ON h.term = c.term
+)
+SELECT term, freq, MIN(cnt) AS est_freq
+FROM cand_rows JOIN cms USING (row, bucket)
+GROUP BY term, freq
+ORDER BY freq DESC, term ASC
+"""

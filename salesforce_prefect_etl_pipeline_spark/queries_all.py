@@ -58,6 +58,7 @@ _PRIORITY = [
     "ann_ivf_probe_exact",  # new: iters=0 probe lifecycle, full oracle
     "text_tfidf_top_terms",  # new: rational-idf TF-IDF top terms
     "events_zorder_layout",  # new: Morton clustering key
+    "text_cms_top_tokens",  # new: SQL-replayable count-min sketch
     "ann_srp_topk",  # newly oracled: md5 integer planes
     "emb_cluster_mix",  # argmax now on quantized cosine (both sides)
     "emb_cluster_sample",
@@ -105,9 +106,9 @@ _PRIORITY = [
     "set_except_nationkeys",
     "q6_forecast_revenue",
     "q10_returned_items",
-    # (q3_shipping_priority / join_revenue_by_region stay r4-stale in
-    # the driver gate but run count-checked in every round's bench)
-    "agg_distinct_suppliers_per_flag",
+    # (q3_shipping_priority / join_revenue_by_region /
+    # agg_distinct_suppliers_per_flag stay r4-stale in the driver gate
+    # but run count-checked in every round's bench)
     # --- beyond slot 50: fresh round-5 rows (events/streaming, the new
     # text/agg operators, q2/q9/q11/q12/q16/q20-q22, spec family) and
     # the 4 no-oracle sketches (agg_approx_*, ann_ivf_probe,

@@ -588,6 +588,14 @@ register_query(
     lambda spark, sf_dir: text.tfidf_top_terms(_docs(spark, sf_dir)),
     text.tfidf_top_terms_sql(),
 )
+# Count-min sketch estimates vs true counts for the corpus top tokens:
+# a bounded-state (4x1024 counters) frequency sketch whose md5 hashing
+# makes it — unlike HLL/KLL — exactly SQL-replayable and hash-checked.
+register_query(
+    "text_cms_top_tokens",
+    lambda spark, sf_dir: text.cms_top_token_estimates(_docs(spark, sf_dir)),
+    text.cms_top_token_estimates_sql(),
+)
 # Deterministic global shuffle + shard assignment before writing shards.
 register_query(
     "corpus_shard_assignment",

@@ -452,3 +452,22 @@ def test_chunk_fingerprints_cdc_contract(spark):
     # all but the first few edited-region chunks are shared
     shared = set(h0) & set(h1)
     assert len(shared) >= len(h0) - 2 and len(h0) > 5
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min property: every estimate >= the true count (collisions
+    only ever ADD), and with 4x1024 cells over a tiny vocabulary the
+    top tokens' estimates are exact."""
+    from salesforce_prefect_etl_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha " * (i % 5 + 1) + f"w{i % 7} beta").strip()) for i in range(50)],
+        "doc_id long, text string",
+    )
+    rows = text.cms_top_token_estimates(docs, k=10).collect()
+    assert rows, "no estimates returned"
+    for r in rows:
+        assert r.est_freq >= r.freq, (r.term, r.est_freq, r.freq)
+    # 'alpha' and 'beta' dominate; their counts must be exact here
+    by_term = {r.term: r for r in rows}
+    assert by_term["beta"].est_freq == by_term["beta"].freq == 50
