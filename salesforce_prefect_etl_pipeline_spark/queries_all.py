@@ -59,6 +59,7 @@ _PRIORITY = [
     "text_tfidf_top_terms",  # new: rational-idf TF-IDF top terms
     "events_zorder_layout",  # new: Morton clustering key
     "text_cms_top_tokens",  # new: SQL-replayable count-min sketch
+    "agg_mad_value_by_type",  # new: robust MAD outlier stats
     "ann_srp_topk",  # newly oracled: md5 integer planes
     "emb_cluster_mix",  # argmax now on quantized cosine (both sides)
     "emb_cluster_sample",
@@ -104,11 +105,11 @@ _PRIORITY = [
     "set_union_nationkeys",
     "set_intersect_nationkeys",
     "set_except_nationkeys",
-    "q6_forecast_revenue",
     "q10_returned_items",
     # (q3_shipping_priority / join_revenue_by_region /
     # agg_distinct_suppliers_per_flag stay r4-stale in the driver gate
-    # but run count-checked in every round's bench)
+    # but run count-checked in every round's bench; q6 is the repo's
+    # simplest single-filter agg, double-green r2+r4, sweep-covered)
     # --- beyond slot 50: fresh round-5 rows (events/streaming, the new
     # text/agg operators, q2/q9/q11/q12/q16/q20-q22, spec family) and
     # the 4 no-oracle sketches (agg_approx_*, ann_ivf_probe,

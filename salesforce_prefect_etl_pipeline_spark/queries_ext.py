@@ -1306,6 +1306,74 @@ ORDER BY p.node
 """
 
 
+def agg_mad_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event_type — the robust
+    location/scale pair behind outlier fences (flag when
+    |x - median| > k * MAD), immune to the heavy tails that wreck
+    mean/stddev fences on real event streams. Both medians are the
+    discrete lower median with a deterministic tiebreak (value then
+    event_id — the agg_median pattern), so the output value-hashes:
+    no interpolation, no quantile-sketch drift. Two window passes,
+    both shuffling on event_type only."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    g = Window.partitionBy("event_type")
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    med = (
+        ev.select(
+            "event_type",
+            "value",
+            F.row_number().over(w1).alias("rn"),
+            F.count(F.lit(1)).over(g).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("value").alias("median_value"))
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "event_id",
+        "median_value",
+        F.abs(F.col("value") - F.col("median_value")).alias("dev"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    return (
+        dev.select(
+            "event_type",
+            "median_value",
+            "dev",
+            F.row_number().over(w2).alias("rn"),
+            F.count(F.lit(1)).over(g).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", "median_value", F.col("dev").alias("mad"), "n")
+        .orderBy("event_type")
+    )
+
+
+AGG_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, value AS median_value FROM (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+  ) WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT e.event_type, e.event_id, m.median_value,
+         abs(e.value - m.median_value) AS dev
+  FROM events e JOIN med m USING (event_type)
+)
+SELECT event_type, median_value, dev AS mad, n FROM (
+  SELECT event_type, median_value, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY dev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+) WHERE rn = (n + 1) // 2 ORDER BY event_type
+"""
+
+
 def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) clustering key over (user_id,
     floor(value)) — the write-time layout that makes parquet min/max
@@ -1386,5 +1454,6 @@ for _name, _fn, _sql in [
     ("graph_nation_pagerank", graph_nation_pagerank, GRAPH_PAGERANK_SQL),
     ("agg_mode_priority_by_segment", agg_mode_priority_by_segment, AGG_MODE_SQL),
     ("events_zorder_layout", events_zorder_layout, EVENTS_ZORDER_SQL),
+    ("agg_mad_value_by_type", agg_mad_value_by_type, AGG_MAD_SQL),
 ]:
     register_query(_name, _fn, _sql)
