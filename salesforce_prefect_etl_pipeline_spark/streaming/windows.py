@@ -279,3 +279,57 @@ def run_stream_to_batch(result: DataFrame, name: str, mode: str = "complete") ->
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def stream_upsert_snapshot(
+    result: DataFrame,
+    snapshot_path: str,
+    key: str,
+    version_col: str,
+    name: str = "upsert",
+    checkpoint_dir: str | None = None,
+) -> str:
+    """Streaming upsert sink: ``foreachBatch`` folds every micro-batch
+    into a keyed parquet snapshot via ``merge_snapshot`` — the
+    plain-parquet MERGE INTO. This is the durable-sink half of the
+    exactly-once story: Structured Streaming replays an
+    incompletely-committed batch after a crash, and the merge is
+    idempotent per key+version, so replays converge to the same end
+    state (the same composition the batch watermark extractor uses,
+    sources/salesforce.py + sources/io.py). With a persistent
+    ``checkpoint_dir`` the stream also resumes from the last committed
+    offset instead of re-reading history.
+
+    ``update`` output mode: aggregating plans emit only the groups a
+    batch changed, exactly the delta the merge needs — ``complete``
+    would rewrite every group every batch."""
+    import tempfile as _tf
+
+    from salesforce_prefect_etl_pipeline_spark.sources.io import merge_snapshot
+
+    spark = result.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_snapshot(spark, snapshot_path, batch_df, key, version_col)
+
+    ctx = (
+        _tf.TemporaryDirectory(prefix=f"ckpt_{name}_")
+        if checkpoint_dir is None
+        else None
+    )
+    ckpt = checkpoint_dir if checkpoint_dir is not None else ctx.name
+    try:
+        q = (
+            result.writeStream.foreachBatch(_merge)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if ctx is not None:
+            ctx.cleanup()
+    return snapshot_path

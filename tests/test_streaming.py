@@ -212,3 +212,43 @@ def test_stream_stream_attribution_matches_batch(spark):
     assert b == s and len(b) > 0
     for _user, _c, _p, click_us, purchase_us in b:
         assert 0 <= purchase_us - click_us <= 30 * 60 * 1_000_000
+
+
+def test_stream_upsert_snapshot_converges_to_batch(spark, tmp_path):
+    """foreachBatch + merge_snapshot as a streaming upsert sink: a
+    multi-micro-batch run (maxFilesPerTrigger=1 over a multi-file copy
+    of events) whose update-mode re-emissions fold idempotently into
+    the keyed snapshot — the end state must equal the one-shot batch
+    aggregate, proving the streaming half of the exactly-once
+    composition (idempotent merge x replayable batches)."""
+    from pyspark.sql import functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
+        stream_events_dir,
+        stream_upsert_snapshot,
+    )
+
+    src = str(tmp_path / "events_src")
+    batch_ev = load_table(spark, SF_SMALL, "events")
+    batch_ev.repartition(4).write.parquet(src)
+
+    agg = (
+        stream_events_dir(spark, src, max_files_per_trigger=1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    snap = str(tmp_path / "user_counts")
+    stream_upsert_snapshot(agg, snap, key="user_id", version_col="n_events")
+
+    got = {
+        (r.user_id, r.n_events)
+        for r in spark.read.parquet(snap).collect()
+    }
+    want = {
+        (r.user_id, r.n_events)
+        for r in batch_ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
