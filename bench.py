@@ -61,6 +61,10 @@ HEADLINE = [
     "text_chunk_fingerprints",
     "graph_nation_pagerank",
     "streaming_click_attribution",
+    # corpus_e2e_curation (17 s at sf0.1) is deliberately NOT here: it
+    # recomposes minhash pairs + connected components + FFD packing,
+    # each already benched above — a row would double-count ~10 s of
+    # the suite without new attribution.
 ]
 
 
