@@ -297,3 +297,35 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """The other runtime-pruning pillar next to AQE skew splitting:
+    joining a hive-partitioned fact (write_partitioned) to a SELECTIVE
+    dim on the partition column must plant a dynamicpruning subquery in
+    the fact scan — at 100 TB that is the difference between scanning
+    every partition and only the dim-selected ones. Enforced on the
+    plan, not assumed from config."""
+    from salesforce_prefect_etl_pipeline_spark.operators.joins import (  # noqa: F401
+        salted_join,
+    )
+    from salesforce_prefect_etl_pipeline_spark.sources.io import write_partitioned
+
+    fact_path = str(tmp_path / "events_by_type")
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    write_partitioned(ev, fact_path, ["event_type"])
+
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("purchase", 3.0), ("view", 0.5)],
+        ["event_type", "weight"],
+    ).filter(F.col("weight") > 2.0)  # selective: only 'purchase'
+
+    fact = spark.read.parquet(fact_path)
+    joined = fact.join(dim, "event_type")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), f"no DPP in plan:\n{plan}"
+
+    n_purchase = ev.filter(F.col("event_type") == "purchase").count()
+    assert joined.count() == n_purchase
