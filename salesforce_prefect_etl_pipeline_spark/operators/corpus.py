@@ -252,13 +252,21 @@ PACK_SCHEMA = T.StructType(
 
 
 def pack_documents(
-    docs: DataFrame, capacity: int = 2048, n_groups: int = 64
+    docs: DataFrame,
+    capacity: int = 2048,
+    n_groups: int = 64,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Greedy sequence packing: assign docs to fixed-capacity context
     windows. Docs are hashed into ``n_groups`` independent groups
     (deterministic md5 bucket) and packed greedily WITHIN each group by
     (n_tokens desc, doc_id) order — first-fit-decreasing per group. A
     pack is identified by (pack_group, pack_seq).
+
+    ``extra_keys`` names string columns already on ``docs`` that join the
+    packing key — e.g. a ``split`` tag, so no context window ever mixes
+    train/val/test documents (cross-split leakage through shared packs).
+    Packs are then identified by (*extra_keys, pack_group, pack_seq).
 
     Packing is order-dependent (not SQL-expressible), so the oracle
     harness gets no twin; pytest verifies the invariants instead: every
@@ -271,7 +279,13 @@ def pack_documents(
         "doc_id",
         n_tokens.alias("n_tokens"),
         (split_bucket(F.col("doc_id"), n_groups)).alias("pack_group"),
+        *extra_keys,
     )
+    schema = T.StructType(
+        list(PACK_SCHEMA.fields)
+        + [T.StructField(k, T.StringType()) for k in extra_keys]
+    )
+    out_cols = ["doc_id", "n_tokens", "pack_group", "pack_seq", *extra_keys]
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -290,55 +304,64 @@ def pack_documents(
                 packs.append(max(capacity - t, 0))
                 placed = len(packs) - 1
             assign.append(placed)
-        out = pdf[["doc_id", "n_tokens", "pack_group"]].copy()
+        out = pdf[["doc_id", "n_tokens", "pack_group", *extra_keys]].copy()
         out["pack_seq"] = pd.Series(assign, dtype="int64")
-        return out[["doc_id", "n_tokens", "pack_group", "pack_seq"]]
+        return out[out_cols]
 
-    return grouped.groupBy("pack_group").applyInPandas(_pack, PACK_SCHEMA)
+    return grouped.groupBy("pack_group", *extra_keys).applyInPandas(_pack, schema)
 
 
 def pack_documents_sql(
-    capacity: int = 2048, n_groups: int = 64, source: str = "documents"
+    capacity: int = 2048,
+    n_groups: int = 64,
+    source: str = "documents",
+    extra_keys: tuple[str, ...] = (),
 ) -> str:
     """Exact SQL twin of ``pack_documents``: first-fit-decreasing replayed
     as a recursive CTE that threads each group's open-pack remaining
     capacities (a list column) doc by doc in (n_tokens DESC, doc_id)
-    order. Sequential by construction — this is the ORACLE for the
-    distributed ``applyInPandas`` packer at verification scale, not a
-    path anyone should run at corpus scale (the recursion is one step
-    per document)."""
+    order. ``extra_keys`` columns (carried from ``source``) join the
+    packing key exactly as in the engine. Sequential by construction —
+    this is the ORACLE for the distributed ``applyInPandas`` packer at
+    verification scale, not a path anyone should run at corpus scale
+    (the recursion is one step per document)."""
     b = split_bucket_sql("doc_id", n_groups)
     nt = "len(string_split_regex(trim(text), '\\s+'))"
+    xk = "".join(f", {k}" for k in extra_keys)
+    part = "pack_group" + xk
+    f_xk = "".join(f", f.{k}" for k in extra_keys)
+    r_xk = "".join(f", r.{k}" for k in extra_keys)
+    join_xk = "".join(f" AND r.{k} = f.{k}" for k in extra_keys)
     return f"""
 WITH RECURSIVE
 toks AS (
   SELECT doc_id, CAST({nt} AS BIGINT) AS n_tokens,
-         CAST({b} AS BIGINT) AS pack_group
+         CAST({b} AS BIGINT) AS pack_group{xk}
   FROM {source}
 ),
 ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY pack_group
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {part}
                                ORDER BY n_tokens DESC, doc_id ASC) AS idx
   FROM toks
 ),
-fit(pack_group, idx, packs, doc_id, n_tokens, pack_seq) AS (
-  SELECT pack_group, idx, [greatest({capacity} - n_tokens, 0)], doc_id,
+fit(pack_group{xk}, idx, packs, doc_id, n_tokens, pack_seq) AS (
+  SELECT pack_group{xk}, idx, [greatest({capacity} - n_tokens, 0)], doc_id,
          n_tokens, CAST(0 AS BIGINT)
   FROM ranked WHERE idx = 1
   UNION ALL
-  SELECT r.pack_group, r.idx,
+  SELECT r.pack_group{r_xk}, r.idx,
          CASE WHEN j IS NULL THEN f.packs || [greatest({capacity} - r.n_tokens, 0)]
               ELSE list_slice(f.packs, 1, j - 1) || [f.packs[j] - r.n_tokens]
                    || list_slice(f.packs, j + 1, len(f.packs)) END,
          r.doc_id, r.n_tokens,
          CAST(coalesce(j, len(f.packs) + 1) - 1 AS BIGINT)
   FROM fit f
-  JOIN ranked r ON r.pack_group = f.pack_group AND r.idx = f.idx + 1,
+  JOIN ranked r ON r.pack_group = f.pack_group{join_xk} AND r.idx = f.idx + 1,
   LATERAL (SELECT NULLIF(list_position(list_transform(f.packs,
              x -> CASE WHEN x >= r.n_tokens THEN 1 ELSE 0 END), 1), 0) AS j) l
 )
-SELECT doc_id, n_tokens, pack_group, pack_seq
-FROM fit ORDER BY pack_group, pack_seq, doc_id
+SELECT doc_id, n_tokens, pack_group, pack_seq{xk}
+FROM fit ORDER BY {part}, pack_seq, doc_id
 """
 
 
@@ -900,9 +923,14 @@ def e2e_curation(
     """The WHOLE curation pipeline as one composed query: token-count
     filter -> exact dedup (quality-aware survivor) -> MinHash-LSH
     near-dup clustering (keep the min-doc_id doc per component) ->
-    deterministic split assignment -> FFD sequence packing. Returns the
-    final training manifest (doc_id, n_tokens, split, pack_group,
-    pack_seq) — what a training run actually consumes.
+    deterministic split assignment -> FFD sequence packing WITHIN each
+    split. Returns the final training manifest (doc_id, n_tokens, split,
+    pack_group, pack_seq) — what a training run actually consumes.
+
+    Split is assigned BEFORE packing and joins the packing key
+    ((split, pack_group) identifies a pack), so no context window ever
+    mixes train/val/test documents — packing across splits would leak
+    held-out text into training windows through shared packs.
 
     Each stage is individually green elsewhere; this query proves the
     COMPOSITION: filters feed the dedup scan, near-dup survivors feed
@@ -930,15 +958,18 @@ def e2e_curation(
     comp = connected_components(pairs.select("da", "db"))
     dropped = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     survivors = exact.join(dropped, "doc_id", "left_anti")
-    packed = pack_documents(survivors, capacity=capacity, n_groups=n_groups)
     b = split_bucket(F.col("doc_id"))
     split = (
         F.when(b < train_pct, "train")
         .when(b < train_pct + val_pct, "val")
         .otherwise("test")
     )
+    tagged = survivors.withColumn("split", split)
+    packed = pack_documents(
+        tagged, capacity=capacity, n_groups=n_groups, extra_keys=("split",)
+    )
     return packed.select(
-        "doc_id", "n_tokens", split.alias("split"), "pack_group", "pack_seq"
+        "doc_id", "n_tokens", "split", "pack_group", "pack_seq"
     ).orderBy("doc_id")
 
 
@@ -957,7 +988,7 @@ def e2e_curation_sql(
     WITH RECURSIVE bodies): filter -> exact-dedup rank -> exact Jaccard
     pairs over the survivors (LSH recall ~1 at this threshold, the same
     equivalence dedup_minhash_lsh relies on) -> transitive-closure
-    components -> FFD packing -> split tag.
+    components -> split tag -> FFD packing per (split, pack_group).
 
     Every chained CTE is MATERIALIZED: DuckDB otherwise inlines them,
     re-deriving the windowed dedup inside each shingle unnest — 157 s
@@ -993,15 +1024,16 @@ comp AS MATERIALIZED (
   SELECT a AS doc_id, least(a, MIN(b)) AS component FROM reach GROUP BY a
 ),
 survivors AS MATERIALIZED (
-  SELECT e.doc_id, e.text FROM exact e
+  SELECT e.doc_id, e.text,
+         CASE WHEN {b} < {train_pct} THEN 'train'
+              WHEN {b} < {train_pct + val_pct} THEN 'val'
+              ELSE 'test' END AS split
+  FROM exact e
   WHERE e.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
 ),
-pk AS MATERIALIZED ({pack_documents_sql(capacity, n_groups, source="survivors")})
-SELECT doc_id, n_tokens,
-       CASE WHEN {b} < {train_pct} THEN 'train'
-            WHEN {b} < {train_pct + val_pct} THEN 'val'
-            ELSE 'test' END AS split,
-       pack_group, pack_seq
+pk AS MATERIALIZED ({pack_documents_sql(capacity, n_groups, source="survivors",
+                                        extra_keys=("split",))})
+SELECT doc_id, n_tokens, split, pack_group, pack_seq
 FROM pk
 ORDER BY doc_id
 """

@@ -335,6 +335,49 @@ def test_pack_documents_invariants(spark, docs):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_e2e_curation_packs_within_split(spark, docs):
+    """No pack may span train/val/test: a context window that mixes
+    splits leaks held-out text into training. Split must therefore be
+    part of the packing key, not a post-pack tag."""
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    out = corpus.e2e_curation(docs, capacity=512).collect()
+    assert out, "curation pipeline must keep some survivors"
+    assert {r.split for r in out} >= {"train", "test"}, "both sides populated"
+    # Pack identity is (split, pack_group, pack_seq): capacity must hold
+    # per split-local pack. The OLD (leaky) identity (pack_group,
+    # pack_seq) must NOT be a valid pack id — the same coordinates
+    # appear in more than one split, proving pack_seq restarts per
+    # split rather than numbering one shared cross-split pack stream.
+    per_pack: dict[tuple, list] = {}
+    coords_splits: dict[tuple, set] = {}
+    for r in out:
+        per_pack.setdefault((r.split, r.pack_group, r.pack_seq), []).append(r.n_tokens)
+        coords_splits.setdefault((r.pack_group, r.pack_seq), set()).add(r.split)
+    for members in per_pack.values():
+        if len(members) > 1:
+            assert sum(members) <= 512
+    assert any(len(s) > 1 for s in coords_splits.values())
+
+    # extra_keys must also flow through pack_documents standalone:
+    # pack identity becomes (split, pack_group, pack_seq), every doc
+    # packed exactly once, capacity still respected per pack.
+    tagged = docs.withColumn(
+        "split", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    )
+    packed = corpus.pack_documents(
+        tagged, capacity=512, n_groups=4, extra_keys=("split",)
+    ).collect()
+    assert len(packed) == docs.count()
+    assert len({r.doc_id for r in packed}) == len(packed)
+    sizes: dict[tuple, list] = {}
+    for r in packed:
+        sizes.setdefault((r.split, r.pack_group, r.pack_seq), []).append(r.n_tokens)
+    for members in sizes.values():
+        if len(members) > 1:
+            assert sum(members) <= 512
+
+
 def test_hash_split_stability_and_proportions(spark, docs):
     from salesforce_prefect_etl_pipeline_spark.operators import corpus
 
