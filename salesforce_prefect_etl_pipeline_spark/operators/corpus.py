@@ -617,6 +617,9 @@ def domain_mix(docs: DataFrame, train_pct: int = 90, val_pct: int = 5) -> DataFr
         .groupBy("source", "lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__t").alias("total_tokens"))
     )
+    # Global window over a BOUNDED frame: one row per (source, lang,
+    # split) — dozens of rows regardless of corpus size, so the
+    # single-partition WindowExec is safe at any SF.
     w = Window.partitionBy()
     return grouped.select(
         "source",

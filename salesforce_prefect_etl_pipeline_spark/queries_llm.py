@@ -632,6 +632,8 @@ def _emb_cluster_mix(spark, sf_dir: str):
         _SEED_CENT_CACHE[key] = cents
     assigned = similarity.ivf_assign(_emb(spark, sf_dir), cents)
     counts = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+    # Bounded global window: the frame is one row per IVF list
+    # (nlist=16), constant in corpus size.
     total = F.sum("n_vectors").over(Window.partitionBy())
     return counts.select(
         "list_id",

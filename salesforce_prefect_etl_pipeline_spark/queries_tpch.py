@@ -242,9 +242,12 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-0
 
 
 # ----------------------------------------------------------------------
-# Q15: top supplier — max-revenue subquery expressed as an empty-frame
-# window max (one extra exchange over the tiny aggregated frame, not
-# over the fact). Deterministic: revenue is an exact sum, ties kept.
+# Q15: top supplier — max-revenue subquery as a 1-row global aggregate
+# broadcast against the per-supplier frame (NOT a global window: an
+# empty-frame WindowExec funnels the whole supplier-cardinality frame
+# through one partition, ~1M rows at 100x SF). The two consumers of
+# `rev` share the aggregation exchange via ReusedExchange.
+# Deterministic: revenue is an exact sum, ties kept.
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
@@ -253,9 +256,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         exact_sum(F.expr(REVENUE)).alias("total_revenue")
     )
-    best = rev.withColumn("__max", F.max("total_revenue").over(Window.partitionBy()))
+    mx = rev.agg(F.max("total_revenue").alias("__max"))
     return (
-        best.filter(F.col("total_revenue") == F.col("__max"))
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__max"))
         .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -797,10 +801,14 @@ def q11_supply_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("v").alias("value_cents"))
     )
-    w = Window.partitionBy()
+    # Global total/count as a 1-row agg broadcast over the per-part
+    # frame — the frame is part-cardinality (sf-scaled), so a global
+    # window here would single-partition ~2M rows at 100x SF.
+    tot = val.agg(
+        F.sum("value_cents").alias("__tot"), F.count(F.lit(1)).alias("__n")
+    )
     return (
-        val.withColumn("__tot", F.sum("value_cents").over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(w))
+        val.crossJoin(F.broadcast(tot))
         .filter(F.col("value_cents") * F.col("__n") > F.col("__tot"))
         .select("l_partkey", "value_cents")
         .orderBy(F.desc("value_cents"), "l_partkey")
