@@ -141,9 +141,10 @@ def cosine_topk_np(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFra
     This is the Arrow-batched path for when per-row JVM expressions
     become the bottleneck (wide vectors, many queries): ~d*n*q fused
     multiply-adds in BLAS instead of interpreted array folds. BLAS
-    summation order differs from a sequential fold by ~1e-14, so this
-    variant ranks on its own quantized keys and is verified against
-    cosine_topk by neighbor-set equality in tests (not value-hash).
+    summation order differs from a sequential fold by ~1e-14; ranking on
+    floor(cos*1e6) BIGINT keys (identical to the JVM twin's qcos)
+    absorbs that, so the operator shares cosine_topk's value-hash oracle
+    and is additionally checked for neighbor-set equality in tests.
     """
     from collections.abc import Iterator
 

@@ -413,12 +413,15 @@ SELECT query_id, neighbor_id, rnk, qcos FROM (
 
 
 register_query("ann_ivf_probe_exact", _ivf_probe_exact_query, _ivf_probe_exact_sql())
-# Vectorized numpy brute-force (BLAS fold order differs in last-ulp from
-# the sequential oracle fold -> neighbor-set equality tested in pytest,
-# no value oracle).
+# Vectorized numpy brute-force. The kernel ranks on floor(cos*1e6)
+# BIGINT keys — the same qcos quantization as the JVM twin — which
+# absorbs the BLAS-vs-sequential fold's last-ulp difference, so the
+# oracle is the SAME SQL as ann_cosine_topk (identical semantics, two
+# engine paths). The neighbor-set pytest remains as the recall contract.
 register_query(
     "ann_cosine_topk_np",
     lambda spark, sf_dir: similarity.cosine_topk_np(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10),
+    similarity.cosine_topk_sql(ANN_QUERY_IDS, k=10),
 )
 
 # Multimodal plumbing (mapInPandas feature extraction over binary
