@@ -34,6 +34,7 @@ def pagerank_exact(
     src: str = "src",
     dst: str = "dst",
     weight: str = "weight",
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Weighted PageRank, ``iters`` fixed iterations, integer-exact.
 
@@ -49,6 +50,12 @@ def pagerank_exact(
     Returns (node, rank_scaled) for every node that has at least one
     edge. The caller supplies ``n_nodes`` (a one-row control-plane
     count, not data-plane state).
+
+    Lineage: each iteration chains a join+agg onto the plan, doubling
+    plan size per round; every ``checkpoint_every`` iterations the rank
+    frame is ``localCheckpoint``-ed (same lineage-truncation discipline
+    as ``connected_components``), so raising ``iters`` costs linear
+    plan work instead of exponential analysis time.
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
@@ -66,7 +73,7 @@ def pagerank_exact(
         f" DIV {DAMP_DEN * n_nodes}"
     )
     ranks = nodes.select("node", base.alias("rank_scaled"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .select(
@@ -96,6 +103,13 @@ def pagerank_exact(
                 ).alias("rank_scaled"),
             )
         )
+        # Truncate lineage periodically (and before the final sort):
+        # the chained join+agg plan otherwise doubles per iteration.
+        # Not on every round — a checkpoint materializes the frame, so
+        # batching them every `checkpoint_every` rounds keeps the
+        # default iters=5 at ONE materialization.
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.orderBy("node")
 
 

@@ -235,6 +235,36 @@ def test_pagerank_exact_survives_huge_weights(spark):
     assert out == oracle
 
 
+def test_pagerank_lineage_bounded_at_high_iters(spark):
+    """iters=20 must complete with a BOUNDED plan: periodic
+    localCheckpoint truncates the per-iteration join+agg chain (the
+    same discipline as connected_components), so the analyzed plan
+    covers at most `checkpoint_every` iterations, not all 20. Also a
+    correctness check: checkpointing must not change the numbers
+    (checkpoint_every=1000 disables it)."""
+    from salesforce_prefect_etl_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (2, 3, 5), (3, 1, 5), (4, 3, 2)],
+        "src int, dst int, weight long",
+    )
+    out = graph.pagerank_exact(edges, n_nodes=4, iters=20)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # each iteration contributes ~5 Join nodes to the analyzed plan;
+    # after the last checkpoint only <= checkpoint_every iterations'
+    # worth survives (~25), vs ~100 for the unchecked 20-iteration chain
+    n_joins = plan.count("Join")
+    unchecked_df = graph.pagerank_exact(
+        edges, n_nodes=4, iters=20, checkpoint_every=1000
+    )
+    unchecked_plan = unchecked_df._jdf.queryExecution().analyzed().toString()
+    assert n_joins <= 30, n_joins
+    assert unchecked_plan.count("Join") >= 3 * n_joins
+    ranks = {r.node: r.rank_scaled for r in out.collect()}
+    unchecked = {r.node: r.rank_scaled for r in unchecked_df.collect()}
+    assert ranks == unchecked
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """The 100x-scale skew claim, test-enforced instead of
     comment-enforced: under AQE with skew-join splitting, a sort-merge
