@@ -21,12 +21,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+def zorder_key(
+    x: Column, y: Column, bits: int = 16, check_bounds: bool = True
+) -> Column:
     """Morton interleave of the low ``bits`` bits of two non-negative
     integer dimensions: bit i of x lands at position 2i, bit i of y at
     2i+1. 2 x 16 bits fits comfortably in a long. Callers bucket
     continuous dimensions first (e.g. ``F.floor(value)`` or an epoch
-    hour) — the curve needs bounded integer coordinates."""
+    hour) — the curve needs bounded integer coordinates.
+
+    A coordinate outside [0, 2^bits) would have its high bits silently
+    discarded, aliasing distant rows onto the same curve position —
+    min/max pruning on that dimension then quietly stops working while
+    every value-hash still matches. With ``check_bounds`` (the default)
+    an out-of-range coordinate raises instead: a per-row comparison
+    against two literals, negligible next to the interleave itself.
+    Disable only for inputs bounded by construction."""
     xs = x.cast("long")
     ys = y.cast("long")
     key = F.lit(0).cast("long")
@@ -37,6 +47,24 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
         key = key + F.shiftright(ys, i).bitwiseAND(F.lit(1)) * F.lit(
             1 << (2 * i + 1)
         )
+    if check_bounds:
+        bound = F.lit(1 << bits).cast("long")
+        oob = (xs < 0) | (xs >= bound) | (ys < 0) | (ys >= bound)
+        key = F.when(
+            oob,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"zorder_key: coordinate out of [0, {1 << bits})"
+                        f" for bits={bits}: x="
+                    ),
+                    xs.cast("string"),
+                    F.lit(" y="),
+                    ys.cast("string"),
+                    F.lit(" — widen bits or range-bucket the dimension"),
+                )
+            ).cast("long"),
+        ).otherwise(key)
     return key
 
 
