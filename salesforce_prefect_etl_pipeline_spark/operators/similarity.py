@@ -232,10 +232,22 @@ def train_ivf_centroids(
     O(sample * nlist * dim) on the driver, one-time.
 
     ``iters=0`` returns the md5-seeded init itself — the oracle-checkable
-    coarse quantizer the cluster-mix report runs on.
+    coarse quantizer the cluster-mix report runs on. That replay assumes
+    seeds come from ALL vectors (the SQL twin has no xxhash64 to
+    reproduce the sampling predicate), so iters=0 REFUSES to sample:
+    if n > max_sample it raises rather than silently diverging from
+    every oracle that replays the seed quantizer.
     """
     n = emb.count()
     mod = max(1, n // max_sample)
+    if iters == 0 and mod > 1:
+        raise ValueError(
+            f"train_ivf_centroids(iters=0) is the SQL-replayable seed "
+            f"quantizer and must seed from the full vector set, but "
+            f"n={n} > max_sample={max_sample} would trigger xxhash64 "
+            f"sampling the oracle cannot reproduce; raise max_sample or "
+            f"use iters>0 (the Lloyd's scale path)"
+        )
     sample = emb
     if mod > 1:
         sample = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)

@@ -467,6 +467,17 @@ def test_cluster_balanced_sample_contract(spark, emb):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_seed_quantizer_refuses_to_sample(spark, emb):
+    """iters=0 is the SQL-replayable seed quantizer: its oracle seeds
+    from ALL vectors, so triggering the xxhash64 sampling predicate
+    (n > max_sample) must raise instead of silently diverging from
+    every replay. The Lloyd's path (iters>0) may still sample."""
+    with pytest.raises(ValueError, match="max_sample"):
+        similarity.train_ivf_centroids(emb, nlist=8, iters=0, max_sample=10)
+    cents = similarity.train_ivf_centroids(emb, nlist=8, iters=2, max_sample=10)
+    assert cents.shape[0] == 8
+
+
 def test_chunk_fingerprints_cdc_contract(spark):
     """The content-defined property: inserting text near the front must
     leave the chunks after the edit region identical (same md5 multiset
