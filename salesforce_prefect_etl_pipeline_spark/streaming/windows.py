@@ -261,23 +261,51 @@ def stream_stream_attribution(
     )
 
 
-def run_stream_to_batch(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+#: Shuffle-partition pin for STATEFUL streaming queries. AQE is disabled
+#: inside stateful streaming (Spark pins the plan so state-store
+#: partitioning stays stable across batches), so the session's pre-AQE
+#: upper bound — sized for batch scans — becomes the literal state-store
+#: count, and every micro-batch pays a fixed per-store instantiation
+#: cost. Measured at sf0.1 local[32]: click attribution 5-8 s at 32
+#: stores vs 2.5 s at 8; hourly tumbling 1.5-2.2 s vs ~1.1 s. On a real
+#: cluster size this to state volume (~2-3x cores), not to this local
+#: floor.
+STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+
+
+def run_stream_to_batch(
+    result: DataFrame,
+    name: str,
+    mode: str = "complete",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming plan with Trigger.AvailableNow into a memory
     sink and return the materialized result (the reference's
     run-the-whole-batch-now cadence, X-ref serve_15min.py). Aggregating
     plans use ``complete`` mode; stream-stream joins emit with
-    ``append`` (rows finalize when the watermark passes them)."""
+    ``append`` (rows finalize when the watermark passes them).
+
+    ``spark.sql.shuffle.partitions`` is pinned (default
+    ``STREAM_SHUFFLE_PARTITIONS``) for the duration of the stream and
+    restored after: state partitioning is fixed at first start from this
+    value and AQE cannot coalesce it later."""
     spark = result.sparkSession
-    with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    pinned = shuffle_partitions or STREAM_SHUFFLE_PARTITIONS
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(pinned))
+    try:
+        with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -320,6 +348,10 @@ def stream_upsert_snapshot(
         else None
     )
     ckpt = checkpoint_dir if checkpoint_dir is not None else ctx.name
+    # Same stateful-streaming pin as run_stream_to_batch; the state
+    # partition count is fixed at first start and AQE cannot change it.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
         q = (
             result.writeStream.foreachBatch(_merge)
@@ -330,6 +362,7 @@ def stream_upsert_snapshot(
         )
         q.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         if ctx is not None:
             ctx.cleanup()
     return snapshot_path
