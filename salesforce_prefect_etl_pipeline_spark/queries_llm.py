@@ -229,9 +229,14 @@ register_query(
 _MINHASH_PAIRS_CACHE: dict = {}
 
 
-def _minhash_pairs_cached(spark, sf_dir: str, k: int = 8, threshold: float = 0.8):
+def _minhash_pairs_cached(
+    spark, sf_dir: str, k: int = 8, threshold: float = 0.8, refresh: bool = False
+):
+    """``refresh=True`` recomputes and replaces the cached frame — the
+    bench uses it so min-of-2 timing measures the BUILD twice instead of
+    timing a checkpoint re-read on the second pass."""
     key = (spark.sparkContext.applicationId, sf_dir, k, threshold)
-    df = _MINHASH_PAIRS_CACHE.get(key)
+    df = None if refresh else _MINHASH_PAIRS_CACHE.get(key)
     if df is None:
         df = dedup.minhash_near_dup_pairs(
             _docs(spark, sf_dir), k=k, threshold=threshold
