@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
     char_shingle_hashes,
     connected_components,
-    jaccard_pairs_sql,
+    minhash_lsh_pairs_sql,
     minhash_near_dup_pairs,
 )
 from salesforce_prefect_etl_pipeline_spark.operators.text import (
@@ -988,9 +988,10 @@ def e2e_curation_sql(
 ) -> str:
     """DuckDB replay of :func:`e2e_curation` — the per-stage oracles
     chained as CTEs (the two iterative stages nest their own
-    WITH RECURSIVE bodies): filter -> exact-dedup rank -> exact Jaccard
-    pairs over the survivors (LSH recall ~1 at this threshold, the same
-    equivalence dedup_minhash_lsh relies on) -> transitive-closure
+    WITH RECURSIVE bodies): filter -> exact-dedup rank -> the REPLAYED
+    MinHash-LSH pipeline over the survivors (hash60 signatures, band
+    keys and verification — not the exact-Jaccard equivalence, so LSH
+    recall is checked rather than assumed) -> transitive-closure
     components -> split tag -> FFD packing per (split, pack_group).
 
     Every chained CTE is MATERIALIZED: DuckDB otherwise inlines them,
@@ -1016,7 +1017,7 @@ exact AS MATERIALIZED (
     FROM fp
   ) WHERE rnk = 1
 ),
-jp AS MATERIALIZED ({jaccard_pairs_sql(k, threshold, source="exact")}),
+jp AS MATERIALIZED ({minhash_lsh_pairs_sql(k=k, threshold=threshold, source="exact")}),
 edges AS MATERIALIZED (SELECT da AS a, db AS b FROM jp UNION SELECT db AS a, da AS b FROM jp),
 comp AS MATERIALIZED (
   WITH RECURSIVE reach(a, b) AS (

@@ -162,17 +162,37 @@ def char_shingles(docs: DataFrame, k: int = 8) -> DataFrame:
     return base.select("doc_id", F.explode(grams).alias("s"))
 
 
+def hash60(c: Column) -> Column:
+    """60-bit integer hash of a string: first 15 hex chars of md5. The
+    same replayability choice SimHash made (see SIMHASH_BITS below):
+    md5 exists with identical output in DuckDB, so every pipeline built
+    on this hash — minhash signatures, banding, hashed-set Jaccard —
+    value-hashes against a full SQL replay. Collision odds rise from
+    2^-64 to 2^-60; at a 500-shingle union that is still ~1e-13.
+    Measured vs xxhash64 at sf0.1 local[32]: within noise (~0.5 s warm
+    either way — shingle substr/regex work dominates, not the hash)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    """DuckDB twin of :func:`hash60`."""
+    return (
+        f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 15)) AS UBIGINT)"
+        " AS BIGINT)"
+    )
+
+
 def char_shingle_hashes(docs: DataFrame, k: int = 8) -> DataFrame:
     """Exploded *hashed* shingles: (doc_id, h: bigint) with
-    h = xxhash64(shingle).
+    h = hash60(shingle) (md5-60bit — SQL-replayable, see hash60).
 
     The minhash/verification path never needs the shingle text — only
     set membership — so all string work (regex normalize, substr,
     hashing) happens map-side before the explode, and everything
     downstream (group-by shuffle, collect_set, array_intersect) carries
     8-byte longs instead of ~32-byte strings. Two docs' hashed-set
-    Jaccard equals their string-set Jaccard unless xxhash64 collides
-    within the pair's union (~|union|^2 / 2^64 ≈ 1e-14 at union=500).
+    Jaccard equals their string-set Jaccard unless hash60 collides
+    within the pair's union (~|union|^2 / 2^60 ≈ 1e-13 at union=500).
 
     The repartition hashes BY doc_id: explode preserves row locality, so
     the downstream signature groupBy("doc_id") reuses this partitioning
@@ -187,7 +207,7 @@ def char_shingle_hashes(docs: DataFrame, k: int = 8) -> DataFrame:
     grams = F.array_distinct(
         F.transform(
             _shingle_positions(norm, k),
-            lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+            lambda i: hash60(norm.substr(i, F.lit(k))),
         )
     )
     return base.select("doc_id", F.explode(grams).alias("h"))
@@ -255,7 +275,7 @@ ORDER BY da, db
 def minhash_signatures(docs: DataFrame, k: int = 8, num_hashes: int = 64) -> DataFrame:
     """(doc_id, sig: array<bigint>) — min over the shingle set of
     pmod(a_i * h(s) + b_i, 2^31-1) per permutation i, with
-    h(s) = xxhash64 reduced mod 2^31-1.
+    h(s) = hash60 (md5-60bit) reduced mod 2^31-1.
 
     Explode + one group-by with 64 min-aggregates: the aggregation is
     whole-stage-codegen'd (array higher-order functions are interpreted,
@@ -280,10 +300,21 @@ def minhash_signatures(docs: DataFrame, k: int = 8, num_hashes: int = 64) -> Dat
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
     """Distinct candidate pairs (da < db) from band-bucket collisions.
     The band key is a hash of (band index, the band's signature slice);
-    the join shuffles on that key only."""
+    the join shuffles on that key only. hash60 over the comma-joined
+    decimal rendering keeps the banding SQL-replayable (band-key work is
+    doc-cardinality × bands — negligible next to shingle hashing)."""
     band_keys = F.array(
         *[
-            F.xxhash64(F.lit(j), *[F.col("sig")[j * rows + r] for r in range(rows)])
+            hash60(
+                F.concat_ws(
+                    ",",
+                    F.lit(str(j)),
+                    *[
+                        F.col("sig")[j * rows + r].cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
             for j in range(bands)
         ]
     )
@@ -332,9 +363,12 @@ def minhash_near_dup_pairs(
     """LSH candidates verified by exact Jaccard (the standard two-stage
     near-dup pipeline). Output (da, db, jaccard) with J >= threshold.
 
-    Equivalent to jaccard_pairs when LSH recall ~ 1 (16x4 banding at the
-    0.8 threshold: P(miss) < 2e-4 even for a pair at exactly J=0.8, and
-    ~0 for real near-dups) — verified against the exact oracle in tests.
+    Every stage is md5-based (hash60 shingles, hash60 band keys,
+    integer permutations), so the WHOLE pipeline — candidates included
+    — value-hashes against :func:`minhash_lsh_pairs_sql`, not merely
+    against the exact-Jaccard equivalence. That equivalence still holds
+    (16x4 banding at the 0.8 threshold: P(miss) < 2e-4 even for a pair
+    at exactly J=0.8) and is verified against jaccard_pairs in tests.
     """
     # The profile feeds THREE plan branches (banding, both verification
     # sides); Spark shares the signature group-by's shuffle output across
@@ -361,14 +395,82 @@ def minhash_near_dup_pairs(
     )
 
 
+def minhash_lsh_pairs_sql(
+    k: int = 8,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    source: str = "documents",
+) -> str:
+    """Full SQL replay of :func:`minhash_near_dup_pairs` — the ACTUAL
+    LSH pipeline, not the exact-Jaccard equivalence: hash60 shingles ->
+    the 64 integer permutations (MINHASH_A/B literals, generated from
+    the same module constants the engine uses) -> hash60 band keys ->
+    band-collision candidates -> hashed-set Jaccard verification
+    restricted to candidates. A banding recall miss would therefore
+    show up as a hash mismatch instead of being silently absorbed.
+
+    Verification scale only: the 64 min-aggregates and the 16-way band
+    union are one pass each over the shingle/sig CTEs (MATERIALIZED so
+    DuckDB doesn't re-derive the unnest per consumer)."""
+    hm = f"(h % {MERSENNE_31})"
+    mins = ",\n         ".join(
+        f"MIN(({MINHASH_A[i]} * {hm} + {MINHASH_B[i]}) % {MERSENNE_31}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, "
+        + hash60_sql(
+            "concat_ws(',', '"
+            + str(j)
+            + "', "
+            + ", ".join(f"h{j * rows + r}" for r in range(rows))
+            + ")"
+        )
+        + " AS key FROM sig"
+        for j in range(bands)
+    )
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, {hash60_sql('s')} AS h FROM ({_shingles_sql(k, source)})
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bandkeys AS MATERIALIZED (
+  {band_selects}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bandkeys a JOIN bandkeys b ON a.key = b.key AND a.doc_id < b.doc_id
+),
+size AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT c.da, c.db, COUNT(*) AS common
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.da
+  JOIN sh y ON y.doc_id = c.db AND y.h = x.h
+  GROUP BY 1, 2
+)
+SELECT da, db,
+       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+FROM common JOIN size sa ON sa.doc_id = da JOIN size sb ON sb.doc_id = db
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {threshold}
+ORDER BY da, db
+"""
+
+
 # ----------------------------------------------------------------------
 # SimHash
 #: SimHash width: 60 bits = 15 md5 hex chars. md5 (not xxhash64) is the
 #: token hash ON PURPOSE: it exists with identical output in DuckDB, so
 #: the entire signature -> banded pairs pipeline is SQL-replayable and
-#: oracle-checked (xxhash64 has no DuckDB twin, which kept this operator
-#: rows-only). 60 bits also stays clear of the long sign bit, so the
-#:  packed signature needs no two's-complement special case.
+#: oracle-checked. 60 bits also stays clear of the long sign bit, so the
+#: packed signature needs no two's-complement special case. MinHash-LSH
+#: (hash60 above) now follows the same discipline.
 SIMHASH_BITS = 60
 
 

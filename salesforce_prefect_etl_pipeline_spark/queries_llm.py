@@ -245,26 +245,29 @@ def _minhash_pairs_cached(
     return df
 
 
-# LSH-accelerated variant: same contract as the exact query (recall of the
-# 16x4 banding at this threshold is ~1; tests/test_dedup.py measures it),
-# so it shares the exact-Jaccard oracle.
+# LSH-accelerated variant. The oracle REPLAYS the actual pipeline
+# (hash60 shingles -> integer permutations -> hash60 band keys ->
+# candidates -> hashed-set Jaccard), so a banding recall miss would
+# hash-mismatch instead of being absorbed by the exact-Jaccard
+# equivalence (which tests still verify separately).
 register_query(
     "dedup_minhash_lsh",
     lambda spark, sf_dir: _minhash_pairs_cached(spark, sf_dir).orderBy("da", "db"),
-    dedup.jaccard_pairs_sql(k=8, threshold=0.8),
+    dedup.minhash_lsh_pairs_sql(k=8, threshold=0.8),
 )
 # Iterative connected-components clustering of LSH pairs. The engine path
 # is O(log diameter) pointer jumping; the oracle replays it as a
-# recursive-CTE transitive closure over the exact-Jaccard pairs (valid at
-# verification scale; LSH recall at this threshold is ~1, measured).
+# recursive-CTE transitive closure over the replayed LSH pairs.
 register_query(
     "dedup_near_dup_clusters",
     lambda spark, sf_dir: dedup.connected_components(
         _minhash_pairs_cached(spark, sf_dir).select("da", "db")
     ),
-    dedup.connected_components_sql(dedup.jaccard_pairs_sql(k=8, threshold=0.8)),
+    dedup.connected_components_sql(
+        dedup.minhash_lsh_pairs_sql(k=8, threshold=0.8)
+    ),
 )
-# SimHash depends on xxhash64, which DuckDB cannot reproduce -> rows-only.
+# SimHash: md5-based signature pipeline, fully SQL-replayed.
 register_query(
     "dedup_simhash_pairs",
     lambda spark, sf_dir: dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3),
