@@ -594,6 +594,58 @@ SELECT doc_id, {strata_col}, rnk FROM (
 
 
 # ----------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis–Spirakis)
+def weighted_sample(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Weighted sample WITHOUT replacement, k docs, inclusion odds
+    proportional to token count — the Efraimidis–Spirakis exponential-
+    sort trick (key = ln(u)/w with u uniform, take the k largest),
+    determinized: u = (hash60(doc_id)+1) / 2^60, the same md5-derived
+    uniform both engines reproduce bit-for-bit, so the draw is stable
+    across runs AND partitionings. The key is quantized to a BIGINT
+    (floor(1e9 * ln(u)/w)) so last-ulp ln() differences between libm
+    implementations cannot flip the ranking (same discipline as qcos).
+
+    This is how you draw a token-budget-proportional subcorpus (longer
+    docs proportionally likelier) for eval sets or pilot runs. Shape:
+    pure scan + TakeOrderedAndProject — no shuffle, no RNG state; at
+    100 TB each task emits its local top-k and the driver merges."""
+    from salesforce_prefect_etl_pipeline_spark.operators.dedup import hash60
+
+    w = F.size(tokens("text")).cast("double")
+    u = (hash60(F.col("doc_id").cast("string")) + F.lit(1)).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    qkey = F.floor(F.log(u) / w * F.lit(1e9)).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+            qkey.alias("qkey"),
+        )
+        .orderBy(F.desc("qkey"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(k: int = 100) -> str:
+    from salesforce_prefect_etl_pipeline_spark.operators.dedup import hash60_sql
+
+    nt = r"len(string_split_regex(trim(text), '\s+'))"
+    u = (
+        f"(CAST({hash60_sql('CAST(doc_id AS VARCHAR)')} + 1 AS DOUBLE)"
+        f" / {float(1 << 60)!r})"
+    )
+    return f"""
+SELECT doc_id,
+       CAST({nt} AS BIGINT) AS n_tokens,
+       CAST(FLOOR(ln({u}) / CAST({nt} AS DOUBLE) * 1e9) AS BIGINT) AS qkey
+FROM documents
+ORDER BY qkey DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+# ----------------------------------------------------------------------
 # Data-mixture report
 def domain_mix(docs: DataFrame, train_pct: int = 90, val_pct: int = 5) -> DataFrame:
     """The data-mixture report: per (source, lang, split), doc count,

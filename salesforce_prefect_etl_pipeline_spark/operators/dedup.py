@@ -270,6 +270,74 @@ ORDER BY da, db
 """
 
 
+def containment_pairs(
+    docs: DataFrame, k: int = 8, threshold: float = 0.8
+) -> DataFrame:
+    """DIRECTIONAL near-dup pairs by shingle-set containment
+    C(a ⊆ b) = |A∩B| / |A| — catches what symmetric Jaccard misses: a
+    short document wholly quoted inside a long one has J ≈ |A|/|B| (can
+    be ~0) but C(a ⊆ b) = 1. The standard subset/quote/excerpt detector
+    a curation pipeline runs AFTER symmetric dedup. Emits (da, db,
+    c_a_in_b, c_b_in_a) where da < db and max(c) >= threshold.
+
+    Like ``jaccard_pairs`` this is the EXACT verification kernel
+    (shingle-bucket self-join, quadratic per bucket): containment-heavy
+    pairs need not be Jaccard-similar, so MinHash banding — which
+    recalls high-J pairs — is NOT a valid candidate filter here. The
+    documented scale path is banding on the SHORTER side's full
+    signature against the longer side's shingle inventory (one-sided
+    LSH); at verification scale the exact kernel is the oracle."""
+    sh = char_shingle_hashes(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    c_ab = F.col("common").cast("double") / F.col("na")
+    c_ba = F.col("common").cast("double") / F.col("nb")
+    return (
+        common.join(sa, "da")
+        .join(sb, "db")
+        .select("da", "db", c_ab.alias("c_a_in_b"), c_ba.alias("c_b_in_a"))
+        .filter(F.greatest("c_a_in_b", "c_b_in_a") >= threshold)
+        .orderBy("da", "db")
+    )
+
+
+def containment_pairs_sql(
+    k: int = 8, threshold: float = 0.8, source: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`containment_pairs` over the same hash60
+    shingle sets (hashed-set containment == string-set containment
+    absent a ~2^-60 collision, and both engines hash identically)."""
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, {hash60_sql('s')} AS h FROM ({_shingles_sql(k, source)})
+),
+pair AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+size AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+SELECT da, db,
+       CAST(common AS DOUBLE) / sa.n AS c_a_in_b,
+       CAST(common AS DOUBLE) / sb.n AS c_b_in_a
+FROM pair JOIN size sa ON sa.doc_id = da JOIN size sb ON sb.doc_id = db
+WHERE greatest(CAST(common AS DOUBLE) / sa.n,
+               CAST(common AS DOUBLE) / sb.n) >= {threshold}
+ORDER BY da, db
+"""
+
+
 # ----------------------------------------------------------------------
 # MinHash + LSH
 def minhash_signatures(docs: DataFrame, k: int = 8, num_hashes: int = 64) -> DataFrame:

@@ -792,3 +792,161 @@ SELECT query_id, neighbor_id, rnk, qcos FROM (
   FROM scored
 ) WHERE rnk <= {k} ORDER BY query_id, rnk
 """
+
+
+# ----------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale path for vector storage
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    codes: int = 16,
+    iters: int = 0,
+    max_sample: int = 100_000,
+) -> np.ndarray:
+    """Per-subspace PQ codebooks, shape (m, codes, dim/m). A PQ code
+    compresses a vector to ``m`` small integers (here 4 x 4 bits vs
+    64 float32 = 512x smaller) — how a 100 TB vector corpus fits an
+    in-memory ANN index, with distances computed against codebook
+    entries instead of raw vectors (Jégou et al., TPAMI 2011).
+
+    Same determinism contract as ``train_ivf_centroids``: iters=0 is
+    the SQL-replayable seed codebook — the sub-vectors of the ``codes``
+    md5-smallest vec_ids, one shared seed set sliced per subspace — and
+    REFUSES to sample (the replay has no sampling twin). iters>0 runs
+    standard (L2) k-means per subspace on the deterministic sample —
+    the quality path, pytest-checked for reconstruction-error
+    improvement rather than value-hashed."""
+    n = emb.count()
+    mod = max(1, n // max_sample)
+    if iters == 0 and mod > 1:
+        raise ValueError(
+            f"train_pq_codebooks(iters=0) is the SQL-replayable seed "
+            f"codebook and must seed from the full vector set, but "
+            f"n={n} > max_sample={max_sample}; raise max_sample or use "
+            f"iters>0"
+        )
+    sample = emb
+    if mod > 1:
+        sample = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+    rows = sample.select("vec_id", "embedding").orderBy("vec_id").collect()
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    md5_order = sorted(
+        range(len(rows)),
+        key=lambda i: (
+            hashlib.md5(str(rows[i].vec_id).encode()).hexdigest(),
+            rows[i].vec_id,
+        ),
+    )
+    seeds = x[md5_order[:codes]]  # (codes, dim)
+    books = np.stack(
+        [seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )  # (m, codes, dsub)
+    for _ in range(iters):
+        new = np.empty_like(books)
+        for s in range(m):
+            sub = x[:, s * dsub : (s + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(axis=1)
+            for c in range(codes):
+                members = sub[assign == c]
+                if len(members) == 0:
+                    # reseed deterministically to the worst-served point
+                    new[s, c] = sub[d2.min(axis=1).argmax()]
+                else:
+                    new[s, c] = members.mean(axis=0)
+        books = new
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """(vec_id, code_0..code_{m-1}, qerr): each vector's per-subspace
+    nearest-codebook-entry assignment by QUANTIZED squared L2 distance
+    (floor(d2 * 1e6) bigint; argmin ties to the lowest code — numpy
+    argmin is first-minimum), plus the total quantized reconstruction
+    error. Quantizing before the argmin makes the code assignment
+    bit-identical across engines, exactly like ``ivf_assign``.
+
+    One Arrow-batched map over the corpus, no shuffle: (batch x codes)
+    distance matrices per subspace via one broadcasted numpy subtract.
+    At scale the codes column REPLACES the float vectors in the serving
+    index; qerr is the monitoring signal for codebook staleness."""
+    from collections.abc import Iterator
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, codes, dsub = books.shape
+    out_schema = T.StructType(
+        [T.StructField("vec_id", T.LongType())]
+        + [T.StructField(f"code_{s}", T.IntegerType()) for s in range(m)]
+        + [T.StructField("qerr", T.LongType())]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            out = pdf[["vec_id"]].copy()
+            qerr = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(m):
+                sub = x[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                qd = np.floor(d2 * 1e6).astype(np.int64)
+                pick = qd.argmin(axis=1)
+                out[f"code_{s}"] = pick.astype(np.int32)
+                qerr += qd[np.arange(len(pdf)), pick]
+            out["qerr"] = qerr
+            yield out
+
+    return emb.select("vec_id", "embedding").mapInPandas(_encode, out_schema)
+
+
+def pq_encode_sql(m: int = 4, codes: int = 16, dim: int = 64) -> str:
+    """DuckDB replay of the iters=0 seed codebook + :func:`pq_encode`:
+    seeds from md5 order, per-subspace quantized-L2 argmin (ROW_NUMBER
+    over qd, code), summed qerr. Verification scale — the cross join is
+    corpus x codes."""
+    dsub = dim // m
+    qd = (
+        "CAST(FLOOR(list_sum(list_transform(range(1, {n}), "
+        "i -> (CAST(e.embedding[{off} + i] AS DOUBLE) - cb.c[{off} + i]) ^ 2"
+        ")) * 1e6) AS BIGINT)"
+    )
+    sub_assigns = ",\n".join(
+        f"""a{s} AS (
+  SELECT vec_id, code AS code_{s}, qd AS qd_{s} FROM (
+    SELECT e.vec_id, cb.code,
+           {qd.format(n=dsub + 1, off=s * dsub)} AS qd,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {qd.format(n=dsub + 1, off=s * dsub)} ASC, cb.code ASC
+           ) AS r
+    FROM embeddings e CROSS JOIN cb
+  ) WHERE r = 1
+)"""
+        for s in range(m)
+    )
+    joins = " ".join(f"JOIN a{s} USING (vec_id)" for s in range(1, m))
+    code_cols = ", ".join(f"code_{s}" for s in range(m))
+    err_sum = " + ".join(f"qd_{s}" for s in range(m))
+    return f"""
+WITH seeds AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {codes}
+),
+cb AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code,
+         c
+  FROM seeds
+),
+{sub_assigns}
+SELECT vec_id, {code_cols}, CAST({err_sum} AS BIGINT) AS qerr
+FROM a0 {joins}
+ORDER BY vec_id
+"""

@@ -799,3 +799,63 @@ FROM cand_rows JOIN cms USING (row, bucket)
 GROUP BY term, freq
 ORDER BY freq DESC, term ASC
 """
+
+
+# ----------------------------------------------------------------------
+# Cross-document boilerplate n-grams
+def common_ngrams(
+    docs: DataFrame, n: int = 5, min_docs: int = 2, k: int = 50
+) -> DataFrame:
+    """Word ``n``-grams shared by at least ``min_docs`` DISTINCT
+    documents, top-``k`` by document frequency — the cross-document
+    boilerplate detector (the C4/Dolma-style pass that finds repeated
+    navigation text, license banners, templated paragraphs; what
+    paragraph-dedup does for corpora whose documents have no line
+    structure). Counts document frequency, not occurrences: a phrase
+    repeated 100x inside ONE page is repetition (text_repetition_stats'
+    job), not boilerplate.
+
+    Shape: the per-document ``array_distinct`` makes a plain COUNT(*)
+    after the explode a distinct-document count — no count_distinct
+    shuffle state. One explode + one count shuffle keyed by the gram;
+    top-k plans as TakeOrderedAndProject. At 100 TB hash the gram to a
+    64-bit key for the shuffle and keep one example string per hash."""
+    staged = docs.select("doc_id", tokens(normalized("text")).alias("__toks"))
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        staged.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "gram")
+        .limit(k)
+    )
+
+
+def common_ngrams_sql(n: int = 5, min_docs: int = 2, k: int = 50) -> str:
+    cols = ", ".join(f"toks[i + {j}]" for j in range(n))
+    return rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex({NORMALIZED_SQL}, '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - {n} + 2),
+                               i -> concat_ws(' ', {cols}))) AS gram
+  FROM t WHERE len(toks) >= {n}
+)
+SELECT gram, COUNT(*) AS n_docs
+FROM g GROUP BY gram HAVING COUNT(*) >= {min_docs}
+ORDER BY n_docs DESC, gram LIMIT {k}
+"""

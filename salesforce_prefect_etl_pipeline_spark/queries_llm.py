@@ -432,6 +432,30 @@ register_query(
     similarity.cosine_topk_sql(ANN_QUERY_IDS, k=10),
 )
 
+#: (app, sf_dir) -> seed PQ codebooks; tiny (m x codes x dsub doubles),
+#: the same control-plane memo discipline as _SEED_CENT_CACHE.
+_PQ_BOOK_CACHE: dict = {}
+
+
+def _pq_codes_query(spark, sf_dir):
+    """Product-quantization encoding of the whole corpus against the
+    md5-seeded (iters=0, SQL-replayable) codebooks: each vector becomes
+    m=4 4-bit codes + a quantized reconstruction error — the 512x
+    compression that lets a 100 TB vector corpus serve from memory.
+    Lloyd's-refined codebooks (iters>0) are the quality path, covered
+    by the reconstruction-error pytest rather than the value oracle."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    books = _PQ_BOOK_CACHE.get(key)
+    if books is None:
+        books = similarity.train_pq_codebooks(_emb(spark, sf_dir), m=4, codes=16, iters=0)
+        _PQ_BOOK_CACHE[key] = books
+    return similarity.pq_encode(_emb(spark, sf_dir), books).orderBy("vec_id")
+
+
+register_query(
+    "emb_pq_codes", _pq_codes_query, similarity.pq_encode_sql(m=4, codes=16, dim=64)
+)
+
 # Multimodal plumbing (mapInPandas feature extraction over binary
 # payloads; decode stubbed, byte-level features real — see
 # operators/multimodal.py).
@@ -606,6 +630,30 @@ register_query(
     "text_cms_top_tokens",
     lambda spark, sf_dir: text.cms_top_token_estimates(_docs(spark, sf_dir)),
     text.cms_top_token_estimates_sql(),
+)
+# Cross-document boilerplate n-grams: word 5-grams by DISTINCT-document
+# frequency (per-doc array_distinct makes COUNT(*) a doc-frequency).
+register_query(
+    "text_common_ngrams",
+    lambda spark, sf_dir: text.common_ngrams(_docs(spark, sf_dir)),
+    text.common_ngrams_sql(),
+)
+# Directional containment near-dups: |A∩B|/|A| catches a short doc
+# quoted inside a long one (J ~ 0, C = 1) — exact verification kernel
+# over hash60 shingle sets, same class as dedup_jaccard_pairs.
+register_query(
+    "dedup_containment_pairs",
+    lambda spark, sf_dir: dedup.containment_pairs(
+        _docs(spark, sf_dir), k=8, threshold=0.5
+    ),
+    dedup.containment_pairs_sql(k=8, threshold=0.5),
+)
+# Efraimidis–Spirakis weighted sample (token-count weights) with
+# md5-derived uniforms and quantized keys — deterministic, shuffle-free.
+register_query(
+    "corpus_weighted_sample",
+    lambda spark, sf_dir: corpus.weighted_sample(_docs(spark, sf_dir)),
+    corpus.weighted_sample_sql(),
 )
 # Deterministic global shuffle + shard assignment before writing shards.
 register_query(

@@ -467,6 +467,90 @@ def test_cluster_balanced_sample_contract(spark, emb):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_containment_catches_subset_docs_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: J ~ |A|/|B| is small
+    but containment C(a in b) = 1 — the directional detector must flag
+    it at a threshold where symmetric Jaccard stays silent."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = short + " " + " ".join(f"filler{i:03d} pad{i:03d}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated content here xyz")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.da, r.db): (r.c_a_in_b, r.c_b_in_a)
+        for r in dedup.containment_pairs(docs, k=8, threshold=0.9).collect()
+    }
+    assert (1, 2) in pairs
+    c_ab, c_ba = pairs[(1, 2)]
+    assert c_ab == 1.0 and c_ba < 0.3
+    j = {(r.da, r.db) for r in dedup.jaccard_pairs(docs, k=8, threshold=0.9).collect()}
+    assert (1, 2) not in j, "Jaccard must miss the subset pair at 0.9"
+
+
+def test_weighted_sample_prefers_heavy_docs_and_is_deterministic(spark):
+    """Efraimidis–Spirakis: a doc with overwhelming weight must be
+    drawn; reruns are bit-identical; output is exactly k rows."""
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    rows = [(i, "tok " * 5) for i in range(200)] + [(999, "tok " * 100_000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.weighted_sample(docs, k=10).collect()
+    assert len(out) == 10
+    assert 999 in {r.doc_id for r in out}
+    again = corpus.weighted_sample(docs, k=10).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_common_ngrams_counts_documents_not_occurrences(spark):
+    """A phrase repeated 50x inside ONE doc is repetition, not
+    boilerplate: its document frequency is 1 and must not outrank a
+    phrase shared by two docs."""
+    from salesforce_prefect_etl_pipeline_spark.operators import text as text_ops
+
+    spam = ("one two three four five " * 50).strip()
+    shared = "lorem ipsum dolor sit amet"
+    docs = spark.createDataFrame(
+        [
+            (1, spam),
+            (2, f"prefix {shared} suffix words here now"),
+            (3, f"other {shared} tail tokens go here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.gram: r.n_docs for r in text_ops.common_ngrams(docs, n=5, min_docs=2).collect()}
+    assert out.get(shared) == 2
+    assert "one two three four five" not in out
+
+
+def test_pq_lloyds_improves_reconstruction_error(spark, emb):
+    """iters>0 Lloyd's refinement must not worsen total quantized
+    reconstruction error vs the md5-seeded iters=0 codebooks, and codes
+    must stay in [0, codes)."""
+    seed_books = similarity.train_pq_codebooks(emb, m=4, codes=16, iters=0)
+    lloyd_books = similarity.train_pq_codebooks(emb, m=4, codes=16, iters=5)
+    err0 = (
+        similarity.pq_encode(emb, seed_books)
+        .agg(F.sum("qerr").alias("e"))
+        .collect()[0]
+        .e
+    )
+    err5 = (
+        similarity.pq_encode(emb, lloyd_books)
+        .agg(F.sum("qerr").alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert err5 <= err0
+    codes = similarity.pq_encode(emb, lloyd_books).collect()
+    for r in codes:
+        for s in range(4):
+            assert 0 <= r[f"code_{s}"] < 16
+    # the replayable seed path refuses to sample, like IVF
+    with pytest.raises(ValueError, match="max_sample"):
+        similarity.train_pq_codebooks(emb, iters=0, max_sample=10)
+
+
 def test_seed_quantizer_refuses_to_sample(spark, emb):
     """iters=0 is the SQL-replayable seed quantizer: its oracle seeds
     from ALL vectors, so triggering the xxhash64 sampling predicate
