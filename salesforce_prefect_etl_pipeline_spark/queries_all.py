@@ -39,87 +39,80 @@ _PRUNE = {
 #: follows in raw registration order. Unknown names are ignored so the
 #: list may reference queries introduced in a later module version.
 #:
-#: Round-6 window, in three tiers: (1) queries NEW this round or whose
-#: engine/oracle changed (the e2e curation composition, the two newly
-#: oracled ANN paths, the quantized-argmax cluster queries, the
-#: decimal-product PageRank, and every query sharing the refactored
-#: jaccard/pack SQL generators), (2) the 24 queries whose latest driver
-#: row was round 2 — all sweep-green locally since, but two rounds of
-#: churn sit between that evidence and today, (3) round-4-stale
-#: refreshes (windows, set ops, the q3/q6/q10 joins). Fresh round-5
-#: rows and the 4 remaining no-oracle sketch queries (pytest accuracy
-#: contracts) sit past slot 50, re-verified every round by the local
-#: 100%-registry sweep (tools/check_oracle.py). Together with
-#: CORRECTNESS_r04/r05 this keeps every oracle-bearing query's driver
-#: row at most two rounds old.
+#: Round-7 window, in three tiers: (1) queries NEW this round (common
+#: n-grams, containment, weighted sample, PQ) or whose engine/oracle
+#: changed (the hash60 MinHash-replay family, split-before-pack e2e
+#: curation, the q15/q11 broadcast-scalar rewrites, the zorder bounds
+#: guard, the checkpointed PageRank, the newly oracled numpy top-k),
+#: (2) the 31 queries whose latest driver row was round 4 — the entire
+#: r4-stale cohort the r6 verdict listed, so after this round every
+#: oracle-bearing query's driver row is at most two rounds old,
+#: (3) the oldest round-5 rows (streaming/events/asof) to keep them
+#: from going 3 rounds stale at r8. Fresh round-6 rows and the 3
+#: remaining no-oracle sketches (agg_approx_*, ann_ivf_probe — pytest
+#: accuracy contracts) sit past slot 50, re-verified every round by the
+#: local 100%-registry sweep (tools/check_oracle.py).
 _PRIORITY = [
     # --- tier 1: new or engine/oracle changed this round ---
-    "corpus_e2e_curation",  # new: filter->dedup->LSH->split->pack chain
-    "ann_ivf_probe_exact",  # new: iters=0 probe lifecycle, full oracle
-    "text_tfidf_top_terms",  # new: rational-idf TF-IDF top terms
-    "events_zorder_layout",  # new: Morton clustering key
-    "text_cms_top_tokens",  # new: SQL-replayable count-min sketch
-    "agg_mad_value_by_type",  # new: robust MAD outlier stats
-    "ann_srp_topk",  # newly oracled: md5 integer planes
-    "emb_cluster_mix",  # argmax now on quantized cosine (both sides)
-    "emb_cluster_sample",
-    "emb_near_dup_banded",  # SRP banding now integer projections
-    "graph_nation_pagerank",  # per-edge product DECIMAL(38,0)/HUGEINT
-    "text_chunk_fingerprints",  # oracle polynomial now generated
-    "dedup_minhash_lsh",  # jaccard SQL generator refactor
-    "dedup_near_dup_clusters",
-    "corpus_pack_documents",  # pack SQL generator refactor
-    "corpus_pack_stats",
-    # --- tier 2: the 24 round-2-stale driver rows ---
-    "sql_correlated_exists",
-    "sql_in_subquery_having",
-    "sql_pivot_counts",
-    "sql_union_all_counts",
-    "sql_embedding_dim_stats",
-    "qa_profile_orders",
-    "qa_profile_orders_topk",
-    "media_frame_sample",
-    "media_feature_stats",
-    "media_decode_stats",
-    "corpus_contamination",
-    "corpus_canonical_by_quality",
-    "corpus_pii_scan",
-    "corpus_training_manifest",
-    "corpus_stratified_sample",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    # --- tier 3: round-4-stale refreshes ---
-    "window_top3_orders_per_customer",
-    "window_rank_nations_by_acctbal",
-    "window_running_total",
-    "window_first_last_order",
-    "window_ntile_order_quartiles",
-    "window_order_gap_days",
-    "set_union_nationkeys",
-    "set_intersect_nationkeys",
-    "set_except_nationkeys",
-    "q10_returned_items",
-    # (q3_shipping_priority / join_revenue_by_region /
-    # agg_distinct_suppliers_per_flag stay r4-stale in the driver gate
-    # but run count-checked in every round's bench; q6 is the repo's
-    # simplest single-filter agg, double-green r2+r4, sweep-covered)
-    # --- beyond slot 50: fresh round-5 rows (events/streaming, the new
-    # text/agg operators, q2/q9/q11/q12/q16/q20-q22, spec family) and
-    # the 4 no-oracle sketches (agg_approx_*, ann_ivf_probe,
-    # ann_cosine_topk_np — pytest accuracy contracts); all keep their
-    # oracles for local sweeps ---
-    "events_sessionization",
-    "streaming_events_hourly",
+    "corpus_e2e_curation",  # split-before-pack + LSH-replay oracle
+    "dedup_minhash_lsh",  # oracle now replays the hash60 pipeline
+    "dedup_near_dup_clusters",  # CC over the replayed LSH pairs
+    "text_common_ngrams",  # new: cross-doc boilerplate n-grams
+    "dedup_containment_pairs",  # new: directional subset detector
+    "corpus_weighted_sample",  # new: Efraimidis-Spirakis draw
+    "emb_pq_codes",  # new: product quantization codes
+    "ann_cosine_topk_np",  # newly oracled (quantized keys)
+    "q15_top_supplier",  # global window -> broadcast scalar agg
+    "q11_supply_value_share",  # same rewrite
+    "events_zorder_layout",  # bounds guard on zorder_key
+    "graph_nation_pagerank",  # periodic lineage truncation
+    "corpus_contamination",  # consumes hash60 shingles (also r4-stale)
+    # --- tier 2: the 31-query round-4-stale cohort (minus
+    # contamination, fronted above) ---
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "join_revenue_by_region",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_salted_revenue_by_priority",
+    "join_range_ship_within_30d",
+    "agg_distinct_suppliers_per_flag",
+    "agg_median_acctbal_by_nation",
+    "agg_stddev_acctbal_by_segment",
+    "rollup_lineitem",
+    "cube_orders",
+    "grouping_sets_lineitem",
+    "pivot_status_by_priority",
+    "orders_by_month",
+    "lineitem_unpivot_stats",
+    "udtf_sentence_stats",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprints",
+    "text_top_tokens",
+    "text_repetition_stats",
+    "dedup_exact_groups",
+    "dedup_jaccard_pairs",
+    "corpus_split_counts",
+    "corpus_token_length_histogram",
+    "corpus_url_scan",
+    "corpus_domain_mix",
+    "corpus_length_filter_report",
+    "corpus_dedup_survivor_stats",
+    # --- tier 3: oldest round-5 rows, refreshed before they can go
+    # three rounds stale at r8 ---
+    "dedup_chunk_overlap",
+    "dedup_simhash_pairs",
+    "join_asof_clicks_to_purchases",
+    "events_funnel",
+    "events_retention_cohorts",
     "streaming_click_attribution",
+    # --- beyond slot 50: fresh round-6 rows (windows, set ops,
+    # q4-q19 family, qa/media/sql_*), the rest of the r5 cohort
+    # (refresh in r8), and the 3 no-oracle sketches; all keep their
+    # oracles for local sweeps ---
     "q1_pricing_summary",
-    "ann_cosine_topk",
     "spec_orders_by_status",
 ]
 
