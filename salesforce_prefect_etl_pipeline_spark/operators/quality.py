@@ -216,3 +216,50 @@ def rowcount_drift_check(
         "alert": alert,
         "threshold": threshold,
     }
+
+
+def key_skew_profile(df: DataFrame, key: str, k: int = 10) -> DataFrame:
+    """Join-key skew report: the ``k`` heaviest keys with their row
+    counts, corpus share, and skew ratio (count / mean-count-per-key) —
+    the diagnostic you run BEFORE a big join to decide between plain
+    shuffle, AQE skew-split, and `salted_join` (operators/joins.py). A
+    skew ratio of ~1 means uniform keys; 100x means that key's shuffle
+    partition does 100x the average work.
+
+    Shape: one groupBy(key) count (map-side partial agg), a 1-row
+    global (n_rows, n_keys) aggregate broadcast against the top-k, and
+    TakeOrderedAndProject for the top-k itself — safe on any key
+    cardinality, bounded output."""
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").alias("__rows"), F.count(F.lit(1)).alias("__keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            (F.col("n").cast("double") / F.col("__rows")).alias("share"),
+            (
+                (F.col("n") * F.col("__keys")).cast("double") / F.col("__rows")
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(k)
+    )
+
+
+def key_skew_profile_sql(table: str, key: str, k: int = 10) -> str:
+    return f"""
+WITH counts AS (
+  SELECT {key} AS key, COUNT(*) AS n FROM {table} GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS rows_, COUNT(*) AS keys_ FROM counts)
+SELECT key, n,
+       CAST(n AS DOUBLE) / rows_ AS share,
+       CAST(n * keys_ AS DOUBLE) / rows_ AS skew_ratio
+FROM counts CROSS JOIN tot
+ORDER BY n DESC, key ASC LIMIT {k}
+"""

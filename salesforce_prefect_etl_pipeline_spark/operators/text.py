@@ -859,3 +859,51 @@ SELECT gram, COUNT(*) AS n_docs
 FROM g GROUP BY gram HAVING COUNT(*) >= {min_docs}
 ORDER BY n_docs DESC, gram LIMIT {k}
 """
+
+
+# ----------------------------------------------------------------------
+# BPE vocabulary induction: merge-pair candidates
+def bpe_merge_candidates(docs: DataFrame, k: int = 30) -> DataFrame:
+    """Top-``k`` adjacent character pairs by corpus frequency — the
+    statistic the FIRST iteration of BPE training maximizes (merge the
+    most frequent adjacent symbol pair; Sennrich et al. 2016). Pairs
+    are counted WITHIN tokens of the normalized text (BPE never merges
+    across a pre-tokenizer boundary), weighted by occurrence.
+
+    Shape: one explode of per-token pair arrays (built inline — see the
+    named-array pitfall in SCALE.md) + one pair-keyed count shuffle;
+    top-k as TakeOrderedAndProject. Later BPE iterations re-count over
+    re-segmented text; each iteration is this same one-shuffle job."""
+    staged = docs.select(
+        F.explode(tokens(normalized("text"))).alias("tok")
+    )
+    tok = F.col("tok")
+    pairs = F.when(
+        F.length(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(tok) - 1),
+            lambda i: tok.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        staged.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def bpe_merge_candidates_sql(k: int = 30) -> str:
+    return rf"""
+WITH t AS (
+  SELECT unnest(string_split_regex({NORMALIZED_SQL}, '\s+')) AS tok
+  FROM documents
+), p AS (
+  SELECT unnest(list_transform(range(1, length(tok)),
+                               i -> substr(tok, i, 2))) AS pair
+  FROM t WHERE length(tok) >= 2
+)
+SELECT pair, COUNT(*) AS freq
+FROM p GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT {k}
+"""

@@ -1349,6 +1349,81 @@ def agg_mad_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_binned_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of l_extendedprice per return flag via
+    fixed-width binning — the bounded-state percentile that scales
+    where a full sort (exact) blows memory and a quantile sketch
+    (approx_percentile) can't be value-hashed. Binning to integer
+    dollars caps aggregation state at the VALUE RANGE (~100k bins),
+    independent of row count; the per-flag cumulative window runs over
+    bins, not rows, so its partition is bounded by construction. The
+    answer is exact in the binned domain (the bin containing the true
+    percentile), deterministic, and integer-arithmetic end to end:
+    threshold = ceil(pct * total / 100) in bigint, no interpolation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.floor("l_extendedprice").cast("long").alias("bin")
+    )
+    counts = li.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("cum", F.sum("n").over(w))
+    thresholds = (
+        counts.groupBy("l_returnflag")
+        .agg(F.sum("n").alias("tot"))
+        .select(
+            "l_returnflag",
+            F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("pct"),
+            "tot",
+        )
+        .select(
+            "l_returnflag",
+            "pct",
+            # integer ceil-division — a double `/` could land at
+            # x.9999... and truncate off-by-one
+            F.expr("CAST((tot * pct + 99) DIV 100 AS BIGINT)").alias("thr"),
+        )
+    )
+    return (
+        cum.join(F.broadcast(thresholds), "l_returnflag")
+        .filter(F.col("cum") >= F.col("thr"))
+        .groupBy("l_returnflag", "pct")
+        .agg(F.min("bin").alias("value_bin"))
+        .orderBy("l_returnflag", "pct")
+    )
+
+
+AGG_BINNED_PCTL_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(FLOOR(l_extendedprice) AS BIGINT) AS bin,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, bin,
+         SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts
+),
+thr AS (
+  SELECT l_returnflag, pct,
+         CAST((tot * pct + 99) // 100 AS BIGINT) AS thr
+  FROM (SELECT l_returnflag, CAST(SUM(n) AS BIGINT) AS tot
+        FROM counts GROUP BY 1),
+       unnest([50, 90, 99]) AS p(pct)
+)
+SELECT c.l_returnflag, CAST(t.pct AS INT) AS pct,
+       CAST(MIN(c.bin) AS BIGINT) AS value_bin
+FROM cum c JOIN thr t
+  ON c.l_returnflag = t.l_returnflag AND c.cum >= t.thr
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 AGG_MAD_SQL = """
 WITH med AS (
   SELECT event_type, value AS median_value FROM (
@@ -1455,5 +1530,6 @@ for _name, _fn, _sql in [
     ("agg_mode_priority_by_segment", agg_mode_priority_by_segment, AGG_MODE_SQL),
     ("events_zorder_layout", events_zorder_layout, EVENTS_ZORDER_SQL),
     ("agg_mad_value_by_type", agg_mad_value_by_type, AGG_MAD_SQL),
+    ("agg_binned_percentiles", agg_binned_percentiles, AGG_BINNED_PCTL_SQL),
 ]:
     register_query(_name, _fn, _sql)

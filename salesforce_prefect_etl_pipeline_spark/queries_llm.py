@@ -638,6 +638,12 @@ register_query(
     lambda spark, sf_dir: text.common_ngrams(_docs(spark, sf_dir)),
     text.common_ngrams_sql(),
 )
+# BPE vocab induction: the first merge-iteration's adjacent-pair counts.
+register_query(
+    "text_bpe_merge_candidates",
+    lambda spark, sf_dir: text.bpe_merge_candidates(_docs(spark, sf_dir)),
+    text.bpe_merge_candidates_sql(),
+)
 # Directional containment near-dups: |A∩B|/|A| catches a short doc
 # quoted inside a long one (J ~ 0, C = 1) — exact verification kernel
 # over hash60 shingle sets, same class as dedup_jaccard_pairs.

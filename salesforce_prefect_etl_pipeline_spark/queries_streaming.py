@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from salesforce_prefect_etl_pipeline_spark.functions import exact_sum_sql
 from salesforce_prefect_etl_pipeline_spark.operators.quality import (
+    key_skew_profile,
+    key_skew_profile_sql,
     profile_frame,
     profile_frame_sql,
     topk_values,
@@ -185,4 +187,15 @@ register_query(
         load_table(spark, sf_dir, "orders"), _TOPK_COLS, k=5
     ),
     topk_values_sql("orders", _TOPK_COLS, k=5),
+)
+
+# Join-key skew diagnostic over the biggest fact's join key: heavy
+# hitters + skew ratio — the pre-join check that decides plain shuffle
+# vs AQE skew-split vs salted_join.
+register_query(
+    "qa_key_skew_suppkey",
+    lambda spark, sf_dir: key_skew_profile(
+        load_table(spark, sf_dir, "lineitem"), "l_suppkey", k=10
+    ),
+    key_skew_profile_sql("lineitem", "l_suppkey", k=10),
 )

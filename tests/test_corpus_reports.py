@@ -165,3 +165,59 @@ def test_pack_oracle_overflow_differential(spark, tmp_path):
     stats_o = con.sql(corpus.pack_stats_sql(capacity=512, n_groups=1)).df()
     stats_o = stats_o.sort_values("pack_group").reset_index(drop=True)[stats_s.columns]
     pd.testing.assert_frame_equal(stats_s, stats_o, check_dtype=False)
+
+
+def test_binned_percentiles_match_order_statistics(spark):
+    """The bin reported for pct p must be floor() of the exact p-th
+    discrete order statistic (threshold = ceil(p*n/100))."""
+    from salesforce_prefect_etl_pipeline_spark.queries_ext import (
+        agg_binned_percentiles,
+    )
+    from tests.conftest import SF_SMALL
+
+    out = {
+        (r.l_returnflag, r.pct): r.value_bin
+        for r in agg_binned_percentiles(spark, SF_SMALL).collect()
+    }
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    import math
+
+    rows = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    for flag, vals in by_flag.items():
+        vals.sort()
+        for pct in (50, 90, 99):
+            idx = math.ceil(pct * len(vals) / 100) - 1
+            assert out[(flag, pct)] == math.floor(vals[idx]), (flag, pct)
+
+
+def test_bpe_merge_candidates_counts_within_token_pairs(spark):
+    """'aaab aaab' yields aa x4 and ab x2; pairs never cross token
+    boundaries ('ba' from 'b a' must not appear)."""
+    from salesforce_prefect_etl_pipeline_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "xy")], "doc_id long, text string"
+    )
+    out = {r.pair: r.freq for r in text_ops.bpe_merge_candidates(docs).collect()}
+    assert out == {"aa": 4, "ab": 2, "xy": 1}
+
+
+def test_key_skew_profile_flags_heavy_key(spark):
+    """A 100x-heavy key reports share and skew_ratio exactly."""
+    from salesforce_prefect_etl_pipeline_spark.operators.quality import (
+        key_skew_profile,
+    )
+
+    rows = [(1,)] * 300 + [(i,) for i in range(2, 102)]  # key 1: 300, 100 keys x1
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_profile(df, "k", k=3).collect()
+    assert out[0].key == 1 and out[0].n == 300
+    assert abs(out[0].share - 300 / 400) < 1e-12
+    assert abs(out[0].skew_ratio - 300 * 101 / 400) < 1e-9
