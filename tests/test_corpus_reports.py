@@ -221,3 +221,46 @@ def test_key_skew_profile_flags_heavy_key(spark):
     assert out[0].key == 1 and out[0].n == 300
     assert abs(out[0].share - 300 / 400) < 1e-12
     assert abs(out[0].skew_ratio - 300 * 101 / 400) < 1e-9
+
+
+def test_new_operator_plan_shapes(spark):
+    """Plan-shape contracts for the round-7 operators: the weighted
+    sample must plan as TakeOrderedAndProject with NO shuffle exchange
+    (partial top-k per task, driver merge); common_ngrams and the skew
+    profile each pay exactly their one counting shuffle and a
+    TakeOrdered, never a global sort."""
+    from salesforce_prefect_etl_pipeline_spark.operators import text as text_ops
+    from salesforce_prefect_etl_pipeline_spark.operators.corpus import (
+        weighted_sample,
+    )
+    from salesforce_prefect_etl_pipeline_spark.operators.quality import (
+        key_skew_profile,
+    )
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+
+    ws = weighted_sample(docs, k=10)
+    ws.collect()
+    plan = ws._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Sort " not in plan  # no global sort — partial top-k only
+
+    cn = text_ops.common_ngrams(docs, k=10)
+    cn.collect()
+    # AQE's string repeats the pre-adaptive plan after "== Initial
+    # Plan ==" — count exchanges in the FINAL plan section only
+    plan = (
+        cn._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the gram count
+
+    ks = key_skew_profile(docs, "lang", k=5)
+    ks.collect()
+    plan = ks._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
