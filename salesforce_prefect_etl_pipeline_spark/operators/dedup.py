@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from salesforce_prefect_etl_pipeline_spark.operators.text import (
@@ -365,27 +365,33 @@ def minhash_signatures(docs: DataFrame, k: int = 8, num_hashes: int = 64) -> Dat
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
-    """Distinct candidate pairs (da < db) from band-bucket collisions.
-    The band key is a hash of (band index, the band's signature slice);
-    the join shuffles on that key only. hash60 over the comma-joined
-    decimal rendering keeps the banding SQL-replayable (band-key work is
-    doc-cardinality × bands — negligible next to shingle hashing)."""
-    band_keys = F.array(
+def band_key_array(sig: Column, bands: int = 16, rows: int = 4) -> Column:
+    """Array of ``bands`` band keys for a signature array: hash60 over
+    the comma-joined decimal rendering of (band index, the band's
+    signature slice). A doc's band keys are a pure function of its
+    signature — identical whether it sits in a live batch or a persisted
+    index, which is what makes the incremental probe join valid — and
+    SQL-replayable (band-key work is doc-cardinality × bands, negligible
+    next to shingle hashing)."""
+    return F.array(
         *[
             hash60(
                 F.concat_ws(
                     ",",
                     F.lit(str(j)),
-                    *[
-                        F.col("sig")[j * rows + r].cast("string")
-                        for r in range(rows)
-                    ],
+                    *[sig[j * rows + r].cast("string") for r in range(rows)],
                 )
             )
             for j in range(bands)
         ]
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Distinct candidate pairs (da < db) from band-bucket collisions.
+    The band key is a hash of (band index, the band's signature slice);
+    the join shuffles on that key only."""
+    band_keys = band_key_array(F.col("sig"), bands, rows)
     banded = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "key")
     )
@@ -527,6 +533,111 @@ SELECT da, db,
        CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
 FROM common JOIN size sa ON sa.doc_id = da JOIN size sb ON sb.doc_id = db
 WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {threshold}
+ORDER BY da, db
+"""
+
+
+# ----------------------------------------------------------------------
+# Incremental dedup: persisted LSH index + probe
+def build_minhash_index(docs: DataFrame, index_dir: str, k: int = 8) -> None:
+    """Persist the corpus near-dup index: ``bands/`` (doc_id, band, key
+    — partitioned by band, sorted by key within each partition for
+    row-group min/max skipping on the join key) and ``profiles/``
+    (doc_id, shingle-hash sets, for exact verification). Built ONCE per
+    corpus snapshot; every new crawl increment then probes against it
+    without re-scanning or re-signing the corpus — the offline/online
+    split that makes dedup-on-ingest affordable at 100 TB (the IVF
+    lifecycle's pattern applied to text)."""
+    prof = minhash_profile(docs, k)
+    banded = prof.select(
+        "doc_id", F.posexplode(band_key_array(F.col("sig"))).alias("band", "key")
+    )
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{index_dir}/bands")
+    )
+    prof.select("doc_id", "shingles").write.mode("overwrite").parquet(
+        f"{index_dir}/profiles"
+    )
+
+
+def probe_minhash_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    k: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs between a NEW document batch and the persisted
+    corpus index: sign only the increment, join its band keys against
+    the indexed band table (corpus side never re-signed), verify
+    candidates with exact hashed-set Jaccard against the stored
+    profiles. Output (da, db, jaccard), da < db, one row per
+    cross-corpus near-dup pair.
+
+    Scale shape: cost is O(increment) signing + a band-key equi-join
+    whose corpus side is a pruned parquet scan — independent of corpus
+    size in compute, corpus-sized only in the (sorted, skippable) index
+    scan. The increment's profile feeds both the banding and the
+    verification, exactly like the batch pipeline."""
+    new_prof = minhash_profile(new_docs, k)
+    new_banded = new_prof.select(
+        F.col("doc_id").alias("new_id"),
+        F.posexplode(band_key_array(F.col("sig"))).alias("band", "key"),
+    )
+    idx_bands = spark.read.parquet(f"{index_dir}/bands")
+    idx_prof = spark.read.parquet(f"{index_dir}/profiles")
+    cand = (
+        new_banded.join(
+            idx_bands,
+            (new_banded["band"] == idx_bands["band"])
+            & (new_banded["key"] == idx_bands["key"]),
+        )
+        .select(F.col("new_id"), idx_bands["doc_id"].alias("corpus_id"))
+        .distinct()
+    )
+    a = new_prof.select(
+        F.col("doc_id").alias("new_id"), F.col("shingles").alias("sa")
+    )
+    b = idx_prof.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sb")
+    )
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    na, nb = F.size(F.col("sa")), F.size(F.col("sb"))
+    j = common.cast("double") / (na + nb - common)
+    return (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select(
+            F.least("new_id", "corpus_id").alias("da"),
+            F.greatest("new_id", "corpus_id").alias("db"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("da", "db")
+    )
+
+
+def minhash_cross_pairs_sql(
+    k: int = 8,
+    threshold: float = 0.8,
+    source: str = "documents",
+    side_pred: str = "TRUE",
+) -> str:
+    """Replay of :func:`probe_minhash_index`: run the single-source LSH
+    replay over ``source`` and keep only pairs whose two sides fall on
+    OPPOSITE sides of ``side_pred`` (the corpus/increment split
+    predicate over doc_id) — banding a doc yields the same keys whether
+    it lives in a batch or the persisted index, so the union replay's
+    cross pairs ARE the probe's output."""
+    return f"""
+WITH allpairs AS ({minhash_lsh_pairs_sql(k, threshold, source=source)})
+SELECT da, db, jaccard FROM allpairs
+WHERE ({side_pred.replace('doc_id', 'da')}) <>
+      ({side_pred.replace('doc_id', 'db')})
 ORDER BY da, db
 """
 

@@ -64,6 +64,7 @@ _PRIORITY = [
     "agg_binned_percentiles",  # new: bounded-state exact percentiles
     "text_bpe_merge_candidates",  # new: BPE first-merge pair counts
     "qa_key_skew_suppkey",  # new: join-key skew diagnostic
+    "dedup_incremental_probe",  # new: persisted-index incremental dedup
     "ann_cosine_topk_np",  # newly oracled (quantized keys)
     "q15_top_supplier",  # global window -> broadcast scalar agg
     "q11_supply_value_share",  # same rewrite
@@ -104,10 +105,9 @@ _PRIORITY = [
     "corpus_length_filter_report",
     "corpus_dedup_survivor_stats",
     # --- tier 3: oldest round-5 rows, refreshed before they can go
-    # three rounds stale at r8 (chunk_overlap/simhash yield their two
-    # slots to the three brand-new queries above; they front r8) ---
+    # three rounds stale at r8 (chunk_overlap/simhash/funnel yield
+    # their slots to the four brand-new queries above; they front r8)
     "join_asof_clicks_to_purchases",
-    "events_funnel",
     "streaming_click_attribution",  # also: stateful shuffle pin landed
     # --- beyond slot 50: fresh round-6 rows (windows, set ops,
     # q4-q19 family, qa/media/sql_*), the rest of the r5 cohort

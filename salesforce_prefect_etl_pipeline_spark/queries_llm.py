@@ -274,6 +274,57 @@ register_query(
     dedup.simhash_pairs_sql(max_hamming=3),
 )
 
+#: Root for the persisted MinHash-LSH index (offline build -> probe).
+MINHASH_INDEX_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), ".minhash_index"
+)
+#: md5-bucket predicate splitting documents into the indexed "corpus"
+#: (80%) and the probing "increment" (20%).
+_CORPUS_PCT = 80
+
+
+def ensure_minhash_index(spark, sf_dir: str, k: int = 8) -> str:
+    """Build the persisted corpus LSH index once per process lifetime
+    (same staleness discipline as ensure_ivf_index: an index persisted
+    before the source documents file was rewritten is rebuilt, not
+    silently probed)."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(MINHASH_INDEX_ROOT, f"{tag}-k{k}-c{_CORPUS_PCT}")
+    success = os.path.join(index_dir, "bands", "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    stale = os.path.exists(success) and os.path.getmtime(
+        success
+    ) < os.path.getmtime(src)
+    if stale or not os.path.exists(success):
+        corpus_side = _docs(spark, sf_dir).filter(
+            corpus.split_bucket(F.col("doc_id")) < _CORPUS_PCT
+        )
+        dedup.build_minhash_index(corpus_side, index_dir, k=k)
+    return index_dir
+
+
+def _incremental_dedup_query(spark, sf_dir):
+    """Incremental dedup on ingest: probe the 20% 'new crawl' increment
+    against the persisted 80%-corpus LSH index — signing only the
+    increment, never re-scanning the corpus. The oracle replays the
+    union pipeline and keeps only the cross-split pairs (band keys are
+    a pure function of the signature, so index-vs-batch banding and
+    union banding agree)."""
+    index_dir = ensure_minhash_index(spark, sf_dir)
+    increment = _docs(spark, sf_dir).filter(
+        corpus.split_bucket(F.col("doc_id")) >= _CORPUS_PCT
+    )
+    return dedup.probe_minhash_index(spark, index_dir, increment)
+
+
+register_query(
+    "dedup_incremental_probe",
+    _incremental_dedup_query,
+    dedup.minhash_cross_pairs_sql(
+        side_pred=f"({corpus.split_bucket_sql('doc_id')}) < {_CORPUS_PCT}"
+    ),
+)
+
 register_query(
     "ann_cosine_topk",
     lambda spark, sf_dir: similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10),

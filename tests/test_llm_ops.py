@@ -609,3 +609,39 @@ def test_cms_never_underestimates(spark):
     # 'alpha' and 'beta' dominate; their counts must be exact here
     by_term = {r.term: r for r in rows}
     assert by_term["beta"].est_freq == by_term["beta"].freq == 50
+
+
+def test_incremental_probe_matches_batch_cross_pairs(spark, docs, tmp_path):
+    """Probing an increment against the persisted corpus index must
+    find exactly the cross-split pairs the one-shot batch pipeline
+    finds over the union — nothing lost by splitting the computation
+    into offline index + online probe."""
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus as corpus_ops
+
+    bucket = corpus_ops.split_bucket(F.col("doc_id"))
+    corpus_side = docs.filter(bucket < 80)
+    increment = docs.filter(bucket >= 80)
+    index_dir = str(tmp_path / "mh_index")
+    dedup.build_minhash_index(corpus_side, index_dir, k=8)
+    probed = {
+        (r.da, r.db): r.jaccard
+        for r in dedup.probe_minhash_index(
+            spark, index_dir, increment, k=8, threshold=0.8
+        ).collect()
+    }
+    full = dedup.minhash_near_dup_pairs(docs, k=8, threshold=0.8).collect()
+    side = {
+        r.doc_id: r.b
+        for r in docs.select("doc_id", (bucket < 80).alias("b")).collect()
+    }
+    expected = {
+        (r.da, r.db): r.jaccard for r in full if side[r.da] != side[r.db]
+    }
+    assert probed == expected
+    assert probed, "split must straddle some planted near-dup pairs"
+
+    # the bands table is laid out for key skipping: partitioned by band
+    import pathlib
+
+    band_dirs = list(pathlib.Path(index_dir, "bands").glob("band=*"))
+    assert len(band_dirs) == 16
