@@ -61,6 +61,15 @@ HEADLINE = [
     "text_chunk_fingerprints",
     "graph_nation_pagerank",
     "streaming_click_attribution",
+    # Round-7 rows: PQ encoding (Arrow map over the whole corpus),
+    # incremental probe against the persisted LSH index (increment
+    # signing + band join; index build is warmed untimed like IVF),
+    # bounded-state exact percentiles (bin window), and the cross-doc
+    # boilerplate n-gram count (explode + gram-keyed shuffle).
+    "emb_pq_codes",
+    "dedup_incremental_probe",
+    "agg_binned_percentiles",
+    "text_common_ngrams",
     # corpus_e2e_curation (17 s at sf0.1) is deliberately NOT here: it
     # recomposes minhash pairs + connected components + FFD packing,
     # each already benched above — a row would double-count ~10 s of
@@ -88,9 +97,15 @@ def main() -> None:
     queries["q6_forecast_revenue"](spark, sf_dir).collect()
     # Offline index build (not timed): ann_ivf_probe measures PROBE cost —
     # at 100 TB the index is built once and amortized across query batches.
-    from salesforce_prefect_etl_pipeline_spark.queries_llm import ensure_ivf_index
+    from salesforce_prefect_etl_pipeline_spark.queries_llm import (
+        ensure_ivf_index,
+        ensure_minhash_index,
+    )
 
     ensure_ivf_index(spark, sf_dir)
+    # Same offline/online split for the LSH index: the probe row
+    # measures PROBE cost, the one-time corpus signing is not timed.
+    ensure_minhash_index(spark, sf_dir)
 
     from salesforce_prefect_etl_pipeline_spark.queries_llm import _minhash_pairs_cached
 
