@@ -65,6 +65,7 @@ _PRIORITY = [
     "text_bpe_merge_candidates",  # new: BPE first-merge pair counts
     "qa_key_skew_suppkey",  # new: join-key skew diagnostic
     "dedup_incremental_probe",  # new: persisted-index incremental dedup
+    "streaming_dedup_ingest",  # new: greedy dedup-on-ingest stream
     "ann_cosine_topk_np",  # newly oracled (quantized keys)
     "q15_top_supplier",  # global window -> broadcast scalar agg
     "q11_supply_value_share",  # same rewrite
@@ -105,9 +106,8 @@ _PRIORITY = [
     "corpus_length_filter_report",
     "corpus_dedup_survivor_stats",
     # --- tier 3: oldest round-5 rows, refreshed before they can go
-    # three rounds stale at r8 (chunk_overlap/simhash/funnel yield
-    # their slots to the four brand-new queries above; they front r8)
-    "join_asof_clicks_to_purchases",
+    # three rounds stale at r8 (chunk_overlap/simhash/funnel/asof yield
+    # their slots to the five brand-new queries above; they front r8)
     "streaming_click_attribution",  # also: stateful shuffle pin landed
     # --- beyond slot 50: fresh round-6 rows (windows, set ops,
     # q4-q19 family, qa/media/sql_*), the rest of the r5 cohort

@@ -189,6 +189,50 @@ register_query(
     topk_values_sql("orders", _TOPK_COLS, k=5),
 )
 
+def _streaming_dedup_ingest(spark, sf_dir):
+    """Streaming dedup-on-ingest over the documents table as a
+    file-source stream (AvailableNow, fresh index): per batch, probe
+    the accepted-corpus LSH index + within-batch pairs, greedily accept
+    in doc_id order, append survivors to the index. With the whole
+    table arriving as one batch and an empty starting index, the
+    accepted manifest equals the greedy maximal independent set over
+    the near-dup pair graph — which the oracle replays with a
+    pair-endpoint-bounded recursive CTE. Multi-batch semantics
+    (earlier-batch winners beat later arrivals) are pytest-verified."""
+    import tempfile as _tf
+
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        stream_dedup_on_ingest,
+        stream_documents,
+    )
+
+    with _tf.TemporaryDirectory(prefix="ingest_") as tmp:
+        accepted = stream_dedup_on_ingest(
+            stream_documents(spark, sf_dir),
+            index_dir=f"{tmp}/index",
+            accepted_dir=f"{tmp}/accepted",
+        )
+        return (
+            spark.read.parquet(accepted)
+            .select("doc_id", "n_chars")
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)  # outlive the temp dir
+        )
+
+
+from salesforce_prefect_etl_pipeline_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs_sql,
+)
+from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (  # noqa: E402
+    greedy_accept_sql,
+)
+
+register_query(
+    "streaming_dedup_ingest",
+    _streaming_dedup_ingest,
+    greedy_accept_sql(minhash_lsh_pairs_sql(k=8, threshold=0.8)),
+)
+
 # Join-key skew diagnostic over the biggest fact's join key: heavy
 # hitters + skew ratio — the pre-join check that decides plain shuffle
 # vs AQE skew-split vs salted_join.

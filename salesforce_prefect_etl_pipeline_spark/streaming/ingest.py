@@ -1,0 +1,223 @@
+"""Streaming dedup-on-ingest: the crawl-time composition of the
+persisted MinHash-LSH index (operators/dedup.py) with Structured
+Streaming.
+
+Each micro-batch of incoming documents is near-dup-checked against the
+ACCEPTED corpus so far (the persisted index) AND against itself, in
+deterministic doc_id order; survivors are appended to the index so later
+batches dedup against them too. This is the standard greedy ingest
+semantics — a document is accepted iff no already-accepted document is
+its near-dup — which differs deliberately from batch min-per-component
+canonicalization: at ingest time the corpus must never retract an
+already-accepted document, so acceptance is first-arrival-wins (made
+deterministic here by ordering within a batch by doc_id).
+
+Scale shape per batch: signing is O(batch); candidate generation is the
+band-key equi-join against the index (corpus-size-independent compute);
+the greedy decision runs driver-side over the PAIR LIST only — pairs
+are the tiny output of LSH verification (control-plane, like the IVF
+centroid fetch), never the documents. Index appends are parquet appends
+into the band-partitioned layout.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
+    band_key_array,
+    minhash_near_dup_pairs,
+    minhash_profile,
+    probe_minhash_index,
+)
+from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
+    STREAM_SHUFFLE_PARTITIONS,
+)
+
+
+def greedy_accept(
+    doc_ids: list[int],
+    pairs: list[tuple[int, int]],
+    pre_accepted: frozenset[int] | set[int] = frozenset(),
+) -> set[int]:
+    """Greedy maximal-independent-set acceptance in ascending doc_id
+    order: accept a doc iff no ALREADY-ACCEPTED doc pairs with it.
+    ``pre_accepted`` (the immutable already-ingested corpus) is seeded
+    BEFORE the loop — a batch doc that near-dups an indexed doc is
+    rejected regardless of id order, because the corpus never retracts.
+    Pure function — shared by the engine, tests, and (as a recursive
+    CTE) the SQL oracle."""
+    nbrs: dict[int, set[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    accepted: set[int] = set(pre_accepted)
+    for d in sorted(doc_ids):
+        if d in accepted:
+            continue
+        if not (nbrs.get(d, set()) & accepted):
+            accepted.add(d)
+    return accepted
+
+
+def _append_to_index(docs: DataFrame, index_dir: str, k: int) -> None:
+    """Append accepted docs' bands + profiles to the persisted index
+    (same layout as build_minhash_index, parquet append mode)."""
+    prof = minhash_profile(docs, k)
+    banded = prof.select(
+        "doc_id", F.posexplode(band_key_array(F.col("sig"))).alias("band", "key")
+    )
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("key")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(f"{index_dir}/bands")
+    )
+    prof.select("doc_id", "shingles").write.mode("append").parquet(
+        f"{index_dir}/profiles"
+    )
+
+
+def stream_dedup_on_ingest(
+    stream_docs: DataFrame,
+    index_dir: str,
+    accepted_dir: str,
+    k: int = 8,
+    threshold: float = 0.8,
+    name: str = "dedup_ingest",
+    checkpoint_dir: str | None = None,
+) -> str:
+    """Run the ingest-dedup stream with Trigger.AvailableNow: per
+    micro-batch, (1) find near-dup pairs within the batch and against
+    the accepted index, (2) greedily accept in doc_id order, (3) write
+    accepted (doc_id, n_chars) rows to ``accepted_dir`` and append
+    their signatures to the index. Returns ``accepted_dir``.
+
+    Replay safety: the accept decision is deterministic given the index
+    state, and both sinks append idempotently per doc_id at the
+    manifest level (a replayed batch re-derives the same accepted set;
+    readers dedup the manifest by doc_id — the same at-least-once ->
+    exactly-once composition as stream_upsert_snapshot)."""
+    spark = stream_docs.sparkSession
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.select("doc_id", "text")
+        ids = [r.doc_id for r in batch_df.select("doc_id").collect()]
+        within = [
+            (r.da, r.db)
+            for r in minhash_near_dup_pairs(batch_df, k, threshold).collect()
+        ]
+        vs_index = []
+        if os.path.exists(os.path.join(index_dir, "bands", "_SUCCESS")):
+            vs_index = [
+                (r.da, r.db)
+                for r in probe_minhash_index(
+                    spark, index_dir, batch_df, k, threshold
+                ).collect()
+            ]
+        # docs already in the index are immutable prior acceptances
+        indexed = {x for p in vs_index for x in p} - set(ids)
+        accepted = greedy_accept(
+            ids, within + vs_index, pre_accepted=indexed
+        )
+        keep = [d for d in ids if d in accepted]
+        kept_df = batch_df.filter(F.col("doc_id").isin(keep))
+        (
+            kept_df.select(
+                "doc_id",
+                F.length("text").cast("long").alias("n_chars"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+            .write.mode("append")
+            .parquet(accepted_dir)
+        )
+        _append_to_index(kept_df, index_dir, k)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    ctx = (
+        tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_")
+        if checkpoint_dir is None
+        else None
+    )
+    ckpt = checkpoint_dir if checkpoint_dir is not None else ctx.name
+    try:
+        q = (
+            stream_docs.writeStream.foreachBatch(_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if ctx is not None:
+            ctx.cleanup()
+    return accepted_dir
+
+
+def stream_documents_dir(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of documents parquet files
+    (schema sniffed from a batch footer read, like stream_events_dir)."""
+    static = spark.read.parquet(src_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the testdata documents table (a single read-only file)
+    through a one-file symlink directory, the stream_events pattern —
+    the streaming file source only accepts directories."""
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_streams",
+        sf_dir.strip("/").replace("/", "_") + "_docs",
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
+    return stream_documents_dir(spark, link_dir)
+
+
+def greedy_accept_sql(pairs_sql: str, source: str = "documents") -> str:
+    """DuckDB replay of the single-batch ingest decision: greedy MIS in
+    doc_id order. Only pair endpoints can be rejected, so the recursive
+    CTE walks just those (bounded by the pair list, not the corpus) and
+    every non-endpoint doc is accepted by default."""
+    return f"""
+WITH RECURSIVE
+pairs AS MATERIALIZED ({pairs_sql}),
+endpoints AS MATERIALIZED (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS idx
+  FROM (SELECT da AS doc_id FROM pairs UNION SELECT db FROM pairs)
+),
+walk(idx, doc_id, ok, acc) AS (
+  SELECT idx, doc_id, TRUE, [doc_id] FROM endpoints WHERE idx = 1
+  UNION ALL
+  SELECT e.idx, e.doc_id, hit.ok,
+         CASE WHEN hit.ok THEN w.acc || [e.doc_id] ELSE w.acc END
+  FROM walk w
+  JOIN endpoints e ON e.idx = w.idx + 1,
+  LATERAL (SELECT NOT EXISTS (
+             SELECT 1 FROM pairs p
+             WHERE (p.da = e.doc_id AND list_contains(w.acc, p.db))
+                OR (p.db = e.doc_id AND list_contains(w.acc, p.da))
+           ) AS ok) hit
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM {source}
+WHERE doc_id NOT IN (SELECT doc_id FROM walk WHERE NOT ok)
+ORDER BY doc_id
+"""

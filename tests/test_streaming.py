@@ -252,3 +252,88 @@ def test_stream_upsert_snapshot_converges_to_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup_on_ingest_multi_batch(spark, tmp_path):
+    """Dedup-on-ingest across REAL multiple micro-batches: split the
+    documents table into 3 id-range files, stream with
+    maxFilesPerTrigger=1, and check the greedy ingest contract —
+    (1) no two accepted docs are near-dups, (2) every rejected doc has
+    an accepted near-dup (first-arrival-wins, corpus never retracts),
+    (3) later batches defer to earlier batches' acceptances."""
+    from salesforce_prefect_etl_pipeline_spark.operators import dedup
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        stream_dedup_on_ingest,
+        stream_documents_dir,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    src = tmp_path / "src"
+    src.mkdir()
+    import pyspark.sql.functions as F
+
+    for i, (lo, hi) in enumerate(
+        [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    ):
+        part = docs
+        if lo is not None:
+            part = part.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") < hi)
+        part.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+    # flatten: one file per batch dir into the source dir
+    import shutil
+
+    for i in range(3):
+        f = next((src / f"b{i}").glob("*.parquet"))
+        shutil.move(str(f), str(src / f"part-{i}.parquet"))
+        shutil.rmtree(src / f"b{i}")
+
+    accepted_dir = stream_dedup_on_ingest(
+        stream_documents_dir(spark, str(src), max_files_per_trigger=1),
+        index_dir=str(tmp_path / "index"),
+        accepted_dir=str(tmp_path / "accepted"),
+    )
+    manifest = spark.read.parquet(accepted_dir).collect()
+    accepted = {r.doc_id for r in manifest}
+    batch_of = {r.doc_id: r.batch_id for r in manifest}
+    assert len({r.batch_id for r in manifest}) >= 2, "multi-batch exercised"
+
+    pairs = [
+        (r.da, r.db)
+        for r in dedup.minhash_near_dup_pairs(docs, k=8, threshold=0.8).collect()
+    ]
+    assert pairs, "planted near-dups required"
+    # (1) accepted set is near-dup-free
+    assert not [p for p in pairs if p[0] in accepted and p[1] in accepted]
+    # (2) every rejected doc has an accepted near-dup partner
+    rejected = set(ids) - accepted
+    nbrs = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for r in rejected:
+        assert nbrs.get(r, set()) & accepted, r
+    # docs in no pair are always accepted
+    assert all(d in accepted for d in ids if d not in nbrs)
+    # (3) deterministic replay: the same greedy over the global pair
+    # list in (batch arrival, doc_id) order reproduces the exact set.
+    # Batch membership is the id-range split we wrote; within a batch
+    # the engine accepts in doc_id order, and earlier batches are
+    # immutable — so sequential greedy_accept per batch must agree.
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import greedy_accept
+
+    batches = [
+        [d for d in ids if d < cuts[0]],
+        [d for d in ids if cuts[0] <= d < cuts[1]],
+        [d for d in ids if d >= cuts[1]],
+    ]
+    acc = set()
+    for b_ids in batches:
+        acc = greedy_accept(b_ids, pairs, pre_accepted=acc)
+    assert accepted == acc
+    assert {batch_of[d] for d in accepted} == {0, 1, 2}
