@@ -904,11 +904,10 @@ def pq_encode(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(_encode, out_schema)
 
 
-def pq_encode_sql(m: int = 4, codes: int = 16, dim: int = 64) -> str:
-    """DuckDB replay of the iters=0 seed codebook + :func:`pq_encode`:
-    seeds from md5 order, per-subspace quantized-L2 argmin (ROW_NUMBER
-    over qd, code), summed qerr. Verification scale — the cross join is
-    corpus x codes."""
+def _pq_ctes(m: int = 4, codes: int = 16, dim: int = 64) -> str:
+    """Shared CTE body for the PQ replays: md5-ordered seed codebook
+    (seeds, cb) + per-subspace quantized-L2 argmin assignments
+    (a0..a{m-1}, each carrying code_s and its qd_s)."""
     dsub = dim // m
     qd = (
         "CAST(FLOOR(list_sum(list_transform(range(1, {n}), "
@@ -929,11 +928,7 @@ def pq_encode_sql(m: int = 4, codes: int = 16, dim: int = 64) -> str:
 )"""
         for s in range(m)
     )
-    joins = " ".join(f"JOIN a{s} USING (vec_id)" for s in range(1, m))
-    code_cols = ", ".join(f"code_{s}" for s in range(m))
-    err_sum = " + ".join(f"qd_{s}" for s in range(m))
-    return f"""
-WITH seeds AS MATERIALIZED (
+    return f"""seeds AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
   FROM embeddings
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
@@ -945,8 +940,132 @@ cb AS MATERIALIZED (
          c
   FROM seeds
 ),
-{sub_assigns}
+{sub_assigns}"""
+
+
+def pq_encode_sql(m: int = 4, codes: int = 16, dim: int = 64) -> str:
+    """DuckDB replay of the iters=0 seed codebook + :func:`pq_encode`:
+    seeds from md5 order, per-subspace quantized-L2 argmin (ROW_NUMBER
+    over qd, code), summed qerr. Verification scale — the cross join is
+    corpus x codes."""
+    joins = " ".join(f"JOIN a{s} USING (vec_id)" for s in range(1, m))
+    code_cols = ", ".join(f"code_{s}" for s in range(m))
+    err_sum = " + ".join(f"qd_{s}" for s in range(m))
+    return f"""
+WITH {_pq_ctes(m, codes, dim)}
 SELECT vec_id, {code_cols}, CAST({err_sum} AS BIGINT) AS qerr
 FROM a0 {joins}
 ORDER BY vec_id
+"""
+
+
+def pq_topk(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — how a PQ index
+    actually SERVES queries: per query, a tiny (m x codes) table of
+    quantized squared L2 distances from the query's sub-vectors to
+    every codebook entry is computed once driver-side; each corpus
+    vector is then scored by m integer TABLE LOOKUPS on its codes
+    (Jégou et al., TPAMI 2011) — no float math against the corpus at
+    all. Approximation error comes only from quantizing the corpus to
+    codes; the pytest measures recall vs the exact scan.
+
+    Output (query_id, neighbor_id, rnk, qdist) ascending by qdist
+    (smaller = closer), ties to the lowest neighbor_id. Scale shape:
+    codes replace vectors in the scan (512x fewer bytes), the lookup
+    tables ride the plan as literals (broadcast-free), and the
+    per-query rank is the cosine_topk window pattern."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, codes, dsub = books.shape
+    q_rows = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    enc = pq_encode(emb, books)
+    per_query = []
+    for r in q_rows:
+        qe = np.asarray(r.embedding, dtype=np.float64)
+        score = None
+        for s in range(m):
+            sub = qe[s * dsub : (s + 1) * dsub]
+            d2 = ((books[s] - sub[None, :]) ** 2).sum(axis=1)
+            table = np.floor(d2 * 1e6).astype(np.int64)
+            term = F.element_at(
+                F.array(*[F.lit(int(x)) for x in table]),
+                F.col(f"code_{s}") + 1,
+            )
+            score = term if score is None else score + term
+        per_query.append(
+            enc.filter(F.col("vec_id") != r.vec_id).select(
+                F.lit(r.vec_id).alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                score.cast("long").alias("qdist"),
+            )
+        )
+    from functools import reduce
+
+    scored = reduce(lambda a, b: a.unionAll(b), per_query)
+    w = Window.partitionBy("query_id").orderBy(F.asc("qdist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "qdist")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def pq_topk_sql(
+    query_ids: list[int], k: int = 10, m: int = 4, codes: int = 16, dim: int = 64
+) -> str:
+    """DuckDB replay of :func:`pq_topk`: the same seed codebook and
+    code assignments as pq_encode_sql, per-query distance tables built
+    by the identical quantized-L2 expression over the QUERY's slices,
+    scores as table-lookup joins on the codes."""
+    dsub = dim // m
+    ids = ", ".join(str(i) for i in query_ids)
+    qd = (
+        "CAST(FLOOR(list_sum(list_transform(range(1, {n}), "
+        "i -> (q.qe[{off} + i] - cb.c[{off} + i]) ^ 2"
+        ")) * 1e6) AS BIGINT)"
+    )
+    tables = ",\n".join(
+        f"""t{s} AS MATERIALIZED (
+  SELECT q.query_id, cb.code, {qd.format(n=dsub + 1, off=s * dsub)} AS qd
+  FROM qv q CROSS JOIN cb
+)"""
+        for s in range(m)
+    )
+    code_joins = " ".join(f"JOIN a{s} USING (vec_id)" for s in range(1, m))
+    t_joins = " ".join(
+        f"JOIN t{s} ON t{s}.query_id = qv.query_id AND t{s}.code = c.code_{s}"
+        for s in range(m)
+    )
+    dist_sum = " + ".join(f"t{s}.qd" for s in range(m))
+    return f"""
+WITH {_pq_ctes(m, codes, dim)},
+qv AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+{tables},
+c AS MATERIALIZED (
+  SELECT vec_id, {", ".join(f"code_{s}" for s in range(m))}
+  FROM a0 {code_joins}
+),
+scored AS (
+  SELECT qv.query_id, c.vec_id AS neighbor_id,
+         CAST({dist_sum} AS BIGINT) AS qdist
+  FROM c CROSS JOIN qv {t_joins}
+  WHERE c.vec_id <> qv.query_id
+)
+SELECT query_id, neighbor_id, rnk, qdist FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qdist ASC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k} ORDER BY query_id, rnk
 """

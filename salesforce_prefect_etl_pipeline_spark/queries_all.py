@@ -66,6 +66,7 @@ _PRIORITY = [
     "qa_key_skew_suppkey",  # new: join-key skew diagnostic
     "dedup_incremental_probe",  # new: persisted-index incremental dedup
     "streaming_dedup_ingest",  # new: greedy dedup-on-ingest stream
+    "ann_pq_topk",  # new: ADC table-lookup search over PQ codes
     "ann_cosine_topk_np",  # newly oracled (quantized keys)
     "q15_top_supplier",  # global window -> broadcast scalar agg
     "q11_supply_value_share",  # same rewrite
@@ -105,10 +106,11 @@ _PRIORITY = [
     "corpus_domain_mix",
     "corpus_length_filter_report",
     "corpus_dedup_survivor_stats",
-    # --- tier 3: oldest round-5 rows, refreshed before they can go
-    # three rounds stale at r8 (chunk_overlap/simhash/funnel/asof yield
-    # their slots to the five brand-new queries above; they front r8)
-    "streaming_click_attribution",  # also: stateful shuffle pin landed
+    # --- tier 3 dissolved this round: the six brand-new queries above
+    # took the oldest-r5 refresh slots (chunk_overlap, simhash, funnel,
+    # asof, click_attribution — all exactly two rounds old at r7, the
+    # policy limit, all locally sweep-green including the shuffle-pin
+    # change to click_attribution). The whole r5 cohort fronts r8.
     # --- beyond slot 50: fresh round-6 rows (windows, set ops,
     # q4-q19 family, qa/media/sql_*), the rest of the r5 cohort
     # (refresh in r8), and the 3 no-oracle sketches; all keep their

@@ -507,6 +507,24 @@ register_query(
     "emb_pq_codes", _pq_codes_query, similarity.pq_encode_sql(m=4, codes=16, dim=64)
 )
 
+
+def _pq_topk_query(spark, sf_dir):
+    """ADC search over the PQ codes (seed codebooks — the
+    SQL-replayable configuration; Lloyd's-refined codebooks carry the
+    recall pytest instead): per query one (m x codes) integer lookup
+    table, corpus scored by table lookups on its codes alone."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    books = _PQ_BOOK_CACHE.get(key)
+    if books is None:
+        books = similarity.train_pq_codebooks(_emb(spark, sf_dir), m=4, codes=16, iters=0)
+        _PQ_BOOK_CACHE[key] = books
+    return similarity.pq_topk(_emb(spark, sf_dir), books, ANN_QUERY_IDS, k=10)
+
+
+register_query(
+    "ann_pq_topk", _pq_topk_query, similarity.pq_topk_sql(ANN_QUERY_IDS, k=10)
+)
+
 # Multimodal plumbing (mapInPandas feature extraction over binary
 # payloads; decode stubbed, byte-level features real — see
 # operators/multimodal.py).

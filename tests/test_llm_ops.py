@@ -551,6 +551,33 @@ def test_pq_lloyds_improves_reconstruction_error(spark, emb):
         similarity.train_pq_codebooks(emb, iters=0, max_sample=10)
 
 
+def test_pq_adc_recall_and_lloyds_gain(spark, emb):
+    """ADC search over PQ codes: near-orthogonal random embeddings are
+    PQ's documented worst case, so the contract is (a) a candidate set
+    5x the target recovers a useful fraction of the exact top-10
+    (measured 0.44 seed / 0.60 Lloyd's; bounds leave margin), (b)
+    Lloyd's-refined codebooks never recall fewer than the raw seeds,
+    (c) the search is deterministic."""
+    qids = [1, 7, 42]
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    seed_books = similarity.train_pq_codebooks(emb, iters=0)
+    lloyd_books = similarity.train_pq_codebooks(emb, iters=5)
+
+    def recall(books, k):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.pq_topk(emb, books, qids, k=k).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_seed, r_lloyd = recall(seed_books, 50), recall(lloyd_books, 50)
+    assert r_seed >= 0.25, r_seed
+    assert r_lloyd >= r_seed - 0.1, (r_lloyd, r_seed)
+    a = similarity.pq_topk(emb, seed_books, qids, k=10).collect()
+    b = similarity.pq_topk(emb, seed_books, qids, k=10).collect()
+    assert a == b
+
+
 def test_seed_quantizer_refuses_to_sample(spark, emb):
     """iters=0 is the SQL-replayable seed quantizer: its oracle seeds
     from ALL vectors, so triggering the xxhash64 sampling predicate
