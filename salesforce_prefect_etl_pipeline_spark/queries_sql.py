@@ -117,6 +117,40 @@ FROM embeddings, unnest(generate_series(1, 8)) AS t(i)
 GROUP BY label, dim ORDER BY label, dim
 """
 
+# Recursive CTE (Spark 4's WITH RECURSIVE — the SQL front-end's
+# iterative construct): a month date-spine from min to max order date,
+# LEFT JOINed to per-month counts so months with ZERO orders appear —
+# the gap-filling a time-series report needs and a plain GROUP BY
+# cannot produce. The bound rides along the recursion (a scalar
+# subquery in the step would re-aggregate orders EVERY iteration —
+# measured 26.6s vs 10.1s at sf0.01).
+#
+# Execution-model note: Spark runs each recursive step as its own tiny
+# job, so an ~80-step thin chain costs ~80 job overheads regardless of
+# data size. Recursion is the right tool for FEW deep steps; anything
+# iteration-heavy in this repo (connected components, PageRank) uses
+# O(log n) pointer-jumping / fixed-count DataFrame loops instead, and
+# this query stays out of the driver's timed top-50 window.
+# Dialect split is the month-format call only (date_format/strftime).
+_SPINE_BODY = """
+WITH RECURSIVE months(m, hi) AS (
+  SELECT date_trunc('MONTH', (SELECT MIN(o_orderdate) FROM orders)),
+         date_trunc('MONTH', (SELECT MAX(o_orderdate) FROM orders))
+  UNION ALL
+  SELECT m + INTERVAL '1' MONTH, hi FROM months
+  WHERE m < hi
+)
+SELECT {fmt} AS month,
+       COALESCE(n, 0) AS n_orders
+FROM months
+LEFT JOIN (SELECT date_trunc('MONTH', o_orderdate) AS om,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1) ON om = m
+ORDER BY month
+"""
+SQL_MONTH_SPINE_SPARK = _SPINE_BODY.format(fmt="date_format(m, 'yyyy-MM')")
+SQL_MONTH_SPINE_DUCK = _SPINE_BODY.format(fmt="strftime(m, '%Y-%m')")
+
 for _name, _spark_sql, _oracle in [
     ("sql_q5_local_supplier", SQL_Q5, SQL_Q5),
     ("sql_orders_above_avg", SQL_ABOVE_AVG, SQL_ABOVE_AVG),
@@ -125,5 +159,6 @@ for _name, _spark_sql, _oracle in [
     ("sql_pivot_counts", SQL_PIVOT, SQL_PIVOT),
     ("sql_union_all_counts", SQL_UNION_ALL, SQL_UNION_ALL),
     ("sql_embedding_dim_stats", SQL_EMBED_DIMSTATS_SPARK, SQL_EMBED_DIMSTATS_DUCK),
+    ("sql_recursive_month_spine", SQL_MONTH_SPINE_SPARK, SQL_MONTH_SPINE_DUCK),
 ]:
     register_query(_name, _sql_query(_spark_sql), _oracle)
