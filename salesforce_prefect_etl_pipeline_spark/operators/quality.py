@@ -263,3 +263,29 @@ SELECT key, n,
 FROM counts CROSS JOIN tot
 ORDER BY n DESC, key ASC LIMIT {k}
 """
+
+
+def observed_qa(df: DataFrame, columns: list[str] | None = None, name: str = "qa"):
+    """Ride-along QA metrics via Spark's Observation API: row count and
+    per-column null counts are accumulated DURING the next action on
+    the returned frame (the write, the aggregation — whatever the job
+    already does), so the QA pass costs ZERO extra scans. The
+    reference's profiler (X10, tasks/quality_parallel.py:20-80) and its
+    port `profile_frame` re-scan the frame; at 100 TB a second scan of
+    the fact table is the single most expensive QA design choice this
+    API deletes.
+
+    Returns (observed_df, observation). After the first action on
+    observed_df, ``observation.get`` yields
+    {"rows": n, "nulls_<col>": n, ...}. Works on batch frames
+    (streaming queries report through StreamingQueryProgress instead).
+    """
+    from pyspark.sql import Observation
+
+    cols = columns or df.columns
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("rows")] + [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}")
+        for c in cols
+    ]
+    return df.observe(obs, *metrics), obs

@@ -476,3 +476,21 @@ def test_merge_snapshot_recovers_from_interrupted_swap(spark, tmp_path):
         ("b", 20.0, "2024-01-05"),
     ]
     assert not os.path.exists(snap + ".__merge_old__")
+
+
+def test_observed_qa_rides_along_without_second_scan(spark, tmp_path):
+    """observe() metrics collected during the ONE write action must
+    match a separate profile pass — QA without re-scanning."""
+    from pyspark.sql import functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators.quality import observed_qa
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    observed, obs = observed_qa(orders, ["o_custkey", "o_orderpriority"])
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["rows"] == orders.count()
+    for c in ("o_custkey", "o_orderpriority"):
+        assert got[f"nulls_{c}"] == orders.filter(F.col(c).isNull()).count()
