@@ -1,7 +1,10 @@
-"""AS-OF join — match each left row to the most recent right row with
-right_ts <= left_ts per key (the standard time-series point-in-time
-join; reference has no joins at all, SURVEY.md §2.3, so this is pure
-extension surface alongside the equi/semi/anti family).
+"""AS-OF join — match each left row to the nearest right row per key
+in a direction: ``backward`` (most recent right_ts <= left_ts — the
+standard point-in-time join), ``forward`` (earliest right_ts >=
+left_ts — "next event after"), or ``nearest`` (closer of the two,
+ties to backward — pandas merge_asof's direction vocabulary).
+The reference has no joins at all (SURVEY.md §2.3), so this is pure
+extension surface alongside the equi/semi/anti family.
 
 Spark has no built-in as-of join; this implements it with the
 union + ordered window trick, which scales as one shuffle on
@@ -35,44 +38,89 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_value_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: every left row, plus the named right columns from
-    the latest right row with right_ts <= left_ts (nulls if none)."""
+    """Left as-of join: every left row, plus the named right columns
+    from the matched right row (nulls if none) — matched per
+    ``direction``; ties (right_ts == left_ts) always match, and
+    ``nearest`` resolves an equidistant backward/forward pair to the
+    backward row.
+
+    One shuffle on (key, ts) regardless of direction; ``nearest`` adds
+    a second window SORT over the same exchange (backward and forward
+    carries need opposite tie orderings), not a second shuffle."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     lcols = left.columns
     rtypes = dict(right.dtypes)
+    ts_type = dict(left.dtypes)[left_ts]
+    fields = [("__rts", rtypes[right_ts])] + [
+        (c, rtypes[c]) for c in right_value_cols
+    ]
     null_struct = F.lit(None).cast(
-        "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_value_cols) + ">"
+        "struct<" + ",".join(f"{c}:{t}" for c, t in fields) + ">"
     )
     l = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(True).alias("__is_left"),
         null_struct.alias("__r"),
     )
     r = right.select(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != key],
         F.col(key),
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(False).alias("__is_left"),
         # A struct of all-null fields is itself non-null, so last(...,
         # ignorenulls) still treats a right row with NULL values as the
         # match — only the left rows' NULL placeholder is skipped.
-        F.struct(*[F.col(c) for c in right_value_cols]).alias("__r"),
-    ).select(*lcols, "__ts", "__side", "__r")
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c) for c in right_value_cols],
+        ).alias("__r"),
+    ).select(*lcols, "__ts", "__is_left", "__r")
     unioned = l.unionByName(r)
-    # right rows sort before left rows at equal ts (__side 0 < 1), so a
-    # same-instant right row is visible to the left row.
-    w = (
+    # Tie ordering differs per carry direction: the backward carry needs
+    # right rows BEFORE left at equal ts (so a same-instant right row is
+    # in the preceding frame); the forward carry needs them AFTER.
+    side_b = F.when(F.col("__is_left"), 1).otherwise(0)
+    side_f = F.when(F.col("__is_left"), 0).otherwise(1)
+    w_b = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", side_b)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        *lcols,
-        "__ts",
-        "__side",
-        F.last("__r", ignorenulls=True).over(w).alias("__m"),
+    w_f = (
+        Window.partitionBy(key)
+        .orderBy("__ts", side_f)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    return carried.filter(F.col("__side") == 1).select(
-        *lcols, *[F.col(f"__m.{c}").alias(c) for c in right_value_cols]
+    carries = [*lcols, "__ts", "__is_left"]
+    if direction in ("backward", "nearest"):
+        carries.append(F.last("__r", ignorenulls=True).over(w_b).alias("__mb"))
+    if direction in ("forward", "nearest"):
+        carries.append(F.first("__r", ignorenulls=True).over(w_f).alias("__mf"))
+    carried = unioned.select(*carries)
+    if direction == "backward":
+        m = F.col("__mb")
+    elif direction == "forward":
+        m = F.col("__mf")
+    else:
+        # microsecond distances for timestamps (a long cast truncates a
+        # timestamp to SECONDS, collapsing sub-second distances)
+        def _as_long(c):
+            if ts_type.startswith("timestamp"):
+                return F.unix_micros(c)
+            return c.cast("long")
+
+        dist_b = _as_long(F.col("__ts")) - _as_long(F.col("__mb.__rts"))
+        dist_f = _as_long(F.col("__mf.__rts")) - _as_long(F.col("__ts"))
+        m = (
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(dist_f < dist_b, F.col("__mf"))
+            .otherwise(F.col("__mb"))
+        )
+    return carried.filter(F.col("__is_left")).select(
+        *lcols, *[m.getField(c).alias(c) for c in right_value_cols]
     )

@@ -756,6 +756,98 @@ ORDER BY l.event_id
 """
 
 
+def asof_forward_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click matched to the user's NEXT purchase at
+    or after it — conversion-lag analysis (operators/asof.py
+    direction='forward'; DuckDB ASOF with the inequality flipped)."""
+    from salesforce_prefect_etl_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    joined = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="p_ts",
+        right_value_cols=["p_ts", "p_value"], direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.unix_micros("p_ts").alias("next_purchase_ts_us"),
+        F.col("p_value").alias("next_purchase_value"),
+    ).orderBy("event_id")
+
+
+ASOF_FORWARD_SQL = """
+SELECT l.event_id, l.user_id,
+       epoch_us(CAST(l.ts AS TIMESTAMP)) AS click_ts_us,
+       epoch_us(CAST(r.ts AS TIMESTAMP)) AS next_purchase_ts_us,
+       r.value AS next_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+ORDER BY l.event_id
+"""
+
+
+def asof_nearest_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: each click matched to the user's temporally
+    CLOSEST purchase (ties to the earlier one) — sessionless
+    click/purchase attribution when direction is unknown."""
+    from salesforce_prefect_etl_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    joined = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="p_ts",
+        right_value_cols=["p_ts", "p_value"], direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.unix_micros("p_ts").alias("nearest_purchase_ts_us"),
+        F.col("p_value").alias("nearest_purchase_value"),
+    ).orderBy("event_id")
+
+
+# Two chained DuckDB ASOF joins (backward + forward) resolved by CASE
+# on the microsecond distances — ties (equal distance) to backward,
+# matching the engine's documented semantics.
+ASOF_NEAREST_SQL = """
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT event_id, user_id, click_ts_us,
+       CASE WHEN b_ts IS NULL THEN f_ts
+            WHEN f_ts IS NULL THEN b_ts
+            WHEN (f_ts - click_ts_us) < (click_ts_us - b_ts) THEN f_ts
+            ELSE b_ts END AS nearest_purchase_ts_us,
+       CASE WHEN b_ts IS NULL THEN f_v
+            WHEN f_ts IS NULL THEN b_v
+            WHEN (f_ts - click_ts_us) < (click_ts_us - b_ts) THEN f_v
+            ELSE b_v END AS nearest_purchase_value
+FROM (
+  SELECT l.event_id, l.user_id,
+         epoch_us(CAST(l.ts AS TIMESTAMP)) AS click_ts_us,
+         epoch_us(CAST(b.ts AS TIMESTAMP)) AS b_ts, b.value AS b_v,
+         epoch_us(CAST(f.ts AS TIMESTAMP)) AS f_ts, f.value AS f_v
+  FROM c l
+  ASOF LEFT JOIN p b ON l.user_id = b.user_id AND l.ts >= b.ts
+  ASOF LEFT JOIN p f ON l.user_id = f.user_id AND l.ts <= f.ts
+)
+ORDER BY event_id
+"""
+
+
 def range_join_ship_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned interval join (operators/rangejoin.py): per order, count
     lineitems shipped within [orderdate, orderdate + 30 days]. The bin
@@ -1492,6 +1584,8 @@ for _name, _fn, _sql in [
     ("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
     ("q10_returned_items", q10_returned_items, Q10_SQL),
     ("join_asof_clicks_to_purchases", asof_clicks_to_purchases, ASOF_SQL),
+    ("join_asof_forward", asof_forward_clicks, ASOF_FORWARD_SQL),
+    ("join_asof_nearest", asof_nearest_clicks, ASOF_NEAREST_SQL),
     ("join_range_ship_within_30d", range_join_ship_within_30d, RANGE_JOIN_SQL),
     ("udtf_sentence_stats", udtf_sentence_stats, UDTF_SENTENCE_SQL),
     ("join_revenue_by_region", join_revenue_by_region, JOIN_REVENUE_BY_REGION_SQL),

@@ -359,3 +359,57 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
 
     n_purchase = ev.filter(F.col("event_type") == "purchase").count()
     assert joined.count() == n_purchase
+
+
+def test_asof_join_directions_and_ties(spark):
+    """Direction semantics on constructed data: ties match in BOTH
+    directions; nearest picks the closer side and resolves an exact
+    equidistant pair to the backward row."""
+    from pyspark.sql import functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 1, 100),  # tie with right at 100
+            (2, 1, 55),   # backward 50 (d=5), forward 100 (d=45)
+            (3, 1, 75),   # equidistant: 50 (d=25) vs 100 (d=25) -> backward
+            (4, 1, 10),   # nothing before -> forward only
+            (5, 2, 10),   # key with no right rows at all
+        ],
+        "event_id long, k long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 500), (1, 100, 1000)], "k long, rts long, v long"
+    )
+
+    def run(direction):
+        out = asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            right_value_cols=["rts", "v"], direction=direction,
+        )
+        return {r.event_id: (r.rts, r.v) for r in out.collect()}
+
+    b = run("backward")
+    assert b[1] == (100, 1000)  # tie matches backward
+    assert b[2] == (50, 500)
+    assert b[4] == (None, None)
+    assert b[5] == (None, None)
+
+    f = run("forward")
+    assert f[1] == (100, 1000)  # tie matches forward too
+    assert f[2] == (100, 1000)
+    assert f[4] == (50, 500)
+    assert f[5] == (None, None)
+
+    n = run("nearest")
+    assert n[1] == (100, 1000)  # distance 0
+    assert n[2] == (50, 500)    # closer backward
+    assert n[3] == (50, 500)    # equidistant -> backward
+    assert n[4] == (50, 500)    # only forward exists
+    assert n[5] == (None, None)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", "lts", "rts", ["v"], direction="sideways")
