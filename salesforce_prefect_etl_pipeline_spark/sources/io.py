@@ -148,11 +148,7 @@ def merge_snapshot(
     """
     from pyspark.sql.window import Window
 
-    old = snapshot_path.rstrip("/") + ".__merge_old__"
-    if not os.path.exists(snapshot_path) and os.path.exists(old):
-        # Crash happened after snapshot->old but before tmp->snapshot:
-        # `old` holds the last committed snapshot. Restore it.
-        os.rename(old, snapshot_path)
+    _recover_torn_swap(snapshot_path)
 
     incoming = batch.withColumn("__src", F.lit(1))
     if os.path.exists(snapshot_path):
@@ -170,9 +166,87 @@ def merge_snapshot(
     )
     tmp = snapshot_path.rstrip("/") + ".__merge_tmp__"
     merged.write.mode("overwrite").parquet(tmp)
+    _swap_snapshot(snapshot_path, tmp)
+    return snapshot_path
+
+
+def _recover_torn_swap(snapshot_path: str) -> None:
+    """If a crash landed between the two swap renames (snapshot moved
+    aside, replacement not yet in place), the `.__merge_old__` dir IS
+    the last committed snapshot — restore it instead of treating the
+    situation as a fresh initial load."""
+    old = snapshot_path.rstrip("/") + ".__merge_old__"
+    if not os.path.exists(snapshot_path) and os.path.exists(old):
+        os.rename(old, snapshot_path)
+
+
+def _swap_snapshot(snapshot_path: str, tmp: str) -> None:
+    """Two-rename swap of a fully-written temp dir into place (the
+    plain-parquet snapshot commit; torn-swap recovery on next entry)."""
+    old = snapshot_path.rstrip("/") + ".__merge_old__"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(snapshot_path):
         os.rename(snapshot_path, old)
     os.rename(tmp, snapshot_path)
     shutil.rmtree(old, ignore_errors=True)
-    return snapshot_path
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files and swap atomically (same torn-swap-
+    safe commit as ``merge_snapshot``). Streaming sinks, incremental
+    merges and per-batch appends all accrete small files; at 100 TB
+    the resulting open/footer/seek overhead dominates scan time long
+    before data volume does, and a periodic OPTIMIZE-style rewrite is
+    the standard fix (what Delta/Iceberg `OPTIMIZE`/`rewrite_data_files`
+    runs; here the plain-parquet equivalent).
+
+    The output partition count comes from the directory's CURRENT
+    on-disk bytes (control-plane listing, no data read), so compaction
+    cost is one read + one write of the data, no shuffle beyond the
+    coalesce. Returns {"files_before", "files_after", "bytes"}."""
+    from pathlib import Path as _P
+
+    files = [f for f in _P(path).rglob("*.parquet") if f.is_file()]
+    n_before = len(files)
+    total = sum(f.stat().st_size for f in files)
+    n_parts = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__merge_tmp__"
+    # coalesce (no shuffle) when reducing files — the compaction case;
+    # repartition only when SPLITTING oversized files, which needs one
+    sized = (
+        df.coalesce(int(n_parts))
+        if n_parts <= df.rdd.getNumPartitions()
+        else df.repartition(int(n_parts))
+    )
+    sized.write.mode("overwrite").parquet(tmp)
+    _swap_snapshot(path, tmp)
+    n_after = len([f for f in _P(path).rglob("*.parquet") if f.is_file()])
+    return {"files_before": n_before, "files_after": n_after, "bytes": total}
+
+
+def read_parquet_evolving(
+    spark: SparkSession, paths: list[str], required_cols: dict[str, str]
+) -> DataFrame:
+    """Schema-evolution read: union parquet directories written at
+    different schema epochs (``mergeSchema`` unions the physical
+    schemas; files missing a column yield nulls) and guarantee the
+    engine-facing contract columns exist with the right types — the
+    SOURCE-level generalization of the compiler's ensure-column
+    semantics (P6, tasks/process.py:11-16): a column added to the feed
+    last month must not break reading the files from before it existed.
+
+    ``required_cols``: {name: spark_type_ddl}; missing columns are
+    synthesized as typed nulls, present ones cast."""
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    for c, t in required_cols.items():
+        if c in df.columns:
+            df = df.withColumn(c, F.col(c).cast(t))
+        else:
+            df = df.withColumn(c, F.lit(None).cast(t))
+    return df

@@ -494,3 +494,45 @@ def test_observed_qa_rides_along_without_second_scan(spark, tmp_path):
     assert got["rows"] == orders.count()
     for c in ("o_custkey", "o_orderpriority"):
         assert got[f"nulls_{c}"] == orders.filter(F.col(c).isNull()).count()
+
+
+def test_compact_parquet_reduces_files_preserving_data(spark, tmp_path):
+    """Compaction: a directory accreted as 16 tiny files rewrites to
+    the byte-derived target count with identical data, via the same
+    torn-swap-safe commit as merge_snapshot."""
+    from salesforce_prefect_etl_pipeline_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "accreted")
+    spark.range(10_000).repartition(16).write.parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    report = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert report["files_before"] == 16
+    assert report["files_after"] == 1
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after == before
+    # target smaller than total bytes -> multiple right-sized files
+    report2 = compact_parquet(spark, path, target_file_bytes=10_000)
+    assert report2["files_after"] > 1
+
+
+def test_read_parquet_evolving_schema_epochs(spark, tmp_path):
+    """Files written before a column existed must still read: mergeSchema
+    unions the epochs, required_cols fills/casts the contract columns."""
+    from salesforce_prefect_etl_pipeline_spark.sources.io import (
+        read_parquet_evolving,
+    )
+
+    old_dir, new_dir = str(tmp_path / "e1"), str(tmp_path / "e2")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(old_dir)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(new_dir)
+    df = read_parquet_evolving(
+        spark,
+        [old_dir, new_dir],
+        {"id": "bigint", "name": "string", "score": "double", "channel": "string"},
+    )
+    rows = {r.id: (r.name, r.score, r.channel) for r in df.collect()}
+    assert rows[1] == ("a", None, None)  # pre-epoch file: typed nulls
+    assert rows[2] == ("b", 9.5, None)
+    assert dict(df.dtypes)["score"] == "double"
