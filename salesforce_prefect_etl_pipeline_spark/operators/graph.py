@@ -150,3 +150,60 @@ r{i + 1} AS (
         )
     out.append(f"\nSELECT node, rank_scaled FROM r{iters} ORDER BY node")
     return "".join(out)
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over the undirected graph —
+    the classic cohesion/clustering metric (and the standard distributed
+    triangle enumeration): canonicalize each edge to (a < b), then
+    enumerate each triangle exactly once as a < b < c via two joins —
+    (a,b) ⋈ (b,c) ⋈ exists(a,c) — and credit all three corners.
+
+    Scale shape: two equi-joins on single vertex keys; the join fan-out
+    concentrates on high-degree vertices, so at web scale the standard
+    refinement is degree-ordered orientation (point edges from low to
+    high degree) instead of id order — same plan, different canonical
+    order; id order keeps the result SQL-replayable here. Returns
+    (node, n_triangles), nodes with at least one triangle."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(a.alias("a"), b.alias("b"))
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tris = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x3") == F.col("x")) & (F.col("z3") == F.col("z")))
+        .select("x", "y", "z")
+    )
+    node = tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+    return (
+        node.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+def triangle_counts_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` over the same edge SQL."""
+    return f"""
+WITH raw AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT unnest([x, y, z]) AS node FROM tris
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM corners GROUP BY node ORDER BY node
+"""

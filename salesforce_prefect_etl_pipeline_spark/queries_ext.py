@@ -1397,6 +1397,49 @@ JOIN nation n ON p.node = n.n_nationkey
 ORDER BY p.node
 """
 
+#: Edge-weight floor for the triangle query: the full trade graph is
+#: near-complete (25 nations all trade), so triangles are thresholded
+#: to MAJOR routes — edges above ~1.3x the mean route weight — giving a
+#: sparse graph whose triangle structure is non-trivial. The threshold
+#: is a cross-multiplied integer predicate (no division), bit-exact.
+_TRIANGLE_EDGES_SQL = f"""
+WITH w AS ({_PAGERANK_EDGES_SQL}),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS s, COUNT(*) AS n FROM w)
+SELECT src, dst FROM w, tot WHERE w.w * tot.n * 10 > tot.s * 13
+"""
+
+
+def graph_nation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle counts over the MAJOR-route trade graph
+    (operators/graph.py::triangle_counts): which nations sit in tightly
+    interlocked trade clusters. Edge thresholding is an integer
+    cross-multiplication against 1.3x the mean route weight."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    weights = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = weights.agg(
+        F.sum("w").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    major = (
+        weights.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("__n") * 10 > F.col("__s") * 13)
+        .select("src", "dst")
+    )
+    return graph.triangle_counts(major)
+
+
+GRAPH_TRIANGLES_SQL = graph.triangle_counts_sql(_TRIANGLE_EDGES_SQL)
+
 
 def agg_mad_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation per event_type — the robust
@@ -1621,6 +1664,7 @@ for _name, _fn, _sql in [
     ("events_session_sequences", events_session_sequences, EVENTS_SESSION_SEQ_SQL),
     ("events_transition_counts", events_transition_counts, EVENTS_TRANSITION_SQL),
     ("graph_nation_pagerank", graph_nation_pagerank, GRAPH_PAGERANK_SQL),
+    ("graph_nation_triangles", graph_nation_triangles, GRAPH_TRIANGLES_SQL),
     ("agg_mode_priority_by_segment", agg_mode_priority_by_segment, AGG_MODE_SQL),
     ("events_zorder_layout", events_zorder_layout, EVENTS_ZORDER_SQL),
     ("agg_mad_value_by_type", agg_mad_value_by_type, AGG_MAD_SQL),

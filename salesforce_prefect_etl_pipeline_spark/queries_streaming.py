@@ -29,6 +29,7 @@ from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
     stream_events,
     stream_static_enriched,
     stream_stream_attribution,
+    stream_stream_attribution_outer,
     tumbling_agg,
 )
 
@@ -169,6 +170,47 @@ register_query(
         mode="append",
     ).orderBy("user_id", "click_id", "purchase_id"),
     ATTRIBUTION_SQL,
+)
+
+# LEFT OUTER variant. The oracle encodes the WATERMARK semantics, not
+# plain batch LEFT JOIN: matched pairs emit on match, but an unmatched
+# click's NULL row emits only once the query watermark proves no
+# in-window purchase can still arrive — i.e. click_ts + window <
+# min(max click_ts, max purchase_ts) - delay. Clicks in the stream's
+# final watermark horizon stay pending and produce NO row (verified
+# empirically: the boundary separates emitted from withheld nulls
+# exactly). This is the semantic difference between a batch outer join
+# and a streaming one, stated in the oracle instead of papered over.
+ATTRIBUTION_OUTER_SQL = """
+WITH wm AS (
+  SELECT least(
+    (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'click'),
+    (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'purchase')
+  ) - INTERVAL 2 HOUR AS w
+)
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us,
+       epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE,
+wm
+WHERE p.event_id IS NOT NULL
+   OR CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE < wm.w
+ORDER BY c.user_id, click_id, purchase_id
+"""
+register_query(
+    "streaming_click_attribution_outer",
+    lambda spark, sf_dir: run_stream_to_batch(
+        stream_stream_attribution_outer(stream_events(spark, sf_dir)),
+        "stream_attribution_outer",
+        mode="append",
+    ).orderBy("user_id", "click_id", "purchase_id"),
+    ATTRIBUTION_OUTER_SQL,
 )
 
 # QA profiler core (X10) over orders.

@@ -261,6 +261,54 @@ def stream_stream_attribution(
     )
 
 
+def stream_stream_attribution_outer(
+    events: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click, attributed
+    purchases OR NULLs — the "which clicks never converted" feed. The
+    outer side is what makes this a distinct streaming capability: an
+    unmatched click can only be emitted once the purchase-side
+    watermark proves no in-window purchase can still arrive, so the
+    nulls appear with watermark latency (with AvailableNow over one
+    batch, everything finalizes at end-of-batch, making the result
+    batch-equal to a LEFT JOIN — the oracle). Same bounded join state
+    as the inner variant; the outer rows add no state, only deferred
+    emission."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {attribution_window}
+            """
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+
+
 #: Shuffle-partition pin for STATEFUL streaming queries. AQE is disabled
 #: inside stateful streaming (Spark pins the plan so state-store
 #: partitioning stays stable across batches), so the session's pre-AQE

@@ -413,3 +413,15 @@ def test_asof_join_directions_and_ties(spark):
 
     with _pytest.raises(ValueError, match="direction"):
         asof_join(left, right, "k", "lts", "rts", ["v"], direction="sideways")
+
+
+def test_triangle_counts_exact_on_known_graph(spark):
+    """K4 plus a pendant: each K4 vertex sits in C(3,2)=3 triangles, the
+    pendant in none; direction/duplicates/self-loops must not distort."""
+    from salesforce_prefect_etl_pipeline_spark.operators import graph
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]  # K4 both dirs
+    edges += [(3, 4), (2, 2), (0, 1)]  # pendant, self-loop, duplicate
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.n_triangles for r in graph.triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
