@@ -1484,6 +1484,77 @@ def agg_mad_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_chi2_type_by_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence statistic between event_type and
+    day-part (AM/PM) — the categorical-drift / A-B sanity test a
+    pipeline runs before trusting a segmentation. Emits one row per
+    event_type with its contribution plus the grand total row ('ALL'),
+    so the report localizes WHICH category drives dependence.
+
+    Determinism: cell terms (o - e)^2 / e are each quantized to bigint
+    (floor(term * 1e6)) BEFORE summing — integer sums are
+    order-independent, so the statistic is identical on any plan or
+    parallelism, the same discipline as exact_sum. One count shuffle
+    over (type, daypart); margins are 1-row/broadcast aggregates."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.hour("ts") >= 12).cast("int").alias("pm"),
+    )
+    cells = ev.groupBy("event_type", "pm").agg(F.count(F.lit(1)).alias("o"))
+    row_tot = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_tot = cells.groupBy("pm").agg(F.sum("o").alias("ct"))
+    n_tot = cells.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    term_q = F.floor(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e * 1e6
+    ).cast("long")
+    per_type = (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "pm")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("event_type")
+        .agg(F.sum(term_q).alias("chi2_q"))
+    )
+    total = per_type.agg(
+        F.lit("ALL").alias("event_type"), F.sum("chi2_q").alias("chi2_q")
+    )
+    return per_type.unionByName(total).orderBy("event_type")
+
+
+AGG_CHI2_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) >= 12
+              THEN 1 ELSE 0 END AS pm
+  FROM events
+),
+cells AS (SELECT event_type, pm, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT pm, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT c.event_type,
+         CAST(FLOOR(
+           (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+           * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+           / (CAST(rt AS DOUBLE) * ct / n) * 1e6) AS BIGINT) AS tq
+  FROM cells c JOIN rt USING (event_type) JOIN ct USING (pm), n
+),
+per_type AS (
+  SELECT event_type, CAST(SUM(tq) AS BIGINT) AS chi2_q
+  FROM terms GROUP BY 1
+)
+SELECT * FROM per_type
+UNION ALL
+SELECT 'ALL', CAST(SUM(chi2_q) AS BIGINT) FROM per_type
+ORDER BY event_type
+"""
+
+
 def agg_binned_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT p50/p90/p99 of l_extendedprice per return flag via
     fixed-width binning — the bounded-state percentile that scales
@@ -1669,5 +1740,6 @@ for _name, _fn, _sql in [
     ("events_zorder_layout", events_zorder_layout, EVENTS_ZORDER_SQL),
     ("agg_mad_value_by_type", agg_mad_value_by_type, AGG_MAD_SQL),
     ("agg_binned_percentiles", agg_binned_percentiles, AGG_BINNED_PCTL_SQL),
+    ("agg_chi2_type_by_daypart", agg_chi2_type_by_daypart, AGG_CHI2_SQL),
 ]:
     register_query(_name, _fn, _sql)
