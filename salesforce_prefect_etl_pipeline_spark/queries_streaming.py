@@ -9,6 +9,9 @@ window plans and share their oracles.
 from __future__ import annotations
 
 from salesforce_prefect_etl_pipeline_spark.functions import exact_sum_sql
+from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs_sql,
+)
 from salesforce_prefect_etl_pipeline_spark.operators.quality import (
     key_skew_profile,
     key_skew_profile_sql,
@@ -21,6 +24,7 @@ from salesforce_prefect_etl_pipeline_spark.plans import load_table
 from salesforce_prefect_etl_pipeline_spark.plans.compiler import TESTDATA_COLUMNS
 from salesforce_prefect_etl_pipeline_spark.queries_ext import EVENTS_HOURLY_SQL
 from salesforce_prefect_etl_pipeline_spark.queries_registry import register_query
+from salesforce_prefect_etl_pipeline_spark.streaming.ingest import greedy_accept_sql
 from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
     dedup_user_type_counts,
     run_stream_to_batch,
@@ -261,13 +265,6 @@ def _streaming_dedup_ingest(spark, sf_dir):
             .localCheckpoint(eager=True)  # outlive the temp dir
         )
 
-
-from salesforce_prefect_etl_pipeline_spark.operators.dedup import (  # noqa: E402
-    minhash_lsh_pairs_sql,
-)
-from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (  # noqa: E402
-    greedy_accept_sql,
-)
 
 register_query(
     "streaming_dedup_ingest",
