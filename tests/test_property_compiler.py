@@ -112,3 +112,77 @@ def test_pack_documents_property(spark, token_counts, capacity):
     for members in packs.values():
         if len(members) > 1:
             assert sum(members) <= capacity
+
+
+# ----------------------------------------------------------------------
+# Greedy ingest acceptance (streaming/ingest.py) — pure function, so
+# hypothesis can hammer it: the result must be a maximal independent
+# set in arrival order, pre-accepted nodes are law, and processing in
+# batches must equal processing all at once.
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(edges=edge_strategy, split=st.integers(0, 30))
+def test_greedy_accept_properties(edges, split):
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import greedy_accept
+
+    ids = sorted({x for e in edges for x in e})
+    accepted = greedy_accept(ids, edges)
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    # independent: no accepted pair adjacent
+    for a, b in edges:
+        assert not (a in accepted and b in accepted)
+    # maximal in order: every rejected doc has an earlier accepted nbr
+    for d in ids:
+        if d not in accepted:
+            assert nbrs[d] & accepted
+    # batch-splitting invariance: [ids<split] then [ids>=split] equals
+    # one pass (greedy in ascending id order is prefix-stable)
+    first = [d for d in ids if d < split]
+    second = [d for d in ids if d >= split]
+    acc2 = greedy_accept(second, edges, pre_accepted=greedy_accept(first, edges))
+    assert acc2 == accepted
+    # pre-accepted law: a pre-accepted node is never evicted and always
+    # blocks its neighbors
+    if ids:
+        pre = {ids[-1]}
+        acc3 = greedy_accept(ids, edges, pre_accepted=pre)
+        assert pre <= acc3
+        assert not any(n in acc3 for n in nbrs.get(ids[-1], set()))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_strategy)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from salesforce_prefect_etl_pipeline_spark.operators import graph
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.n_triangles for r in graph.triangle_counts(df).collect()}
+    und = {frozenset(e) for e in edges}
+    nodes = sorted({x for e in edges for x in e})
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if (
+            frozenset((a, b)) in und
+            and frozenset((b, c)) in und
+            and frozenset((a, c)) in und
+        ):
+            for v in (a, b, c):
+                expected[v] = expected.get(v, 0) + 1
+    assert got == expected
