@@ -536,3 +536,44 @@ def test_read_parquet_evolving_schema_epochs(spark, tmp_path):
     assert rows[1] == ("a", None, None)  # pre-epoch file: typed nulls
     assert rows[2] == ("b", 9.5, None)
     assert dict(df.dtypes)["score"] == "double"
+
+
+def test_salesforce_python_datasource(spark):
+    """Spark 4 Python DataSource connector: executor-side page reads,
+    one partition per id-range page, deterministic arrival data, and
+    the tolerant ingest casts compose downstream exactly as with the
+    driver-side extract."""
+    from salesforce_prefect_etl_pipeline_spark.sources.sf_datasource import (
+        SalesforceSimDataSource,
+        _simulated_page,
+    )
+    from salesforce_prefect_etl_pipeline_spark.sources.salesforce import (
+        apply_ingest_casts,
+    )
+
+    spark.dataSource.register(SalesforceSimDataSource)
+    df = (
+        spark.read.format("salesforce_sim")
+        .option("object", "Opportunity")
+        .option("rows", "1000")
+        .option("page_size", "250")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # one per page
+    rows = df.collect()
+    assert len(rows) == 1000
+    assert dict(df.dtypes) == {
+        "Id": "string", "StageName": "string",
+        "Amount": "string", "CloseDate": "string",
+    }
+    # distributed read == the simulator run directly (determinism + no
+    # row loss across partitions)
+    direct = list(_simulated_page("Opportunity", 0, 1000))
+    assert sorted(tuple(r) for r in rows) == sorted(direct)
+    # the arrival contract feeds the same tolerant casts (garbage -> NULL)
+    cast = apply_ingest_casts(df)
+    assert dict(cast.dtypes)["Amount"] == "double"
+    n_garbage = sum(1 for r in direct if r[2] == "not-a-number")
+    n_null_amount = cast.filter(cast.Amount.isNull()).count()
+    assert n_garbage > 0
+    assert n_null_amount == n_garbage + sum(1 for r in direct if r[2] is None)
