@@ -70,10 +70,11 @@ HEADLINE = [
     "dedup_incremental_probe",
     "agg_binned_percentiles",
     "text_common_ngrams",
-    # corpus_e2e_curation (17 s at sf0.1) is deliberately NOT here: it
-    # recomposes minhash pairs + connected components + FFD packing,
-    # each already benched above — a row would double-count ~10 s of
-    # the suite without new attribution.
+    # corpus_e2e_curation (17 s at sf0.1) and streaming_dedup_ingest
+    # (~11 s warm) are deliberately NOT here: each recomposes stages
+    # already benched above (minhash signing/pairs + CC + packing;
+    # signing + index probe + micro-batch overhead) — a row would
+    # double-count ~10 s of the suite without new attribution.
 ]
 
 
