@@ -594,6 +594,88 @@ SELECT doc_id, {strata_col}, rnk FROM (
 
 
 # ----------------------------------------------------------------------
+# Training-mixture planning
+#: Default target language mix (pct) for mixture_plan — an
+#: English-heavy training recipe; callers pass their own.
+DEFAULT_MIX_TARGETS = (("en", 50), ("de", 15), ("fr", 15), ("es", 10), ("zh", 10))
+
+
+def mixture_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    targets: tuple[tuple[str, int], ...] = DEFAULT_MIX_TARGETS,
+) -> DataFrame:
+    """The DECIDE step between the mixture report and the samplers:
+    given a token budget and target per-language shares, compute what
+    each language can actually contribute and the per-language sampling
+    rate to apply. planned = min(available, budget * pct / 100) — a
+    language short of its target contributes everything it has (the
+    shortfall surfaces as deficit_tokens; real pipelines re-weight or
+    up-epoch those languages). rate_ppm = planned * 1e6 / available,
+    all integer floor arithmetic — deterministic, hash-exact.
+
+    One corpus scan + a tiny groupBy; the target table is a broadcast
+    literal. Feeds stratified/weighted sampling with per-language rates."""
+    tgt = docs.sparkSession.createDataFrame(
+        list(targets), "lang string, target_pct long"
+    )
+    avail = docs.select(
+        "lang", F.size(tokens("text")).cast("long").alias("__t")
+    ).groupBy("lang").agg(F.sum("__t").alias("available_tokens"))
+    planned = F.least(
+        F.col("available_tokens"),
+        F.expr(f"CAST({budget_tokens} AS BIGINT) * target_pct DIV 100"),
+    )
+    return (
+        avail.join(F.broadcast(tgt), "lang")
+        .select(
+            "lang",
+            "target_pct",
+            "available_tokens",
+            planned.alias("planned_tokens"),
+            (
+                F.expr(f"CAST({budget_tokens} AS BIGINT) * target_pct DIV 100")
+                - planned
+            ).alias("deficit_tokens"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.expr("CAST(planned_tokens * 1000000 DIV available_tokens AS BIGINT)"),
+        )
+        .orderBy("lang")
+    )
+
+
+def mixture_plan_sql(
+    budget_tokens: int,
+    targets: tuple[tuple[str, int], ...] = DEFAULT_MIX_TARGETS,
+) -> str:
+    nt = r"len(string_split_regex(trim(text), '\s+'))"
+    tgt_rows = ", ".join(f"('{lang}', {pct})" for lang, pct in targets)
+    return f"""
+WITH avail AS (
+  SELECT lang, CAST(SUM({nt}) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY lang
+),
+tgt(lang, target_pct) AS (SELECT * FROM (VALUES {tgt_rows})),
+p AS (
+  SELECT a.lang, CAST(t.target_pct AS BIGINT) AS target_pct,
+         a.available_tokens,
+         least(a.available_tokens,
+               CAST({budget_tokens} AS BIGINT) * t.target_pct // 100)
+           AS planned_tokens
+  FROM avail a JOIN tgt t USING (lang)
+)
+SELECT lang, target_pct, available_tokens, planned_tokens,
+       CAST({budget_tokens} AS BIGINT) * target_pct // 100
+         - planned_tokens AS deficit_tokens,
+       CAST(planned_tokens * 1000000 // available_tokens AS BIGINT)
+         AS rate_ppm
+FROM p ORDER BY lang
+"""
+
+
+# ----------------------------------------------------------------------
 # Deterministic weighted sampling (Efraimidis–Spirakis)
 def weighted_sample(docs: DataFrame, k: int = 100) -> DataFrame:
     """Weighted sample WITHOUT replacement, k docs, inclusion odds

@@ -1484,6 +1484,54 @@ def agg_mad_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-fence outlier report: per event_type, how many events sit
+    outside median ± 3×MAD — the DECIDE step on top of the robust
+    stats (agg_mad_value_by_type): the fence that survives the heavy
+    tails that break mean/stddev fences. Comparison is exact (|x - med|
+    vs 3×mad on the raw doubles, identical expressions both engines);
+    the per-type stats frame is broadcast against the event scan."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    stats = agg_mad_value_by_type(spark, sf_dir).select(
+        "event_type", "median_value", "mad"
+    )
+    flagged = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        (
+            F.abs(F.col("value") - F.col("median_value"))
+            > F.lit(3.0) * F.col("mad")
+        ).cast("int").alias("is_outlier"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_outlier").alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_share",
+            F.col("n_outliers").cast("double") / F.col("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _events_mad_outliers_sql() -> str:
+    return f"""
+WITH stats AS ({AGG_MAD_SQL.replace(";", "")}),
+flagged AS (
+  SELECT e.event_type,
+         CASE WHEN ABS(e.value - s.median_value) > 3.0 * s.mad
+              THEN 1 ELSE 0 END AS is_outlier
+  FROM events e JOIN stats s USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(is_outlier) AS BIGINT) AS n_outliers,
+       CAST(SUM(is_outlier) AS DOUBLE) / COUNT(*) AS outlier_share
+FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+
 def agg_chi2_type_by_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared independence statistic between event_type and
     day-part (AM/PM) — the categorical-drift / A-B sanity test a
@@ -1741,5 +1789,6 @@ for _name, _fn, _sql in [
     ("agg_mad_value_by_type", agg_mad_value_by_type, AGG_MAD_SQL),
     ("agg_binned_percentiles", agg_binned_percentiles, AGG_BINNED_PCTL_SQL),
     ("agg_chi2_type_by_daypart", agg_chi2_type_by_daypart, AGG_CHI2_SQL),
+    ("events_mad_outliers", events_mad_outliers, _events_mad_outliers_sql()),
 ]:
     register_query(_name, _fn, _sql)

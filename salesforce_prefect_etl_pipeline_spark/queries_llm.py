@@ -730,6 +730,15 @@ register_query(
     lambda spark, sf_dir: corpus.weighted_sample(_docs(spark, sf_dir)),
     corpus.weighted_sample_sql(),
 )
+# Mixture planning: the decide step between the domain-mix report and
+# the samplers — per-language planned tokens / deficit / sampling rate
+# against a token budget, all integer floor arithmetic.
+_MIX_BUDGET = 20_000
+register_query(
+    "corpus_mixture_plan",
+    lambda spark, sf_dir: corpus.mixture_plan(_docs(spark, sf_dir), _MIX_BUDGET),
+    corpus.mixture_plan_sql(_MIX_BUDGET),
+)
 # Deterministic global shuffle + shard assignment before writing shards.
 register_query(
     "corpus_shard_assignment",
