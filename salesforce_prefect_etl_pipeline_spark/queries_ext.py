@@ -317,6 +317,36 @@ FROM (
 """
 
 
+def window_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of each supplier's account balance
+    within its nation — the relative-position pair the rank family was
+    missing (rank says WHERE, percent_rank/cume_dist say WHAT FRACTION
+    is below / at-or-below). Both are exact rational-over-count doubles
+    from the same sort, identical IEEE division in both engines; unique
+    (balance, suppkey) ordering makes them deterministic."""
+    supp = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.asc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("s_nationkey", "s_suppkey")
+
+
+WINDOW_PCTRANK_SQL = """
+SELECT s_nationkey, s_suppkey, s_acctbal,
+       PERCENT_RANK() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal ASC, s_suppkey ASC) AS pct_rank,
+       CUME_DIST() OVER (PARTITION BY s_nationkey
+                         ORDER BY s_acctbal ASC, s_suppkey ASC) AS cume
+FROM supplier ORDER BY s_nationkey, s_suppkey
+"""
+
+
 def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last order per customer over a full-partition frame."""
     orders = _t(spark, sf_dir, "orders")
@@ -1759,6 +1789,7 @@ for _name, _fn, _sql in [
     ("window_rank_nations_by_acctbal", window_rank_nations_by_acctbal, WINDOW_RANK_SQL),
     ("window_ntile_order_quartiles", window_ntile_order_quartiles, WINDOW_NTILE_SQL),
     ("window_first_last_order", window_first_last_order, WINDOW_FIRST_LAST_SQL),
+    ("window_percentile_ranks", window_percentile_ranks, WINDOW_PCTRANK_SQL),
     ("agg_approx_percentile_price", agg_approx_percentile_price, None),
     ("set_union_nationkeys", set_union_nationkeys, SET_UNION_SQL),
     ("set_intersect_nationkeys", set_intersect_nationkeys, SET_INTERSECT_SQL),
