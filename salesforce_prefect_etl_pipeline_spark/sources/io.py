@@ -128,7 +128,12 @@ def merge_snapshot(
     at-least-once watermark extractor (``extract_object_incremental``):
     replayed records overwrite themselves, so fetch-retry + merge
     composes to an exactly-once END STATE without distributed
-    transactions.
+    transactions. CDC DELETES: carry a tombstone flag column in the
+    batch (latest version wins like any upsert) and read through
+    :func:`read_live_snapshot` — the tombstone row STAYS in the
+    snapshot so a replayed earlier upsert can never resurrect the key
+    (dropping it at merge time would lose exactly that protection);
+    physical removal is a later compaction's job, as in Delta/Iceberg.
 
     Plan shape: union(current, batch) -> row_number per key by
     (version desc, source desc) -> keep rank 1 -> atomic swap via
@@ -164,6 +169,7 @@ def merge_snapshot(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
     tmp = snapshot_path.rstrip("/") + ".__merge_tmp__"
     merged.write.mode("overwrite").parquet(tmp)
     _swap_snapshot(snapshot_path, tmp)
@@ -189,6 +195,23 @@ def _swap_snapshot(snapshot_path: str, tmp: str) -> None:
         os.rename(snapshot_path, old)
     os.rename(tmp, snapshot_path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def read_live_snapshot(
+    spark: SparkSession, snapshot_path: str, delete_col: str | None = None
+) -> DataFrame:
+    """Read a merge_snapshot, hiding CDC-tombstoned keys. The tombstone
+    rows remain on disk on purpose: they outrank any replayed earlier
+    upsert by version, which is what makes delete + at-least-once
+    replay converge (a snapshot that physically dropped them would
+    resurrect deleted keys on replay). Compaction may physically drop
+    tombstones older than the replay horizon."""
+    df = spark.read.parquet(snapshot_path)
+    if delete_col is not None and delete_col in df.columns:
+        df = df.filter(
+            ~F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        )
+    return df
 
 
 def compact_parquet(

@@ -577,3 +577,36 @@ def test_salesforce_python_datasource(spark):
     n_null_amount = cast.filter(cast.Amount.isNull()).count()
     assert n_garbage > 0
     assert n_null_amount == n_garbage + sum(1 for r in direct if r[2] is None)
+
+
+def test_cdc_tombstones_survive_replay(spark, tmp_path):
+    """Delete + at-least-once replay must converge: the tombstone row
+    stays in the snapshot and outranks a replayed earlier upsert, so
+    the deleted key never resurrects; a genuinely newer upsert does
+    bring it back."""
+    from salesforce_prefect_etl_pipeline_spark.sources.io import (
+        merge_snapshot,
+        read_live_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, v long, ver long, deleted boolean")
+
+    up1 = [("a", 1, 1, False), ("b", 2, 1, False)]
+    merge_snapshot(spark, snap, batch(up1), "k", "ver")
+    merge_snapshot(spark, snap, batch([("a", 0, 3, True)]), "k", "ver")  # delete a
+    live = {r.k: r.v for r in read_live_snapshot(spark, snap, "deleted").collect()}
+    assert live == {"b": 2}
+    # replayed ORIGINAL upsert of a (ver 1) must not resurrect it
+    merge_snapshot(spark, snap, batch(up1), "k", "ver")
+    live = {r.k: r.v for r in read_live_snapshot(spark, snap, "deleted").collect()}
+    assert live == {"b": 2}
+    # tombstone is still physically present (the replay protection)
+    raw = {r.k for r in spark.read.parquet(snap).collect()}
+    assert raw == {"a", "b"}
+    # a NEWER upsert revives the key
+    merge_snapshot(spark, snap, batch([("a", 9, 4, False)]), "k", "ver")
+    live = {r.k: r.v for r in read_live_snapshot(spark, snap, "deleted").collect()}
+    assert live == {"a": 9, "b": 2}
