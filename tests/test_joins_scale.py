@@ -425,3 +425,35 @@ def test_triangle_counts_exact_on_known_graph(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {r.node: r.n_triangles for r in graph.triangle_counts(df).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_results_invariant_under_aqe_and_partitioning(spark):
+    """The determinism contract, enforced: representative queries from
+    the agg/join/window/dedup families must produce IDENTICAL rows with
+    AQE disabled and a hostile shuffle-partition count — no result may
+    depend on the physical plan or parallelism."""
+    from salesforce_prefect_etl_pipeline_spark import queries_all as qa
+
+    names = [
+        "q1_pricing_summary",
+        "join_revenue_by_region",
+        "window_top3_orders_per_customer",
+        "corpus_weighted_sample",
+        "agg_binned_percentiles",
+    ]
+    baseline = {
+        n: [tuple(r) for r in qa.QUERIES[n](spark, SF_SMALL).collect()]
+        for n in names
+    }
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled")
+    prev_sp = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", "3")
+        for n in names:
+            again = [tuple(r) for r in qa.QUERIES[n](spark, SF_SMALL).collect()]
+            assert again == baseline[n], n
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        conf.set("spark.sql.shuffle.partitions", prev_sp)
