@@ -675,6 +675,45 @@ FROM p ORDER BY lang
 """
 
 
+def mixture_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    targets: tuple[tuple[str, int], ...] = DEFAULT_MIX_TARGETS,
+) -> DataFrame:
+    """The ACT step: apply the mixture plan's per-language rate_ppm as
+    a content-addressed Bernoulli filter — doc kept iff its md5 ppm
+    bucket falls below its language's rate. Deterministic, partition-
+    independent, and STABLE under corpus growth within a language's
+    existing docs (a doc's draw never changes; only the rate moves) —
+    the property that lets the same plan re-run incrementally. One scan
+    + a broadcast of the tiny plan frame; no shuffle."""
+    plan = mixture_plan(docs, budget_tokens, targets).select("lang", "rate_ppm")
+    draw = split_bucket(F.col("doc_id"), 1_000_000)
+    return (
+        docs.join(F.broadcast(plan), "lang")
+        .filter(draw < F.col("rate_ppm"))
+        .select(
+            "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def mixture_sample_sql(
+    budget_tokens: int,
+    targets: tuple[tuple[str, int], ...] = DEFAULT_MIX_TARGETS,
+) -> str:
+    nt = r"len(string_split_regex(trim(text), '\s+'))"
+    draw = split_bucket_sql("doc_id", 1_000_000)
+    return f"""
+WITH plan AS ({mixture_plan_sql(budget_tokens, targets)})
+SELECT d.doc_id, d.lang, CAST({nt} AS BIGINT) AS n_tokens
+FROM documents d JOIN plan USING (lang)
+WHERE {draw} < plan.rate_ppm
+ORDER BY doc_id
+"""
+
+
 # ----------------------------------------------------------------------
 # Deterministic weighted sampling (Efraimidis–Spirakis)
 def weighted_sample(docs: DataFrame, k: int = 100) -> DataFrame:

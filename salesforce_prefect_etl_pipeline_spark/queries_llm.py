@@ -739,6 +739,13 @@ register_query(
     lambda spark, sf_dir: corpus.mixture_plan(_docs(spark, sf_dir), _MIX_BUDGET),
     corpus.mixture_plan_sql(_MIX_BUDGET),
 )
+# ...and the act step: the plan's rate_ppm applied as a content-
+# addressed Bernoulli filter (doc's md5 ppm draw < its language rate).
+register_query(
+    "corpus_mixture_sample",
+    lambda spark, sf_dir: corpus.mixture_sample(_docs(spark, sf_dir), _MIX_BUDGET),
+    corpus.mixture_sample_sql(_MIX_BUDGET),
+)
 # Deterministic global shuffle + shard assignment before writing shards.
 register_query(
     "corpus_shard_assignment",
