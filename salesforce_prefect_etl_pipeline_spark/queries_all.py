@@ -112,9 +112,12 @@ _PRIORITY = [
     # policy limit, all locally sweep-green including the shuffle-pin
     # change to click_attribution). The whole r5 cohort fronts r8.
     # --- beyond slot 50: fresh round-6 rows (windows, set ops,
-    # q4-q19 family, qa/media/sql_*), the rest of the r5 cohort
-    # (refresh in r8), and the 3 no-oracle sketches; all keep their
-    # oracles for local sweeps ---
+    # q4-q19 family, qa/media/sql_*), the rest of the r5 cohort, the
+    # queries born AFTER this round's rotation (mixture plan/sample,
+    # MAD outliers, chi2, percent_rank, asof forward/nearest,
+    # triangles, outer attribution, recursive month spine) — ALL of
+    # which must front r8 — and the 3 no-oracle sketches; everything
+    # keeps its oracle for local sweeps ---
     "q1_pricing_summary",
     "spec_orders_by_status",
 ]
