@@ -107,11 +107,26 @@ def asof_join(
         m = F.col("__mf")
     else:
         # microsecond distances for timestamps (a long cast truncates a
-        # timestamp to SECONDS, collapsing sub-second distances)
-        def _as_long(c):
-            if ts_type.startswith("timestamp"):
+        # timestamp to SECONDS, collapsing sub-second distances); day
+        # distances for dates; plain long for numerics. Anything else
+        # (e.g. STRING timestamps, whose long cast yields NULL and
+        # silently turns every nearest into backward) is refused.
+        numeric = ("tinyint", "smallint", "int", "bigint", "long", "double",
+                   "float", "decimal")
+        if ts_type.startswith("timestamp"):
+            def _as_long(c):
                 return F.unix_micros(c)
-            return c.cast("long")
+        elif ts_type == "date":
+            def _as_long(c):
+                return F.unix_date(c).cast("long")
+        elif ts_type.startswith(numeric):
+            def _as_long(c):
+                return c.cast("long")
+        else:
+            raise ValueError(
+                f"asof_join direction='nearest' needs a timestamp, date "
+                f"or numeric ts column; got {ts_type!r} — cast it first"
+            )
 
         dist_b = _as_long(F.col("__ts")) - _as_long(F.col("__mb.__rts"))
         dist_f = _as_long(F.col("__mf.__rts")) - _as_long(F.col("__ts"))

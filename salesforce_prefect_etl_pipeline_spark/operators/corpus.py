@@ -626,8 +626,14 @@ def mixture_plan(
         F.col("available_tokens"),
         F.expr(f"CAST({budget_tokens} AS BIGINT) * target_pct DIV 100"),
     )
+    # LEFT join from the TARGETS: a target language with zero corpus
+    # availability is the report's most important row (deficit = its
+    # whole budget slice), not one to silently drop.
     return (
-        avail.join(F.broadcast(tgt), "lang")
+        tgt.join(avail, "lang", "left")
+        .withColumn(
+            "available_tokens", F.coalesce("available_tokens", F.lit(0).cast("long"))
+        )
         .select(
             "lang",
             "target_pct",
@@ -640,7 +646,11 @@ def mixture_plan(
         )
         .withColumn(
             "rate_ppm",
-            F.expr("CAST(planned_tokens * 1000000 DIV available_tokens AS BIGINT)"),
+            F.when(F.col("available_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    "CAST(planned_tokens * 1000000 DIV available_tokens AS BIGINT)"
+                )
+            ),
         )
         .orderBy("lang")
     )
@@ -659,18 +669,19 @@ WITH avail AS (
 ),
 tgt(lang, target_pct) AS (SELECT * FROM (VALUES {tgt_rows})),
 p AS (
-  SELECT a.lang, CAST(t.target_pct AS BIGINT) AS target_pct,
-         a.available_tokens,
-         least(a.available_tokens,
+  SELECT t.lang, CAST(t.target_pct AS BIGINT) AS target_pct,
+         COALESCE(a.available_tokens, 0) AS available_tokens,
+         least(COALESCE(a.available_tokens, 0),
                CAST({budget_tokens} AS BIGINT) * t.target_pct // 100)
            AS planned_tokens
-  FROM avail a JOIN tgt t USING (lang)
+  FROM tgt t LEFT JOIN avail a USING (lang)
 )
 SELECT lang, target_pct, available_tokens, planned_tokens,
        CAST({budget_tokens} AS BIGINT) * target_pct // 100
          - planned_tokens AS deficit_tokens,
-       CAST(planned_tokens * 1000000 // available_tokens AS BIGINT)
-         AS rate_ppm
+       CASE WHEN available_tokens = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(planned_tokens * 1000000 // available_tokens AS BIGINT)
+       END AS rate_ppm
 FROM p ORDER BY lang
 """
 

@@ -432,7 +432,10 @@ def minhash_profile(docs: DataFrame, k: int = 8, num_hashes: int = 64) -> DataFr
 
 
 def minhash_near_dup_pairs(
-    docs: DataFrame, k: int = 8, threshold: float = 0.8
+    docs: DataFrame,
+    k: int = 8,
+    threshold: float = 0.8,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard (the standard two-stage
     near-dup pipeline). Output (da, db, jaccard) with J >= threshold.
@@ -449,7 +452,7 @@ def minhash_near_dup_pairs(
     # them via ReusedExchange, so no materialization is needed here —
     # checkpointing the (shingle-array-heavy) profile was measured
     # SLOWER than the exchange reuse.
-    prof = minhash_profile(docs, k)
+    prof = profile if profile is not None else minhash_profile(docs, k)
     cand = lsh_candidate_pairs(prof.select("doc_id", "sig"))
     a = prof.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sa"))
     b = prof.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sb"))
@@ -570,6 +573,7 @@ def probe_minhash_index(
     new_docs: DataFrame,
     k: int = 8,
     threshold: float = 0.8,
+    new_prof: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW document batch and the persisted
     corpus index: sign only the increment, join its band keys against
@@ -583,7 +587,8 @@ def probe_minhash_index(
     size in compute, corpus-sized only in the (sorted, skippable) index
     scan. The increment's profile feeds both the banding and the
     verification, exactly like the batch pipeline."""
-    new_prof = minhash_profile(new_docs, k)
+    if new_prof is None:
+        new_prof = minhash_profile(new_docs, k)
     new_banded = new_prof.select(
         F.col("doc_id").alias("new_id"),
         F.posexplode(band_key_array(F.col("sig"))).alias("band", "key"),

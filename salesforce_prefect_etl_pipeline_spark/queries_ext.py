@@ -1578,7 +1578,19 @@ def agg_chi2_type_by_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.hour("ts") >= 12).cast("int").alias("pm"),
     )
-    cells = ev.groupBy("event_type", "pm").agg(F.count(F.lit(1)).alias("o"))
+    observed = ev.groupBy("event_type", "pm").agg(F.count(F.lit(1)).alias("o"))
+    # COMPLETE contingency grid: a (type, daypart) cell with zero
+    # observations still contributes (0 - e)^2 / e = e — exactly the
+    # all-AM dependence signal the test exists to detect; groupBy alone
+    # would silently drop it and bias the statistic low.
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(2).select(F.col("id").cast("int").alias("pm")))
+    )
+    cells = grid.join(observed, ["event_type", "pm"], "left").select(
+        "event_type", "pm", F.coalesce("o", F.lit(0)).alias("o")
+    )
     row_tot = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
     col_tot = cells.groupBy("pm").agg(F.sum("o").alias("ct"))
     n_tot = cells.agg(F.sum("o").alias("n"))
@@ -1610,7 +1622,17 @@ WITH ev AS (
               THEN 1 ELSE 0 END AS pm
   FROM events
 ),
-cells AS (SELECT event_type, pm, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+observed AS (SELECT event_type, pm, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, p.pm
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       (SELECT unnest([0, 1]) AS pm) p
+),
+cells AS (
+  SELECT g.event_type, g.pm, COALESCE(o.o, 0) AS o
+  FROM grid g LEFT JOIN observed o
+    ON g.event_type = o.event_type AND g.pm = o.pm
+),
 rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
 ct AS (SELECT pm, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
 n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),

@@ -261,6 +261,9 @@ def _streaming_dedup_ingest(spark, sf_dir):
         return (
             spark.read.parquet(accepted)
             .select("doc_id", "n_chars")
+            # the replay contract (ingest.py): an at-least-once replayed
+            # batch re-appends identical manifest rows; readers dedup
+            .dropDuplicates(["doc_id"])
             .orderBy("doc_id")
             .localCheckpoint(eager=True)  # outlive the temp dir
         )

@@ -234,6 +234,10 @@ def compact_parquet(
     coalesce. Returns {"files_before", "files_after", "bytes"}."""
     from pathlib import Path as _P
 
+    # same commit, same recovery: a crash between the two swap renames
+    # leaves the committed data under .__merge_old__ — restore it before
+    # listing, or a compaction-only dataset would brick on that crash
+    _recover_torn_swap(path)
     files = [f for f in _P(path).rglob("*.parquet") if f.is_file()]
     n_before = len(files)
     total = sum(f.stat().st_size for f in files)

@@ -35,7 +35,7 @@ from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
     probe_minhash_index,
 )
 from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
-    STREAM_SHUFFLE_PARTITIONS,
+    pinned_stream_shuffle,
 )
 
 
@@ -64,10 +64,10 @@ def greedy_accept(
     return accepted
 
 
-def _append_to_index(docs: DataFrame, index_dir: str, k: int) -> None:
-    """Append accepted docs' bands + profiles to the persisted index
-    (same layout as build_minhash_index, parquet append mode)."""
-    prof = minhash_profile(docs, k)
+def _append_profile_to_index(prof: DataFrame, index_dir: str) -> None:
+    """Append accepted docs' bands + profiles (an already-computed
+    minhash_profile frame) to the persisted index — same layout as
+    build_minhash_index, parquet append mode."""
     banded = prof.select(
         "doc_id", F.posexplode(band_key_array(F.col("sig"))).alias("band", "key")
     )
@@ -99,27 +99,35 @@ def stream_dedup_on_ingest(
     their signatures to the index. Returns ``accepted_dir``.
 
     Replay safety: the accept decision is deterministic given the index
-    state, and both sinks append idempotently per doc_id at the
-    manifest level (a replayed batch re-derives the same accepted set;
-    readers dedup the manifest by doc_id — the same at-least-once ->
-    exactly-once composition as stream_upsert_snapshot)."""
+    state, so a replayed batch re-derives the SAME accepted rows and
+    appends duplicates of them — readers MUST dedup the manifest by
+    doc_id (the registered query does), and duplicate index signatures
+    are harmless because candidate generation applies distinct() on
+    pairs. The same at-least-once -> exactly-once composition as
+    stream_upsert_snapshot, with the dedup on the read side."""
     spark = stream_docs.sparkSession
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch_df = batch_df.select("doc_id", "text")
-        ids = [r.doc_id for r in batch_df.select("doc_id").collect()]
+        # sign the batch ONCE: the same profile feeds within-batch
+        # pairing, the index probe, and the index append (signing is
+        # the dominant per-batch cost — shingle regex/substr/hash)
+        prof = minhash_profile(batch_df, k).localCheckpoint(eager=True)
+        ids = [r.doc_id for r in prof.select("doc_id").collect()]
         within = [
             (r.da, r.db)
-            for r in minhash_near_dup_pairs(batch_df, k, threshold).collect()
+            for r in minhash_near_dup_pairs(
+                batch_df, k, threshold, profile=prof
+            ).collect()
         ]
         vs_index = []
         if os.path.exists(os.path.join(index_dir, "bands", "_SUCCESS")):
             vs_index = [
                 (r.da, r.db)
                 for r in probe_minhash_index(
-                    spark, index_dir, batch_df, k, threshold
+                    spark, index_dir, batch_df, k, threshold, new_prof=prof
                 ).collect()
             ]
         # docs already in the index are immutable prior acceptances
@@ -127,10 +135,15 @@ def stream_dedup_on_ingest(
         accepted = greedy_accept(
             ids, within + vs_index, pre_accepted=indexed
         )
-        keep = [d for d in ids if d in accepted]
-        kept_df = batch_df.filter(F.col("doc_id").isin(keep))
+        # join against a keep-frame, not isin(): the accepted list is
+        # batch-sized and an In-literal of thousands of ids bloats the
+        # plan; a broadcast semi-join is the cheap form
+        keep_df = spark.createDataFrame(
+            [(d,) for d in ids if d in accepted], "doc_id long"
+        )
+        kept = batch_df.join(F.broadcast(keep_df), "doc_id", "semi")
         (
-            kept_df.select(
+            kept.select(
                 "doc_id",
                 F.length("text").cast("long").alias("n_chars"),
                 F.lit(batch_id).alias("batch_id"),
@@ -138,10 +151,10 @@ def stream_dedup_on_ingest(
             .write.mode("append")
             .parquet(accepted_dir)
         )
-        _append_to_index(kept_df, index_dir, k)
+        _append_profile_to_index(
+            prof.join(F.broadcast(keep_df), "doc_id", "semi"), index_dir
+        )
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     ctx = (
         tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_")
         if checkpoint_dir is None
@@ -149,16 +162,16 @@ def stream_dedup_on_ingest(
     )
     ckpt = checkpoint_dir if checkpoint_dir is not None else ctx.name
     try:
-        q = (
-            stream_docs.writeStream.foreachBatch(_batch)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with pinned_stream_shuffle(spark):
+            q = (
+                stream_docs.writeStream.foreachBatch(_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
         if ctx is not None:
             ctx.cleanup()
     return accepted_dir

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -321,6 +322,23 @@ def stream_stream_attribution_outer(
 STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
 
 
+@contextmanager
+def pinned_stream_shuffle(spark: SparkSession, n: int | None = None):
+    """Pin spark.sql.shuffle.partitions for a stateful stream's
+    lifetime and restore it after — state partitioning is fixed at
+    first start from this value and AQE cannot coalesce it later. One
+    place instead of a copy per sink (the copies had already drifted
+    in finally-ordering)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(n or STREAM_SHUFFLE_PARTITIONS)
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_stream_to_batch(
     result: DataFrame,
     name: str,
@@ -338,10 +356,7 @@ def run_stream_to_batch(
     restored after: state partitioning is fixed at first start from this
     value and AQE cannot coalesce it later."""
     spark = result.sparkSession
-    pinned = shuffle_partitions or STREAM_SHUFFLE_PARTITIONS
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(pinned))
-    try:
+    with pinned_stream_shuffle(spark, shuffle_partitions):
         with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
             q = (
                 result.writeStream.format("memory")
@@ -352,8 +367,6 @@ def run_stream_to_batch(
                 .start()
             )
             q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -396,21 +409,17 @@ def stream_upsert_snapshot(
         else None
     )
     ckpt = checkpoint_dir if checkpoint_dir is not None else ctx.name
-    # Same stateful-streaming pin as run_stream_to_batch; the state
-    # partition count is fixed at first start and AQE cannot change it.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
-        q = (
-            result.writeStream.foreachBatch(_merge)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with pinned_stream_shuffle(spark):
+            q = (
+                result.writeStream.foreachBatch(_merge)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
         if ctx is not None:
             ctx.cleanup()
     return snapshot_path

@@ -264,3 +264,29 @@ def test_new_operator_plan_shapes(spark):
     plan = ks._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_mixture_plan_keeps_zero_availability_targets(spark):
+    """A target language with NO corpus documents is the report's most
+    important row: full deficit, zero rate — it must not vanish via an
+    inner join."""
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "en", "alpha beta gamma"), (2, "en", "delta epsilon")],
+        "doc_id long, lang string, text string",
+    )
+    plan = {
+        r.lang: r
+        for r in corpus.mixture_plan(
+            docs, budget_tokens=100, targets=(("en", 60), ("zh", 40))
+        ).collect()
+    }
+    assert set(plan) == {"en", "zh"}
+    zh = plan["zh"]
+    assert zh.available_tokens == 0
+    assert zh.planned_tokens == 0
+    assert zh.deficit_tokens == 40  # its whole budget slice
+    assert zh.rate_ppm == 0
+    en = plan["en"]
+    assert en.available_tokens == 5 and en.planned_tokens == 5
