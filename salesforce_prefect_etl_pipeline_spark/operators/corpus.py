@@ -699,7 +699,11 @@ def mixture_sample(
     the property that lets the same plan re-run incrementally. One scan
     + a broadcast of the tiny plan frame; no shuffle."""
     plan = mixture_plan(docs, budget_tokens, targets).select("lang", "rate_ppm")
-    draw = split_bucket(F.col("doc_id"), 1_000_000)
+    # SALTED draw: split_bucket and this Bernoulli draw must be
+    # independent streams — both deriving from md5(doc_id) would make a
+    # sub-100ppm rate keep only docs whose split bucket is also small
+    # (draw mod 100 IS the split bucket), i.e. an all-train sample.
+    draw = split_bucket(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")), 1_000_000)
     return (
         docs.join(F.broadcast(plan), "lang")
         .filter(draw < F.col("rate_ppm"))
@@ -715,7 +719,7 @@ def mixture_sample_sql(
     targets: tuple[tuple[str, int], ...] = DEFAULT_MIX_TARGETS,
 ) -> str:
     nt = r"len(string_split_regex(trim(text), '\s+'))"
-    draw = split_bucket_sql("doc_id", 1_000_000)
+    draw = split_bucket_sql("concat(CAST(doc_id AS VARCHAR), ':mix')", 1_000_000)
     return f"""
 WITH plan AS ({mixture_plan_sql(budget_tokens, targets)})
 SELECT d.doc_id, d.lang, CAST({nt} AS BIGINT) AS n_tokens

@@ -290,3 +290,29 @@ def test_mixture_plan_keeps_zero_availability_targets(spark):
     assert zh.rate_ppm == 0
     en = plan["en"]
     assert en.available_tokens == 5 and en.planned_tokens == 5
+
+
+def test_mixture_draw_independent_of_split_bucket(spark):
+    """The mixture Bernoulli draw must be a salted stream: an unsalted
+    md5(doc_id) draw's low digits ARE the split bucket (draw % 100 ==
+    bucket for every doc), which at sub-100ppm rates yields an all-train
+    sample. The salted draw must agree with the bucket only at chance
+    level."""
+    from salesforce_prefect_etl_pipeline_spark.operators.corpus import split_bucket
+
+    ids = spark.range(2000).select(F.col("id").alias("doc_id"))
+    unsalted = split_bucket(F.col("doc_id"), 1_000_000) % 100
+    salted = (
+        split_bucket(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":mix")), 1_000_000
+        )
+        % 100
+    )
+    bucket = split_bucket(F.col("doc_id"), 100)
+    row = ids.agg(
+        F.count_if(unsalted == bucket).alias("unsalted_eq"),
+        F.count_if(salted == bucket).alias("salted_eq"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert row.unsalted_eq == row.n  # the bug class: identical streams
+    assert row.salted_eq < row.n * 0.05  # ~1% chance agreement
