@@ -748,9 +748,12 @@ def weighted_sample(docs: DataFrame, k: int = 100) -> DataFrame:
     from salesforce_prefect_etl_pipeline_spark.operators.dedup import hash60
 
     w = F.size(tokens("text")).cast("double")
-    u = (hash60(F.col("doc_id").cast("string")) + F.lit(1)).cast("double") / F.lit(
-        float(1 << 60)
-    )
+    # salted uniform: ':ws' keeps this stream independent of the split
+    # bucket / mixture draw (all md5-of-doc_id family — see the
+    # mixture_sample salting note)
+    u = (
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))) + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 60))
     qkey = F.floor(F.log(u) / w * F.lit(1e9)).cast("long")
     return (
         docs.select(
@@ -767,8 +770,9 @@ def weighted_sample_sql(k: int = 100) -> str:
     from salesforce_prefect_etl_pipeline_spark.operators.dedup import hash60_sql
 
     nt = r"len(string_split_regex(trim(text), '\s+'))"
+    salted_id = "concat(CAST(doc_id AS VARCHAR), ':ws')"
     u = (
-        f"(CAST({hash60_sql('CAST(doc_id AS VARCHAR)')} + 1 AS DOUBLE)"
+        f"(CAST({hash60_sql(salted_id)} + 1 AS DOUBLE)"
         f" / {float(1 << 60)!r})"
     )
     return f"""
