@@ -108,28 +108,38 @@ def asof_join(
     else:
         # microsecond distances for timestamps (a long cast truncates a
         # timestamp to SECONDS, collapsing sub-second distances); day
-        # distances for dates; plain long for numerics. Anything else
-        # (e.g. STRING timestamps, whose long cast yields NULL and
-        # silently turns every nearest into backward) is refused.
-        numeric = ("tinyint", "smallint", "int", "bigint", "long", "double",
-                   "float", "decimal")
+        # distances for dates; NATIVE-precision double distances for
+        # numerics (a long cast would truncate fractional ts values and
+        # flip near-ties — the same collapse, one type over). Exact
+        # name matching, not prefixes: "interval" types would otherwise
+        # pass the startswith("int") test and bypass this guard.
+        # Anything else (e.g. STRING timestamps, whose numeric cast
+        # yields NULL and silently turns every nearest into backward)
+        # is refused.
+        integral = {"tinyint", "smallint", "int", "bigint", "long"}
+        fractional = ts_type in ("double", "float") or ts_type.startswith(
+            "decimal("
+        )
         if ts_type.startswith("timestamp"):
-            def _as_long(c):
+            def _as_num(c):
                 return F.unix_micros(c)
         elif ts_type == "date":
-            def _as_long(c):
+            def _as_num(c):
                 return F.unix_date(c).cast("long")
-        elif ts_type.startswith(numeric):
-            def _as_long(c):
+        elif ts_type in integral:
+            def _as_num(c):
                 return c.cast("long")
+        elif fractional:
+            def _as_num(c):
+                return c.cast("double")
         else:
             raise ValueError(
                 f"asof_join direction='nearest' needs a timestamp, date "
                 f"or numeric ts column; got {ts_type!r} — cast it first"
             )
 
-        dist_b = _as_long(F.col("__ts")) - _as_long(F.col("__mb.__rts"))
-        dist_f = _as_long(F.col("__mf.__rts")) - _as_long(F.col("__ts"))
+        dist_b = _as_num(F.col("__ts")) - _as_num(F.col("__mb.__rts"))
+        dist_f = _as_num(F.col("__mf.__rts")) - _as_num(F.col("__ts"))
         m = (
             F.when(F.col("__mb").isNull(), F.col("__mf"))
             .when(F.col("__mf").isNull(), F.col("__mb"))

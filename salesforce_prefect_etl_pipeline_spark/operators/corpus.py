@@ -630,7 +630,7 @@ def mixture_plan(
     # availability is the report's most important row (deficit = its
     # whole budget slice), not one to silently drop.
     return (
-        tgt.join(avail, "lang", "left")
+        tgt.join(F.broadcast(avail), "lang", "left")
         .withColumn(
             "available_tokens", F.coalesce("available_tokens", F.lit(0).cast("long"))
         )

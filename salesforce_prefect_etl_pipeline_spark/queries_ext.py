@@ -1583,8 +1583,10 @@ def agg_chi2_type_by_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
     # observations still contributes (0 - e)^2 / e = e — exactly the
     # all-AM dependence signal the test exists to detect; groupBy alone
     # would silently drop it and bias the statistic low.
+    # enumerate types from the already-aggregated observed frame (a
+    # handful of rows) — distinct over ev would re-scan the events table
     grid = (
-        ev.select("event_type")
+        observed.select("event_type")
         .distinct()
         .crossJoin(spark.range(2).select(F.col("id").cast("int").alias("pm")))
     )
@@ -1625,7 +1627,7 @@ WITH ev AS (
 observed AS (SELECT event_type, pm, COUNT(*) AS o FROM ev GROUP BY 1, 2),
 grid AS (
   SELECT t.event_type, p.pm
-  FROM (SELECT DISTINCT event_type FROM ev) t,
+  FROM (SELECT DISTINCT event_type FROM observed) t,
        (SELECT unnest([0, 1]) AS pm) p
 ),
 cells AS (

@@ -27,6 +27,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
     band_key_array,
@@ -113,9 +114,13 @@ def stream_dedup_on_ingest(
         batch_df = batch_df.select("doc_id", "text")
         # sign the batch ONCE: the same profile feeds within-batch
         # pairing, the index probe, and the index append (signing is
-        # the dominant per-batch cost — shingle regex/substr/hash)
+        # the dominant per-batch cost — shingle regex/substr/hash).
+        # ids MUST come from batch_df, not the profile: a doc shorter
+        # than k shingles has NO profile row, and deriving ids from the
+        # profile would silently drop it from the corpus instead of
+        # accepting it (it can't near-dup anything it doesn't shingle).
         prof = minhash_profile(batch_df, k).localCheckpoint(eager=True)
-        ids = [r.doc_id for r in prof.select("doc_id").collect()]
+        ids = [r.doc_id for r in batch_df.select("doc_id").collect()]
         within = [
             (r.da, r.db)
             for r in minhash_near_dup_pairs(
@@ -137,9 +142,12 @@ def stream_dedup_on_ingest(
         )
         # join against a keep-frame, not isin(): the accepted list is
         # batch-sized and an In-literal of thousands of ids bloats the
-        # plan; a broadcast semi-join is the cheap form
+        # plan; a broadcast semi-join is the cheap form. Schema comes
+        # from the batch so non-long doc_id types keep working.
+        id_type = batch_df.schema["doc_id"].dataType
         keep_df = spark.createDataFrame(
-            [(d,) for d in ids if d in accepted], "doc_id long"
+            [(d,) for d in ids if d in accepted],
+            T.StructType([T.StructField("doc_id", id_type)]),
         )
         kept = batch_df.join(F.broadcast(keep_df), "doc_id", "semi")
         (
@@ -154,6 +162,10 @@ def stream_dedup_on_ingest(
         _append_profile_to_index(
             prof.join(F.broadcast(keep_df), "doc_id", "semi"), index_dir
         )
+        # bound checkpoint storage to one batch: without the explicit
+        # release, block cleanup waits on Python->JVM GC and earlier
+        # batches' shingle-heavy blocks pile up across a long run
+        prof.unpersist()
 
     ctx = (
         tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_")

@@ -337,3 +337,26 @@ def test_stream_dedup_on_ingest_multi_batch(spark, tmp_path):
         acc = greedy_accept(b_ids, pairs, pre_accepted=acc)
     assert accepted == acc
     assert {batch_of[d] for d in accepted} == {0, 1, 2}
+
+
+def test_stream_dedup_ingest_keeps_unshingleable_docs(spark, tmp_path):
+    """A doc shorter than the shingle width has no minhash profile row;
+    it can near-dup nothing and MUST be accepted, not silently dropped
+    (regression: ids were once derived from the profile frame)."""
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        stream_dedup_on_ingest,
+        stream_documents_dir,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "hi"), (2, ""), (3, "a perfectly ordinary longer document text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src))
+    accepted_dir = stream_dedup_on_ingest(
+        stream_documents_dir(spark, str(src)),
+        index_dir=str(tmp_path / "idx"),
+        accepted_dir=str(tmp_path / "acc"),
+    )
+    got = {r.doc_id for r in spark.read.parquet(accepted_dir).collect()}
+    assert got == {1, 2, 3}
