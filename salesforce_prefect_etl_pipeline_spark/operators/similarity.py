@@ -341,6 +341,78 @@ def cluster_balanced_sample(
     )
 
 
+def semdedup_prune(
+    emb: DataFrame, centroids: np.ndarray, threshold: float = 0.3
+) -> DataFrame:
+    """SemDeDup-style semantic dedup report (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the coarse quantizer,
+    then inside each cluster prune every vector that has a
+    higher-ranked neighbor above the cosine threshold. Output one row
+    per cluster: (list_id, n_vectors, n_pruned, n_kept).
+
+    Semantics pinned for cross-engine replay:
+
+    - clustering = ``ivf_assign`` over the given centroids (iteration-0
+      md5-seeded centroids make the whole pipeline SQL-replayable);
+    - similarity = the module's quantized cosine ``qcos`` (bigint);
+    - keep rule = a vector is PRUNED iff some same-cluster vector with
+      a smaller (md5(vec_id), vec_id) rank is within the threshold —
+      i.e. the canonical member of every similarity neighborhood
+      survives. Deterministic on any partitioning; no RNG, no
+      transitive closure (one semi-join, not an iterative CC).
+
+    Scale shape — the published algorithm's own answer to the
+    quadratic: the pairwise comparison runs ONLY within a cluster, so
+    cost is sum(|cluster|^2), bounded by scaling nlist with the corpus
+    (SemDeDup uses 50k clusters for LAION-scale data; the equi-join on
+    list_id below shuffles each cluster to one task, so clusters are
+    the unit of parallelism). The default threshold 0.3 is tuned to the
+    synthetic testdata (random embeddings, no planted near-dups —
+    max pairwise cosine ~0.51); real text embeddings sit much closer
+    to 1.0 and use ~0.95+.
+    """
+    qthr = int(threshold * 1e6)
+    assigned = ivf_assign(emb, centroids)
+    rk = F.md5(F.col("vec_id").cast("string"))
+    av = assigned.select("vec_id", "list_id", "embedding", rk.alias("rk"))
+    a = av.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("rk").alias("a_rk"),
+    )
+    b = av.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("rk").alias("b_rk"),
+    )
+    earlier = (F.col("a_rk") < F.col("b_rk")) | (
+        (F.col("a_rk") == F.col("b_rk")) & (F.col("a_id") < F.col("b_id"))
+    )
+    pruned = (
+        b.join(
+            a,
+            on=["list_id"],
+            how="inner",
+        )
+        .filter(earlier & (qcos(F.col("a_emb"), F.col("b_emb")) >= F.lit(qthr)))
+        .select("list_id", F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        av.select("list_id", "vec_id")
+        .join(pruned.withColumn("p", F.lit(1)), ["list_id", "vec_id"], "left")
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("n_pruned"),
+        )
+        .withColumn("n_kept", (F.col("n_vectors") - F.col("n_pruned")).cast("long"))
+        .orderBy("list_id")
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     index_dir: str,

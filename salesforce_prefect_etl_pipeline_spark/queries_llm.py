@@ -838,3 +838,54 @@ ORDER BY list_id, rk
 """
 
 register_query("emb_cluster_sample", _emb_cluster_sample, EMB_CLUSTER_SAMPLE_SQL)
+
+
+_SEMDEDUP_THRESHOLD = 0.3
+_SEMDEDUP_QTHR = int(_SEMDEDUP_THRESHOLD * 1e6)
+
+
+def _emb_semdedup_prune(spark, sf_dir: str):
+    """SemDeDup semantic-dedup report over the iteration-0 seed
+    quantizer (same memoized centroids as the cluster-mix/sample
+    reports — see ``similarity.semdedup_prune`` for semantics and the
+    cluster-bounded scale argument)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _SEED_CENT_CACHE.get(key)
+    if cents is None:
+        cents = similarity.train_ivf_centroids(
+            _emb(spark, sf_dir), nlist=_CLUSTER_MIX_NLIST, iters=0
+        )
+        _SEED_CENT_CACHE[key] = cents
+    return similarity.semdedup_prune(
+        _emb(spark, sf_dir), cents, threshold=_SEMDEDUP_THRESHOLD
+    )
+
+
+#: Shared quantizer replay, then the within-cluster pairwise prune:
+#: a vector is pruned iff a same-cluster vector with smaller
+#: (md5, vec_id) rank has quantized cosine >= the threshold.
+EMB_SEMDEDUP_SQL = f"""
+WITH {_SEED_QUANTIZER_CTES},
+av AS (
+  SELECT a.vec_id, a.list_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         md5(CAST(a.vec_id AS VARCHAR)) AS rk
+  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+pruned AS (
+  SELECT DISTINCT b.list_id, b.vec_id
+  FROM av a JOIN av b
+    ON a.list_id = b.list_id
+   AND (a.rk < b.rk OR (a.rk = b.rk AND a.vec_id < b.vec_id))
+   AND CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000.0)
+            AS BIGINT) >= {_SEMDEDUP_QTHR}
+)
+SELECT av.list_id,
+       COUNT(*) AS n_vectors,
+       CAST(COUNT(p.vec_id) AS BIGINT) AS n_pruned,
+       CAST(COUNT(*) - COUNT(p.vec_id) AS BIGINT) AS n_kept
+FROM av LEFT JOIN pruned p
+  ON av.list_id = p.list_id AND av.vec_id = p.vec_id
+GROUP BY av.list_id ORDER BY av.list_id
+"""
+
+register_query("emb_semdedup_prune", _emb_semdedup_prune, EMB_SEMDEDUP_SQL)

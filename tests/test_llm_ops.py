@@ -467,6 +467,37 @@ def test_cluster_balanced_sample_contract(spark, emb):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_semdedup_prunes_planted_duplicates_and_conserves_counts(spark, emb):
+    """SemDeDup keep rule: an exact-duplicate vector pair lands in the
+    same cluster and exactly one member survives; totals conserve
+    (kept + pruned = cluster size, clusters cover the corpus); the
+    report is deterministic across runs."""
+    dup = [1.0, 0.0, 0.0, 0.0]
+    tiny = spark.createDataFrame(
+        [
+            (1, dup),
+            (2, dup),  # exact duplicate of 1 -> same cluster, one pruned
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0]),
+            (5, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = similarity.train_ivf_centroids(tiny, nlist=2, iters=0)
+    report = similarity.semdedup_prune(tiny, cents, threshold=0.9).collect()
+    assert sum(r.n_vectors for r in report) == 5
+    assert all(r.n_kept + r.n_pruned == r.n_vectors for r in report)
+    # orthogonal vectors never clear a 0.9 threshold, so exactly the one
+    # duplicate is pruned corpus-wide
+    assert sum(r.n_pruned for r in report) == 1
+
+    cents8 = similarity.train_ivf_centroids(emb, nlist=8, iters=0)
+    once = similarity.semdedup_prune(emb, cents8, threshold=0.3).collect()
+    again = similarity.semdedup_prune(emb, cents8, threshold=0.3).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, again))
+    assert sum(r.n_vectors for r in once) == emb.count()
+
+
 def test_containment_catches_subset_docs_jaccard_misses(spark):
     """A short doc fully quoted inside a long one: J ~ |A|/|B| is small
     but containment C(a in b) = 1 — the directional detector must flag
