@@ -115,7 +115,8 @@ _PRIORITY = [
     # q4-q19 family, qa/media/sql_*), the rest of the r5 cohort, the
     # queries born AFTER this round's rotation (mixture plan/sample,
     # MAD outliers, chi2, percent_rank, asof forward/nearest,
-    # triangles, outer attribution, recursive month spine) — ALL of
+    # triangles, outer attribution, recursive month spine, SemDeDup
+    # prune) — ALL of
     # which must front r8 — and the 3 no-oracle sketches; everything
     # keeps its oracle for local sweeps ---
     "q1_pricing_summary",
