@@ -875,3 +875,139 @@ def near_dup_clusters(docs: DataFrame, k: int = 8, threshold: float = 0.8) -> Da
     component, drop the rest."""
     pairs = minhash_near_dup_pairs(docs, k, threshold)
     return connected_components(pairs.select("da", "db"))
+
+
+# ----------------------------------------------------------------------
+# Bloom-filter snapshot membership (bounded-state cross-snapshot dedup)
+
+#: Default Bloom geometry for the registered report. Deliberately TINY
+#: (1024 bits, 2 hashes) so the false-positive column is non-zero on the
+#: test corpus and the report actually demonstrates the size/FP
+#: trade-off; production sizing is m ~ -n*ln(p)/ln(2)^2 bits for target
+#: FP rate p (e.g. ~9.6 bits/key for 1%).
+BLOOM_M = 1024
+BLOOM_K = 2
+
+
+def bloom_bit_positions(fp: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> Column:
+    """array<int> of the k Bloom bit positions of a fingerprint —
+    hash60(fp || ':' || j) mod m, so positions are md5-derived and
+    SQL-replayable like every other hash in this module."""
+    return F.array(
+        *[
+            F.pmod(hash60(F.concat(fp, F.lit(f":{j}"))), F.lit(m)).cast("int")
+            for j in range(k)
+        ]
+    )
+
+
+def build_bloom_bitset(prior: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """The relational form of the Bloom bit array: the DISTINCT bit
+    positions set by the prior snapshot's fingerprints — at most m rows
+    REGARDLESS of corpus size, which is the whole point: membership
+    state for a 100 TB snapshot broadcasts as <= m ints, where the
+    exact fingerprint set would be a fact-sized join side."""
+    fp = fingerprints(prior)
+    return (
+        fp.select(
+            F.explode(bloom_bit_positions(F.col("fingerprint"), m, k)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_snapshot_probe(
+    prior: DataFrame,
+    incoming: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Probe an incoming batch against the prior snapshot's Bloom filter
+    and report the outcome against exact ground truth:
+
+    one row: (n_incoming, n_maybe_dup, n_definite_new, n_true_dup,
+    n_false_positive, n_bits_set).
+
+    A doc is maybe_dup iff ALL k of its bit positions are set — the
+    Bloom contract guarantees no false negatives (every true dup is
+    maybe_dup; asserted in tests), while n_false_positive measures the
+    cost of the m-bit compression. The scale shape: the bitset is <= m
+    rows (broadcast join), the incoming scan is one pass, and ground
+    truth here is an exact fingerprint semi-join ONLY because the report
+    grades the filter — a production ingest skips it and re-verifies
+    just the maybe_dups (a vanishing fraction when m is sized right).
+    """
+    bits = build_bloom_bitset(prior, m, k)
+    prior_fp = fingerprints(prior).select("fingerprint").distinct()
+    inc = fingerprints(incoming)
+    probes = inc.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(bloom_bit_positions(F.col("fingerprint"), m, k)).alias("pos"),
+    )
+    per_doc = (
+        probes.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "fingerprint")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == F.lit(k)).alias("maybe"))
+    )
+    graded = per_doc.join(
+        F.broadcast(prior_fp.withColumn("is_dup", F.lit(1))), "fingerprint", "left"
+    ).select(
+        "maybe", F.coalesce(F.col("is_dup"), F.lit(0)).cast("boolean").alias("is_dup")
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    report = graded.agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(F.col("maybe").cast("long")).alias("n_maybe_dup"),
+        F.sum((~F.col("maybe")).cast("long")).alias("n_definite_new"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_true_dup"),
+        F.sum((F.col("maybe") & ~F.col("is_dup")).cast("long")).alias(
+            "n_false_positive"
+        ),
+    )
+    # 1-row x 1-row scalar composition (the repo's broadcast-scalar
+    # pattern; see queries_tpch.py q15).
+    return report.crossJoin(F.broadcast(n_bits))
+
+
+def bloom_snapshot_probe_sql(m: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    """DuckDB twin of ``bloom_snapshot_probe`` over the registered
+    prior/incoming split (prior = doc_id % 3 <> 2, incoming =
+    doc_id % 2 = 0 — overlapping on purpose so true dups, false
+    positives and definite-new are all exercised)."""
+    pos = [
+        "CAST({h} % {m} AS INT)".format(h=hash60_sql("fp || ':%d'" % j), m=m)
+        for j in range(k)
+    ]
+    probe_union = " UNION ALL ".join(
+        f"SELECT doc_id, fp, {p} AS pos FROM inc" for p in pos
+    )
+    bit_union = " UNION ALL ".join(f"SELECT {p} AS pos FROM prior" for p in pos)
+    return f"""
+WITH prior AS (
+  SELECT md5({NORMALIZED_SQL}) AS fp FROM documents WHERE doc_id % 3 <> 2
+),
+inc AS (
+  SELECT doc_id, md5({NORMALIZED_SQL}) AS fp FROM documents WHERE doc_id % 2 = 0
+),
+bitset AS (SELECT DISTINCT pos FROM ({bit_union})),
+probes AS ({probe_union}),
+perdoc AS (
+  SELECT p.doc_id, p.fp, COUNT(b.pos) = {k} AS maybe
+  FROM probes p LEFT JOIN bitset b ON p.pos = b.pos
+  GROUP BY p.doc_id, p.fp
+),
+graded AS (
+  SELECT perdoc.maybe, pr.fp IS NOT NULL AS is_dup
+  FROM perdoc LEFT JOIN (SELECT DISTINCT fp FROM prior) pr
+    ON perdoc.fp = pr.fp
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_incoming,
+       CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe_dup,
+       CAST(SUM(CASE WHEN maybe THEN 0 ELSE 1 END) AS BIGINT) AS n_definite_new,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+       CAST(SUM(CASE WHEN maybe AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positive,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bitset) AS n_bits_set
+FROM graded
+"""

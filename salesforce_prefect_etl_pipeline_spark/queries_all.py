@@ -116,7 +116,7 @@ _PRIORITY = [
     # queries born AFTER this round's rotation (mixture plan/sample,
     # MAD outliers, chi2, percent_rank, asof forward/nearest,
     # triangles, outer attribution, recursive month spine, SemDeDup
-    # prune) — ALL of
+    # prune, Bloom snapshot probe) — ALL of
     # which must front r8 — and the 3 no-oracle sketches; everything
     # keeps its oracle for local sweeps ---
     "q1_pricing_summary",

@@ -889,3 +889,23 @@ GROUP BY av.list_id ORDER BY av.list_id
 """
 
 register_query("emb_semdedup_prune", _emb_semdedup_prune, EMB_SEMDEDUP_SQL)
+
+
+def _dedup_bloom_snapshot(spark, sf_dir: str):
+    """Bounded-state cross-snapshot membership: probe an incoming batch
+    (doc_id % 2 = 0) against the prior snapshot's (doc_id % 3 <> 2)
+    1024-bit Bloom filter — the splits overlap on purpose so the report
+    exercises true dups, false positives AND definite-new in one row.
+    See ``dedup.bloom_snapshot_probe`` for the no-false-negative
+    contract and production sizing."""
+    docs = _docs(spark, sf_dir)
+    prior = docs.filter(F.col("doc_id") % 3 != 2)
+    incoming = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.bloom_snapshot_probe(prior, incoming)
+
+
+register_query(
+    "dedup_bloom_snapshot",
+    _dedup_bloom_snapshot,
+    dedup.bloom_snapshot_probe_sql(),
+)

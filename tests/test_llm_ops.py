@@ -498,6 +498,29 @@ def test_semdedup_prunes_planted_duplicates_and_conserves_counts(spark, emb):
     assert sum(r.n_vectors for r in once) == emb.count()
 
 
+def test_bloom_snapshot_probe_never_false_negative(spark):
+    """Bloom contract: every true duplicate is maybe_dup (no false
+    negatives) at ANY geometry, including a saturated 8-bit filter;
+    counts partition the incoming batch."""
+    prior = spark.createDataFrame(
+        [(i, f"prior document number {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        # 5 exact dups of prior docs + 5 new docs
+        [(100 + i, f"prior document number {i}") for i in range(5)]
+        + [(200 + i, f"brand new content {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    for m, k in [(1024, 2), (8, 2), (64, 4)]:
+        r = dedup.bloom_snapshot_probe(prior, incoming, m=m, k=k).collect()[0]
+        assert r.n_incoming == 10
+        assert r.n_maybe_dup + r.n_definite_new == r.n_incoming
+        assert r.n_true_dup == 5
+        assert r.n_maybe_dup == r.n_true_dup + r.n_false_positive
+        assert r.n_bits_set <= m
+
+
 def test_containment_catches_subset_docs_jaccard_misses(spark):
     """A short doc fully quoted inside a long one: J ~ |A|/|B| is small
     but containment C(a in b) = 1 — the directional detector must flag
