@@ -119,8 +119,12 @@ _PRIORITY = [
     # prune, Bloom snapshot probe) — ALL of
     # which must front r8 — and the 3 no-oracle sketches; everything
     # keeps its oracle for local sweeps ---
-    "q1_pricing_summary",
-    "spec_orders_by_status",
+    # Slots 51-52 (just past the 50-query window, which the rotation
+    # tiers fill exactly): the two operators born AFTER the r7
+    # rotation, pinned here so the r8 rotation finds them first —
+    # they have no driver row yet and must open the r8 window.
+    "emb_semdedup_prune",
+    "dedup_bloom_snapshot",
 ]
 
 
