@@ -432,6 +432,158 @@ def resize_media(
     return media.mapInPandas(_resize, out_schema)
 
 
+# ----------------------------------------------------------------------
+# Perceptual image hashing (near-dup detection over decoded pixels)
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("h_lo", T.LongType()),  # blocks 0-31
+        T.StructField("h_hi", T.LongType()),  # blocks 32-63
+    ]
+)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL decoded BMP pixels:
+    8x8 grid of pixel-block sums, bit j set iff block j's average
+    channel value >= the image average (compared cross-multiplied in
+    integers, so the threshold is exact on every engine). The 64 bits
+    are packed as two 32-bit halves in BIGINTs — no signed-overflow
+    edge at bit 63, and XOR/bit_count stay native in Spark AND the
+    DuckDB replay.
+
+    One Arrow-batched map, no shuffle; numpy does the block pooling.
+    Requires dimensions divisible by 8 (raise, don't mis-pool — a real
+    deployment resizes first; ``resize_media`` provides exactly that).
+    """
+    import numpy as np
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            los, his = [], []
+            for raw in pdf["payload"]:
+                w, h, px = _decode_bmp_pixels(bytes(raw))
+                if w % 8 or h % 8:
+                    raise ValueError(
+                        f"aHash needs dimensions divisible by 8, got {w}x{h}"
+                    )
+                bw, bh = w // 8, h // 8
+                g = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                    .sum(axis=2)
+                )
+                blocks = g.reshape(8, bh, 8, bw).sum(axis=(1, 3)).flatten()
+                tot = int(blocks.sum())
+                bits = blocks * (8 * 8) >= tot
+                lo = hi = 0
+                for j in range(64):
+                    if bits[j]:
+                        if j < 32:
+                            lo |= 1 << j
+                        else:
+                            hi |= 1 << (j - 32)
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "h_lo": los,
+                    "h_hi": his,
+                }
+            )
+
+    return media.mapInPandas(_hash, AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs (ma, mb, hamming) within Hamming distance
+    <= max_hamming of their perceptual hashes, found by banding the 64
+    bits into 4 x 16-bit chunks — pigeonhole-exact at max_hamming <= 3,
+    the same scale shape as ``simhash_near_dup_pairs`` (dedup.py): the
+    corpus x corpus comparison becomes an equi-join on (band, key), and
+    only band-collision candidates pay the bit_count verification."""
+    ah = image_ahash(media)
+    chunks = F.array(
+        F.col("h_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned("h_lo", 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("h_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned("h_hi", 16).bitwiseAND(F.lit(0xFFFF)),
+    )
+    banded = ah.select(
+        "media_id", "h_lo", "h_hi", F.posexplode(chunks).alias("band", "key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("ma"),
+            F.col("b.media_id").alias("mb"),
+            F.col("a.h_lo").alias("la"),
+            F.col("a.h_hi").alias("ha"),
+            F.col("b.h_lo").alias("lb"),
+            F.col("b.h_hi").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))) + F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    )
+    return (
+        cand.select("ma", "mb", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("ma", "mb")
+    )
+
+
+def ahash_near_dup_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin for the registered 16x16 synthetic-BMP corpus: the
+    pixel formula (channel byte i of media m = (m*31+i) % 256) replays
+    the decoded image arithmetically, then the identical block-average
+    hash and a brute-force pair join — exact vs the banded engine
+    output because 4x16 banding finds every pair at Hamming <= 3."""
+    return f"""
+WITH px AS (
+  SELECT d.doc_id AS m, t.p,
+         ((d.doc_id * 31 + 3 * t.p) % 256)
+         + ((d.doc_id * 31 + 3 * t.p + 1) % 256)
+         + ((d.doc_id * 31 + 3 * t.p + 2) % 256) AS g3
+  FROM documents d, unnest(generate_series(0, 255)) AS t(p)
+),
+blocks AS (
+  SELECT m, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS j, SUM(g3) AS bsum
+  FROM px GROUP BY m, ((p // 16) // 2) * 8 + ((p % 16) // 2)
+),
+tot AS (SELECT m, SUM(bsum) AS tsum FROM blocks GROUP BY m),
+bits AS (
+  SELECT b.m, b.j, CASE WHEN b.bsum * 64 >= t.tsum THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t ON b.m = t.m
+),
+sig AS (
+  SELECT m,
+    CAST(SUM(CASE WHEN j < 32 AND bit = 1
+             THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
+      AS lo,
+    CAST(SUM(CASE WHEN j >= 32 AND bit = 1
+             THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT)
+      AS hi
+  FROM bits GROUP BY m
+)
+SELECT a.m AS ma, b.m AS mb,
+       bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+FROM sig a JOIN sig b ON a.m < b.m
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
+ORDER BY ma, mb
+"""
+
+
 def media_feature_stats(media: DataFrame) -> DataFrame:
     """Per-modality aggregate over extracted features — the typical
     downstream of decode: filter/stat before training-set selection."""

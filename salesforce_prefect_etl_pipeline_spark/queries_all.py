@@ -125,6 +125,7 @@ _PRIORITY = [
     # they have no driver row yet and must open the r8 window.
     "emb_semdedup_prune",
     "dedup_bloom_snapshot",
+    "media_phash_near_dup",
 ]
 
 

@@ -575,6 +575,18 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """,
 )
 
+# Perceptual image dedup: aHash over REAL decoded BMP pixels, 4x16-bit
+# Hamming banding (pigeonhole-exact at <=3); the oracle replays the
+# pixel formula, the identical block-average hash, and a brute-force
+# pair join.
+register_query(
+    "media_phash_near_dup",
+    lambda spark, sf_dir: multimodal.ahash_near_dup_pairs(
+        multimodal.synthetic_bmp_media(_docs(spark, sf_dir))
+    ),
+    multimodal.ahash_near_dup_sql(),
+)
+
 # ----------------------------------------------------------------------
 # Corpus management (operators/corpus.py): the post-dedup steps that turn
 # a document corpus into training data.

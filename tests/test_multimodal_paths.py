@@ -231,3 +231,34 @@ def test_decode_audio_rejects_malformed_payloads():
     stereo[22:24] = (2).to_bytes(2, "little")
     with _pytest.raises(ValueError, match="PCM16 mono"):
         multimodal.decode_audio(bytes(stereo))
+
+
+def test_ahash_detects_planted_near_dup_images(spark):
+    """Perceptual-hash contract: an exact duplicate image pairs at
+    Hamming 0, a one-pixel edit stays a near-dup, a structurally
+    different image does not pair; non-divisible dimensions raise."""
+    base = bytes((7 * i) % 256 for i in range(3 * 16 * 16))
+    tweaked = bytearray(base)
+    tweaked[100] = (tweaked[100] + 128) % 256  # one channel byte edited
+    inverted = bytes(255 - b for b in base)
+    rows = [
+        (1, "image", "image/bmp", multimodal.encode_bmp(16, 16, base)),
+        (2, "image", "image/bmp", multimodal.encode_bmp(16, 16, base)),
+        (3, "image", "image/bmp", multimodal.encode_bmp(16, 16, bytes(tweaked))),
+        (4, "image", "image/bmp", multimodal.encode_bmp(16, 16, inverted)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    pairs = {
+        (r.ma, r.mb): r.hamming
+        for r in multimodal.ahash_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+    odd = spark.createDataFrame(
+        [(9, "image", "image/bmp", multimodal.encode_bmp(6, 6, bytes(108)))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="divisible by 8"):
+        multimodal.image_ahash(odd).collect()
