@@ -70,6 +70,14 @@ HEADLINE = [
     "dedup_incremental_probe",
     "agg_binned_percentiles",
     "text_common_ngrams",
+    # Late round-7 additions: within-cluster SemDeDup pairwise prune
+    # (the heaviest of the three — sum(|cluster|^2) cosine folds),
+    # Bloom snapshot probe (bitset build + broadcast membership join),
+    # and perceptual-hash image near-dup (real BMP decode + banded
+    # Hamming join).
+    "emb_semdedup_prune",
+    "dedup_bloom_snapshot",
+    "media_phash_near_dup",
     # corpus_e2e_curation (17 s at sf0.1) and streaming_dedup_ingest
     # (~11 s warm) are deliberately NOT here: each recomposes stages
     # already benched above (minhash signing/pairs + CC + packing;

@@ -684,6 +684,61 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return agg.select("doc_id", packed.alias("simhash"))
 
 
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_cols: list[str],
+    chunks: Column,
+    n_bands: int,
+    max_hamming: int,
+    out_a: str = "da",
+    out_b: str = "db",
+) -> DataFrame:
+    """Shared scaffold for pigeonhole Hamming-banded near-dup pairs
+    (simhash over text, aHash over images): explode the ``n_bands``
+    band keys in ``chunks``, equi-join on (band, key), verify only the
+    band-collision candidates with bit_count over the XOR of
+    ``hash_cols``. Output: (out_a, out_b, hamming), out_a < out_b.
+
+    Exactness requires max_hamming < n_bands — a pair differing in
+    >= n_bands bits can place one differing bit in EVERY band and
+    never collide; raise rather than silently lose recall (the
+    brute-force oracle twins stay exact at any threshold, so a silent
+    miss here would surface as a baffling oracle mismatch).
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding with {n_bands} bands is only exact for "
+            f"max_hamming < {n_bands}, got {max_hamming}"
+        )
+    banded = sig.select(id_col, *hash_cols, F.posexplode(chunks).alias("band", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
+            *[F.col(f"a.{h}").alias(f"__a{i}") for i, h in enumerate(hash_cols)],
+            *[F.col(f"b.{h}").alias(f"__b{i}") for i, h in enumerate(hash_cols)],
+        )
+        .distinct()
+    )
+    hamming = None
+    for i in range(len(hash_cols)):
+        term = F.bit_count(F.col(f"__a{i}").bitwiseXOR(F.col(f"__b{i}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.select(out_a, out_b, hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy(out_a, out_b)
+    )
+
+
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Pairs within Hamming distance <= max_hamming, found by banding the
     60-bit hash into 4 x 15-bit chunks (pigeonhole: any pair with <= 3
@@ -696,28 +751,8 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             for j in range(4)
         ]
     )
-    banded = sh.select("doc_id", "simhash", F.posexplode(chunks).alias("band", "key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.select("da", "db", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .orderBy("da", "db")
+    return banded_hamming_pairs(
+        sh, "doc_id", ["simhash"], chunks, n_bands=4, max_hamming=max_hamming
     )
 
 
@@ -950,8 +985,12 @@ def bloom_snapshot_probe(
         .groupBy("doc_id", "fingerprint")
         .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == F.lit(k)).alias("maybe"))
     )
+    # No broadcast hint here: the BITSET is bounded at m rows, but the
+    # exact fingerprint set is corpus-sized — broadcast at test SF is
+    # AQE's call, shuffle join at scale (and production ingest runs
+    # this grading join only over the maybe-dups anyway).
     graded = per_doc.join(
-        F.broadcast(prior_fp.withColumn("is_dup", F.lit(1))), "fingerprint", "left"
+        prior_fp.withColumn("is_dup", F.lit(1)), "fingerprint", "left"
     ).select(
         "maybe", F.coalesce(F.col("is_dup"), F.lit(0)).cast("boolean").alias("is_dup")
     )

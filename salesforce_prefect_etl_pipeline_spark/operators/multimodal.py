@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from salesforce_prefect_etl_pipeline_spark.operators.dedup import banded_hamming_pairs
+
 #: Schema of a multimodal record: opaque payload + typed metadata.
 MEDIA_SCHEMA = T.StructType(
     [
@@ -501,10 +503,11 @@ def image_ahash(media: DataFrame) -> DataFrame:
 def ahash_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Image near-dup pairs (ma, mb, hamming) within Hamming distance
     <= max_hamming of their perceptual hashes, found by banding the 64
-    bits into 4 x 16-bit chunks — pigeonhole-exact at max_hamming <= 3,
-    the same scale shape as ``simhash_near_dup_pairs`` (dedup.py): the
-    corpus x corpus comparison becomes an equi-join on (band, key), and
-    only band-collision candidates pay the bit_count verification."""
+    bits into 4 x 16-bit chunks — the shared pigeonhole scaffold
+    (``dedup.banded_hamming_pairs``), which raises for max_hamming >=
+    n_bands rather than silently losing recall: the corpus x corpus
+    comparison becomes an equi-join on (band, key), and only
+    band-collision candidates pay the bit_count verification."""
     ah = image_ahash(media)
     chunks = F.array(
         F.col("h_lo").bitwiseAND(F.lit(0xFFFF)),
@@ -512,34 +515,15 @@ def ahash_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.col("h_hi").bitwiseAND(F.lit(0xFFFF)),
         F.shiftrightunsigned("h_hi", 16).bitwiseAND(F.lit(0xFFFF)),
     )
-    banded = ah.select(
-        "media_id", "h_lo", "h_hi", F.posexplode(chunks).alias("band", "key")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("ma"),
-            F.col("b.media_id").alias("mb"),
-            F.col("a.h_lo").alias("la"),
-            F.col("a.h_hi").alias("ha"),
-            F.col("b.h_lo").alias("lb"),
-            F.col("b.h_hi").alias("hb"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))) + F.bit_count(
-        F.col("ha").bitwiseXOR(F.col("hb"))
-    )
-    return (
-        cand.select("ma", "mb", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .orderBy("ma", "mb")
+    return banded_hamming_pairs(
+        ah,
+        "media_id",
+        ["h_lo", "h_hi"],
+        chunks,
+        n_bands=4,
+        max_hamming=max_hamming,
+        out_a="ma",
+        out_b="mb",
     )
 
 

@@ -726,3 +726,10 @@ def test_incremental_probe_matches_batch_cross_pairs(spark, docs, tmp_path):
 
     band_dirs = list(pathlib.Path(index_dir, "bands").glob("band=*"))
     assert len(band_dirs) == 16
+
+
+def test_banded_hamming_guard_rejects_unsound_threshold(spark, docs):
+    """4-band pigeonhole is only exact at Hamming <= 3: asking for 4
+    must raise, not silently lose recall."""
+    with pytest.raises(ValueError, match="only exact"):
+        dedup.simhash_near_dup_pairs(docs, max_hamming=4)
