@@ -623,14 +623,13 @@ def encode_wav(sample_rate: int, samples) -> bytes:
     )
 
 
-def decode_audio(payload: bytes) -> tuple[int, int, float, int]:
-    """Real RIFF/WAVE PCM16-mono decode ->
-    (sample_rate, n_samples, mean_abs_sample, n_zero_cross).
-
-    Tolerant chunk walk (unknown chunks skipped, odd sizes padded per
-    spec); raises ValueError on non-RIFF payloads, compressed/stereo/
-    non-16-bit streams, or a missing data chunk — the dispatch point
-    where soundfile/ffmpeg would plug in for other codecs."""
+def _decode_wav_samples(payload: bytes):
+    """Real RIFF/WAVE PCM16-mono parse -> (sample_rate, int64 ndarray
+    of samples). Tolerant chunk walk (unknown chunks skipped, odd sizes
+    padded per spec); raises ValueError on non-RIFF payloads,
+    compressed/stereo/non-16-bit streams, or a missing data chunk — the
+    dispatch point where soundfile/ffmpeg would plug in for other
+    codecs."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -656,6 +655,15 @@ def decode_audio(payload: bytes) -> tuple[int, int, float, int]:
             f"only PCM16 mono supported: fmt={audio_format} ch={channels} bits={bits}"
         )
     x = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.int64)
+    return sample_rate, x
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, float, int]:
+    """Real RIFF/WAVE PCM16-mono decode ->
+    (sample_rate, n_samples, mean_abs_sample, n_zero_cross)."""
+    import numpy as np
+
+    sample_rate, x = _decode_wav_samples(bytes(payload))
     if len(x) == 0:
         return sample_rate, 0, 0.0, 0
     mean_abs = float(np.abs(x).sum()) / len(x)
@@ -689,6 +697,164 @@ def synthetic_wav_media(
             )
 
     return docs.select("doc_id").mapInPandas(_make, MEDIA_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# Audio fingerprint near-dup (the Chromaprint slot)
+
+def synthetic_wav_media_noisy(
+    docs: DataFrame, n_samples: int = 256, sample_rate: int = 8000
+) -> DataFrame:
+    """WAV corpus with PLANTED near-duplicates for the fingerprint
+    query: sample i of media m is md5-derived pseudo-noise
+    ``(hash60(base || ':' || i) % 4096) - 2048`` with base = m, EXCEPT
+    every 7th media (m % 7 == 0) reuses its predecessor's waveform
+    (base = m - 1) with the first 4 samples nudged by +3 (capped) — an
+    almost-identical re-encode, the exact thing an audio fingerprint
+    exists to catch. md5 samples make unrelated fingerprints truly
+    independent (unlike the ramp corpus of ``synthetic_wav_media``,
+    whose 1-parameter phase family makes half the corpus near-collide),
+    and everything stays SQL-replayable."""
+    import hashlib
+
+    def _h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for m in ids:
+                m = int(m)
+                base = m - 1 if m % 7 == 0 else m
+                s = [
+                    (_h60(f"{base}:{i}") % 4096) - 2048 for i in range(n_samples)
+                ]
+                if m % 7 == 0:
+                    for i in range(min(4, n_samples)):
+                        s[i] = min(s[i] + 3, 2047)
+                payloads.append(encode_wav(sample_rate, s))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "audio",
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, MEDIA_SCHEMA)
+
+
+def audio_contour_hash(media: DataFrame) -> DataFrame:
+    """64-bit audio fingerprint over REAL decoded PCM16 samples: the
+    clip splits into 64 equal windows and bit j is the sign of the
+    window's alternating sample sum (s0 - s1 + s2 - s3 ...) — a local
+    high-frequency-phase feature, integer-exact on every engine (no
+    float energy to drift). Same packing as the image aHash: two 32-bit
+    halves in BIGINTs. One Arrow-batched map, no shuffle. Requires
+    n_samples divisible by 64 (raise, don't mis-window)."""
+    import numpy as np
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            los, his = [], []
+            for raw in pdf["payload"]:
+                _, x = _decode_wav_samples(bytes(raw))
+                if len(x) == 0 or len(x) % 64:
+                    raise ValueError(
+                        f"contour hash needs n_samples divisible by 64, got {len(x)}"
+                    )
+                w = len(x) // 64
+                signs = np.where(np.arange(w) % 2 == 0, 1, -1)
+                alt = (x.reshape(64, w) * signs).sum(axis=1)
+                bits = alt >= 0
+                lo = hi = 0
+                for j in range(64):
+                    if bits[j]:
+                        if j < 32:
+                            lo |= 1 << j
+                        else:
+                            hi |= 1 << (j - 32)
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "h_lo": los,
+                    "h_hi": his,
+                }
+            )
+
+    return media.mapInPandas(_hash, AHASH_SCHEMA)
+
+
+def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Audio near-dup pairs (ma, mb, hamming) over the contour
+    fingerprint via the shared pigeonhole scaffold
+    (``dedup.banded_hamming_pairs``, 4 x 16-bit bands — exact at
+    Hamming <= 3, raises beyond)."""
+    ah = audio_contour_hash(media)
+    chunks = F.array(
+        F.col("h_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned("h_lo", 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("h_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned("h_hi", 16).bitwiseAND(F.lit(0xFFFF)),
+    )
+    return banded_hamming_pairs(
+        ah,
+        "media_id",
+        ["h_lo", "h_hi"],
+        chunks,
+        n_bands=4,
+        max_hamming=max_hamming,
+        out_a="ma",
+        out_b="mb",
+    )
+
+
+def audio_near_dup_sql(max_hamming: int = 3, n_samples: int = 256) -> str:
+    """DuckDB twin for the noisy synthetic WAV corpus: replay the
+    md5-derived samples (planted-dup base + nudge included), the
+    identical alternating-sum fingerprint, and a brute-force pair join
+    (exact vs the banded engine at Hamming <= 3)."""
+    w = n_samples // 64
+    return f"""
+WITH s AS (
+  SELECT d.doc_id AS m, t.i,
+         CASE WHEN d.doc_id % 7 = 0 AND t.i < 4
+              THEN LEAST(v.v + 3, 2047) ELSE v.v END AS v
+  FROM documents d,
+       unnest(generate_series(0, {n_samples - 1})) AS t(i),
+       LATERAL (
+         SELECT (CAST(CAST(concat('0x', substr(md5(
+                    CAST(CASE WHEN d.doc_id % 7 = 0 THEN d.doc_id - 1
+                         ELSE d.doc_id END AS VARCHAR)
+                    || ':' || CAST(t.i AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT) % 4096) - 2048 AS v
+       ) v
+),
+alt AS (
+  SELECT m, i // {w} AS j,
+         SUM(CASE WHEN (i % {w}) % 2 = 0 THEN v ELSE -v END) AS a
+  FROM s GROUP BY m, i // {w}
+),
+sig AS (
+  SELECT m,
+    CAST(SUM(CASE WHEN j < 32 AND a >= 0
+             THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
+      AS lo,
+    CAST(SUM(CASE WHEN j >= 32 AND a >= 0
+             THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT)
+      AS hi
+  FROM alt GROUP BY m
+)
+SELECT a.m AS ma, b.m AS mb,
+       bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+FROM sig a JOIN sig b ON a.m < b.m
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
+ORDER BY ma, mb
+"""
 
 
 AUDIO_STATS_SCHEMA = T.StructType(

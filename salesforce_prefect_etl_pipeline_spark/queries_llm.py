@@ -575,6 +575,18 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """,
 )
 
+# Audio fingerprint dedup: alternating-sum contour hash over REAL
+# decoded PCM16 samples; the noisy synthetic corpus plants an
+# almost-identical re-encode every 7th media, and the oracle replays
+# samples + fingerprint + brute-force pair join.
+register_query(
+    "media_audio_near_dup",
+    lambda spark, sf_dir: multimodal.audio_near_dup_pairs(
+        multimodal.synthetic_wav_media_noisy(_docs(spark, sf_dir))
+    ),
+    multimodal.audio_near_dup_sql(),
+)
+
 # Perceptual image dedup: aHash over REAL decoded BMP pixels, 4x16-bit
 # Hamming banding (pigeonhole-exact at <=3); the oracle replays the
 # pixel formula, the identical block-average hash, and a brute-force

@@ -262,3 +262,39 @@ def test_ahash_detects_planted_near_dup_images(spark):
     )
     with pytest.raises(Exception, match="divisible by 8"):
         multimodal.image_ahash(odd).collect()
+
+
+def test_audio_fingerprint_catches_planted_reencodes(spark):
+    """Audio contour fingerprint: a clip re-encoded with a tiny nudge
+    pairs at low Hamming, independent md5-noise clips do not pair, and
+    non-divisible sample counts raise."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def noise(seed, n=256):
+        return [(h60(f"{seed}:{i}") % 4096) - 2048 for i in range(n)]
+
+    a = noise("a")
+    a_nudged = [min(v + 3, 2047) if i < 4 else v for i, v in enumerate(a)]
+    rows = [
+        (1, "audio", "audio/wav", multimodal.encode_wav(8000, a)),
+        (2, "audio", "audio/wav", multimodal.encode_wav(8000, a_nudged)),
+        (3, "audio", "audio/wav", multimodal.encode_wav(8000, noise("b"))),
+        (4, "audio", "audio/wav", multimodal.encode_wav(8000, noise("c"))),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    pairs = {
+        (r.ma, r.mb): r.hamming
+        for r in multimodal.audio_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all(p == (1, 2) for p in pairs), f"unexpected pairs: {pairs}"
+
+    ragged = spark.createDataFrame(
+        [(9, "audio", "audio/wav", multimodal.encode_wav(8000, noise("d", 100)))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="divisible by 64"):
+        multimodal.audio_contour_hash(ragged).collect()
