@@ -714,7 +714,10 @@ def synthetic_wav_media_noisy(
     exists to catch. md5 samples make unrelated fingerprints truly
     independent (unlike the ramp corpus of ``synthetic_wav_media``,
     whose 1-parameter phase family makes half the corpus near-collide),
-    and everything stays SQL-replayable."""
+    and everything stays SQL-replayable. Each 60-bit hash yields FIVE
+    12-bit samples (sample i slices bits 12*(i%5) of hash i//5) — md5
+    is the generation bottleneck, so this is a 5x cut in calls with
+    the identical replayability."""
     import hashlib
 
     def _h60(s: str) -> int:
@@ -727,8 +730,12 @@ def synthetic_wav_media_noisy(
             for m in ids:
                 m = int(m)
                 base = m - 1 if m % 7 == 0 else m
+                hs = [
+                    _h60(f"{base}:{blk}") for blk in range((n_samples + 4) // 5)
+                ]
                 s = [
-                    (_h60(f"{base}:{i}") % 4096) - 2048 for i in range(n_samples)
+                    ((hs[i // 5] >> (12 * (i % 5))) & 0xFFF) - 2048
+                    for i in range(n_samples)
                 ]
                 if m % 7 == 0:
                     for i in range(min(4, n_samples)):
@@ -827,11 +834,12 @@ WITH s AS (
   FROM documents d,
        unnest(generate_series(0, {n_samples - 1})) AS t(i),
        LATERAL (
-         SELECT (CAST(CAST(concat('0x', substr(md5(
+         SELECT ((CAST(CAST(concat('0x', substr(md5(
                     CAST(CASE WHEN d.doc_id % 7 = 0 THEN d.doc_id - 1
                          ELSE d.doc_id END AS VARCHAR)
-                    || ':' || CAST(t.i AS VARCHAR)), 1, 15))
-                  AS UBIGINT) AS BIGINT) % 4096) - 2048 AS v
+                    || ':' || CAST(t.i // 5 AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT) >> CAST(12 * (t.i % 5) AS INT))
+                  & 4095) - 2048 AS v
        ) v
 ),
 alt AS (
