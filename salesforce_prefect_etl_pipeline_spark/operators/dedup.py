@@ -684,6 +684,35 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return agg.select("doc_id", packed.alias("simhash"))
 
 
+def pack_bits64(bits) -> tuple[int, int]:
+    """Pack a 64-element boolean sequence into two 32-bit halves
+    (lo = bits 0-31, hi = bits 32-63) carried as BIGINTs — the one
+    packing every 64-bit fingerprint in this repo uses (image aHash,
+    audio contour): no signed bit-63 edge, and XOR/bit_count stay
+    native in Spark and the DuckDB replays."""
+    lo = hi = 0
+    for j in range(64):
+        if bits[j]:
+            if j < 32:
+                lo |= 1 << j
+            else:
+                hi |= 1 << (j - 32)
+    return lo, hi
+
+
+def hash64_band_chunks(lo_col: str = "h_lo", hi_col: str = "h_hi") -> Column:
+    """The 4 x 16-bit band keys of a packed 64-bit fingerprint — the
+    single source of the banding geometry ``banded_hamming_pairs``'s
+    pigeonhole exactness proof depends on (4 bands -> exact at
+    Hamming <= 3)."""
+    return F.array(
+        F.col(lo_col).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned(lo_col, 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col(hi_col).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned(hi_col, 16).bitwiseAND(F.lit(0xFFFF)),
+    )
+
+
 def banded_hamming_pairs(
     sig: DataFrame,
     id_col: str,

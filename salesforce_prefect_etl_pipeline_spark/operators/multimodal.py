@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from salesforce_prefect_etl_pipeline_spark.operators.dedup import banded_hamming_pairs
+from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
+    banded_hamming_pairs,
+    hash64_band_chunks,
+    pack_bits64,
+)
 
 #: Schema of a multimodal record: opaque payload + typed metadata.
 MEDIA_SCHEMA = T.StructType(
@@ -479,14 +483,7 @@ def image_ahash(media: DataFrame) -> DataFrame:
                 )
                 blocks = g.reshape(8, bh, 8, bw).sum(axis=(1, 3)).flatten()
                 tot = int(blocks.sum())
-                bits = blocks * (8 * 8) >= tot
-                lo = hi = 0
-                for j in range(64):
-                    if bits[j]:
-                        if j < 32:
-                            lo |= 1 << j
-                        else:
-                            hi |= 1 << (j - 32)
+                lo, hi = pack_bits64(blocks * (8 * 8) >= tot)
                 los.append(lo)
                 his.append(hi)
             yield pd.DataFrame(
@@ -509,12 +506,7 @@ def ahash_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     comparison becomes an equi-join on (band, key), and only
     band-collision candidates pay the bit_count verification."""
     ah = image_ahash(media)
-    chunks = F.array(
-        F.col("h_lo").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftrightunsigned("h_lo", 16).bitwiseAND(F.lit(0xFFFF)),
-        F.col("h_hi").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftrightunsigned("h_hi", 16).bitwiseAND(F.lit(0xFFFF)),
-    )
+    chunks = hash64_band_chunks()
     return banded_hamming_pairs(
         ah,
         "media_id",
@@ -706,18 +698,27 @@ def synthetic_wav_media_noisy(
     docs: DataFrame, n_samples: int = 256, sample_rate: int = 8000
 ) -> DataFrame:
     """WAV corpus with PLANTED near-duplicates for the fingerprint
-    query: sample i of media m is md5-derived pseudo-noise
-    ``(hash60(base || ':' || i) % 4096) - 2048`` with base = m, EXCEPT
-    every 7th media (m % 7 == 0) reuses its predecessor's waveform
-    (base = m - 1) with the first 4 samples nudged by +3 (capped) — an
-    almost-identical re-encode, the exact thing an audio fingerprint
-    exists to catch. md5 samples make unrelated fingerprints truly
+    query: sample i of media m is md5-derived pseudo-noise — the FIVE
+    12-bit fields of the 60-bit ``hash60(base || ':' || i//5)``
+    (sample i slices bits ``12*(i%5)``), shifted to [-2048, 2047],
+    with base = m. md5 is the generation bottleneck, so slicing five
+    samples per hash is a 5x cut in calls with identical
+    replayability, and md5 noise makes unrelated fingerprints truly
     independent (unlike the ramp corpus of ``synthetic_wav_media``,
-    whose 1-parameter phase family makes half the corpus near-collide),
-    and everything stays SQL-replayable. Each 60-bit hash yields FIVE
-    12-bit samples (sample i slices bits 12*(i%5) of hash i//5) — md5
-    is the generation bottleneck, so this is a 5x cut in calls with
-    the identical replayability."""
+    whose 1-parameter phase family makes half the corpus
+    near-collide).
+
+    Every 7th media (m % 7 == 0) is a PLANTED near-dup: it reuses its
+    predecessor's waveform (base = m - 1) with sample 0 nudged +999
+    (capped) and sample 4 nudged -999 (floored) — an almost-identical
+    re-encode. The nudges sit on EVEN slots of two different windows
+    so they do NOT cancel in the alternating-sum fingerprint (a
+    symmetric nudge like +d on samples 0-3 lies exactly in the
+    feature's kernel and degenerates every planted pair to Hamming 0);
+    measured at sf0.01 the planted pairs span Hamming 0-2, so the
+    banding recall path — not just the exact-signature join — is
+    genuinely exercised while the pair set stays exactly the planted
+    ones."""
     import hashlib
 
     def _h60(s: str) -> int:
@@ -738,8 +739,9 @@ def synthetic_wav_media_noisy(
                     for i in range(n_samples)
                 ]
                 if m % 7 == 0:
-                    for i in range(min(4, n_samples)):
-                        s[i] = min(s[i] + 3, 2047)
+                    s[0] = min(s[0] + 999, 2047)
+                    if n_samples > 4:
+                        s[4] = max(s[4] - 999, -2048)
                 payloads.append(encode_wav(sample_rate, s))
             yield pd.DataFrame(
                 {
@@ -775,14 +777,7 @@ def audio_contour_hash(media: DataFrame) -> DataFrame:
                 w = len(x) // 64
                 signs = np.where(np.arange(w) % 2 == 0, 1, -1)
                 alt = (x.reshape(64, w) * signs).sum(axis=1)
-                bits = alt >= 0
-                lo = hi = 0
-                for j in range(64):
-                    if bits[j]:
-                        if j < 32:
-                            lo |= 1 << j
-                        else:
-                            hi |= 1 << (j - 32)
+                lo, hi = pack_bits64(alt >= 0)
                 los.append(lo)
                 his.append(hi)
             yield pd.DataFrame(
@@ -802,12 +797,7 @@ def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     (``dedup.banded_hamming_pairs``, 4 x 16-bit bands — exact at
     Hamming <= 3, raises beyond)."""
     ah = audio_contour_hash(media)
-    chunks = F.array(
-        F.col("h_lo").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftrightunsigned("h_lo", 16).bitwiseAND(F.lit(0xFFFF)),
-        F.col("h_hi").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftrightunsigned("h_hi", 16).bitwiseAND(F.lit(0xFFFF)),
-    )
+    chunks = hash64_band_chunks()
     return banded_hamming_pairs(
         ah,
         "media_id",
@@ -822,25 +812,34 @@ def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 def audio_near_dup_sql(max_hamming: int = 3, n_samples: int = 256) -> str:
     """DuckDB twin for the noisy synthetic WAV corpus: replay the
-    md5-derived samples (planted-dup base + nudge included), the
-    identical alternating-sum fingerprint, and a brute-force pair join
-    (exact vs the banded engine at Hamming <= 3)."""
+    md5-derived samples (planted-dup base + asymmetric nudge included),
+    the identical alternating-sum fingerprint, and a brute-force pair
+    join (exact vs the banded engine at Hamming <= 3). md5 runs at the
+    BLOCK grain — one digest per (doc, i//5), mirroring the generator's
+    five-samples-per-hash slicing — not once per sample."""
     w = n_samples // 64
+    n_blocks = (n_samples + 4) // 5
     return f"""
-WITH s AS (
-  SELECT d.doc_id AS m, t.i,
-         CASE WHEN d.doc_id % 7 = 0 AND t.i < 4
-              THEN LEAST(v.v + 3, 2047) ELSE v.v END AS v
-  FROM documents d,
-       unnest(generate_series(0, {n_samples - 1})) AS t(i),
-       LATERAL (
-         SELECT ((CAST(CAST(concat('0x', substr(md5(
-                    CAST(CASE WHEN d.doc_id % 7 = 0 THEN d.doc_id - 1
-                         ELSE d.doc_id END AS VARCHAR)
-                    || ':' || CAST(t.i // 5 AS VARCHAR)), 1, 15))
-                  AS UBIGINT) AS BIGINT) >> CAST(12 * (t.i % 5) AS INT))
-                  & 4095) - 2048 AS v
-       ) v
+WITH blocks AS (
+  SELECT d.doc_id AS m, b.blk,
+         CAST(CAST(concat('0x', substr(md5(
+             CAST(CASE WHEN d.doc_id % 7 = 0 THEN d.doc_id - 1
+                  ELSE d.doc_id END AS VARCHAR)
+             || ':' || CAST(b.blk AS VARCHAR)), 1, 15))
+           AS UBIGINT) AS BIGINT) AS h
+  FROM documents d, unnest(generate_series(0, {n_blocks - 1})) AS b(blk)
+),
+s AS (
+  SELECT m, i,
+         CASE WHEN m % 7 = 0 AND i = 0 THEN LEAST(v + 999, 2047)
+              WHEN m % 7 = 0 AND i = 4 THEN GREATEST(v - 999, -2048)
+              ELSE v END AS v
+  FROM (
+    SELECT m, blk * 5 + t.slot AS i,
+           ((h >> CAST(12 * t.slot AS INT)) & 4095) - 2048 AS v
+    FROM blocks, unnest(generate_series(0, 4)) AS t(slot)
+    WHERE blk * 5 + t.slot < {n_samples}
+  )
 ),
 alt AS (
   SELECT m, i // {w} AS j,

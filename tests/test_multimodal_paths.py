@@ -277,7 +277,11 @@ def test_audio_fingerprint_catches_planted_reencodes(spark):
         return [(h60(f"{seed}:{i}") % 4096) - 2048 for i in range(n)]
 
     a = noise("a")
-    a_nudged = [min(v + 3, 2047) if i < 4 else v for i, v in enumerate(a)]
+    # the corpus generator's asymmetric nudge: even slots of two
+    # different windows, so it does NOT cancel in the alternating sum
+    a_nudged = list(a)
+    a_nudged[0] = min(a_nudged[0] + 999, 2047)
+    a_nudged[4] = max(a_nudged[4] - 999, -2048)
     rows = [
         (1, "audio", "audio/wav", multimodal.encode_wav(8000, a)),
         (2, "audio", "audio/wav", multimodal.encode_wav(8000, a_nudged)),
