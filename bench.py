@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_bloom_snapshot",
     "media_phash_near_dup",
     "media_audio_near_dup",
+    "media_video_near_dup",
     # corpus_e2e_curation (17 s at sf0.1) and streaming_dedup_ingest
     # (~11 s warm) are deliberately NOT here: each recomposes stages
     # already benched above (minhash signing/pairs + CC + packing;

@@ -450,6 +450,27 @@ AHASH_SCHEMA = T.StructType(
 )
 
 
+def _ahash_from_pixels(w: int, h: int, px: bytes) -> tuple[int, int]:
+    """The aHash kernel shared by whole-image and per-video-frame
+    hashing: 8x8 block sums over the 3-channel pixel bytes, bit j set
+    iff block j's sum clears the cross-multiplied global mean, packed
+    via ``pack_bits64``. Raises for dimensions not divisible by 8."""
+    import numpy as np
+
+    if w % 8 or h % 8:
+        raise ValueError(f"aHash needs dimensions divisible by 8, got {w}x{h}")
+    bw, bh = w // 8, h // 8
+    g = (
+        np.frombuffer(px, dtype=np.uint8)
+        .astype(np.int64)
+        .reshape(h, w, 3)
+        .sum(axis=2)
+    )
+    blocks = g.reshape(8, bh, 8, bw).sum(axis=(1, 3)).flatten()
+    tot = int(blocks.sum())
+    return pack_bits64(blocks * (8 * 8) >= tot)
+
+
 def image_ahash(media: DataFrame) -> DataFrame:
     """Perceptual average-hash (aHash) over REAL decoded BMP pixels:
     8x8 grid of pixel-block sums, bit j set iff block j's average
@@ -463,27 +484,12 @@ def image_ahash(media: DataFrame) -> DataFrame:
     Requires dimensions divisible by 8 (raise, don't mis-pool — a real
     deployment resizes first; ``resize_media`` provides exactly that).
     """
-    import numpy as np
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             los, his = [], []
             for raw in pdf["payload"]:
-                w, h, px = _decode_bmp_pixels(bytes(raw))
-                if w % 8 or h % 8:
-                    raise ValueError(
-                        f"aHash needs dimensions divisible by 8, got {w}x{h}"
-                    )
-                bw, bh = w // 8, h // 8
-                g = (
-                    np.frombuffer(px, dtype=np.uint8)
-                    .astype(np.int64)
-                    .reshape(h, w, 3)
-                    .sum(axis=2)
-                )
-                blocks = g.reshape(8, bh, 8, bw).sum(axis=(1, 3)).flatten()
-                tot = int(blocks.sum())
-                lo, hi = pack_bits64(blocks * (8 * 8) >= tot)
+                lo, hi = _ahash_from_pixels(*_decode_bmp_pixels(bytes(raw)))
                 los.append(lo)
                 his.append(hi)
             yield pd.DataFrame(
@@ -689,6 +695,219 @@ def synthetic_wav_media(
             )
 
     return docs.select("doc_id").mapInPandas(_make, MEDIA_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# Video frame-fingerprint near-dup (the shot-hash slot)
+
+def encode_video(frames: list) -> bytes:
+    """Minimal video container: b'SVID' + u32 frame count + per frame
+    (u32 size + payload). Stands in for MP4/MKV the way the BMP/WAV
+    writers stand in for JPEG/FLAC — a genuinely parsed length-prefixed
+    format, not a fake."""
+    out = [b"SVID", len(frames).to_bytes(4, "little")]
+    for fr in frames:
+        b = bytes(fr)
+        out.append(len(b).to_bytes(4, "little"))
+        out.append(b)
+    return b"".join(out)
+
+
+def decode_video(payload: bytes) -> list:
+    """Parse the SVID container -> list of frame payloads. Raises
+    ValueError on a bad magic, a truncated frame, or trailing bytes."""
+    b = bytes(payload)
+    if b[:4] != b"SVID":
+        raise ValueError("not an SVID payload")
+    n = int.from_bytes(b[4:8], "little")
+    pos, frames = 8, []
+    for _ in range(n):
+        if pos + 4 > len(b):
+            raise ValueError("truncated SVID frame header")
+        size = int.from_bytes(b[pos : pos + 4], "little")
+        pos += 4
+        if pos + size > len(b):
+            raise ValueError("truncated SVID frame payload")
+        frames.append(b[pos : pos + size])
+        pos += size
+    if pos != len(b):
+        raise ValueError(f"trailing bytes after {n} SVID frames")
+    return frames
+
+
+def synthetic_video_media(
+    docs: DataFrame, n_frames: int = 6, width: int = 16, height: int = 16
+) -> DataFrame:
+    """Video corpus with PLANTED near-duplicates: each frame is a real
+    BMP whose pixel byte i is the quadratic ``(a + b*i + c*i*i) % 256``
+    with (a, b, c) = the low three bytes of ``hash60(seed || ':' ||
+    frame_idx)`` — one md5 per frame (cheap), frames independent
+    across media (a 2^24 coefficient space, so accidental frame
+    collisions are birthday-rare), and everything SQL-replayable.
+
+    Every 9th media (m % 9 == 0) is a RE-EDIT of its predecessor:
+    frames 1..n-1 reuse media m-1's seeds, frame 0 is its own (a
+    replaced title card) — the shared-frame signature a shot-level
+    video dedup exists to catch."""
+    import hashlib
+
+    def _h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n_px = 3 * width * height
+
+    def _frame(seed_src: int, f: int) -> bytes:
+        h = _h60(f"{seed_src}:{f}")
+        a, b, c = h & 255, (h >> 8) & 255, (h >> 16) & 255
+        px = bytes((a + b * i + c * i * i) % 256 for i in range(n_px))
+        return encode_bmp(width, height, px)
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for m in ids:
+                m = int(m)
+                frames = [
+                    _frame(
+                        m - 1 if (m % 9 == 0 and f > 0) else m,
+                        f,
+                    )
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_video(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "video",
+                    "mime": "video/x-svid",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_make, MEDIA_SCHEMA)
+
+
+FRAME_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("h_lo", T.LongType()),
+        T.StructField("h_hi", T.LongType()),
+    ]
+)
+
+
+def video_frame_ahash(media: DataFrame) -> DataFrame:
+    """Per-frame perceptual hashes of a video corpus: parse the SVID
+    container, decode each BMP frame, aHash it with the shared kernel.
+    1->n_frames inside the Arrow batch iterator (like
+    ``sample_frames``) — no shuffle, partitioning inherited."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, fidx, los, his = [], [], [], []
+            for mid, raw in zip(pdf["media_id"].astype("int64"), pdf["payload"]):
+                for f, frame in enumerate(decode_video(bytes(raw))):
+                    lo, hi = _ahash_from_pixels(*_decode_bmp_pixels(frame))
+                    mids.append(int(mid))
+                    fidx.append(f)
+                    los.append(lo)
+                    his.append(hi)
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": fidx, "h_lo": los, "h_hi": his}
+            )
+
+    return media.mapInPandas(_hash, FRAME_AHASH_SCHEMA)
+
+
+def video_near_dup_pairs(media: DataFrame, min_shared: int = 3) -> DataFrame:
+    """Video near-dup pairs (ma, mb, n_shared_frames): two videos pair
+    when they share >= min_shared DISTINCT frame fingerprints — the
+    shot-level dedup rule (re-edits, re-encodes and trims keep most
+    frame hashes identical). Scale shape: per-video distinct hash sets
+    explode to (media, fingerprint) rows, and the corpus never
+    self-joins outside EXACT fingerprint collisions — an equi-join on
+    the 64-bit hash, no banding needed because frame identity (not
+    tolerance) is the predicate; per-frame tolerance is already
+    handled by the aHash quantization itself."""
+    sigs = video_frame_ahash(media).select("media_id", "h_lo", "h_hi").distinct()
+    a = sigs.select(
+        F.col("media_id").alias("ma"),
+        F.col("h_lo").alias("lo"),
+        F.col("h_hi").alias("hi"),
+    )
+    b = sigs.select(
+        F.col("media_id").alias("mb"),
+        F.col("h_lo").alias("lo"),
+        F.col("h_hi").alias("hi"),
+    )
+    return (
+        a.join(b, ["lo", "hi"])
+        .filter(F.col("ma") < F.col("mb"))
+        .groupBy("ma", "mb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared)
+        .orderBy("ma", "mb")
+    )
+
+
+def video_near_dup_sql(
+    min_shared: int = 3, n_frames: int = 6, width: int = 16, height: int = 16
+) -> str:
+    """DuckDB twin for the synthetic SVID corpus: replay the per-frame
+    quadratic pixel formula from the md5 seed coefficients, the shared
+    aHash kernel, then the distinct-fingerprint intersection count."""
+    n_px = 3 * width * height
+    return f"""
+WITH fr AS (
+  SELECT d.doc_id AS m, f.f,
+         CAST(CAST(concat('0x', substr(md5(
+             CAST(CASE WHEN d.doc_id % 9 = 0 AND f.f > 0
+                  THEN d.doc_id - 1 ELSE d.doc_id END AS VARCHAR)
+             || ':' || CAST(f.f AS VARCHAR)), 1, 15))
+           AS UBIGINT) AS BIGINT) AS h
+  FROM documents d, unnest(generate_series(0, {n_frames - 1})) AS f(f)
+),
+coef AS (
+  SELECT m, f, h & 255 AS a, (h >> 8) & 255 AS b, (h >> 16) & 255 AS c
+  FROM fr
+),
+px AS (
+  SELECT m, f, t.p,
+         ((a + b * (3 * t.p) + c * (3 * t.p) * (3 * t.p)) % 256)
+         + ((a + b * (3 * t.p + 1) + c * (3 * t.p + 1) * (3 * t.p + 1)) % 256)
+         + ((a + b * (3 * t.p + 2) + c * (3 * t.p + 2) * (3 * t.p + 2)) % 256)
+           AS g3
+  FROM coef, unnest(generate_series(0, {n_px // 3 - 1})) AS t(p)
+),
+blocks AS (
+  SELECT m, f, ((p // {width}) // 2) * 8 + ((p % {width}) // 2) AS j,
+         SUM(g3) AS bsum
+  FROM px GROUP BY m, f, ((p // {width}) // 2) * 8 + ((p % {width}) // 2)
+),
+tot AS (SELECT m, f, SUM(bsum) AS tsum FROM blocks GROUP BY m, f),
+bits AS (
+  SELECT b.m, b.f, b.j, CASE WHEN b.bsum * 64 >= t.tsum THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t ON b.m = t.m AND b.f = t.f
+),
+persig AS (
+  SELECT m, f,
+    CAST(SUM(CASE WHEN j < 32 AND bit = 1
+             THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
+      AS lo,
+    CAST(SUM(CASE WHEN j >= 32 AND bit = 1
+             THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT)
+      AS hi
+  FROM bits GROUP BY m, f
+),
+sigs AS (SELECT DISTINCT m, lo, hi FROM persig)
+SELECT a.m AS ma, b.m AS mb, CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+FROM sigs a JOIN sigs b ON a.lo = b.lo AND a.hi = b.hi AND a.m < b.m
+GROUP BY a.m, b.m
+HAVING COUNT(*) >= {min_shared}
+ORDER BY ma, mb
+"""
 
 
 # ----------------------------------------------------------------------

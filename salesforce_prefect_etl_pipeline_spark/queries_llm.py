@@ -575,6 +575,19 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """,
 )
 
+# Video shot-level dedup: per-frame aHash over a genuinely parsed
+# length-prefixed container; two videos pair on >= 3 shared distinct
+# frame fingerprints. The synthetic corpus plants a re-edit (title
+# card replaced) every 9th media; the oracle replays frame pixels,
+# the shared aHash kernel, and the intersection count.
+register_query(
+    "media_video_near_dup",
+    lambda spark, sf_dir: multimodal.video_near_dup_pairs(
+        multimodal.synthetic_video_media(_docs(spark, sf_dir))
+    ),
+    multimodal.video_near_dup_sql(),
+)
+
 # Audio fingerprint dedup: alternating-sum contour hash over REAL
 # decoded PCM16 samples; the noisy synthetic corpus plants an
 # almost-identical re-encode every 7th media, and the oracle replays

@@ -302,3 +302,31 @@ def test_audio_fingerprint_catches_planted_reencodes(spark):
     )
     with pytest.raises(Exception, match="divisible by 64"):
         multimodal.audio_contour_hash(ragged).collect()
+
+
+def test_video_container_and_shot_dedup(spark):
+    """SVID container round-trips; a re-edit sharing 5 of 6 frames
+    pairs with its source while disjoint videos do not; malformed
+    containers raise."""
+    def frame(tag):
+        px = bytes((7 * i + tag) % 256 for i in range(3 * 16 * 16))
+        return multimodal.encode_bmp(16, 16, px)
+
+    frames_a = [frame(t) for t in range(6)]
+    enc = multimodal.encode_video(frames_a)
+    assert multimodal.decode_video(enc) == [bytes(f) for f in frames_a]
+    with pytest.raises(ValueError, match="not an SVID"):
+        multimodal.decode_video(b"XXXX" + enc[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_video(enc[:-3])
+    with pytest.raises(ValueError, match="trailing"):
+        multimodal.decode_video(enc + b"\x00")
+
+    # the corpus generator's planted re-edit: 9 % 9 == 0 shares frames
+    # 1-5 with media 8; 20 is unrelated (md5-seeded frames, so
+    # unrelated videos share no fingerprint — unlike a ramp family,
+    # whose frames collapse to few distinct hashes)
+    docs = spark.createDataFrame([(8,), (9,), (20,)], "doc_id long")
+    media = multimodal.synthetic_video_media(docs)
+    rows = multimodal.video_near_dup_pairs(media, min_shared=3).collect()
+    assert [(r.ma, r.mb, r.n_shared_frames) for r in rows] == [(8, 9, 5)]
