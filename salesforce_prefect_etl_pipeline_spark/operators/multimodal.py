@@ -751,15 +751,19 @@ def synthetic_video_media(
     video dedup exists to catch."""
     import hashlib
 
+    import numpy as np
+
     def _h60(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     n_px = 3 * width * height
+    idx = np.arange(n_px, dtype=np.int64)
+    idx2 = idx * idx
 
     def _frame(seed_src: int, f: int) -> bytes:
         h = _h60(f"{seed_src}:{f}")
         a, b, c = h & 255, (h >> 8) & 255, (h >> 16) & 255
-        px = bytes((a + b * i + c * i * i) % 256 for i in range(n_px))
+        px = ((a + b * idx + c * idx2) % 256).astype(np.uint8).tobytes()
         return encode_bmp(width, height, px)
 
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
