@@ -186,3 +186,56 @@ def test_triangle_counts_match_bruteforce(spark, edges):
             for v in (a, b, c):
                 expected[v] = expected.get(v, 0) + 1
     assert got == expected
+
+
+# ----------------------------------------------------------------------
+# Pigeonhole banding property: for ANY base fingerprint and ANY set of
+# <= max_hamming bit flips, banded_hamming_pairs finds the pair — the
+# guarantee simhash/aHash/audio near-dup all lean on. Driver-side
+# hypothesis hammers the geometry; one Spark run per example would be
+# minutes, so the property drives the same chunking/verify arithmetic
+# the Column expressions encode, and a single Spark run pins the
+# end-to-end plumbing.
+fp64 = st.integers(min_value=0, max_value=(1 << 64) - 1)
+flips = st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=3)
+
+
+@given(h=fp64, fl=flips)
+@settings(max_examples=300, deadline=None)
+def test_band_chunks_collide_within_hamming_3(h, fl):
+    h2 = h
+    for b in fl:
+        h2 ^= 1 << b
+    chunks = lambda x: [(x >> (16 * j)) & 0xFFFF for j in range(4)]
+    # pigeonhole: <= 3 flips over 4 bands leaves >= 1 band untouched
+    assert any(a == b for a, b in zip(chunks(h), chunks(h2)))
+    # and the verify key agrees with the flip count
+    assert bin(h ^ h2).count("1") == len(fl)
+
+
+def test_banded_hamming_pairs_end_to_end_spark(spark):
+    """One Spark run pinning the plumbing: planted flips are found with
+    the exact hamming, a >3-flip pair is excluded."""
+    from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
+        banded_hamming_pairs,
+        hash64_band_chunks,
+    )
+
+    base = 0x0123_4567_89AB_CDEF
+    h2 = base ^ 0b101  # hamming 2, both flips in the low band
+    h3 = base ^ (1 << 0) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48)  # one flip PER band
+    rows = [
+        (1, base & 0xFFFFFFFF, base >> 32),
+        (2, h2 & 0xFFFFFFFF, h2 >> 32),
+        (3, h3 & 0xFFFFFFFF, h3 >> 32),
+    ]
+    sig = spark.createDataFrame(rows, "media_id long, h_lo long, h_hi long")
+    got = {
+        (r.da, r.db): r.hamming
+        for r in banded_hamming_pairs(
+            sig, "media_id", ["h_lo", "h_hi"], hash64_band_chunks(),
+            n_bands=4, max_hamming=3,
+        ).collect()
+    }
+    assert got.get((1, 2)) == 2
+    assert (1, 3) not in got  # 4 flips, one per band: correctly outside contract
