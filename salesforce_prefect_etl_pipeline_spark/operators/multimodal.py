@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -455,8 +456,6 @@ def _ahash_from_pixels(w: int, h: int, px: bytes) -> tuple[int, int]:
     hashing: 8x8 block sums over the 3-channel pixel bytes, bit j set
     iff block j's sum clears the cross-multiplied global mean, packed
     via ``pack_bits64``. Raises for dimensions not divisible by 8."""
-    import numpy as np
-
     if w % 8 or h % 8:
         raise ValueError(f"aHash needs dimensions divisible by 8, got {w}x{h}")
     bw, bh = w // 8, h // 8
@@ -606,8 +605,6 @@ def encode_wav(sample_rate: int, samples) -> bytes:
     mono, 16-bit little-endian."""
     import struct
 
-    import numpy as np
-
     data = np.asarray(samples, dtype="<i2").tobytes()
     return (
         b"RIFF"
@@ -628,8 +625,6 @@ def _decode_wav_samples(payload: bytes):
     compressed/stereo/non-16-bit streams, or a missing data chunk — the
     dispatch point where soundfile/ffmpeg would plug in for other
     codecs."""
-    import numpy as np
-
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -659,8 +654,6 @@ def _decode_wav_samples(payload: bytes):
 def decode_audio(payload: bytes) -> tuple[int, int, float, int]:
     """Real RIFF/WAVE PCM16-mono decode ->
     (sample_rate, n_samples, mean_abs_sample, n_zero_cross)."""
-    import numpy as np
-
     sample_rate, x = _decode_wav_samples(bytes(payload))
     if len(x) == 0:
         return sample_rate, 0, 0.0, 0
@@ -676,8 +669,6 @@ def synthetic_wav_media(
     ``((m * 31 + i) % 4096) - 2048`` — a pure integer function of the
     id, so decoded statistics replay arithmetically in the oracle while
     the payload is a genuine, header-complete RIFF/WAVE file."""
-    import numpy as np
-
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         i = np.arange(n_samples, dtype=np.int64)
         for pdf in batches:
@@ -719,6 +710,8 @@ def decode_video(payload: bytes) -> list:
     b = bytes(payload)
     if b[:4] != b"SVID":
         raise ValueError("not an SVID payload")
+    if len(b) < 8:
+        raise ValueError("truncated SVID header")
     n = int.from_bytes(b[4:8], "little")
     pos, frames = 8, []
     for _ in range(n):
@@ -750,8 +743,6 @@ def synthetic_video_media(
     replaced title card) — the shared-frame signature a shot-level
     video dedup exists to catch."""
     import hashlib
-
-    import numpy as np
 
     def _h60(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
@@ -862,6 +853,10 @@ def video_near_dup_sql(
     """DuckDB twin for the synthetic SVID corpus: replay the per-frame
     quadratic pixel formula from the md5 seed coefficients, the shared
     aHash kernel, then the distinct-fingerprint intersection count."""
+    if width % 8 or height % 8:
+        # mirror the engine kernel's contract: a non-divisible geometry
+        # would silently mis-pool blocks here while the kernel raises
+        raise ValueError(f"aHash oracle needs dimensions divisible by 8, got {width}x{height}")
     n_px = 3 * width * height
     return f"""
 WITH fr AS (
@@ -886,9 +881,13 @@ px AS (
   FROM coef, unnest(generate_series(0, {n_px // 3 - 1})) AS t(p)
 ),
 blocks AS (
-  SELECT m, f, ((p // {width}) // 2) * 8 + ((p % {width}) // 2) AS j,
+  SELECT m, f,
+         ((p // {width}) // {height // 8}) * 8
+         + ((p % {width}) // {width // 8}) AS j,
          SUM(g3) AS bsum
-  FROM px GROUP BY m, f, ((p // {width}) // 2) * 8 + ((p % {width}) // 2)
+  FROM px GROUP BY m, f,
+         ((p // {width}) // {height // 8}) * 8
+         + ((p % {width}) // {width // 8})
 ),
 tot AS (SELECT m, f, SUM(bsum) AS tsum FROM blocks GROUP BY m, f),
 bits AS (
@@ -986,8 +985,6 @@ def audio_contour_hash(media: DataFrame) -> DataFrame:
     float energy to drift). Same packing as the image aHash: two 32-bit
     halves in BIGINTs. One Arrow-batched map, no shuffle. Requires
     n_samples divisible by 64 (raise, don't mis-window)."""
-    import numpy as np
-
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             los, his = [], []
@@ -1040,6 +1037,9 @@ def audio_near_dup_sql(max_hamming: int = 3, n_samples: int = 256) -> str:
     join (exact vs the banded engine at Hamming <= 3). md5 runs at the
     BLOCK grain — one digest per (doc, i//5), mirroring the generator's
     five-samples-per-hash slicing — not once per sample."""
+    if n_samples % 64:
+        # mirror audio_contour_hash's contract
+        raise ValueError(f"contour oracle needs n_samples divisible by 64, got {n_samples}")
     w = n_samples // 64
     n_blocks = (n_samples + 4) // 5
     return f"""
