@@ -848,7 +848,11 @@ def video_near_dup_pairs(media: DataFrame, min_shared: int = 3) -> DataFrame:
 
 
 def video_near_dup_sql(
-    min_shared: int = 3, n_frames: int = 6, width: int = 16, height: int = 16
+    min_shared: int = 3,
+    n_frames: int = 6,
+    width: int = 16,
+    height: int = 16,
+    source: str = "documents",
 ) -> str:
     """DuckDB twin for the synthetic SVID corpus: replay the per-frame
     quadratic pixel formula from the md5 seed coefficients, the shared
@@ -866,7 +870,7 @@ WITH fr AS (
                   THEN d.doc_id - 1 ELSE d.doc_id END AS VARCHAR)
              || ':' || CAST(f.f AS VARCHAR)), 1, 15))
            AS UBIGINT) AS BIGINT) AS h
-  FROM documents d, unnest(generate_series(0, {n_frames - 1})) AS f(f)
+  FROM {source} d, unnest(generate_series(0, {n_frames - 1})) AS f(f)
 ),
 coef AS (
   SELECT m, f, h & 255 AS a, (h >> 8) & 255 AS b, (h >> 16) & 255 AS c
@@ -1030,7 +1034,9 @@ def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def audio_near_dup_sql(max_hamming: int = 3, n_samples: int = 256) -> str:
+def audio_near_dup_sql(
+    max_hamming: int = 3, n_samples: int = 256, source: str = "documents"
+) -> str:
     """DuckDB twin for the noisy synthetic WAV corpus: replay the
     md5-derived samples (planted-dup base + asymmetric nudge included),
     the identical alternating-sum fingerprint, and a brute-force pair
@@ -1050,7 +1056,7 @@ WITH blocks AS (
                   ELSE d.doc_id END AS VARCHAR)
              || ':' || CAST(b.blk AS VARCHAR)), 1, 15))
            AS UBIGINT) AS BIGINT) AS h
-  FROM documents d, unnest(generate_series(0, {n_blocks - 1})) AS b(blk)
+  FROM {source} d, unnest(generate_series(0, {n_blocks - 1})) AS b(blk)
 ),
 s AS (
   SELECT m, i,

@@ -575,6 +575,107 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """,
 )
 
+def _corpus_multimodal_gate(spark, sf_dir: str):
+    """Multimodal curation funnel — the composition a text+media
+    training set actually runs, one report row per stage:
+
+    0. text_gate:    length floor (n_chars >= 200);
+    1. exact_dedup:  keep the min-doc_id survivor per normalized text
+                     fingerprint;
+    2. video_prune:  drop the later member of every video shot-level
+                     near-dup pair among survivors (re-edits);
+    3. audio_prune:  same over audio fingerprint pairs (re-encodes).
+
+    Output: (stage_idx, stage, n_in, n_out, n_dropped). Every stage is
+    individually oracle-proven elsewhere; this row-counts the CHAIN, so
+    the oracle replays the funnel end-to-end including how each prune
+    restricts the pair search to the previous stage's survivors."""
+    docs = _docs(spark, sf_dir)
+    s1 = docs.filter(F.col("n_chars") >= 200)
+    keep = (
+        text.fingerprints(s1)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(keep, "doc_id", "left_semi")
+    vdrop = (
+        multimodal.video_near_dup_pairs(multimodal.synthetic_video_media(s2))
+        .select(F.col("mb").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(vdrop, "doc_id", "left_anti")
+    adrop = (
+        multimodal.audio_near_dup_pairs(multimodal.synthetic_wav_media_noisy(s3))
+        .select(F.col("mb").alias("doc_id"))
+        .distinct()
+    )
+    s4 = s3.join(adrop, "doc_id", "left_anti")
+
+    stages = [
+        ("text_gate", docs, s1),
+        ("exact_dedup", s1, s2),
+        ("video_prune", s2, s3),
+        ("audio_prune", s3, s4),
+    ]
+    out = None
+    for i, (name, din, dout) in enumerate(stages):
+        row = (
+            din.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+            .crossJoin(dout.agg(F.count(F.lit(1)).cast("long").alias("n_out")))
+            .select(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                "n_in",
+                "n_out",
+                (F.col("n_in") - F.col("n_out")).cast("long").alias("n_dropped"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage_idx")
+
+
+def _multimodal_gate_sql() -> str:
+    from salesforce_prefect_etl_pipeline_spark.operators.text import NORMALIZED_SQL
+
+    def stage_row(idx, name, src_in, src_out):
+        return (
+            f"SELECT CAST({idx} AS INT) AS stage_idx, '{name}' AS stage,\n"
+            f"  CAST((SELECT COUNT(*) FROM {src_in}) AS BIGINT) AS n_in,\n"
+            f"  CAST((SELECT COUNT(*) FROM {src_out}) AS BIGINT) AS n_out,\n"
+            f"  CAST((SELECT COUNT(*) FROM {src_in})\n"
+            f"     - (SELECT COUNT(*) FROM {src_out}) AS BIGINT) AS n_dropped"
+        )
+
+    rows = "\nUNION ALL\n".join(
+        [
+            stage_row(0, "text_gate", "documents", "s1"),
+            stage_row(1, "exact_dedup", "s1", "s2"),
+            stage_row(2, "video_prune", "s2", "s3"),
+            stage_row(3, "audio_prune", "s3", "s4"),
+        ]
+    )
+    return f"""
+WITH s1 AS (SELECT * FROM documents WHERE n_chars >= 200),
+s2 AS (
+  SELECT s1.* FROM s1 JOIN (
+    SELECT MIN(doc_id) AS doc_id FROM (
+      SELECT doc_id, md5({NORMALIZED_SQL}) AS fp FROM s1
+    ) GROUP BY fp
+  ) k ON s1.doc_id = k.doc_id
+),
+vdrop AS (SELECT DISTINCT mb FROM ({multimodal.video_near_dup_sql(source="s2")})),
+s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT mb FROM vdrop)),
+adrop AS (SELECT DISTINCT mb FROM ({multimodal.audio_near_dup_sql(source="s3")})),
+s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT mb FROM adrop))
+SELECT * FROM ({rows}) ORDER BY stage_idx
+"""
+
+
+register_query(
+    "corpus_multimodal_gate", _corpus_multimodal_gate, _multimodal_gate_sql()
+)
+
 # Video shot-level dedup: per-frame aHash over a genuinely parsed
 # length-prefixed container; two videos pair on >= 3 shared distinct
 # frame fingerprints. The synthetic corpus plants a re-edit (title

@@ -733,3 +733,23 @@ def test_banded_hamming_guard_rejects_unsound_threshold(spark, docs):
     must raise, not silently lose recall."""
     with pytest.raises(ValueError, match="only exact"):
         dedup.simhash_near_dup_pairs(docs, max_hamming=4)
+
+
+def test_multimodal_gate_funnel_invariants(spark):
+    """The curation funnel chains: each stage's n_in equals the
+    previous stage's n_out, counts never grow, and the first stage
+    starts from the full corpus."""
+    from salesforce_prefect_etl_pipeline_spark.queries_llm import (
+        _corpus_multimodal_gate,
+    )
+
+    rows = _corpus_multimodal_gate(spark, SF_SMALL).collect()
+    assert [r.stage for r in rows] == [
+        "text_gate", "exact_dedup", "video_prune", "audio_prune",
+    ]
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert rows[0].n_in == n_docs
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_in == prev.n_out
+    for r in rows:
+        assert 0 <= r.n_out <= r.n_in and r.n_dropped == r.n_in - r.n_out
