@@ -950,6 +950,9 @@ def synthetic_wav_media_noisy(
     def _h60(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
+    blk_of = np.arange(n_samples, dtype=np.int64) // 5
+    shift_of = 12 * (np.arange(n_samples, dtype=np.int64) % 5)
+
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
@@ -957,17 +960,15 @@ def synthetic_wav_media_noisy(
             for m in ids:
                 m = int(m)
                 base = m - 1 if m % 7 == 0 else m
-                hs = [
-                    _h60(f"{base}:{blk}") for blk in range((n_samples + 4) // 5)
-                ]
-                s = [
-                    ((hs[i // 5] >> (12 * (i % 5))) & 0xFFF) - 2048
-                    for i in range(n_samples)
-                ]
+                hs = np.array(
+                    [_h60(f"{base}:{blk}") for blk in range((n_samples + 4) // 5)],
+                    dtype=np.int64,
+                )
+                s = ((hs[blk_of] >> shift_of) & 0xFFF) - 2048
                 if m % 7 == 0:
-                    s[0] = min(s[0] + 999, 2047)
+                    s[0] = min(int(s[0]) + 999, 2047)
                     if n_samples > 4:
-                        s[4] = max(s[4] - 999, -2048)
+                        s[4] = max(int(s[4]) - 999, -2048)
                 payloads.append(encode_wav(sample_rate, s))
             yield pd.DataFrame(
                 {
