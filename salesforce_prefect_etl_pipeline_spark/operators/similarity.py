@@ -366,7 +366,12 @@ def semdedup_prune(
     cost is sum(|cluster|^2), bounded by scaling nlist with the corpus
     (SemDeDup uses 50k clusters for LAION-scale data; the equi-join on
     list_id below shuffles each cluster to one task, so clusters are
-    the unit of parallelism). The default threshold 0.3 is tuned to the
+    the unit of parallelism). The assignment map appears on both join
+    sides and in the report — three evaluations of a deterministic,
+    shuffle-free Arrow map, which is the right local-mode trade; at
+    100 TB persist ``ivf_assign`` partitioned by list_id once (exactly
+    what ``build_ivf_index`` does) and run the prune over the
+    persisted table. The default threshold 0.3 is tuned to the
     synthetic testdata (random embeddings, no planted near-dups —
     max pairwise cosine ~0.51); real text embeddings sit much closer
     to 1.0 and use ~0.95+.
