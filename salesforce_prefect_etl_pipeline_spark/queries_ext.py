@@ -1847,3 +1847,165 @@ for _name, _fn, _sql in [
     ("events_mad_outliers", events_mad_outliers, _events_mad_outliers_sql()),
 ]:
     register_query(_name, _fn, _sql)
+
+
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware VOLUME anomaly report: for every
+    (event_type, date, hour) bucket — including EMPTY ones, via a dense
+    date x hour x type spine — the baseline is the discrete lower
+    median of that (event_type, day-of-week, hour) cell's daily counts,
+    and a bucket is anomalous when |n - median| > 3 x MAD. The
+    time-series twin of ``events_mad_outliers`` (which fences VALUES,
+    not volumes): this is the "did traffic at Tuesday 3pm collapse /
+    spike" monitor an event pipeline runs, robust to heavy-tailed
+    bursts. Dropping empty buckets would bias every baseline high and
+    make outages invisible — hence the spine.
+
+    Determinism: counts are integers, both medians use the discrete
+    lower-median row_number pattern with (value, date) tiebreaks, and
+    day-of-week is pmod(days-since-epoch, 7) (identical on both
+    engines, no locale). Scale shape: the spine is |dates| x 24 x
+    |types| rows (tiny relative to events), one hash aggregation over
+    the event scan, then two window passes partitioned by the 840-ish
+    (type, dow, hour) cells."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), F.hour("ts").cast("int").alias("h"), "event_type"
+    )
+    counts = ev.groupBy("event_type", "d", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bounds = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    hours = spark.range(24).select(F.col("id").cast("int").alias("h"))
+    types = counts.select("event_type").distinct()
+    spine = days.crossJoin(F.broadcast(hours)).crossJoin(F.broadcast(types))
+    dense = (
+        spine.join(counts, ["event_type", "d", "h"], "left")
+        .select(
+            "event_type",
+            "d",
+            "h",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.pmod(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")), F.lit(7))
+            .cast("int")
+            .alias("dow"),
+        )
+    )
+    cell = Window.partitionBy("event_type", "dow", "h")
+    w1 = Window.partitionBy("event_type", "dow", "h").orderBy("n", "d")
+    med = (
+        dense.select(
+            "event_type",
+            "dow",
+            "h",
+            "n",
+            F.row_number().over(w1).alias("rn"),
+            F.count(F.lit(1)).over(cell).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+        .select("event_type", "dow", "h", F.col("n").alias("med_n"))
+    )
+    dev = dense.join(med, ["event_type", "dow", "h"]).select(
+        "event_type",
+        "dow",
+        "h",
+        "d",
+        "n",
+        "med_n",
+        F.abs(F.col("n") - F.col("med_n")).alias("dev"),
+    )
+    w2 = Window.partitionBy("event_type", "dow", "h").orderBy("dev", "d")
+    mad = (
+        dev.select(
+            "event_type",
+            "dow",
+            "h",
+            "dev",
+            F.row_number().over(w2).alias("rn"),
+            F.count(F.lit(1)).over(cell).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+        .select("event_type", "dow", "h", F.col("dev").alias("mad_n"))
+    )
+    flagged = dev.join(mad, ["event_type", "dow", "h"]).select(
+        "event_type",
+        (F.col("dev") > 3 * F.col("mad_n")).cast("long").alias("is_anom"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("is_anom").alias("n_anomalous"),
+        )
+        .select(
+            "event_type",
+            "n_buckets",
+            "n_anomalous",
+            (F.col("n_anomalous").cast("double") / F.col("n_buckets").cast("double")).alias(
+                "anomaly_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_SEASONAL_SQL = """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+),
+days AS (
+  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+hours AS (SELECT CAST(UNNEST(generate_series(0, 23)) AS INT) AS h),
+counts AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+types AS (SELECT DISTINCT event_type FROM counts),
+dense AS (
+  SELECT t.event_type, dy.d, hr.h, COALESCE(c.n, 0) AS n,
+         CAST((dy.d - DATE '1970-01-01') % 7 AS INT) AS dow
+  FROM days dy CROSS JOIN hours hr CROSS JOIN types t
+  LEFT JOIN counts c
+    ON c.event_type = t.event_type AND c.d = dy.d AND c.h = hr.h
+),
+med AS (
+  SELECT event_type, dow, h, n AS med_n FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type, dow, h ORDER BY n, d) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type, dow, h) AS cnt
+    FROM dense
+  ) WHERE rn = (cnt + 1) // 2
+),
+dev AS (
+  SELECT de.event_type, de.dow, de.h, de.d, de.n, m.med_n,
+         ABS(de.n - m.med_n) AS dev
+  FROM dense de JOIN med m
+    ON de.event_type = m.event_type AND de.dow = m.dow AND de.h = m.h
+),
+mad AS (
+  SELECT event_type, dow, h, dev AS mad_n FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type, dow, h ORDER BY dev, d) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type, dow, h) AS cnt
+    FROM dev
+  ) WHERE rn = (cnt + 1) // 2
+)
+SELECT dv.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN dv.dev > 3 * md.mad_n THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalous,
+       CAST(SUM(CASE WHEN dv.dev > 3 * md.mad_n THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS anomaly_share
+FROM dev dv JOIN mad md
+  ON dv.event_type = md.event_type AND dv.dow = md.dow AND dv.h = md.h
+GROUP BY dv.event_type ORDER BY dv.event_type
+"""
+
+register_query(
+    "events_seasonal_anomalies", events_seasonal_anomalies, EVENTS_SEASONAL_SQL
+)
