@@ -206,6 +206,7 @@ def synthetic_bmp_media(docs: DataFrame, width: int = 16, height: int = 16) -> D
     decoded statistics are reproducible arithmetically in the oracle
     while the payload is a genuine, header-complete BMP file."""
     n_px = 3 * width * height
+    idx = np.arange(n_px, dtype=np.int64)
 
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -219,7 +220,9 @@ def synthetic_bmp_media(docs: DataFrame, width: int = 16, height: int = 16) -> D
                         encode_bmp(
                             width,
                             height,
-                            bytes((int(mid) * 31 + i) % 256 for i in range(n_px)),
+                            ((int(mid) * 31 + idx) % 256)
+                            .astype(np.uint8)
+                            .tobytes(),
                         )
                         for mid in ids
                     ],
