@@ -44,6 +44,14 @@ from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
     pack_bits64,
 )
 
+
+def _h60(s: str) -> int:
+    """Driver-side twin of ``dedup.hash60`` (first 15 hex chars of md5
+    as a 60-bit int) — the one hash convention every synthetic-corpus
+    generator in this module shares with its SQL oracle."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 #: Schema of a multimodal record: opaque payload + typed metadata.
 MEDIA_SCHEMA = T.StructType(
     [
@@ -527,23 +535,36 @@ def ahash_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def ahash_near_dup_sql(max_hamming: int = 3) -> str:
-    """DuckDB twin for the registered 16x16 synthetic-BMP corpus: the
-    pixel formula (channel byte i of media m = (m*31+i) % 256) replays
-    the decoded image arithmetically, then the identical block-average
-    hash and a brute-force pair join — exact vs the banded engine
-    output because 4x16 banding finds every pair at Hamming <= 3."""
+def ahash_near_dup_sql(
+    max_hamming: int = 3, width: int = 16, height: int = 16
+) -> str:
+    """DuckDB twin for the synthetic-BMP corpus: the pixel formula
+    (channel byte i of media m = (m*31+i) % 256) replays the decoded
+    image arithmetically, then the identical block-average hash and a
+    brute-force pair join — exact vs the banded engine output because
+    4x16 banding finds every pair at Hamming <= 3. Geometry follows
+    the parameters like the video twin; raises where the engine kernel
+    would (divisibility by 8) instead of silently mis-pooling."""
+    if width % 8 or height % 8:
+        raise ValueError(
+            f"aHash oracle needs dimensions divisible by 8, got {width}x{height}"
+        )
     return f"""
 WITH px AS (
   SELECT d.doc_id AS m, t.p,
          ((d.doc_id * 31 + 3 * t.p) % 256)
          + ((d.doc_id * 31 + 3 * t.p + 1) % 256)
          + ((d.doc_id * 31 + 3 * t.p + 2) % 256) AS g3
-  FROM documents d, unnest(generate_series(0, 255)) AS t(p)
+  FROM documents d, unnest(generate_series(0, {width * height - 1})) AS t(p)
 ),
 blocks AS (
-  SELECT m, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS j, SUM(g3) AS bsum
-  FROM px GROUP BY m, ((p // 16) // 2) * 8 + ((p % 16) // 2)
+  SELECT m,
+         ((p // {width}) // {height // 8}) * 8
+         + ((p % {width}) // {width // 8}) AS j,
+         SUM(g3) AS bsum
+  FROM px GROUP BY m,
+         ((p // {width}) // {height // 8}) * 8
+         + ((p % {width}) // {width // 8})
 ),
 tot AS (SELECT m, SUM(bsum) AS tsum FROM blocks GROUP BY m),
 bits AS (
@@ -745,11 +766,6 @@ def synthetic_video_media(
     frames 1..n-1 reuse media m-1's seeds, frame 0 is its own (a
     replaced title card) — the shared-frame signature a shot-level
     video dedup exists to catch."""
-    import hashlib
-
-    def _h60(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
     n_px = 3 * width * height
     idx = np.arange(n_px, dtype=np.int64)
     idx2 = idx * idx
@@ -948,11 +964,6 @@ def synthetic_wav_media_noisy(
     banding recall path — not just the exact-signature join — is
     genuinely exercised while the pair set stays exactly the planted
     ones."""
-    import hashlib
-
-    def _h60(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
     blk_of = np.arange(n_samples, dtype=np.int64) // 5
     shift_of = 12 * (np.arange(n_samples, dtype=np.int64) % 5)
 

@@ -589,34 +589,45 @@ def _corpus_multimodal_gate(spark, sf_dir: str):
     Output: (stage_idx, stage, n_in, n_out, n_dropped). Every stage is
     individually oracle-proven elsewhere; this row-counts the CHAIN, so
     the oracle replays the funnel end-to-end including how each prune
-    restricts the pair search to the previous stage's survivors."""
+    restricts the pair search to the previous stage's survivors.
+
+    Evaluation shape: stages are carried as SURVIVOR-ID frames (one
+    long per doc — the media generators and the counts need nothing
+    else) and the mid-funnel frames are cached, because the report
+    references each stage boundary twice (stage i's n_out is stage
+    i+1's n_in) and Spark does no cross-branch CSE — uncached, the
+    video+audio synthesis/hash lineage would re-execute per count
+    branch (~3x the work). The cache is O(8 bytes x survivors);
+    at 100 TB prefer persisting the ID frames to parquet."""
     docs = _docs(spark, sf_dir)
-    s1 = docs.filter(F.col("n_chars") >= 200)
-    keep = (
-        text.fingerprints(s1)
+    ids0 = docs.select("doc_id")
+    s1_docs = docs.filter(F.col("n_chars") >= 200)
+    ids1 = s1_docs.select("doc_id")
+    ids2 = (
+        text.fingerprints(s1_docs)
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .cache()
     )
-    s2 = s1.join(keep, "doc_id", "left_semi")
     vdrop = (
-        multimodal.video_near_dup_pairs(multimodal.synthetic_video_media(s2))
+        multimodal.video_near_dup_pairs(multimodal.synthetic_video_media(ids2))
         .select(F.col("mb").alias("doc_id"))
         .distinct()
     )
-    s3 = s2.join(vdrop, "doc_id", "left_anti")
+    ids3 = ids2.join(vdrop, "doc_id", "left_anti").cache()
     adrop = (
-        multimodal.audio_near_dup_pairs(multimodal.synthetic_wav_media_noisy(s3))
+        multimodal.audio_near_dup_pairs(multimodal.synthetic_wav_media_noisy(ids3))
         .select(F.col("mb").alias("doc_id"))
         .distinct()
     )
-    s4 = s3.join(adrop, "doc_id", "left_anti")
+    ids4 = ids3.join(adrop, "doc_id", "left_anti")
 
     stages = [
-        ("text_gate", docs, s1),
-        ("exact_dedup", s1, s2),
-        ("video_prune", s2, s3),
-        ("audio_prune", s3, s4),
+        ("text_gate", ids0, ids1),
+        ("exact_dedup", ids1, ids2),
+        ("video_prune", ids2, ids3),
+        ("audio_prune", ids3, ids4),
     ]
     out = None
     for i, (name, din, dout) in enumerate(stages):
