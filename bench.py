@@ -80,11 +80,13 @@ HEADLINE = [
     "media_phash_near_dup",
     "media_audio_near_dup",
     "media_video_near_dup",
-    # corpus_e2e_curation (17 s at sf0.1) and streaming_dedup_ingest
-    # (~11 s warm) are deliberately NOT here: each recomposes stages
-    # already benched above (minhash signing/pairs + CC + packing;
-    # signing + index probe + micro-batch overhead) — a row would
-    # double-count ~10 s of the suite without new attribution.
+    # corpus_e2e_curation (17 s at sf0.1), streaming_dedup_ingest
+    # (~11 s warm) and corpus_multimodal_gate are deliberately NOT
+    # here: each recomposes stages already benched above (minhash
+    # signing/pairs + CC + packing; signing + index probe +
+    # micro-batch overhead; video/audio synthesis + fingerprint
+    # joins) — a row would double-count the suite without new
+    # attribution.
 ]
 
 
