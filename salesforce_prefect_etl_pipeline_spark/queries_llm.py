@@ -267,6 +267,35 @@ register_query(
         dedup.minhash_lsh_pairs_sql(k=8, threshold=0.8)
     ),
 )
+# Component-size histogram over the near-dup clusters — the shape
+# report a dedup run is judged by (mostly pairs? a few mega-clusters
+# from boilerplate? singleton-free by construction since components
+# come from pairwise edges). Shares the memoized LSH pairs frame.
+def _cluster_size_histogram(spark, sf_dir: str):
+    labels = dedup.connected_components(
+        _minhash_pairs_cached(spark, sf_dir).select("da", "db")
+    )
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .orderBy("size")
+    )
+
+
+register_query(
+    "dedup_cluster_size_histogram",
+    _cluster_size_histogram,
+    f"""
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components FROM (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+  FROM ({dedup.connected_components_sql(dedup.minhash_lsh_pairs_sql(k=8, threshold=0.8))})
+  GROUP BY component
+) GROUP BY size ORDER BY size
+""",
+)
+
 # SimHash: md5-based signature pipeline, fully SQL-replayed.
 register_query(
     "dedup_simhash_pairs",
