@@ -1032,6 +1032,38 @@ ORDER BY shard, shard_idx
 """
 
 
+def shard_provenance(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Per-shard source composition — the provenance manifest a
+    reproducible training run records next to its shards: for every
+    (shard, source), the document count and character mass. A skewed
+    row here means the content-addressed shuffle (see
+    ``shard_assignment``) is NOT mixing sources evenly and a
+    data-parallel trainer would see source-correlated batches. One
+    hash aggregation; counts and char sums are integers, so the report
+    value-hashes."""
+    shard = split_bucket(F.col("doc_id"), n_shards)
+    return (
+        docs.select(shard.alias("shard"), "source", "n_chars")
+        .groupBy("shard", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("shard", "source")
+    )
+
+
+def shard_provenance_sql(n_shards: int = 8) -> str:
+    b = split_bucket_sql("doc_id", n_shards)
+    return f"""
+SELECT CAST({b} AS BIGINT) AS shard, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY shard, source ORDER BY shard, source
+"""
+
+
 def write_training_shards(
     docs: DataFrame, path: str, n_shards: int = 8
 ) -> DataFrame:

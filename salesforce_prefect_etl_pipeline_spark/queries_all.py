@@ -120,14 +120,14 @@ _PRIORITY = [
     # audio fingerprint near-dup, video shot-level near-dup) — ALL of
     # which must front r8 — and the 3 no-oracle sketches; everything
     # keeps its oracle for local sweeps ---
-    # Slots 51-58 (just past the 50-query window, which the rotation
+    # Slots 51-59 (just past the 50-query window, which the rotation
     # tiers fill exactly): the operators born AFTER the r7 rotation
     # (SemDeDup prune, Bloom snapshot probe, perceptual-hash image
     # near-dup, audio fingerprint near-dup, video shot-level near-dup,
     # multimodal curation funnel, seasonal volume anomalies,
-    # cluster-size histogram), pinned here so the r8 rotation finds
-    # them first — they have no driver row yet and must open the r8
-    # window.
+    # cluster-size histogram, shard provenance), pinned here so the
+    # r8 rotation finds them first — they have no driver row yet and
+    # must open the r8 window.
     "emb_semdedup_prune",
     "dedup_bloom_snapshot",
     "media_phash_near_dup",
@@ -136,6 +136,7 @@ _PRIORITY = [
     "corpus_multimodal_gate",
     "events_seasonal_anomalies",
     "dedup_cluster_size_histogram",
+    "corpus_shard_provenance",
 ]
 
 

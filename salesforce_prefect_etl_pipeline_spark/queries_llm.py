@@ -930,6 +930,13 @@ register_query(
     lambda spark, sf_dir: corpus.shard_assignment(_docs(spark, sf_dir)),
     corpus.shard_assignment_sql(),
 )
+# Per-shard source-composition manifest (the provenance record a
+# reproducible training run keeps next to its shards).
+register_query(
+    "corpus_shard_provenance",
+    lambda spark, sf_dir: corpus.shard_provenance(_docs(spark, sf_dir)),
+    corpus.shard_provenance_sql(),
+)
 
 
 _CLUSTER_MIX_NLIST = _SEED_NLIST
