@@ -1850,6 +1850,12 @@ for _name, _fn, _sql in [
 
 
 def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of :func:`seasonal_volume_anomalies` over the
+    testdata events table."""
+    return seasonal_volume_anomalies(_t(spark, sf_dir, "events"))
+
+
+def seasonal_volume_anomalies(events: DataFrame) -> DataFrame:
     """Seasonality-aware VOLUME anomaly report: for every
     (event_type, date, hour) bucket — including EMPTY ones, via a dense
     date x hour x type spine — the baseline is the discrete lower
@@ -1868,7 +1874,7 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types| rows (tiny relative to events), one hash aggregation over
     the event scan, then two window passes partitioned by the 840-ish
     (type, dow, hour) cells."""
-    ev = _t(spark, sf_dir, "events").select(
+    ev = events.select(
         F.to_date("ts").alias("d"), F.hour("ts").cast("int").alias("h"), "event_type"
     )
     counts = ev.groupBy("event_type", "d", "h").agg(
@@ -1878,7 +1884,7 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = bounds.select(
         F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
     )
-    hours = spark.range(24).select(F.col("id").cast("int").alias("h"))
+    hours = events.sparkSession.range(24).select(F.col("id").cast("int").alias("h"))
     types = counts.select("event_type").distinct()
     spine = days.crossJoin(F.broadcast(hours)).crossJoin(F.broadcast(types))
     dense = (

@@ -316,3 +316,31 @@ def test_mixture_draw_independent_of_split_bucket(spark):
     ).collect()[0]
     assert row.unsalted_eq == row.n  # the bug class: identical streams
     assert row.salted_eq < row.n * 0.05  # ~1% chance agreement
+
+
+def test_seasonal_anomalies_dense_spine_and_spike(spark):
+    """The seasonal volume fence: a planted 50-event spike in an
+    otherwise 1-event-per-noon stream is flagged; the dense spine
+    counts EVERY (date, hour) bucket including empty ones; and a
+    uniform stream yields zero anomalies."""
+    from datetime import datetime
+
+    from salesforce_prefect_etl_pipeline_spark.queries_ext import (
+        seasonal_volume_anomalies,
+    )
+
+    rows = [(datetime(2024, 1, d, 12, 0, 0), "a") for d in range(1, 22)]
+    rows += [(datetime(2024, 1, 10, 15, 0, 0), "a")] * 50  # the spike
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {r.event_type: r for r in seasonal_volume_anomalies(ev).collect()}
+    a = got["a"]
+    assert a.n_buckets == 21 * 24  # every bucket of the span, empties included
+    assert a.n_anomalous >= 1  # the spike cell: baseline median 0, dev 50
+    assert a.anomaly_share == a.n_anomalous / a.n_buckets
+
+    uniform = spark.createDataFrame(
+        [(datetime(2024, 1, d, 12, 0, 0), "b") for d in range(1, 22)],
+        "ts timestamp, event_type string",
+    )
+    b = seasonal_volume_anomalies(uniform).collect()[0]
+    assert b.n_anomalous == 0  # perfectly seasonal -> dev 0 everywhere
