@@ -457,3 +457,41 @@ def test_results_invariant_under_aqe_and_partitioning(spark):
     finally:
         conf.set("spark.sql.adaptive.enabled", prev_aqe)
         conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """The third runtime-pruning pillar (next to AQE skew splitting and
+    DPP): a shuffle join against a SELECTIVE build side must inject a
+    bloom_filter_agg on the probe side so fact rows that cannot match
+    die at the scan instead of crossing the exchange. Spark gates the
+    injection on the probe scan exceeding ~10 GB — trivially true at
+    100 TB, lowered here so the tiny test corpus exercises the same
+    plan. Result equality is asserted against the un-filtered join."""
+    o = (
+        load_table(spark, SF_SMALL, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    baseline = li.join(o, li.l_orderkey == o.o_orderkey).count()
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, f"no runtime bloom filter in plan:\n{plan}"
+        assert joined.count() == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
