@@ -495,3 +495,38 @@ def test_runtime_bloom_filter_join_injection(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_thr,
         )
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark):
+    """Statistics-only queries (count/min/max with no filter) can be
+    answered from parquet FOOTER statistics without decoding a single
+    page — at 100 TB that is the difference between a metadata read
+    and a full scan. Needs the V2 parquet source; asserted on the plan
+    (PushedAggregation in the BatchScan) and on result equality with
+    the conventional scan."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    expected = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("lo"),
+        F.max("l_quantity").alias("hi"),
+    ).collect()[0]
+
+    old_pd = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        import os
+
+        df = spark.read.parquet(os.path.join(SF_SMALL, "lineitem.parquet"))
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("lo"),
+            F.max("l_quantity").alias("hi"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan, f"no aggregate pushdown:\n{plan}"
+        assert agg.collect()[0] == expected
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old_pd)
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
