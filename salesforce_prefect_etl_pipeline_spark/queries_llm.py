@@ -255,14 +255,30 @@ register_query(
     lambda spark, sf_dir: _minhash_pairs_cached(spark, sf_dir).orderBy("da", "db"),
     dedup.minhash_lsh_pairs_sql(k=8, threshold=0.8),
 )
+#: Labels-level memo on top of the pairs memo: connected_components is
+#: an EAGER iterative job (N rounds of joins + localCheckpoint), so the
+#: clusters query and the size histogram must share one run of it, not
+#: just one pairs frame.
+_NEAR_DUP_LABELS_CACHE: dict = {}
+
+
+def _near_dup_labels(spark, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _NEAR_DUP_LABELS_CACHE.get(key)
+    if df is None:
+        df = dedup.connected_components(
+            _minhash_pairs_cached(spark, sf_dir).select("da", "db")
+        ).localCheckpoint(eager=False)
+        _NEAR_DUP_LABELS_CACHE[key] = df
+    return df
+
+
 # Iterative connected-components clustering of LSH pairs. The engine path
 # is O(log diameter) pointer jumping; the oracle replays it as a
 # recursive-CTE transitive closure over the replayed LSH pairs.
 register_query(
     "dedup_near_dup_clusters",
-    lambda spark, sf_dir: dedup.connected_components(
-        _minhash_pairs_cached(spark, sf_dir).select("da", "db")
-    ),
+    lambda spark, sf_dir: _near_dup_labels(spark, sf_dir),
     dedup.connected_components_sql(
         dedup.minhash_lsh_pairs_sql(k=8, threshold=0.8)
     ),
@@ -270,13 +286,12 @@ register_query(
 # Component-size histogram over the near-dup clusters — the shape
 # report a dedup run is judged by (mostly pairs? a few mega-clusters
 # from boilerplate? singleton-free by construction since components
-# come from pairwise edges). Shares the memoized LSH pairs frame.
+# come from pairwise edges). Shares the memoized LABELS frame, so it
+# really is two tiny aggregations on top of the clusters query.
 def _cluster_size_histogram(spark, sf_dir: str):
-    labels = dedup.connected_components(
-        _minhash_pairs_cached(spark, sf_dir).select("da", "db")
-    )
     return (
-        labels.groupBy("component")
+        _near_dup_labels(spark, sf_dir)
+        .groupBy("component")
         .agg(F.count(F.lit(1)).cast("long").alias("size"))
         .groupBy("size")
         .agg(F.count(F.lit(1)).cast("long").alias("n_components"))

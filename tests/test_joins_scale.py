@@ -476,11 +476,13 @@ def test_runtime_bloom_filter_join_injection(spark):
     baseline = li.join(o, li.l_orderkey == o.o_orderkey).count()
 
     old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_en = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
     old_thr = spark.conf.get(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
     )
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             "0",
@@ -491,6 +493,7 @@ def test_runtime_bloom_filter_join_injection(spark):
         assert joined.count() == baseline
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", old_en)
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_thr,
