@@ -344,3 +344,32 @@ def test_seasonal_anomalies_dense_spine_and_spike(spark):
     )
     b = seasonal_volume_anomalies(uniform).collect()[0]
     assert b.n_anomalous == 0  # perfectly seasonal -> dev 0 everywhere
+
+
+def test_shard_provenance_partitions_the_corpus(spark, docs):
+    """Provenance rows partition the corpus exactly: doc counts and
+    char mass sum to the corpus totals, and every shard id is within
+    range."""
+    rep = corpus.shard_provenance(docs, n_shards=8).collect()
+    assert sum(r.n_docs for r in rep) == docs.count()
+    assert sum(r.total_chars for r in rep) == docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert all(0 <= r.shard < 8 for r in rep)
+
+
+def test_cluster_size_histogram_consistent_with_labels(spark, docs):
+    """The histogram is exactly the size distribution of the CC labels:
+    sizes >= 2 (components come from pairwise edges) and component
+    counts weighted by size reproduce the labeled-node count."""
+    from salesforce_prefect_etl_pipeline_spark.operators import dedup
+
+    pairs = dedup.minhash_near_dup_pairs(docs, k=8, threshold=0.8)
+    labels = dedup.connected_components(pairs.select("da", "db"))
+    hist = (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .collect()
+    )
+    assert all(r.size >= 2 for r in hist)
+    assert sum(r.size * r.n_components for r in hist) == labels.count()
