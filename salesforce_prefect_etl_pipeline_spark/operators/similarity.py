@@ -1053,9 +1053,16 @@ def pq_topk(
 
     Output (query_id, neighbor_id, rnk, qdist) ascending by qdist
     (smaller = closer), ties to the lowest neighbor_id. Scale shape:
-    codes replace vectors in the scan (512x fewer bytes), the lookup
-    tables ride the plan as literals (broadcast-free), and the
-    per-query rank is the cosine_topk window pattern."""
+    codes replace vectors in the scan (512x fewer bytes); the per-query
+    lookup tables travel as ROWS of a broadcast DataFrame (query_id,
+    tables: array<array<long>>), not as plan literals — at production
+    PQ geometry (16 sub-spaces x 256 codes) a literal encoding is 4096
+    expression nodes PER QUERY and the plan itself becomes the
+    bottleneck, while the broadcast relation is a constant-size plan
+    regardless of geometry. One broadcast nested-loop join fans the Q
+    query rows across the code scan; scoring is m element_at lookups
+    into the joined tables column (map-side, codegen'd); the per-query
+    rank is the cosine_topk window pattern."""
     books = np.asarray(codebooks, dtype=np.float64)
     m, codes, dsub = books.shape
     q_rows = (
@@ -1064,29 +1071,32 @@ def pq_topk(
         .collect()
     )
     enc = pq_encode(emb, books)
-    per_query = []
+    lut_rows = []
     for r in q_rows:
         qe = np.asarray(r.embedding, dtype=np.float64)
-        score = None
+        tables = []
         for s in range(m):
             sub = qe[s * dsub : (s + 1) * dsub]
             d2 = ((books[s] - sub[None, :]) ** 2).sum(axis=1)
-            table = np.floor(d2 * 1e6).astype(np.int64)
-            term = F.element_at(
-                F.array(*[F.lit(int(x)) for x in table]),
-                F.col(f"code_{s}") + 1,
-            )
-            score = term if score is None else score + term
-        per_query.append(
-            enc.filter(F.col("vec_id") != r.vec_id).select(
-                F.lit(r.vec_id).alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                score.cast("long").alias("qdist"),
-            )
+            tables.append([int(x) for x in np.floor(d2 * 1e6).astype(np.int64)])
+        lut_rows.append((int(r.vec_id), tables))
+    lut = emb.sparkSession.createDataFrame(
+        lut_rows, "query_id long, tables array<array<long>>"
+    )
+    # Same left-to-right summation order as the literal form (s = 0..m-1
+    # over longs), so qdist values are bit-identical to the oracle.
+    score = None
+    for s in range(m):
+        term = F.element_at(F.col("tables").getItem(s), F.col(f"code_{s}") + 1)
+        score = term if score is None else score + term
+    scored = (
+        enc.join(F.broadcast(lut), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.cast("long").alias("qdist"),
         )
-    from functools import reduce
-
-    scored = reduce(lambda a, b: a.unionAll(b), per_query)
+    )
     w = Window.partitionBy("query_id").orderBy(F.asc("qdist"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

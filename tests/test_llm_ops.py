@@ -753,3 +753,29 @@ def test_multimodal_gate_funnel_invariants(spark):
         assert cur.n_in == prev.n_out
     for r in rows:
         assert 0 <= r.n_out <= r.n_in and r.n_dropped == r.n_in - r.n_out
+
+
+def test_pq_adc_plan_size_independent_of_codebook_geometry(spark, emb):
+    """The per-query ADC lookup tables must ride a BROADCAST relation,
+    not plan literals: a literal encoding is m*codes expression nodes
+    per query (4096 at production 16x256 geometry) and the plan itself
+    becomes the bottleneck before any data moves. Growing the codebook
+    16x (same m) must leave the optimized plan size flat, and the
+    production geometry must actually execute."""
+    import numpy as np
+
+    qids = [1, 7]
+    rng = np.random.default_rng(0)
+
+    def plan_len(m, codes):
+        books = rng.normal(size=(m, codes, 64 // m))
+        df = similarity.pq_topk(emb, books, qids, k=5)
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    small, big = plan_len(4, 16), plan_len(4, 256)
+    assert big <= small * 1.2, (small, big)
+    prod = similarity.pq_topk(
+        emb, rng.normal(size=(16, 256, 4)), qids, k=5
+    )
+    got = prod.collect()
+    assert len(got) == 2 * 5 and all(r.qdist >= 0 for r in got)
