@@ -338,6 +338,167 @@ ORDER BY da, db
 """
 
 
+def containment_argmin_profile(
+    docs: DataFrame, k: int = 8, num_hashes: int = 64
+) -> DataFrame:
+    """(doc_id, shingles, argmins) in one scan + one shuffle: per
+    permutation i, ``argmins[i]`` is the RAW shingle hash whose permuted
+    value achieves the doc's minhash minimum — i.e. a uniform random
+    member of the shingle set, independently per permutation. This is
+    what makes one-sided containment LSH work: for docs A, B the argmin
+    of A lies in B with probability exactly C(A ⊆ B) = |A∩B|/|A| (the
+    argmin is uniform over A), so probing A's 64 argmins against B's
+    shingle INVENTORY and counting hits is a Binomial(64, C) estimator
+    of containment — no signature of B required, only membership.
+
+    Ties (two shingles sharing a permuted value mod 2^31-1) are broken
+    deterministically by the smaller raw hash via lexicographic
+    struct-min, which DuckDB's ``MIN({'v':…,'m':…})`` replays exactly.
+    """
+    sh = char_shingle_hashes(docs, k)
+    hm = F.pmod(F.col("h"), F.lit(MERSENNE_31))
+    structs = [
+        F.min(
+            F.struct(
+                F.pmod(
+                    F.lit(MINHASH_A[i]) * hm + F.lit(MINHASH_B[i]),
+                    F.lit(MERSENNE_31),
+                ).alias("v"),
+                F.col("h").alias("m"),
+            )
+        ).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(F.collect_set("h").alias("shingles"), *structs)
+    return agg.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *[F.col(f"s{i}").getField("m") for i in range(num_hashes)]
+        ).alias("argmins"),
+    )
+
+
+def containment_cutoff(threshold: float, num_hashes: int = 64) -> int:
+    """Candidate cutoff on matched-argmin count: mean - 5 sigma of
+    Binomial(num_hashes, threshold), floored at 2. A pair whose
+    higher-containment direction sits AT the threshold is recalled with
+    P(miss) < ~3e-7 (5-sigma normal tail), while incidental overlaps
+    (C ~ 0.1 -> mean ~ 6 matches of 64) rarely clear it."""
+    mu = num_hashes * threshold
+    return max(2, int(mu - 5.0 * (mu * (1.0 - threshold)) ** 0.5))
+
+
+def containment_lsh_pairs(
+    docs: DataFrame, k: int = 8, threshold: float = 0.5, num_hashes: int = 64
+) -> DataFrame:
+    """Scale path for :func:`containment_pairs` — one-sided LSH: band
+    each doc's argmin signature (see containment_argmin_profile)
+    against the corpus shingle inventory instead of self-joining the
+    inventory quadratically. MinHash banding is NOT valid here (it
+    recalls high-Jaccard pairs; a quote inside a long doc has J ~ 0),
+    so the candidate filter is the directional argmin-hit count.
+
+    Stages: probe join (argmins x inventory, equi-join on the shingle
+    hash — linear in corpus shingles, never pair-quadratic) -> count
+    matched permutations per directed pair -> cutoff filter -> exact
+    containment verification of the surviving pairs only via
+    array_intersect. Output schema and semantics match the exact
+    kernel: (da, db, c_a_in_b, c_b_in_a), da < db, max(c) >= threshold.
+
+    Scale note: a shingle present in D docs contributes D match rows
+    per probe hitting it — boilerplate-heavy corpora should drop
+    stop-shingles (document frequency cap) before probing, the same
+    hardening MinHash banding needs for mega-buckets."""
+    prof = containment_argmin_profile(docs, k, num_hashes)
+    probes = prof.select(
+        F.col("doc_id").alias("pa"), F.explode("argmins").alias("m")
+    )
+    inv = prof.select(
+        F.col("doc_id").alias("pb"), F.explode("shingles").alias("h")
+    )
+    cutoff = containment_cutoff(threshold, num_hashes)
+    matched = (
+        probes.join(inv, (F.col("m") == F.col("h")) & (F.col("pa") != F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= cutoff)
+    )
+    cand = matched.select(
+        F.least("pa", "pb").alias("da"), F.greatest("pa", "pb").alias("db")
+    ).distinct()
+    a = prof.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sa"))
+    b = prof.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sb"))
+    common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    c_ab = common.cast("double") / F.size("sa")
+    c_ba = common.cast("double") / F.size("sb")
+    return (
+        cand.join(a, "da")
+        .join(b, "db")
+        .select("da", "db", c_ab.alias("c_a_in_b"), c_ba.alias("c_b_in_a"))
+        .filter(F.greatest("c_a_in_b", "c_b_in_a") >= threshold)
+        .orderBy("da", "db")
+    )
+
+
+def containment_lsh_pairs_sql(
+    k: int = 8,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    source: str = "documents",
+) -> str:
+    """Full SQL replay of :func:`containment_lsh_pairs` — argmin
+    signatures (deterministic struct-min), inventory probe, cutoff,
+    and exact verification restricted to the surviving candidates — so
+    a recall miss in the probe stage would hash-mismatch instead of
+    being absorbed by equivalence to the exact kernel."""
+    cutoff = containment_cutoff(threshold, num_hashes)
+    hm = f"(h % {MERSENNE_31})"
+    argmins = ",\n         ".join(
+        f"(MIN({{'v': ({MINHASH_A[i]} * {hm} + {MINHASH_B[i]}) % {MERSENNE_31},"
+        f" 'm': h}})).m AS m{i}"
+        for i in range(num_hashes)
+    )
+    unnest_list = ", ".join(f"m{i}" for i in range(num_hashes))
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, {hash60_sql('s')} AS h FROM ({_shingles_sql(k, source)})
+),
+prof AS MATERIALIZED (
+  SELECT doc_id,
+         {argmins}
+  FROM sh GROUP BY doc_id
+),
+probes AS MATERIALIZED (
+  SELECT doc_id, unnest([{unnest_list}]) AS m FROM prof
+),
+matched AS (
+  SELECT p.doc_id AS pa, inv.doc_id AS pb, COUNT(*) AS cnt
+  FROM probes p JOIN sh inv ON p.m = inv.h AND p.doc_id != inv.doc_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT least(pa, pb) AS da, greatest(pa, pb) AS db
+  FROM matched WHERE cnt >= {cutoff}
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT c.da, c.db, COUNT(*) AS common
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.da
+  JOIN sh y ON y.doc_id = c.db AND y.h = x.h
+  GROUP BY 1, 2
+)
+SELECT da, db,
+       CAST(common AS DOUBLE) / sa.n AS c_a_in_b,
+       CAST(common AS DOUBLE) / sb.n AS c_b_in_a
+FROM common JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+WHERE greatest(CAST(common AS DOUBLE) / sa.n,
+               CAST(common AS DOUBLE) / sb.n) >= {threshold}
+ORDER BY da, db
+"""
+
+
 # ----------------------------------------------------------------------
 # MinHash + LSH
 def minhash_signatures(docs: DataFrame, k: int = 8, num_hashes: int = 64) -> DataFrame:

@@ -916,6 +916,19 @@ register_query(
     ),
     dedup.containment_pairs_sql(k=8, threshold=0.5),
 )
+# Scale path for containment: one-sided LSH — each doc's 64 argmin
+# shingles (a uniform sample of its shingle set) probe the corpus
+# shingle inventory; matched-permutation count >= cutoff gates exact
+# verification. The oracle replays the whole probe pipeline (struct-min
+# argmins included), so a recall miss would hash-mismatch rather than
+# be absorbed by equivalence to the exact kernel.
+register_query(
+    "dedup_containment_lsh",
+    lambda spark, sf_dir: dedup.containment_lsh_pairs(
+        _docs(spark, sf_dir), k=8, threshold=0.5
+    ),
+    dedup.containment_lsh_pairs_sql(k=8, threshold=0.5),
+)
 # Efraimidis–Spirakis weighted sample (token-count weights) with
 # md5-derived uniforms and quantized keys — deterministic, shuffle-free.
 register_query(

@@ -779,3 +779,61 @@ def test_pq_adc_plan_size_independent_of_codebook_geometry(spark, emb):
     )
     got = prod.collect()
     assert len(got) == 2 * 5 and all(r.qdist >= 0 for r in got)
+
+
+def test_containment_lsh_matches_exact_kernel_on_planted_quotes(spark):
+    """One-sided LSH differential vs the exact quadratic kernel: on a
+    corpus of planted quote pairs (short doc verbatim inside a long
+    one, J ~ 0) plus decoys, the LSH path must return the exact
+    kernel's pairs with identical containment values, and its candidate
+    count must be far below the quadratic pair count."""
+    base = [
+        " ".join(f"tok{d:02d}w{i:03d}" for i in range(12)) for d in range(20)
+    ]
+    rows = []
+    for d, short in enumerate(base):
+        rows.append((2 * d, short))
+        # even d: the short doc is quoted inside a long host; odd d: the
+        # host is unrelated (decoy, no containment)
+        filler = " ".join(f"host{d:02d}f{i:03d}" for i in range(60))
+        host = short + " " + filler if d % 2 == 0 else filler
+        rows.append((2 * d + 1, host))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.da, r.db): (r.c_a_in_b, r.c_b_in_a)
+        for r in dedup.containment_pairs(docs, k=8, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.da, r.db): (r.c_a_in_b, r.c_b_in_a)
+        for r in dedup.containment_lsh_pairs(docs, k=8, threshold=0.8).collect()
+    }
+    assert lsh == exact
+    assert {(2 * d, 2 * d + 1) for d in range(0, 20, 2)} <= set(exact)
+    # candidate prefilter does real work: directed candidates << n^2/2
+    prof = dedup.containment_argmin_profile(docs, k=8)
+    probes = prof.select(F.col("doc_id").alias("pa"), F.explode("argmins").alias("m"))
+    inv = prof.select(F.col("doc_id").alias("pb"), F.explode("shingles").alias("h"))
+    cutoff = dedup.containment_cutoff(0.8)
+    n_cand = (
+        probes.join(inv, (F.col("m") == F.col("h")) & (F.col("pa") != F.col("pb")))
+        .groupBy("pa", "pb")
+        .count()
+        .filter(F.col("count") >= cutoff)
+        .count()
+    )
+    n_docs = docs.count()
+    assert n_cand <= n_docs, (n_cand, n_docs * (n_docs - 1) // 2)
+
+
+def test_containment_lsh_matches_exact_kernel_on_corpus(spark, docs):
+    """Same differential on the real documents table at the registered
+    threshold (0.5): the 5-sigma cutoff makes a recall miss at c >= 0.5
+    a ~3e-7 event, so exact equality is the expectation, not luck."""
+    exact = {
+        (r.da, r.db) for r in dedup.containment_pairs(docs, k=8, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.da, r.db)
+        for r in dedup.containment_lsh_pairs(docs, k=8, threshold=0.5).collect()
+    }
+    assert lsh == exact
