@@ -377,10 +377,12 @@ ORDER BY o_custkey
 """
 
 
-def agg_approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (t-digest/KLL-style sketch) — the 100 TB
-    path for medians/quantiles; accuracy vs the exact discrete median is
-    tested in pytest (no SQL oracle: sketches are engine-specific)."""
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw GK-sketch percentiles per status (p50/p95, accuracy 10000) —
+    the 100 TB path for medians/quantiles. Sketch values are
+    engine-specific, so this raw form carries a pytest accuracy
+    contract; the REGISTERED query wraps it in the hashable rank-bound
+    check below."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderstatus")
@@ -390,6 +392,48 @@ def agg_approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def agg_approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles oracled by their DOCUMENTED accuracy bound:
+    percentile_approx(accuracy=A) guarantees the returned value's true
+    rank lies within n/A of the target rank (Greenwald-Khanna). The
+    query re-ranks each sketch value against the data (count of rows
+    <=/< it via one broadcast join back) and emits booleans asserting
+    the bound, plus the deterministic group count. The oracle replays
+    the CONTRACT — TRUE for every group — so a sketch violating its
+    own bound hash-mismatches instead of hiding behind "no oracle".
+    (The raw sketch values keep their tighter 2%-of-exact pytest in
+    test_joins_scale.py.)"""
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    sk = approx_percentile_sketch(spark, sf_dir)
+    j = orders.join(F.broadcast(sk), "o_orderstatus")
+    chk = j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("o_totalprice") <= F.col("p50")).cast("long")).alias("le50"),
+        F.sum((F.col("o_totalprice") < F.col("p50")).cast("long")).alias("lt50"),
+        F.sum((F.col("o_totalprice") <= F.col("p95")).cast("long")).alias("le95"),
+        F.sum((F.col("o_totalprice") < F.col("p95")).cast("long")).alias("lt95"),
+    )
+    tol = F.col("n_orders") / F.lit(10000.0) + F.lit(1.0)
+
+    def rank_ok(le: str, lt: str, q: float):
+        target = F.lit(q) * F.col("n_orders")
+        return (F.col(le) >= target - tol) & (F.col(lt) <= target + tol)
+
+    return chk.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        rank_ok("le50", "lt50", 0.5).alias("p50_rank_ok"),
+        rank_ok("le95", "lt95", 0.95).alias("p95_rank_ok"),
+    ).orderBy("o_orderstatus")
+
+
+APPROX_PERCENTILE_CONTRACT_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+FROM orders GROUP BY 1 ORDER BY 1
+"""
 
 
 # ----------------------------------------------------------------------
@@ -1814,7 +1858,7 @@ for _name, _fn, _sql in [
     ("window_ntile_order_quartiles", window_ntile_order_quartiles, WINDOW_NTILE_SQL),
     ("window_first_last_order", window_first_last_order, WINDOW_FIRST_LAST_SQL),
     ("window_percentile_ranks", window_percentile_ranks, WINDOW_PCTRANK_SQL),
-    ("agg_approx_percentile_price", agg_approx_percentile_price, None),
+    ("agg_approx_percentile_price", agg_approx_percentile_price, APPROX_PERCENTILE_CONTRACT_SQL),
     ("set_union_nationkeys", set_union_nationkeys, SET_UNION_SQL),
     ("set_intersect_nationkeys", set_intersect_nationkeys, SET_INTERSECT_SQL),
     ("set_except_nationkeys", set_except_nationkeys, SET_EXCEPT_SQL),

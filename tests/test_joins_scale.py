@@ -95,12 +95,12 @@ def test_approx_percentile_accuracy(spark):
     import duckdb
 
     from salesforce_prefect_etl_pipeline_spark.queries_ext import (
-        agg_approx_percentile_price,
+        approx_percentile_sketch,
     )
 
     approx = {
         r.o_orderstatus: (r.p50, r.p95)
-        for r in agg_approx_percentile_price(spark, SF_SMALL).collect()
+        for r in approx_percentile_sketch(spark, SF_SMALL).collect()
     }
     con = duckdb.connect()
     exact = {
