@@ -14,10 +14,15 @@ deterministic here by ordering within a batch by doc_id).
 
 Scale shape per batch: signing is O(batch); candidate generation is the
 band-key equi-join against the index (corpus-size-independent compute);
-the greedy decision runs driver-side over the PAIR LIST only — pairs
-are the tiny output of LSH verification (control-plane, like the IVF
-centroid fetch), never the documents. Index appends are parquet appends
-into the band-partitioned layout.
+the greedy decision runs driver-side over the batch id list and the
+PAIR LIST only — pairs are the tiny output of LSH verification
+(control-plane, like the IVF centroid fetch), never the documents.
+Driver memory is therefore O(micro-batch), NOT O(corpus) — and that
+bound is ENFORCED: ``max_batch_rows`` fails a batch that exceeds the
+contract (e.g. an unthrottled backfill replay) with instructions to
+bound the source (maxFilesPerTrigger / maxBytesPerTrigger / rate
+limit) instead of silently ballooning the driver. Index appends are
+parquet appends into the band-partitioned layout.
 """
 
 from __future__ import annotations
@@ -92,6 +97,7 @@ def stream_dedup_on_ingest(
     threshold: float = 0.8,
     name: str = "dedup_ingest",
     checkpoint_dir: str | None = None,
+    max_batch_rows: int = 100_000,
 ) -> str:
     """Run the ingest-dedup stream with Trigger.AvailableNow: per
     micro-batch, (1) find near-dup pairs within the batch and against
@@ -112,6 +118,20 @@ def stream_dedup_on_ingest(
         if batch_df.isEmpty():
             return
         batch_df = batch_df.select("doc_id", "text")
+        # enforce the driver-state contract BEFORE anything is
+        # collected: a distributed count is one cheap job, and failing
+        # fast beats an OOM'd driver mid-backfill. The cap bounds the
+        # collected id list and (transitively) the pair-endpoint set.
+        n_rows = batch_df.count()
+        if n_rows > max_batch_rows:
+            raise ValueError(
+                f"micro-batch of {n_rows} rows exceeds max_batch_rows="
+                f"{max_batch_rows}: the greedy-accept step is driver-side "
+                "over the batch id list and its near-dup pairs, so driver "
+                "memory is O(max_batch_rows). Bound the source batch "
+                "(maxFilesPerTrigger / maxBytesPerTrigger / rate limit) "
+                "or raise max_batch_rows deliberately."
+            )
         # sign the batch ONCE: the same profile feeds within-batch
         # pairing, the index probe, and the index append (signing is
         # the dominant per-batch cost — shingle regex/substr/hash).

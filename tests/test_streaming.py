@@ -360,3 +360,38 @@ def test_stream_dedup_ingest_keeps_unshingleable_docs(spark, tmp_path):
     )
     got = {r.doc_id for r in spark.read.parquet(accepted_dir).collect()}
     assert got == {1, 2, 3}
+
+
+def test_stream_dedup_ingest_enforces_batch_row_cap(spark, tmp_path):
+    """The driver-state contract is enforced, not advisory: a
+    micro-batch larger than max_batch_rows must fail the stream with
+    the contract message BEFORE any driver-side collection, and the
+    same source passes when the cap holds (semantics unchanged)."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        stream_dedup_on_ingest,
+        stream_documents_dir,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, f"document number {i} with some ordinary text") for i in range(6)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src))
+    with _pytest.raises(StreamingQueryException, match="max_batch_rows"):
+        stream_dedup_on_ingest(
+            stream_documents_dir(spark, str(src)),
+            index_dir=str(tmp_path / "idx"),
+            accepted_dir=str(tmp_path / "acc"),
+            max_batch_rows=2,
+        )
+    accepted_dir = stream_dedup_on_ingest(
+        stream_documents_dir(spark, str(src)),
+        index_dir=str(tmp_path / "idx2"),
+        accepted_dir=str(tmp_path / "acc2"),
+        max_batch_rows=6,
+    )
+    got = {r.doc_id for r in spark.read.parquet(accepted_dir).collect()}
+    assert got == set(range(6))
