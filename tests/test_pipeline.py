@@ -637,3 +637,99 @@ def test_check_expectations_single_pass_contract(spark):
     assert reports[1]["distinct"] == reports[1]["non_null"]
     with _pytest.raises(ExpectationError, match="not_null"):
         check_expectations(orders, rules, strict=True)
+
+
+def test_paged_extract_mid_stream_page_failure_then_clean_rerun(spark, tmp_path):
+    """Fault injection on the paged scale path: one page's fetch dies
+    mid-extract (transient API failure ON THE EXECUTOR). The job must
+    fail as a whole — no partial snapshot commit — and because the
+    merge commits only after a durable write, a clean re-run composes
+    to the exact exactly-once end state. The failure flag lives on
+    disk because the fetcher closure is pickled to worker processes."""
+    from salesforce_prefect_etl_pipeline_spark.sources.io import merge_snapshot
+    from salesforce_prefect_etl_pipeline_spark.sources.salesforce import (
+        extract_object_paged,
+    )
+
+    all_records = [
+        {"Id": f"{i:03d}", "StageName": "Won", "Amount": str(100 + i),
+         "SystemModstamp": f"2024-01-{i + 1:02d}T00:00:00Z"}
+        for i in range(30)
+    ]
+    flag = tmp_path / "page2_failed_once"
+    snap = str(tmp_path / "snap")
+
+    def flaky_fetch(page_soql):
+        import re
+
+        lo, hi = re.search(r"Id >= '(\w+)' AND Id < '(\w+)'", page_soql).groups()
+        if lo == "010" and not flag.exists():
+            flag.write_text("tripped")
+            raise ConnectionError("simulated mid-stream page failure")
+        return [r for r in all_records if lo <= r["Id"] < hi]
+
+    ranges = [("000", "010"), ("010", "020"), ("020", "030")]
+    soql = "SELECT Id, StageName, Amount, SystemModstamp FROM Opportunity"
+
+    df, _ = extract_object_paged(spark, OPP_SPEC, flaky_fetch, ranges, soql=soql)
+    with pytest.raises(Exception, match="mid-stream page failure"):
+        merge_snapshot(spark, snap, df, key="Id", version_col="SystemModstamp")
+    assert flag.exists()
+    # nothing committed: the snapshot path must not exist at all
+    import os
+
+    assert not os.path.exists(snap)
+
+    # clean re-run (pipeline retry posture X4): full window re-fetched
+    df2, _ = extract_object_paged(spark, OPP_SPEC, flaky_fetch, ranges, soql=soql)
+    merge_snapshot(spark, snap, df2, key="Id", version_col="SystemModstamp")
+    got = sorted(r.Id for r in spark.read.parquet(snap).collect())
+    assert got == sorted(r["Id"] for r in all_records)
+
+
+def test_paged_extract_duplicated_page_composes_to_exactly_once(spark, tmp_path):
+    """Fault injection: a DUPLICATED page (queryMore replay / retried
+    range) delivers some records twice, one copy stale. At-least-once
+    arrival + keep-latest merge_snapshot must compose to exactly-once:
+    one row per Id, highest SystemModstamp wins, and replaying the
+    whole merged batch again changes nothing."""
+    from salesforce_prefect_etl_pipeline_spark.sources.io import merge_snapshot
+    from salesforce_prefect_etl_pipeline_spark.sources.salesforce import (
+        extract_object_paged,
+    )
+
+    def dup_fetch(page_soql):
+        import re
+
+        lo, hi = re.search(r"Id >= '(\w+)' AND Id < '(\w+)'", page_soql).groups()
+        fresh = [
+            {"Id": f"{i:03d}", "Amount": str(100 + i),
+             "SystemModstamp": "2024-02-01T00:00:00Z"}
+            for i in range(20)
+        ]
+        stale = [
+            {"Id": f"{i:03d}", "Amount": str(i),
+             "SystemModstamp": "2024-01-01T00:00:00Z"}
+            for i in range(5, 15)
+        ]
+        return [r for r in fresh + stale if lo <= r["Id"] < hi]
+
+    ranges = [("000", "010"), ("005", "015"), ("010", "020")]  # overlapping
+    soql = "SELECT Id, Amount, SystemModstamp FROM Opportunity"
+    df, _ = extract_object_paged(spark, OPP_SPEC, dup_fetch, ranges, soql=soql)
+    n_raw = df.count()
+    assert n_raw > 20, "duplicates must actually arrive"
+
+    snap = str(tmp_path / "snap")
+    merge_snapshot(spark, snap, df, key="Id", version_col="SystemModstamp")
+    rows = {r.Id: (r.Amount, r.SystemModstamp)
+            for r in spark.read.parquet(snap).collect()}
+    assert len(rows) == 20
+    for i in range(20):
+        assert rows[f"{i:03d}"] == (100.0 + i, "2024-02-01T00:00:00Z")
+
+    # replay the identical batch (crash-retry of the whole load)
+    merge_snapshot(spark, snap, df, key="Id", version_col="SystemModstamp")
+    again = {r.Id: (r.Amount, r.SystemModstamp)
+             for r in spark.read.parquet(snap).collect()}
+    assert again == rows
