@@ -536,7 +536,10 @@ def ahash_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def ahash_near_dup_sql(
-    max_hamming: int = 3, width: int = 16, height: int = 16
+    max_hamming: int = 3,
+    width: int = 16,
+    height: int = 16,
+    source: str = "documents",
 ) -> str:
     """DuckDB twin for the synthetic-BMP corpus: the pixel formula
     (channel byte i of media m = (m*31+i) % 256) replays the decoded
@@ -555,7 +558,7 @@ WITH px AS (
          ((d.doc_id * 31 + 3 * t.p) % 256)
          + ((d.doc_id * 31 + 3 * t.p + 1) % 256)
          + ((d.doc_id * 31 + 3 * t.p + 2) % 256) AS g3
-  FROM documents d, unnest(generate_series(0, {width * height - 1})) AS t(p)
+  FROM {source} d, unnest(generate_series(0, {width * height - 1})) AS t(p)
 ),
 blocks AS (
   SELECT m,

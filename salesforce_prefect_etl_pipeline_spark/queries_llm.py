@@ -229,13 +229,25 @@ register_query(
 _MINHASH_PAIRS_CACHE: dict = {}
 
 
+def _evict_other_apps(cache: dict, app_id: str) -> None:
+    """Memoized frames (localCheckpoints, trained codebooks) die with
+    their SparkSession; when a NEW applicationId shows up, drop entries
+    keyed to previous applications so a long-lived process spanning
+    session restarts doesn't accumulate orphaned references. Keys are
+    tuples whose first element is the applicationId."""
+    for k in [k for k in cache if k[0] != app_id]:
+        cache.pop(k, None)
+
+
 def _minhash_pairs_cached(
     spark, sf_dir: str, k: int = 8, threshold: float = 0.8, refresh: bool = False
 ):
     """``refresh=True`` recomputes and replaces the cached frame — the
     bench uses it so min-of-2 timing measures the BUILD twice instead of
     timing a checkpoint re-read on the second pass."""
-    key = (spark.sparkContext.applicationId, sf_dir, k, threshold)
+    app_id = spark.sparkContext.applicationId
+    _evict_other_apps(_MINHASH_PAIRS_CACHE, app_id)
+    key = (app_id, sf_dir, k, threshold)
     df = None if refresh else _MINHASH_PAIRS_CACHE.get(key)
     if df is None:
         df = dedup.minhash_near_dup_pairs(
@@ -264,6 +276,7 @@ _NEAR_DUP_LABELS_CACHE: dict = {}
 
 def _near_dup_labels(spark, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_other_apps(_NEAR_DUP_LABELS_CACHE, key[0])
     df = _NEAR_DUP_LABELS_CACHE.get(key)
     if df is None:
         df = dedup.connected_components(
@@ -540,6 +553,7 @@ def _pq_codes_query(spark, sf_dir):
     Lloyd's-refined codebooks (iters>0) are the quality path, covered
     by the reconstruction-error pytest rather than the value oracle."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_other_apps(_PQ_BOOK_CACHE, key[0])
     books = _PQ_BOOK_CACHE.get(key)
     if books is None:
         books = similarity.train_pq_codebooks(_emb(spark, sf_dir), m=4, codes=16, iters=0)
@@ -558,6 +572,7 @@ def _pq_topk_query(spark, sf_dir):
     recall pytest instead): per query one (m x codes) integer lookup
     table, corpus scored by table lookups on its codes alone."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_other_apps(_PQ_BOOK_CACHE, key[0])
     books = _PQ_BOOK_CACHE.get(key)
     if books is None:
         books = similarity.train_pq_codebooks(_emb(spark, sf_dir), m=4, codes=16, iters=0)
@@ -619,6 +634,9 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """,
 )
 
+_MULTIMODAL_GATE_CACHE: dict = {}
+
+
 def _corpus_multimodal_gate(spark, sf_dir: str):
     """Multimodal curation funnel — the composition a text+media
     training set actually runs, one report row per stage:
@@ -642,7 +660,16 @@ def _corpus_multimodal_gate(spark, sf_dir: str):
     i+1's n_in) and Spark does no cross-branch CSE — uncached, the
     video+audio synthesis/hash lineage would re-execute per count
     branch (~3x the work). The cache is O(8 bytes x survivors);
-    at 100 TB prefer persisting the ID frames to parquet."""
+    at 100 TB prefer persisting the ID frames to parquet. The report
+    is materialized HERE and the stage caches released before
+    returning — repeated invocations in one session reuse the
+    memoized 4-row result instead of stacking orphaned cache entries
+    in executor storage."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_other_apps(_MULTIMODAL_GATE_CACHE, key[0])
+    memo = _MULTIMODAL_GATE_CACHE.get(key)
+    if memo is not None:
+        return memo
     docs = _docs(spark, sf_dir)
     ids0 = docs.select("doc_id")
     s1_docs = docs.filter(F.col("n_chars") >= 200)
@@ -687,7 +714,11 @@ def _corpus_multimodal_gate(spark, sf_dir: str):
             )
         )
         out = row if out is None else out.unionByName(row)
-    return out.orderBy("stage_idx")
+    report = out.orderBy("stage_idx").localCheckpoint(eager=True)
+    ids2.unpersist()
+    ids3.unpersist()
+    _MULTIMODAL_GATE_CACHE[key] = report
+    return report
 
 
 def _multimodal_gate_sql() -> str:
