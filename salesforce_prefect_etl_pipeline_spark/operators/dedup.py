@@ -351,31 +351,39 @@ def containment_argmin_profile(
     shingle INVENTORY and counting hits is a Binomial(64, C) estimator
     of containment — no signature of B required, only membership.
 
-    Ties (two shingles sharing a permuted value mod 2^31-1) are broken
-    deterministically by the smaller raw hash via lexicographic
-    struct-min, which DuckDB's ``MIN({'v':…,'m':…})`` replays exactly.
+    The argmin is materialized as a PACKED long — permuted value in the
+    top 31 bits, the shingle hash's low 32 bits below — so the 64
+    aggregates stay primitive MINs inside whole-stage codegen (a
+    struct-min falls back to interpreted ObjectHashAggregate, measured
+    ~1.7x slower at sf0.1) and ties (two shingles sharing a permuted
+    value) break deterministically toward the smaller h32. Downstream
+    probes therefore match on h32 rather than the full 60-bit hash; a
+    cross-shingle h32 collision inflates one directed count by 1 with
+    probability |B|/2^32 (~1e-7 at 500-shingle docs), is harmless
+    under the 5-sigma cutoff, and is replayed bit-for-bit by the SQL
+    twin. ``argmins`` holds the packed values; take ``& 0xFFFFFFFF``
+    to probe.
     """
     sh = char_shingle_hashes(docs, k)
     hm = F.pmod(F.col("h"), F.lit(MERSENNE_31))
-    structs = [
+    h32 = F.col("h").bitwiseAND(F.lit(0xFFFFFFFF))
+    mins = [
         F.min(
-            F.struct(
+            F.shiftleft(
                 F.pmod(
                     F.lit(MINHASH_A[i]) * hm + F.lit(MINHASH_B[i]),
                     F.lit(MERSENNE_31),
-                ).alias("v"),
-                F.col("h").alias("m"),
-            )
+                ),
+                32,
+            ).bitwiseOR(h32)
         ).alias(f"s{i}")
         for i in range(num_hashes)
     ]
-    agg = sh.groupBy("doc_id").agg(F.collect_set("h").alias("shingles"), *structs)
+    agg = sh.groupBy("doc_id").agg(F.collect_set("h").alias("shingles"), *mins)
     return agg.select(
         "doc_id",
         "shingles",
-        F.array(
-            *[F.col(f"s{i}").getField("m") for i in range(num_hashes)]
-        ).alias("argmins"),
+        F.array(*[f"s{i}" for i in range(num_hashes)]).alias("argmins"),
     )
 
 
@@ -390,7 +398,7 @@ def containment_cutoff(threshold: float, num_hashes: int = 64) -> int:
 
 
 def containment_lsh_pairs(
-    docs: DataFrame, k: int = 8, threshold: float = 0.5, num_hashes: int = 64
+    docs: DataFrame, k: int = 8, threshold: float = 0.8, num_hashes: int = 64
 ) -> DataFrame:
     """Scale path for :func:`containment_pairs` — one-sided LSH: band
     each doc's argmin signature (see containment_argmin_profile)
@@ -406,16 +414,44 @@ def containment_lsh_pairs(
     array_intersect. Output schema and semantics match the exact
     kernel: (da, db, c_a_in_b, c_b_in_a), da < db, max(c) >= threshold.
 
-    Scale note: a shingle present in D docs contributes D match rows
-    per probe hitting it — boilerplate-heavy corpora should drop
-    stop-shingles (document frequency cap) before probing, the same
-    hardening MinHash banding needs for mega-buckets."""
+    Scale notes, measured at sf0.1 (5k docs, ~13k distinct shingles,
+    hot shingles with df > 512 — heavily templated):
+
+    - Probe volume is sum(df(h) x probes targeting h) ~ 64/|A| x
+      sum(df^2) — the SAME df^2 shape as the exact kernel, shrunk by
+      the sampling ratio 64/|A| (0.128 at these 500-shingle docs;
+      0.01-0.001 at real 5k-50k-shingle documents, where the LSH wins
+      decisively). At matched doc length the two are near-parity
+      (3.9 s vs 4.0 s warm at threshold 0.8).
+    - The default threshold is 0.8 — the quote/near-copy detection
+      point this banding is tuned to, like the 16x4 MinHash banding is
+      tuned to J >= 0.8. At 0.8 the cutoff is 35/64 and candidates
+      collapse (~1.6k directed at sf0.1); at 0.5 the 5-sigma-sound
+      cutoff is 12/64 and THIS corpus's template mass (17% of all
+      pairs sit at C >= 0.19) forces ~2M candidates into exact
+      verification — permissive thresholds belong to the exact kernel.
+    - A df-cap (stop-shingle) prefilter was measured and REJECTED: on
+      near-dup-family corpora high df comes from the duplicate
+      clusters themselves, so capping drops true pairs (657 -> 312 at
+      cap 64) — it is not the boilerplate hardening it is for web
+      text."""
     prof = containment_argmin_profile(docs, k, num_hashes)
     probes = prof.select(
-        F.col("doc_id").alias("pa"), F.explode("argmins").alias("m")
-    )
+        F.col("doc_id").alias("pa"),
+        F.explode("argmins").alias("packed"),
+    ).select("pa", F.col("packed").bitwiseAND(F.lit(0xFFFFFFFF)).alias("m"))
+    # inventory in the same 32-bit probe domain; array_distinct runs
+    # map-side (no extra shuffle), deduping the rare h32 collision
+    # WITHIN a doc so it can't double-count a match
     inv = prof.select(
-        F.col("doc_id").alias("pb"), F.explode("shingles").alias("h")
+        F.col("doc_id").alias("pb"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    "shingles", lambda x: x.bitwiseAND(F.lit(0xFFFFFFFF))
+                )
+            )
+        ).alias("h"),
     )
     cutoff = containment_cutoff(threshold, num_hashes)
     matched = (
@@ -443,7 +479,7 @@ def containment_lsh_pairs(
 
 def containment_lsh_pairs_sql(
     k: int = 8,
-    threshold: float = 0.5,
+    threshold: float = 0.8,
     num_hashes: int = 64,
     source: str = "documents",
 ) -> str:
@@ -455,8 +491,8 @@ def containment_lsh_pairs_sql(
     cutoff = containment_cutoff(threshold, num_hashes)
     hm = f"(h % {MERSENNE_31})"
     argmins = ",\n         ".join(
-        f"(MIN({{'v': ({MINHASH_A[i]} * {hm} + {MINHASH_B[i]}) % {MERSENNE_31},"
-        f" 'm': h}})).m AS m{i}"
+        f"MIN(((({MINHASH_A[i]} * {hm} + {MINHASH_B[i]}) % {MERSENNE_31}) << 32)"
+        f" | (h & 4294967295)) AS m{i}"
         for i in range(num_hashes)
     )
     unnest_list = ", ".join(f"m{i}" for i in range(num_hashes))
@@ -470,11 +506,14 @@ prof AS MATERIALIZED (
   FROM sh GROUP BY doc_id
 ),
 probes AS MATERIALIZED (
-  SELECT doc_id, unnest([{unnest_list}]) AS m FROM prof
+  SELECT doc_id, unnest([{unnest_list}]) & 4294967295 AS m FROM prof
+),
+inv AS MATERIALIZED (
+  SELECT DISTINCT doc_id, h & 4294967295 AS h32 FROM sh
 ),
 matched AS (
   SELECT p.doc_id AS pa, inv.doc_id AS pb, COUNT(*) AS cnt
-  FROM probes p JOIN sh inv ON p.m = inv.h AND p.doc_id != inv.doc_id
+  FROM probes p JOIN inv ON p.m = inv.h32 AND p.doc_id != inv.doc_id
   GROUP BY 1, 2
 ),
 cand AS (

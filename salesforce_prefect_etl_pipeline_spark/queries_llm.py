@@ -956,9 +956,9 @@ register_query(
 register_query(
     "dedup_containment_lsh",
     lambda spark, sf_dir: dedup.containment_lsh_pairs(
-        _docs(spark, sf_dir), k=8, threshold=0.5
+        _docs(spark, sf_dir), k=8, threshold=0.8
     ),
-    dedup.containment_lsh_pairs_sql(k=8, threshold=0.5),
+    dedup.containment_lsh_pairs_sql(k=8, threshold=0.8),
 )
 # Efraimidis–Spirakis weighted sample (token-count weights) with
 # md5-derived uniforms and quantized keys — deterministic, shuffle-free.

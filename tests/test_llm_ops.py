@@ -811,8 +811,18 @@ def test_containment_lsh_matches_exact_kernel_on_planted_quotes(spark):
     assert {(2 * d, 2 * d + 1) for d in range(0, 20, 2)} <= set(exact)
     # candidate prefilter does real work: directed candidates << n^2/2
     prof = dedup.containment_argmin_profile(docs, k=8)
-    probes = prof.select(F.col("doc_id").alias("pa"), F.explode("argmins").alias("m"))
-    inv = prof.select(F.col("doc_id").alias("pb"), F.explode("shingles").alias("h"))
+    probes = prof.select(
+        F.col("doc_id").alias("pa"),
+        (F.explode("argmins").alias("packed")),
+    ).select("pa", F.col("packed").bitwiseAND(F.lit(0xFFFFFFFF)).alias("m"))
+    inv = prof.select(
+        F.col("doc_id").alias("pb"),
+        F.explode(
+            F.array_distinct(
+                F.transform("shingles", lambda x: x.bitwiseAND(F.lit(0xFFFFFFFF)))
+            )
+        ).alias("h"),
+    )
     cutoff = dedup.containment_cutoff(0.8)
     n_cand = (
         probes.join(inv, (F.col("m") == F.col("h")) & (F.col("pa") != F.col("pb")))
