@@ -39,104 +39,78 @@ _PRUNE = {
 #: follows in raw registration order. Unknown names are ignored so the
 #: list may reference queries introduced in a later module version.
 #:
-#: Round-7 window, in three tiers: (1) queries NEW this round (common
-#: n-grams, containment, weighted sample, PQ) or whose engine/oracle
-#: changed (the hash60 MinHash-replay family, split-before-pack e2e
-#: curation, the q15/q11 broadcast-scalar rewrites, the zorder bounds
-#: guard, the checkpointed PageRank, the newly oracled numpy top-k),
-#: (2) the 31 queries whose latest driver row was round 4 — the entire
-#: r4-stale cohort the r6 verdict listed, so after this round every
-#: oracle-bearing query's driver row is at most two rounds old,
-#: (3) the oldest round-5 rows (streaming/events/asof) to keep them
-#: from going 3 rounds stale at r8. Fresh round-6 rows and the 3
-#: remaining no-oracle sketches (agg_approx_*, ann_ivf_probe — pytest
-#: accuracy contracts) sit past slot 50, re-verified every round by the
-#: local 100%-registry sweep (tools/check_oracle.py).
+#: Round-8 window, two tiers filling the 50-slot gate exactly:
+#: (1) every query that has NEVER had a driver row (the r7 verdict's
+#: 19-query list: the late-r7 media/semdedup/bloom/histogram/provenance/
+#: mixture/gate family, the asof forward/nearest pair, percentile
+#: ranks, triangles, seasonal/MAD/chi2, the recursive month spine and
+#: the outer click attribution) plus the queries born or changed THIS
+#: round: dedup_containment_lsh (new one-sided containment scale
+#: path), ann_pq_topk (lookup tables now ride a broadcast relation),
+#: and agg_approx_percentile_price (first oracle — the sketch's
+#: rank-error contract);
+#: (2) 28 of the 41-query round-5-stale cohort (streaming, events,
+#: the q-family, sql_*, asof clicks, ann/embedding/simhash). The 13
+#: slipping past slot 50 (spec_* compiler cores, text unigram/bigram/
+#: rolling/bpe-estimate, agg corr/mode, media_audio_stats,
+#: corpus_shard_assignment, dedup_chunk_overlap) front the r9 window;
+#: all stay green in the local 100%-registry sweep
+#: (tools/check_oracle.py), as do the 2 remaining no-oracle sketches
+#: (agg_approx_distinct_suppliers, ann_ivf_probe — pytest accuracy
+#: contracts).
 _PRIORITY = [
-    # --- tier 1: new or engine/oracle changed this round ---
-    "corpus_e2e_curation",  # split-before-pack + LSH-replay oracle
-    "dedup_minhash_lsh",  # oracle now replays the hash60 pipeline
-    "dedup_near_dup_clusters",  # CC over the replayed LSH pairs
-    "text_common_ngrams",  # new: cross-doc boilerplate n-grams
-    "dedup_containment_pairs",  # new: directional subset detector
-    "corpus_weighted_sample",  # new: Efraimidis-Spirakis draw
-    "emb_pq_codes",  # new: product quantization codes
-    "agg_binned_percentiles",  # new: bounded-state exact percentiles
-    "text_bpe_merge_candidates",  # new: BPE first-merge pair counts
-    "qa_key_skew_suppkey",  # new: join-key skew diagnostic
-    "dedup_incremental_probe",  # new: persisted-index incremental dedup
-    "streaming_dedup_ingest",  # new: greedy dedup-on-ingest stream
-    "ann_pq_topk",  # new: ADC table-lookup search over PQ codes
-    "ann_cosine_topk_np",  # newly oracled (quantized keys)
-    "q15_top_supplier",  # global window -> broadcast scalar agg
-    "q11_supply_value_share",  # same rewrite
-    "events_zorder_layout",  # bounds guard on zorder_key
-    "graph_nation_pagerank",  # periodic lineage truncation
-    "corpus_contamination",  # consumes hash60 shingles (also r4-stale)
-    # --- tier 2: the 31-query round-4-stale cohort (minus
-    # contamination, fronted above) ---
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "join_revenue_by_region",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_salted_revenue_by_priority",
-    "join_range_ship_within_30d",
-    "agg_distinct_suppliers_per_flag",
-    "agg_median_acctbal_by_nation",
-    "agg_stddev_acctbal_by_segment",
-    "rollup_lineitem",
-    "cube_orders",
-    "grouping_sets_lineitem",
-    "pivot_status_by_priority",
-    "orders_by_month",
-    "lineitem_unpivot_stats",
-    "udtf_sentence_stats",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprints",
-    "text_top_tokens",
-    "text_repetition_stats",
-    "dedup_exact_groups",
-    "dedup_jaccard_pairs",
-    "corpus_split_counts",
-    "corpus_token_length_histogram",
-    "corpus_url_scan",
-    "corpus_domain_mix",
-    "corpus_length_filter_report",
-    "corpus_dedup_survivor_stats",
-    # --- tier 3 dissolved this round: the six brand-new queries above
-    # took the oldest-r5 refresh slots (chunk_overlap, simhash, funnel,
-    # asof, click_attribution — all exactly two rounds old at r7, the
-    # policy limit, all locally sweep-green including the shuffle-pin
-    # change to click_attribution). The whole r5 cohort fronts r8.
-    # --- beyond slot 50: fresh round-6 rows (windows, set ops,
-    # q4-q19 family, qa/media/sql_*), the rest of the r5 cohort, the
-    # queries born AFTER this round's rotation (mixture plan/sample,
-    # MAD outliers, chi2, percent_rank, asof forward/nearest,
-    # triangles, outer attribution, recursive month spine, SemDeDup
-    # prune, Bloom snapshot probe, perceptual-hash image near-dup,
-    # audio fingerprint near-dup, video shot-level near-dup) — ALL of
-    # which must front r8 — and the 3 no-oracle sketches; everything
-    # keeps its oracle for local sweeps ---
-    # Slots 51-59 (just past the 50-query window, which the rotation
-    # tiers fill exactly): the operators born AFTER the r7 rotation
-    # (SemDeDup prune, Bloom snapshot probe, perceptual-hash image
-    # near-dup, audio fingerprint near-dup, video shot-level near-dup,
-    # multimodal curation funnel, seasonal volume anomalies,
-    # cluster-size histogram, shard provenance), pinned here so the
-    # r8 rotation finds them first — they have no driver row yet and
-    # must open the r8 window.
-    "emb_semdedup_prune",
-    "dedup_bloom_snapshot",
+    # --- tier 1: first-ever driver rows + this round's changes ---
+    "corpus_multimodal_gate",  # memoized + cache-released this round
     "media_phash_near_dup",
     "media_audio_near_dup",
     "media_video_near_dup",
-    "corpus_multimodal_gate",
-    "events_seasonal_anomalies",
+    "emb_semdedup_prune",
+    "dedup_bloom_snapshot",
     "dedup_cluster_size_histogram",
+    "dedup_containment_lsh",  # new: one-sided containment LSH
     "corpus_shard_provenance",
+    "corpus_mixture_plan",
+    "corpus_mixture_sample",
+    "events_seasonal_anomalies",
+    "events_mad_outliers",
+    "agg_chi2_type_by_daypart",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "window_percentile_ranks",
+    "graph_nation_triangles",
+    "sql_recursive_month_spine",
+    "streaming_click_attribution_outer",
+    "ann_pq_topk",  # broadcast lookup-table rewrite
+    "agg_approx_percentile_price",  # rank-error contract oracle (new)
+    # --- tier 2: the round-5-stale cohort (28 of 41) ---
+    "streaming_events_hourly",
+    "streaming_sessionization",
+    "streaming_dedup_user_counts",
+    "streaming_enriched_segment_counts",
+    "streaming_click_attribution",
+    "events_json_extract",
+    "events_props_explode",
+    "events_hourly_by_type",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_session_sequences",
+    "events_transition_counts",
+    "events_sessionization",
+    "events_sliding_counts",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q12_ship_latency",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_idle_balance",
+    "sql_q5_local_supplier",
+    "sql_orders_above_avg",
+    "join_asof_clicks_to_purchases",
+    "ann_cosine_topk",
+    "emb_near_dup_pairs",
+    "dedup_simhash_pairs",
 ]
 
 
