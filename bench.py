@@ -80,13 +80,25 @@ HEADLINE = [
     "media_phash_near_dup",
     "media_audio_near_dup",
     "media_video_near_dup",
-    # corpus_e2e_curation (17 s at sf0.1), streaming_dedup_ingest
-    # (~11 s warm) and corpus_multimodal_gate are deliberately NOT
-    # here: each recomposes stages already benched above (minhash
-    # signing/pairs + CC + packing; signing + index probe +
-    # micro-batch overhead; video/audio synthesis + fingerprint
-    # joins) — a row would double-count the suite without new
-    # attribution.
+    # Round-8 rows. First, families previously invisible to the perf
+    # gate (a regression there never showed in BENCH): analytic-window
+    # percentiles, rollup, and the nearest-direction as-of join.
+    "window_percentile_ranks",
+    "rollup_lineitem",
+    "join_asof_nearest",
+    # New this round: the one-sided containment LSH scale path
+    # (argmin-signature probe join + exact verification of survivors).
+    "dedup_containment_lsh",
+    # corpus_e2e_curation DOES recompose stages benched above (minhash
+    # signing/pairs + CC + packing), but it is the flagship end-to-end
+    # pipeline a user actually runs, so its wall-clock belongs in the
+    # gate; round-over-round totals stay attributable via the
+    # shared-subset comparison the driver performs.
+    "corpus_e2e_curation",
+    # streaming_dedup_ingest (~11 s warm) and corpus_multimodal_gate
+    # remain out: each recomposes benched stages (signing + index
+    # probe + micro-batch overhead; video/audio synthesis +
+    # fingerprint joins) without being a headline user pipeline.
 ]
 
 
