@@ -78,6 +78,11 @@ HEADLINE = [
     "emb_semdedup_prune",
     "dedup_bloom_snapshot",
     "media_phash_near_dup",
+    # Family-collapsed twin of the above: linear output where
+    # identical-image families are unbounded (see SCALE.md "Measured
+    # scaling") — benched next to the pair form so both shapes stay
+    # visible.
+    "media_phash_families",
     "media_audio_near_dup",
     "media_video_near_dup",
     # Round-8 rows. First, families previously invisible to the perf

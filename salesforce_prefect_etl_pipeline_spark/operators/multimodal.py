@@ -535,25 +535,64 @@ def ahash_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def ahash_near_dup_sql(
-    max_hamming: int = 3,
-    width: int = 16,
-    height: int = 16,
-    source: str = "documents",
-) -> str:
-    """DuckDB twin for the synthetic-BMP corpus: the pixel formula
-    (channel byte i of media m = (m*31+i) % 256) replays the decoded
-    image arithmetically, then the identical block-average hash and a
-    brute-force pair join — exact vs the banded engine output because
-    4x16 banding finds every pair at Hamming <= 3. Geometry follows
-    the parameters like the video twin; raises where the engine kernel
-    would (divisibility by 8) instead of silently mis-pooling."""
-    if width % 8 or height % 8:
-        raise ValueError(
-            f"aHash oracle needs dimensions divisible by 8, got {width}x{height}"
+def ahash_near_dup_families(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Family-collapsed image near-dup report — the mega-family-safe
+    form of :func:`ahash_near_dup_pairs`. A corpus with unbounded
+    identical-image families makes the PAIR LIST itself quadratic
+    (measured on the synthetic sf1 scaling fixture: 35M pair rows,
+    because the pixel formula is periodic in media_id), so no pair
+    emitter can be sub-quadratic there. This operator collapses
+    exact-signature families FIRST (one hash group-by — linear), then
+    bands only the DISTINCT signatures: compute and output are both
+    linear in the corpus, bounded by the number of distinct perceptual
+    hashes. Output: one row per near-dup FAMILY pair
+    (ra, rb, hamming, size_a, size_b, cross_pairs) with ra/rb the min
+    member ids; ``ahash_near_dup_pairs`` is exactly the expansion
+    [within-family all-pairs at hamming 0] + [size_a x size_b member
+    pairs per family pair] — asserted by pytest."""
+    ah = image_ahash(media)
+    fams = ah.groupBy("h_lo", "h_hi").agg(
+        F.min("media_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("family_size"),
+    )
+    from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
+        banded_hamming_pairs,
+        hash64_band_chunks,
+    )
+
+    pairs = banded_hamming_pairs(
+        fams.select("rep_id", "h_lo", "h_hi"),
+        "rep_id",
+        ["h_lo", "h_hi"],
+        hash64_band_chunks(),
+        n_bands=4,
+        max_hamming=max_hamming,
+        out_a="ra",
+        out_b="rb",
+    )
+    sa = fams.select(F.col("rep_id").alias("ra"), F.col("family_size").alias("size_a"))
+    sb = fams.select(F.col("rep_id").alias("rb"), F.col("family_size").alias("size_b"))
+    return (
+        pairs.join(sa, "ra")
+        .join(sb, "rb")
+        .select(
+            "ra",
+            "rb",
+            "hamming",
+            "size_a",
+            "size_b",
+            (F.col("size_a") * F.col("size_b")).cast("long").alias("cross_pairs"),
         )
-    return f"""
-WITH px AS (
+        .orderBy("ra", "rb")
+    )
+
+
+def _ahash_sig_ctes(width: int, height: int, source: str) -> str:
+    """Shared DuckDB CTE chain documents -> per-media aHash signature
+    (lo, hi): replay the synthetic pixel formula, block-average pool,
+    threshold against the image mean, pack 64 bits as two 32-bit
+    halves — used by both the pair and the family oracles."""
+    return f"""px AS (
   SELECT d.doc_id AS m, t.p,
          ((d.doc_id * 31 + 3 * t.p) % 256)
          + ((d.doc_id * 31 + 3 * t.p + 1) % 256)
@@ -583,12 +622,62 @@ sig AS (
              THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT)
       AS hi
   FROM bits GROUP BY m
-)
+)"""
+
+
+def ahash_near_dup_sql(
+    max_hamming: int = 3,
+    width: int = 16,
+    height: int = 16,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin for the synthetic-BMP corpus: the pixel formula
+    (channel byte i of media m = (m*31+i) % 256) replays the decoded
+    image arithmetically, then the identical block-average hash and a
+    brute-force pair join — exact vs the banded engine output because
+    4x16 banding finds every pair at Hamming <= 3. Geometry follows
+    the parameters like the video twin; raises where the engine kernel
+    would (divisibility by 8) instead of silently mis-pooling."""
+    if width % 8 or height % 8:
+        raise ValueError(
+            f"aHash oracle needs dimensions divisible by 8, got {width}x{height}"
+        )
+    return f"""
+WITH {_ahash_sig_ctes(width, height, source)}
 SELECT a.m AS ma, b.m AS mb,
        bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
 FROM sig a JOIN sig b ON a.m < b.m
 WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
 ORDER BY ma, mb
+"""
+
+
+def ahash_families_sql(
+    max_hamming: int = 3,
+    width: int = 16,
+    height: int = 16,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`ahash_near_dup_families`: collapse exact
+    signatures to (rep, size) families, brute-force the DISTINCT
+    signatures (exact vs the banded engine, as for the pair twin)."""
+    if width % 8 or height % 8:
+        raise ValueError(
+            f"aHash oracle needs dimensions divisible by 8, got {width}x{height}"
+        )
+    return f"""
+WITH {_ahash_sig_ctes(width, height, source)},
+fam AS (
+  SELECT lo, hi, MIN(m) AS rep_id, COUNT(*) AS family_size
+  FROM sig GROUP BY lo, hi
+)
+SELECT a.rep_id AS ra, b.rep_id AS rb,
+       bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming,
+       a.family_size AS size_a, b.family_size AS size_b,
+       CAST(a.family_size * b.family_size AS BIGINT) AS cross_pairs
+FROM fam a JOIN fam b ON a.rep_id < b.rep_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
+ORDER BY ra, rb
 """
 
 

@@ -798,6 +798,19 @@ register_query(
     ),
     multimodal.ahash_near_dup_sql(),
 )
+# Family-collapsed image near-dup: exact-signature group-by first,
+# banded Hamming between DISTINCT signatures only — output and compute
+# stay linear when identical-image families are unbounded (the pair
+# form emits 35M rows on the sf1 scaling fixture; this emits one row
+# per family pair). The expansion identity vs the pair form is
+# pytest-asserted.
+register_query(
+    "media_phash_families",
+    lambda spark, sf_dir: multimodal.ahash_near_dup_families(
+        multimodal.synthetic_bmp_media(_docs(spark, sf_dir))
+    ),
+    multimodal.ahash_families_sql(),
+)
 
 # ----------------------------------------------------------------------
 # Corpus management (operators/corpus.py): the post-dedup steps that turn

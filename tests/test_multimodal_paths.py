@@ -330,3 +330,37 @@ def test_video_container_and_shot_dedup(spark):
     media = multimodal.synthetic_video_media(docs)
     rows = multimodal.video_near_dup_pairs(media, min_shared=3).collect()
     assert [(r.ma, r.mb, r.n_shared_frames) for r in rows] == [(8, 9, 5)]
+
+
+def test_ahash_families_expand_exactly_to_pair_form(spark):
+    """The family report is a lossless compression of the pair list:
+    total member pairs = sum C(size,2) within families (hamming 0)
+    + sum cross_pairs over family pairs, and every family pair's
+    hamming matches the member pairs it stands for."""
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from tests.conftest import SF_SMALL
+
+    media = multimodal.synthetic_bmp_media(
+        load_table(spark, SF_SMALL, "documents")
+    )
+    pair_rows = multimodal.ahash_near_dup_pairs(media, max_hamming=3).collect()
+    fam_pairs = multimodal.ahash_near_dup_families(media, max_hamming=3).collect()
+    ah = multimodal.image_ahash(media).collect()
+    sizes = {}
+    for r in ah:
+        sizes[(r.h_lo, r.h_hi)] = sizes.get((r.h_lo, r.h_hi), 0) + 1
+    within = sum(n * (n - 1) // 2 for n in sizes.values())
+    cross = sum(r.cross_pairs for r in fam_pairs)
+    assert len(pair_rows) == within + cross
+    # per-family-pair hamming equals the member-pair hamming it implies
+    rep_hash = {}
+    for r in ah:
+        key = (r.h_lo, r.h_hi)
+        rep_hash.setdefault(key, r.media_id)
+        rep_hash[key] = min(rep_hash[key], r.media_id)
+    rep_ids = set(rep_hash.values())
+    member_pair_h = {(r.ma, r.mb): r.hamming for r in pair_rows}
+    for r in fam_pairs:
+        assert r.ra in rep_ids and r.rb in rep_ids
+        assert member_pair_h.get((r.ra, r.rb)) == r.hamming
+        assert r.size_a >= 1 and r.size_b >= 1
