@@ -452,6 +452,38 @@ def build_ivf_index(
     return cents
 
 
+def append_ivf_vectors(
+    spark,
+    index_dir: str,
+    new_emb: DataFrame,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Incremental IVF maintenance: assign ONLY the new vectors with
+    the index's FROZEN centroids and append them to the partitioned
+    inverted lists — no retrain, no corpus re-scan (the vector twin of
+    ``probe_minhash_index``'s increment-signing contract). Probes see
+    appended vectors immediately and an appended index is
+    value-identical to one built over the union corpus with the same
+    centroids, because assignment is a pure function of
+    (vector, centroids) — pytest-asserted. At scale this is how a
+    streaming embedding feed maintains the index: per batch, one
+    Arrow-batched assign + one partitioned parquet append into only
+    the touched list partitions.
+
+    Documented limit: the frozen quantizer drifts as the corpus
+    distribution moves — lists imbalance and recall/probe degrades.
+    Rebuild cadence is corpus policy (the IVF analog of LSH index
+    compaction); this operator is the between-rebuilds path."""
+    cents = (
+        centroids if centroids is not None else load_ivf_centroids(spark, index_dir)
+    )
+    assigned = ivf_assign(new_emb, cents)
+    assigned.write.mode("append").partitionBy("list_id").parquet(
+        f"{index_dir}/lists"
+    )
+    return cents
+
+
 def load_ivf_centroids(spark, index_dir: str) -> np.ndarray:
     rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("list_id").collect()
     return np.array([r.centroid for r in rows], dtype=np.float64)

@@ -27,15 +27,19 @@ IVF_INDEX_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".ivf_
 #: the cluster-mix/sample reports and the exact-probe IVF variant.
 _SEED_NLIST = 16
 
-#: DuckDB replay of ``train_ivf_centroids(iters=0)`` + ``ivf_assign``:
-#: seeds are the _SEED_NLIST embeddings with the smallest md5(vec_id)
-#: (hex order), assignment is argmax of the QUANTIZED cosine
-#: (floor(cos * 1e6), exactly what ivf_assign computes) with ties to the
-#: lowest list_id. Shared verbatim by every oracle that replays the
-#: quantizer so they can never drift apart.
-_SEED_QUANTIZER_CTES = f"""seeds AS (
+def _seed_quantizer_ctes(seed_pred: str = "TRUE") -> str:
+    """DuckDB replay of ``train_ivf_centroids(iters=0)`` + ``ivf_assign``:
+    seeds are the _SEED_NLIST embeddings (restricted by ``seed_pred`` —
+    the appended-index oracle seeds from the 80% build split only) with
+    the smallest md5(vec_id) (hex order); assignment is argmax of the
+    QUANTIZED cosine (floor(cos * 1e6), exactly what ivf_assign
+    computes) over the FULL corpus with ties to the lowest list_id.
+    Shared by every oracle that replays the quantizer so they can never
+    drift apart."""
+    return f"""seeds AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
   FROM embeddings
+  WHERE {seed_pred}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {_SEED_NLIST}
 ),
@@ -57,6 +61,10 @@ assigned AS (
     FROM embeddings e CROSS JOIN cents c
   ) WHERE r = 1
 )"""
+
+
+#: seeds over the whole corpus — the default quantizer replay.
+_SEED_QUANTIZER_CTES = _seed_quantizer_ctes()
 
 
 #: (index_dir) -> centroids ndarray; (app, sf_dir) -> query vectors.
@@ -529,6 +537,101 @@ SELECT query_id, neighbor_id, rnk, qcos FROM (
 
 
 register_query("ann_ivf_probe_exact", _ivf_probe_exact_query, _ivf_probe_exact_sql())
+
+
+def _ivf_probe_appended_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
+    """Incremental index maintenance, probed: build the iteration-0
+    index over the 80% md5 split of the corpus, APPEND the 20%
+    increment with similarity.append_ivf_vectors (frozen centroids, no
+    retrain, no corpus re-scan), then probe. Because assignment is a
+    pure function of (vector, centroids), the appended index is
+    value-identical to a monolithic build with the same centroids over
+    the union — the oracle replays exactly that: seeds restricted to
+    the 80% split, assignment over the full corpus."""
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-appended-iters0")
+    marker = os.path.join(index_dir, "_APPENDED")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stale = os.path.exists(marker) and os.path.getmtime(marker) < os.path.getmtime(src)
+    if stale or not os.path.exists(marker):
+        # build + append are one logical transaction here: a marker
+        # written only after the append makes a crash between the two
+        # rebuild from scratch instead of probing a half-built index
+        shutil.rmtree(index_dir, ignore_errors=True)
+        _IVF_CENTROID_CACHE.pop(index_dir, None)
+        emb = _emb(spark, sf_dir)
+        corpus_side = emb.filter(corpus.split_bucket(F.col("vec_id")) < 80)
+        cents = similarity.build_ivf_index(
+            corpus_side, index_dir, nlist=_SEED_NLIST, iters=0
+        )
+        increment = emb.filter(corpus.split_bucket(F.col("vec_id")) >= 80)
+        similarity.append_ivf_vectors(spark, index_dir, increment, centroids=cents)
+        open(marker, "w").close()
+        _IVF_CENTROID_CACHE[index_dir] = cents
+    cents = _IVF_CENTROID_CACHE.get(index_dir)
+    if cents is None:
+        cents = similarity.load_ivf_centroids(spark, index_dir)
+        _IVF_CENTROID_CACHE[index_dir] = cents
+    qkey = (spark.sparkContext.applicationId, sf_dir)
+    qvecs = _QVEC_CACHE.get(qkey)
+    if qvecs is None:
+        qvecs = [
+            (r.vec_id, list(r.embedding))
+            for r in load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+            .collect()
+        ]
+        _QVEC_CACHE[qkey] = qvecs
+    return similarity.probe_ivf(
+        spark, index_dir, qvecs, k=k, nprobe=nprobe, centroids=cents
+    )
+
+
+def _ivf_probe_appended_sql(k: int = 10, nprobe: int = 4) -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    seed_pred = f"({corpus.split_bucket_sql('vec_id')}) < 80"
+    return f"""
+WITH {_seed_quantizer_ctes(seed_pred)},
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+probe AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, c.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY CAST(FLOOR(list_cosine_similarity(q.qvec, c.c)
+                        * 1000000.0) AS BIGINT) DESC,
+                      c.list_id ASC) AS r
+    FROM q CROSS JOIN cents c
+  ) WHERE r <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assigned a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         {similarity.qcos_sql('q.qvec', 'e.embedding')} AS qcos
+  FROM cand cd
+  JOIN q ON q.query_id = cd.query_id
+  JOIN embeddings e ON e.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, rnk, qcos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qcos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k} ORDER BY query_id, rnk
+"""
+
+
+register_query(
+    "ann_ivf_probe_appended", _ivf_probe_appended_query, _ivf_probe_appended_sql()
+)
 # Vectorized numpy brute-force. The kernel ranks on floor(cos*1e6)
 # BIGINT keys — the same qcos quantization as the JVM twin — which
 # absorbs the BLAS-vs-sequential fold's last-ulp difference, so the

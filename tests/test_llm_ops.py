@@ -847,3 +847,35 @@ def test_containment_lsh_matches_exact_kernel_on_corpus(spark, docs):
         for r in dedup.containment_lsh_pairs(docs, k=8, threshold=0.5).collect()
     }
     assert lsh == exact
+
+
+def test_ivf_append_equals_monolithic_build(spark, emb, tmp_path):
+    """append_ivf_vectors contract: because assignment is a pure
+    function of (vector, frozen centroids), an 80%-built index with
+    the 20% increment APPENDED must probe identically to a monolithic
+    index assigning the full corpus with the same centroids — and the
+    appended lists must hold the whole corpus exactly once."""
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    corpus_side = emb.filter(corpus.split_bucket(F.col("vec_id")) < 80)
+    increment = emb.filter(corpus.split_bucket(F.col("vec_id")) >= 80)
+    assert corpus_side.count() > 0 and increment.count() > 0
+    idx_a = str(tmp_path / "appended")
+    cents = similarity.build_ivf_index(corpus_side, idx_a, nlist=16, iters=0)
+    similarity.append_ivf_vectors(spark, idx_a, increment, centroids=cents)
+    idx_m = str(tmp_path / "monolithic")
+    similarity.ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{idx_m}/lists")
+    qvecs = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin([1, 7, 42])).collect()
+    ]
+    a = similarity.probe_ivf(spark, idx_a, qvecs, k=10, nprobe=4, centroids=cents).collect()
+    m = similarity.probe_ivf(spark, idx_m, qvecs, k=10, nprobe=4, centroids=cents).collect()
+    assert a == m and len(a) == 3 * 10
+    assert spark.read.parquet(f"{idx_a}/lists").count() == emb.count()
+    assert (
+        spark.read.parquet(f"{idx_a}/lists").select("vec_id").distinct().count()
+        == emb.count()
+    )
