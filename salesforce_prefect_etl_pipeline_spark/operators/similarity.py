@@ -418,6 +418,44 @@ def semdedup_prune(
     )
 
 
+def semdedup_survivors(
+    emb: DataFrame, centroids: np.ndarray, threshold: float = 0.3
+) -> DataFrame:
+    """Survivor-id frame of :func:`semdedup_prune`'s keep rule —
+    (vec_id, list_id, rk) for every vector with NO higher-ranked
+    same-cluster neighbor above the cosine threshold. Same pinned
+    semantics (md5 rank, quantized cosine, cluster-bounded pairwise
+    join) so the prune REPORT's n_kept equals this frame's per-cluster
+    counts; the id frame is what downstream funnel stages (balanced
+    sampling, index build) consume."""
+    qthr = int(threshold * 1e6)
+    assigned = ivf_assign(emb, centroids)
+    rk = F.md5(F.col("vec_id").cast("string"))
+    av = assigned.select("vec_id", "list_id", "embedding", rk.alias("rk"))
+    a = av.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("rk").alias("a_rk"),
+    )
+    b = av.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("rk").alias("b_rk"),
+    )
+    earlier = (F.col("a_rk") < F.col("b_rk")) | (
+        (F.col("a_rk") == F.col("b_rk")) & (F.col("a_id") < F.col("b_id"))
+    )
+    pruned = (
+        b.join(a, on=["list_id"], how="inner")
+        .filter(earlier & (qcos(F.col("a_emb"), F.col("b_emb")) >= F.lit(qthr)))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return av.join(pruned, "vec_id", "left_anti").select("vec_id", "list_id", "rk")
+
+
 def build_ivf_index(
     emb: DataFrame,
     index_dir: str,

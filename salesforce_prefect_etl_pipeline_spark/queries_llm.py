@@ -1251,6 +1251,94 @@ GROUP BY av.list_id ORDER BY av.list_id
 register_query("emb_semdedup_prune", _emb_semdedup_prune, EMB_SEMDEDUP_SQL)
 
 
+def _emb_e2e_curation(spark, sf_dir: str):
+    """Embedding-side curation funnel — the vector twin of
+    corpus_e2e_curation / corpus_multimodal_gate, one report row per
+    stage: (0) SemDeDup semantic prune over the seed quantizer, (1)
+    cluster-balanced downsample of the SURVIVORS (md5 rank within
+    cluster, cap per cluster). Stage chaining is the point: the sample
+    ranks only survivors, so the oracle replays the restriction, not
+    two independent stages."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _SEED_CENT_CACHE.get(key)
+    if cents is None:
+        cents = similarity.train_ivf_centroids(
+            _emb(spark, sf_dir), nlist=_CLUSTER_MIX_NLIST, iters=0
+        )
+        _SEED_CENT_CACHE[key] = cents
+    emb = _emb(spark, sf_dir)
+    surv = similarity.semdedup_survivors(emb, cents, _SEMDEDUP_THRESHOLD)
+    w = Window.partitionBy("list_id").orderBy("rk", "vec_id")
+    sampled = (
+        surv.withColumn("srk", F.row_number().over(w))
+        .filter(F.col("srk") <= _SAMPLE_PER_CLUSTER)
+        .select("vec_id")
+    )
+    stages = [
+        ("semdedup", emb.select("vec_id"), surv.select("vec_id")),
+        ("cluster_balance", surv.select("vec_id"), sampled),
+    ]
+    out = None
+    for i, (name, din, dout) in enumerate(stages):
+        row = (
+            din.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+            .crossJoin(dout.agg(F.count(F.lit(1)).cast("long").alias("n_out")))
+            .select(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                "n_in",
+                "n_out",
+                (F.col("n_in") - F.col("n_out")).cast("long").alias("n_dropped"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage_idx")
+
+
+EMB_E2E_SQL = f"""
+WITH {_SEED_QUANTIZER_CTES},
+av AS (
+  SELECT a.vec_id, a.list_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         md5(CAST(a.vec_id AS VARCHAR)) AS rk
+  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM av a JOIN av b
+    ON a.list_id = b.list_id
+   AND (a.rk < b.rk OR (a.rk = b.rk AND a.vec_id < b.vec_id))
+   AND CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000.0)
+            AS BIGINT) >= {_SEMDEDUP_QTHR}
+),
+surv AS (
+  SELECT av.vec_id, av.list_id, av.rk FROM av
+  WHERE av.vec_id NOT IN (SELECT vec_id FROM pruned)
+),
+sampled AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (PARTITION BY list_id
+                              ORDER BY rk, vec_id) AS srk
+    FROM surv
+  ) WHERE srk <= {_SAMPLE_PER_CLUSTER}
+)
+SELECT CAST(0 AS INT) AS stage_idx, 'semdedup' AS stage,
+       CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_in,
+       CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_out,
+       CAST((SELECT COUNT(*) FROM embeddings)
+          - (SELECT COUNT(*) FROM surv) AS BIGINT) AS n_dropped
+UNION ALL
+SELECT CAST(1 AS INT), 'cluster_balance',
+       CAST((SELECT COUNT(*) FROM surv) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM sampled) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM surv)
+          - (SELECT COUNT(*) FROM sampled) AS BIGINT)
+ORDER BY stage_idx
+"""
+
+register_query("emb_e2e_curation", _emb_e2e_curation, EMB_E2E_SQL)
+
+
 def _dedup_bloom_snapshot(spark, sf_dir: str):
     """Bounded-state cross-snapshot membership: probe an incoming batch
     (doc_id % 2 = 0) against the prior snapshot's (doc_id % 3 <> 2)

@@ -879,3 +879,26 @@ def test_ivf_append_equals_monolithic_build(spark, emb, tmp_path):
         spark.read.parquet(f"{idx_a}/lists").select("vec_id").distinct().count()
         == emb.count()
     )
+
+
+def test_emb_e2e_funnel_consistent_with_semdedup_report(spark, emb):
+    """The survivor-id frame must agree per cluster with the prune
+    REPORT's n_kept (same pinned keep rule), and the funnel chains:
+    stage 1's n_in == stage 0's n_out, counts never grow."""
+    cents = similarity.train_ivf_centroids(emb, nlist=16, iters=0)
+    report = similarity.semdedup_prune(emb, cents, threshold=0.3).collect()
+    surv = similarity.semdedup_survivors(emb, cents, threshold=0.3)
+    per_cluster = {
+        r.list_id: r["count"] for r in surv.groupBy("list_id").count().collect()
+    }
+    for r in report:
+        assert per_cluster.get(r.list_id, 0) == r.n_kept
+
+    from salesforce_prefect_etl_pipeline_spark.queries_llm import _emb_e2e_curation
+
+    rows = _emb_e2e_curation(spark, SF_SMALL).collect()
+    assert [r.stage for r in rows] == ["semdedup", "cluster_balance"]
+    assert rows[0].n_in == emb.count()
+    assert rows[1].n_in == rows[0].n_out
+    for r in rows:
+        assert 0 <= r.n_out <= r.n_in and r.n_dropped == r.n_in - r.n_out
