@@ -1112,6 +1112,90 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     return labels.orderBy("doc_id")
 
 
+def greedy_mis_in_id_order(
+    ids: DataFrame,
+    pairs: DataFrame,
+    pre_accepted: DataFrame | None = None,
+    max_iterations: int = 1000,
+) -> DataFrame:
+    """Distributed replay of the sequential greedy acceptance used by
+    dedup-on-ingest (``streaming.ingest.greedy_accept``): accept each
+    id, in ascending order, iff no already-accepted id pairs with it —
+    WITHOUT collecting ids or pairs to the driver, so the decision
+    scales to arbitrarily fat micro-batches/backfills.
+
+    Frontier iteration over a status partition {undecided, accepted,
+    rejected}:
+
+    - init: ids with a ``pre_accepted`` neighbor reject immediately
+      (the immutable corpus never retracts, regardless of id order —
+      the same seeding the sequential function applies);
+    - each round, an undecided id REJECTS if any smaller ACCEPTED
+      batch neighbor exists, and ACCEPTS once none of its smaller
+      batch neighbors is still undecided (and none accepted).
+
+    The smallest undecided id is decidable every round, so rounds are
+    bounded by the longest ascending dependency chain — O(n) on a
+    planted ascending path, a handful on the clique/star graphs real
+    near-dup pairs form. Each round is a few semi/anti joins;
+    ``localCheckpoint`` truncates the iterative lineage like
+    ``connected_components``. Returns the accepted BATCH ids as a
+    one-column ``doc_id`` frame. Equivalence with the sequential
+    greedy is pytest- and property-tested."""
+    nodes = (
+        ids.select(F.col(ids.columns[0]).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    empty = nodes.limit(0)
+    sym = (
+        pairs.select(F.col("da").alias("v"), F.col("db").alias("u"))
+        .union(pairs.select(F.col("db").alias("v"), F.col("da").alias("u")))
+        .distinct()
+        .join(nodes, "v", "semi")
+    )
+    if pre_accepted is not None:
+        pre = pre_accepted.select(
+            F.col(pre_accepted.columns[0]).alias("u")
+        ).distinct()
+        rejected = sym.join(pre, "u", "semi").select("v").distinct()
+    else:
+        rejected = empty
+    smaller = (
+        sym.join(nodes.select(F.col("v").alias("u")), "u", "semi")
+        .filter(F.col("u") < F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    accepted = empty
+    rejected = rejected.localCheckpoint(eager=True)
+    undecided = nodes.join(rejected, "v", "anti").localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        if undecided.isEmpty():
+            break
+        st = smaller.join(undecided.select("v"), "v", "semi")
+        acc_u = accepted.select(F.col("v").alias("u"))
+        und_u = undecided.select(F.col("v").alias("u"))
+        new_rej = st.join(acc_u, "u", "semi").select("v").distinct()
+        has_und_smaller = st.join(und_u, "u", "semi").select("v").distinct()
+        new_acc = undecided.join(new_rej, "v", "anti").join(
+            has_und_smaller, "v", "anti"
+        )
+        accepted = accepted.union(new_acc).localCheckpoint(eager=True)
+        rejected = rejected.union(new_rej).localCheckpoint(eager=True)
+        undecided = (
+            undecided.join(new_acc, "v", "anti")
+            .join(new_rej, "v", "anti")
+            .localCheckpoint(eager=True)
+        )
+    if not undecided.isEmpty():
+        raise RuntimeError(
+            f"greedy MIS frontier did not converge in {max_iterations} "
+            "rounds — the pair graph has an ascending dependency chain "
+            "longer than the budget; raise max_iterations"
+        )
+    return accepted.select(F.col("v").alias("doc_id")).orderBy("doc_id")
+
+
 def connected_components_sql(pairs_sql: str) -> str:
     """Oracle twin for ``connected_components``: min-label per node via
     recursive transitive closure over the (da, db) pairs produced by

@@ -21,8 +21,13 @@ Driver memory is therefore O(micro-batch), NOT O(corpus) — and that
 bound is ENFORCED: ``max_batch_rows`` fails a batch that exceeds the
 contract (e.g. an unthrottled backfill replay) with instructions to
 bound the source (maxFilesPerTrigger / maxBytesPerTrigger / rate
-limit) instead of silently ballooning the driver. Index appends are
-parquet appends into the band-partitioned layout.
+limit) instead of silently ballooning the driver. For batches that
+genuinely must be huge, ``distributed_accept=True`` runs the greedy
+decision as a frontier MIS over DataFrames
+(``operators.dedup.greedy_mis_in_id_order``) — nothing is collected,
+driver memory is O(1), and the accepted set is identical
+(pytest-proven). Index appends are parquet appends into the
+band-partitioned layout.
 """
 
 from __future__ import annotations
@@ -98,6 +103,7 @@ def stream_dedup_on_ingest(
     name: str = "dedup_ingest",
     checkpoint_dir: str | None = None,
     max_batch_rows: int = 100_000,
+    distributed_accept: bool = False,
 ) -> str:
     """Run the ingest-dedup stream with Trigger.AvailableNow: per
     micro-batch, (1) find near-dup pairs within the batch and against
@@ -122,16 +128,21 @@ def stream_dedup_on_ingest(
         # collected: a distributed count is one cheap job, and failing
         # fast beats an OOM'd driver mid-backfill. The cap bounds the
         # collected id list and (transitively) the pair-endpoint set.
-        n_rows = batch_df.count()
-        if n_rows > max_batch_rows:
-            raise ValueError(
-                f"micro-batch of {n_rows} rows exceeds max_batch_rows="
-                f"{max_batch_rows}: the greedy-accept step is driver-side "
-                "over the batch id list and its near-dup pairs, so driver "
-                "memory is O(max_batch_rows). Bound the source batch "
-                "(maxFilesPerTrigger / maxBytesPerTrigger / rate limit) "
-                "or raise max_batch_rows deliberately."
-            )
+        # The distributed_accept path never collects ids or pairs, so
+        # it needs no cap — any batch size goes.
+        if not distributed_accept:
+            n_rows = batch_df.count()
+            if n_rows > max_batch_rows:
+                raise ValueError(
+                    f"micro-batch of {n_rows} rows exceeds max_batch_rows="
+                    f"{max_batch_rows}: the greedy-accept step is "
+                    "driver-side over the batch id list and its near-dup "
+                    "pairs, so driver memory is O(max_batch_rows). Bound "
+                    "the source batch (maxFilesPerTrigger / "
+                    "maxBytesPerTrigger / rate limit), raise "
+                    "max_batch_rows deliberately, or switch to "
+                    "distributed_accept=True."
+                )
         # sign the batch ONCE: the same profile feeds within-batch
         # pairing, the index probe, and the index append (signing is
         # the dominant per-batch cost — shingle regex/substr/hash).
@@ -140,36 +151,73 @@ def stream_dedup_on_ingest(
         # profile would silently drop it from the corpus instead of
         # accepting it (it can't near-dup anything it doesn't shingle).
         prof = minhash_profile(batch_df, k).localCheckpoint(eager=True)
-        ids = [r.doc_id for r in batch_df.select("doc_id").collect()]
-        within = [
-            (r.da, r.db)
-            for r in minhash_near_dup_pairs(
+        has_index = os.path.exists(os.path.join(index_dir, "bands", "_SUCCESS"))
+        if distributed_accept:
+            # everything stays a DataFrame: within-batch + vs-index
+            # pairs feed the frontier greedy MIS (dedup.py), and the
+            # accepted ids come back as a frame for the semi-joins —
+            # driver memory is O(1) regardless of batch size.
+            ids_df = batch_df.select("doc_id")
+            pairs_df = minhash_near_dup_pairs(
                 batch_df, k, threshold, profile=prof
-            ).collect()
-        ]
-        vs_index = []
-        if os.path.exists(os.path.join(index_dir, "bands", "_SUCCESS")):
-            vs_index = [
+            ).select("da", "db")
+            if has_index:
+                pairs_df = pairs_df.union(
+                    probe_minhash_index(
+                        spark, index_dir, batch_df, k, threshold, new_prof=prof
+                    ).select("da", "db")
+                )
+            pairs_df = pairs_df.localCheckpoint(eager=True)
+            # endpoints that are not batch docs ARE the immutable
+            # already-indexed acceptances
+            endpoints = (
+                pairs_df.select(F.col("da").alias("doc_id"))
+                .union(pairs_df.select(F.col("db").alias("doc_id")))
+                .distinct()
+            )
+            indexed_df = endpoints.join(ids_df, "doc_id", "anti")
+            from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
+                greedy_mis_in_id_order,
+            )
+
+            keep_df = greedy_mis_in_id_order(
+                ids_df, pairs_df, pre_accepted=indexed_df
+            ).localCheckpoint(eager=True)
+            kept = batch_df.join(keep_df, "doc_id", "semi")
+        else:
+            ids = [r.doc_id for r in batch_df.select("doc_id").collect()]
+            within = [
                 (r.da, r.db)
-                for r in probe_minhash_index(
-                    spark, index_dir, batch_df, k, threshold, new_prof=prof
+                for r in minhash_near_dup_pairs(
+                    batch_df, k, threshold, profile=prof
                 ).collect()
             ]
-        # docs already in the index are immutable prior acceptances
-        indexed = {x for p in vs_index for x in p} - set(ids)
-        accepted = greedy_accept(
-            ids, within + vs_index, pre_accepted=indexed
-        )
-        # join against a keep-frame, not isin(): the accepted list is
-        # batch-sized and an In-literal of thousands of ids bloats the
-        # plan; a broadcast semi-join is the cheap form. Schema comes
-        # from the batch so non-long doc_id types keep working.
-        id_type = batch_df.schema["doc_id"].dataType
-        keep_df = spark.createDataFrame(
-            [(d,) for d in ids if d in accepted],
-            T.StructType([T.StructField("doc_id", id_type)]),
-        )
-        kept = batch_df.join(F.broadcast(keep_df), "doc_id", "semi")
+            vs_index = []
+            if has_index:
+                vs_index = [
+                    (r.da, r.db)
+                    for r in probe_minhash_index(
+                        spark, index_dir, batch_df, k, threshold, new_prof=prof
+                    ).collect()
+                ]
+            # docs already in the index are immutable prior acceptances
+            indexed = {x for p in vs_index for x in p} - set(ids)
+            accepted = greedy_accept(
+                ids, within + vs_index, pre_accepted=indexed
+            )
+            # join against a keep-frame, not isin(): the accepted list
+            # is batch-sized and an In-literal of thousands of ids
+            # bloats the plan; a broadcast semi-join is the cheap form.
+            # Schema comes from the batch so non-long doc_id types keep
+            # working.
+            id_type = batch_df.schema["doc_id"].dataType
+            keep_df = F.broadcast(
+                spark.createDataFrame(
+                    [(d,) for d in ids if d in accepted],
+                    T.StructType([T.StructField("doc_id", id_type)]),
+                )
+            )
+            kept = batch_df.join(keep_df, "doc_id", "semi")
         (
             kept.select(
                 "doc_id",
@@ -179,13 +227,19 @@ def stream_dedup_on_ingest(
             .write.mode("append")
             .parquet(accepted_dir)
         )
+        # keep_df already carries the broadcast hint on the driver path;
+        # the distributed path leaves the join strategy to AQE (the
+        # accepted frame may be arbitrarily large there)
         _append_profile_to_index(
-            prof.join(F.broadcast(keep_df), "doc_id", "semi"), index_dir
+            prof.join(keep_df, "doc_id", "semi"), index_dir
         )
         # bound checkpoint storage to one batch: without the explicit
         # release, block cleanup waits on Python->JVM GC and earlier
         # batches' shingle-heavy blocks pile up across a long run
         prof.unpersist()
+        if distributed_accept:
+            pairs_df.unpersist()
+            keep_df.unpersist()
 
     ctx = (
         tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_")

@@ -902,3 +902,85 @@ def test_emb_e2e_funnel_consistent_with_semdedup_report(spark, emb):
     assert rows[1].n_in == rows[0].n_out
     for r in rows:
         assert 0 <= r.n_out <= r.n_in and r.n_dropped == r.n_in - r.n_out
+
+
+def test_greedy_mis_distributed_matches_sequential(spark):
+    """greedy_mis_in_id_order must reproduce the sequential greedy
+    acceptance exactly — on the worst-case ascending chain (evens
+    survive), with pre-accepted seeds, and on the real corpus pair
+    graph."""
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import greedy_accept
+
+    def run(ids, pairs, pre=()):
+        ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        pairs_df = (
+            spark.createDataFrame(list(pairs), "da long, db long")
+            if pairs
+            else spark.createDataFrame([], "da long, db long")
+        )
+        pre_df = (
+            spark.createDataFrame([(i,) for i in pre], "doc_id long")
+            if pre
+            else None
+        )
+        got = {
+            r.doc_id
+            for r in dedup.greedy_mis_in_id_order(
+                ids_df, pairs_df, pre_accepted=pre_df
+            ).collect()
+        }
+        want = greedy_accept(list(ids), list(pairs), pre_accepted=set(pre)) - set(pre)
+        assert got == want, (sorted(got), sorted(want))
+        return got
+
+    # ascending chain: evens accepted
+    assert run(range(8), [(i, i + 1) for i in range(7)]) == {0, 2, 4, 6}
+    # pre-accepted index doc 100 knocks out batch doc 0 regardless of order
+    assert run([0, 1, 2], [(0, 100), (1, 2)], pre=[100]) == {1}
+    # triangle + isolated node
+    assert run([5, 6, 7, 9], [(5, 6), (6, 7), (5, 7)]) == {5, 9}
+
+
+def test_greedy_mis_distributed_matches_sequential_random(spark):
+    """Property check on seeded random graphs (driver-side ground
+    truth) — the frontier iteration must agree with sequential greedy
+    for arbitrary toplogies, not just planted shapes."""
+    import random as _random
+
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import greedy_accept
+
+    rng = _random.Random(7)
+    for trial in range(4):
+        n = rng.randint(5, 25)
+        ids = list(range(n))
+        pairs = sorted(
+            {
+                (a, b)
+                for a in ids
+                for b in ids
+                if a < b and rng.random() < 0.15
+            }
+        )
+        pre = [x + 1000 for x in range(rng.randint(0, 2))]
+        for p in pre:
+            if ids:
+                pairs.append((rng.choice(ids), p))
+        ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        pairs_df = (
+            spark.createDataFrame(pairs, "da long, db long")
+            if pairs
+            else spark.createDataFrame([], "da long, db long")
+        )
+        pre_df = (
+            spark.createDataFrame([(i,) for i in pre], "doc_id long")
+            if pre
+            else None
+        )
+        got = {
+            r.doc_id
+            for r in dedup.greedy_mis_in_id_order(
+                ids_df, pairs_df, pre_accepted=pre_df
+            ).collect()
+        }
+        want = greedy_accept(ids, pairs, pre_accepted=set(pre)) - set(pre)
+        assert got == want, (trial, sorted(got), sorted(want))

@@ -395,3 +395,36 @@ def test_stream_dedup_ingest_enforces_batch_row_cap(spark, tmp_path):
     )
     got = {r.doc_id for r in spark.read.parquet(accepted_dir).collect()}
     assert got == set(range(6))
+
+
+def test_stream_dedup_ingest_distributed_accept_matches_driver_path(spark, tmp_path):
+    """distributed_accept=True must accept the IDENTICAL doc set as the
+    default driver-side greedy, with no driver collection and no batch
+    cap — same source, fresh indexes for each."""
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        stream_dedup_on_ingest,
+        stream_documents_dir,
+    )
+    from tests.conftest import SF_SMALL
+
+    src = tmp_path / "src"
+    load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    ).coalesce(1).write.parquet(str(src))
+
+    a_dir = stream_dedup_on_ingest(
+        stream_documents_dir(spark, str(src)),
+        index_dir=str(tmp_path / "idx_driver"),
+        accepted_dir=str(tmp_path / "acc_driver"),
+    )
+    b_dir = stream_dedup_on_ingest(
+        stream_documents_dir(spark, str(src)),
+        index_dir=str(tmp_path / "idx_dist"),
+        accepted_dir=str(tmp_path / "acc_dist"),
+        distributed_accept=True,
+        max_batch_rows=1,  # must be ignored on the distributed path
+    )
+    a = {r.doc_id for r in spark.read.parquet(a_dir).collect()}
+    b = {r.doc_id for r in spark.read.parquet(b_dir).collect()}
+    assert a == b and a
