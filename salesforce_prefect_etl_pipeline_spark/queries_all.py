@@ -49,12 +49,12 @@ _PRUNE = {
 #: path), ann_pq_topk (lookup tables now ride a broadcast relation),
 #: and agg_approx_percentile_price (first oracle — the sketch's
 #: rank-error contract);
-#: (2) 27 of the 41-query round-5-stale cohort (streaming, events,
-#: the q-family, sql_*, asof clicks, ann/embedding). The 14
+#: (2) 25 of the 41-query round-5-stale cohort (streaming, events,
+#: the q-family, sql_*, asof clicks). The 16
 #: slipping past slot 50 (spec_* compiler cores, text unigram/bigram/
 #: rolling/bpe-estimate, agg corr/mode, media_audio_stats,
-#: corpus_shard_assignment, dedup_chunk_overlap, dedup_simhash_pairs)
-#: front the r9 window;
+#: corpus_shard_assignment, dedup_chunk_overlap, dedup_simhash_pairs,
+#: ann_cosine_topk, emb_near_dup_pairs) front the r9 window;
 #: all stay green in the local 100%-registry sweep
 #: (tools/check_oracle.py), as do the 2 remaining no-oracle sketches
 #: (agg_approx_distinct_suppliers, ann_ivf_probe — pytest accuracy
@@ -84,6 +84,8 @@ _PRIORITY = [
     "ann_pq_topk",  # broadcast lookup-table rewrite
     "agg_approx_percentile_price",  # rank-error contract oracle (new)
     "media_phash_families",  # new: family-collapsed image near-dup
+    "ann_ivf_probe_appended",  # new: frozen-centroid index append, probed
+    "emb_e2e_curation",  # new: SemDeDup -> balanced-sample funnel
     # --- tier 2: the round-5-stale cohort (28 of 41) ---
     "streaming_events_hourly",
     "streaming_sessionization",
@@ -110,8 +112,6 @@ _PRIORITY = [
     "sql_q5_local_supplier",
     "sql_orders_above_avg",
     "join_asof_clicks_to_purchases",
-    "ann_cosine_topk",
-    "emb_near_dup_pairs",
 ]
 
 
