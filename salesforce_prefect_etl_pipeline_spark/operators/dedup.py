@@ -25,6 +25,7 @@ reproducible run-to-run and cluster-to-cluster.
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -767,6 +768,69 @@ def build_minhash_index(docs: DataFrame, index_dir: str, k: int = 8) -> None:
     )
 
 
+def compact_minhash_index(
+    spark: SparkSession,
+    index_dir: str,
+    drop_doc_ids: DataFrame | None = None,
+) -> dict:
+    """Index maintenance between rebuilds: rewrite ``bands/`` and
+    ``profiles/`` (1) deduplicating rows an at-least-once replayed
+    ingest batch re-appended (harmless for correctness — candidate
+    generation applies distinct() — but they inflate every probe's
+    scan), and (2) physically dropping ``drop_doc_ids`` (documents
+    retracted by a later curation pass; the ingest contract itself
+    never retracts). The rewrite is staged into temp dirs and swapped
+    via the same two-rename commit discipline as ``merge_snapshot``
+    (crash before the swap leaves the old index intact). Returns
+    before/after row counts per component — the report a maintenance
+    job logs. Probe results over a compacted index are IDENTICAL
+    (pytest-asserted): dedup and tombstone-drop change bytes, not
+    candidates."""
+    import shutil
+
+    stats: dict = {}
+    drops = (
+        drop_doc_ids.select(F.col(drop_doc_ids.columns[0]).alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+        if drop_doc_ids is not None
+        else None
+    )
+    for comp, keys in (("bands", ["doc_id", "band", "key"]), ("profiles", None)):
+        path = f"{index_dir}/{comp}"
+        cur = spark.read.parquet(path)
+        before = cur.count()
+        if keys is not None:
+            new = cur.select(*keys).distinct()
+        else:
+            # profiles: one row per doc survives (replays append
+            # identical rows; keep-first is deterministic here because
+            # replayed rows are value-identical)
+            new = dedup_keep_first(cur, "doc_id")
+        if drops is not None:
+            new = new.join(drops, "doc_id", "anti")
+        tmp = f"{index_dir}/.__compact_{comp}__"
+        writer = new.write.mode("overwrite")
+        if comp == "bands":
+            writer = (
+                new.repartition("band")
+                .sortWithinPartitions("key")
+                .write.mode("overwrite")
+                .partitionBy("band")
+            )
+        writer.parquet(tmp)
+        after = spark.read.parquet(tmp).count()
+        old = f"{index_dir}/.__compact_old_{comp}__"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        stats[comp] = {"before": before, "after": after}
+    if drops is not None:
+        drops.unpersist()
+    return stats
+
+
 def probe_minhash_index(
     spark: SparkSession,
     index_dir: str,
@@ -1180,6 +1244,7 @@ def greedy_mis_in_id_order(
         new_acc = undecided.join(new_rej, "v", "anti").join(
             has_und_smaller, "v", "anti"
         )
+        prev = (accepted, rejected, undecided)
         accepted = accepted.union(new_acc).localCheckpoint(eager=True)
         rejected = rejected.union(new_rej).localCheckpoint(eager=True)
         undecided = (
@@ -1187,7 +1252,17 @@ def greedy_mis_in_id_order(
             .join(new_rej, "v", "anti")
             .localCheckpoint(eager=True)
         )
-    if not undecided.isEmpty():
+        # eager checkpoints above are independent RDDs — release the
+        # previous round's blocks instead of waiting on GC (three
+        # frames per round pile up across a long frontier otherwise)
+        for f in prev:
+            f.unpersist()
+    smaller.unpersist()
+    nodes.unpersist()
+    rejected.unpersist()
+    converged = undecided.isEmpty()
+    undecided.unpersist()
+    if not converged:
         raise RuntimeError(
             f"greedy MIS frontier did not converge in {max_iterations} "
             "rounds — the pair graph has an ascending dependency chain "

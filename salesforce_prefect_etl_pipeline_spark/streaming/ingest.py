@@ -115,9 +115,13 @@ def stream_dedup_on_ingest(
     state, so a replayed batch re-derives the SAME accepted rows and
     appends duplicates of them — readers MUST dedup the manifest by
     doc_id (the registered query does), and duplicate index signatures
-    are harmless because candidate generation applies distinct() on
-    pairs. The same at-least-once -> exactly-once composition as
-    stream_upsert_snapshot, with the dedup on the read side."""
+    are harmless for the accept decision (candidate generation applies
+    distinct(), and duplicated pair rows don't change greedy
+    acceptance) though they do duplicate verified-pair rows and
+    inflate probe scans — ``dedup.compact_minhash_index`` reclaims
+    them between rebuilds. The same at-least-once -> exactly-once
+    composition as stream_upsert_snapshot, with the dedup on the read
+    side."""
     spark = stream_docs.sparkSession
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:

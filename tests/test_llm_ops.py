@@ -984,3 +984,59 @@ def test_greedy_mis_distributed_matches_sequential_random(spark):
         }
         want = greedy_accept(ids, pairs, pre_accepted=set(pre)) - set(pre)
         assert got == want, (trial, sorted(got), sorted(want))
+
+
+def test_compact_minhash_index_preserves_probes_and_drops_tombstones(spark, docs, tmp_path):
+    """Compaction contract: after a replayed append doubled every index
+    row, compaction (1) restores the original row counts, (2) leaves
+    probe results IDENTICAL, and (3) physically drops retracted docs so
+    they stop appearing as index-side pair endpoints."""
+    from salesforce_prefect_etl_pipeline_spark.operators.corpus import split_bucket
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        _append_profile_to_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus_side = docs.filter(split_bucket(F.col("doc_id")) < 80)
+    increment = docs.filter(split_bucket(F.col("doc_id")) >= 80)
+    dedup.build_minhash_index(corpus_side, idx)
+    bands0 = spark.read.parquet(f"{idx}/bands").count()
+    profs0 = spark.read.parquet(f"{idx}/profiles").count()
+
+    # simulate an at-least-once replay: append the same corpus again
+    _append_profile_to_index(dedup.minhash_profile(corpus_side, 8), idx)
+    assert spark.read.parquet(f"{idx}/bands").count() == 2 * bands0
+
+    before_rows = [
+        (r.da, r.db, r.jaccard)
+        for r in dedup.probe_minhash_index(spark, idx, increment).collect()
+    ]
+    # replay-doubled PROFILES duplicate every verified pair row — the
+    # read-side artifact compaction exists to remove
+    assert len(before_rows) == 2 * len(set(before_rows))
+    before = set(before_rows)
+    stats = dedup.compact_minhash_index(spark, idx)
+    assert stats["bands"] == {"before": 2 * bands0, "after": bands0}
+    assert stats["profiles"] == {"before": 2 * profs0, "after": profs0}
+    after_rows = [
+        (r.da, r.db, r.jaccard)
+        for r in dedup.probe_minhash_index(spark, idx, increment).collect()
+    ]
+    assert len(after_rows) == len(set(after_rows)), "dup rows must be gone"
+    assert set(after_rows) == before and before, "probes must survive compaction"
+
+    # retract one indexed endpoint -> its pairs disappear
+    first = min(before)
+    victim = first[0] if first[0] not in {
+        r.doc_id for r in increment.select("doc_id").collect()
+    } else first[1]
+    drop = spark.createDataFrame([(victim,)], "doc_id long")
+    dedup.compact_minhash_index(spark, idx, drop_doc_ids=drop)
+    final = sorted(
+        (r.da, r.db)
+        for r in dedup.probe_minhash_index(spark, idx, increment).collect()
+    )
+    assert all(victim not in p for p in final)
+    assert final == sorted(
+        (a, b) for a, b, _ in before if victim not in (a, b)
+    )

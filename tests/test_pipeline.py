@@ -733,3 +733,61 @@ def test_paged_extract_duplicated_page_composes_to_exactly_once(spark, tmp_path)
     again = {r.Id: (r.Amount, r.SystemModstamp)
              for r in spark.read.parquet(snap).collect()}
     assert again == rows
+
+
+def test_tpch_style_refresh_stream_maintains_aggregates(spark, tmp_path):
+    """TPC-H's refresh-stream shape (RF1 insert batch / RF2 delete
+    batch) over the merge-load machinery: after each refresh, an
+    aggregate over the LIVE snapshot must equal recomputing it from
+    the logically-current row set — inserts land, deletes hide, and a
+    replayed refresh changes nothing."""
+    from pyspark.sql import functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.sources.io import (
+        merge_snapshot,
+        read_live_snapshot,
+    )
+
+    snap = str(tmp_path / "orders_snap")
+    schema = (
+        "o_orderkey long, o_totalprice double, o_version string,"
+        " o_deleted boolean"
+    )
+
+    def agg(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")
+        ).collect()[0]
+        return row.n, row.s
+
+    base = spark.createDataFrame(
+        [(i, 100.0 + i, "v1", False) for i in range(20)], schema
+    )
+    merge_snapshot(spark, snap, base, key="o_orderkey", version_col="o_version")
+    assert agg(read_live_snapshot(spark, snap, "o_deleted")) == agg(base)
+
+    # RF1: insert 5 new orders
+    rf1 = spark.createDataFrame(
+        [(100 + i, 500.0, "v2", False) for i in range(5)], schema
+    )
+    merge_snapshot(spark, snap, rf1, key="o_orderkey", version_col="o_version")
+    live = read_live_snapshot(spark, snap, "o_deleted")
+    assert agg(live) == (25, sum(100.0 + i for i in range(20)) + 5 * 500.0)
+
+    # RF2: delete the 5 oldest via tombstones
+    rf2 = spark.createDataFrame(
+        [(i, 0.0, "v3", True) for i in range(5)], schema
+    )
+    merge_snapshot(spark, snap, rf2, key="o_orderkey", version_col="o_version")
+    live = read_live_snapshot(spark, snap, "o_deleted")
+    assert agg(live) == (20, sum(100.0 + i for i in range(5, 20)) + 5 * 500.0)
+
+    # replayed RF2 (at-least-once) changes nothing, and a replayed
+    # STALE RF1 row cannot resurrect a deleted key
+    merge_snapshot(spark, snap, rf2, key="o_orderkey", version_col="o_version")
+    stale_insert = spark.createDataFrame([(3, 103.0, "v1", False)], schema)
+    merge_snapshot(
+        spark, snap, stale_insert, key="o_orderkey", version_col="o_version"
+    )
+    live = read_live_snapshot(spark, snap, "o_deleted")
+    assert agg(live) == (20, sum(100.0 + i for i in range(5, 20)) + 5 * 500.0)
