@@ -1076,6 +1076,36 @@ register_query(
     ),
     dedup.containment_lsh_pairs_sql(k=8, threshold=0.8),
 )
+
+
+def _dedup_greedy_distributed(spark, sf_dir: str):
+    """Whole-corpus greedy dedup via the DISTRIBUTED frontier MIS
+    (dedup.greedy_mis_in_id_order) over the memoized LSH pairs — the
+    decision engine behind stream_dedup_on_ingest's
+    distributed_accept=True, exercised here batch-style so the hard
+    correctness gate covers it: the oracle replays sequential greedy
+    acceptance as a pair-endpoint-bounded recursive CTE (identical to
+    streaming_dedup_ingest's, because a single batch over an empty
+    index IS the whole-corpus greedy)."""
+    docs = _docs(spark, sf_dir)
+    pairs = _minhash_pairs_cached(spark, sf_dir).select("da", "db")
+    acc = dedup.greedy_mis_in_id_order(docs.select("doc_id"), pairs)
+    return (
+        docs.join(acc, "doc_id", "semi")
+        .select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (  # noqa: E402
+    greedy_accept_sql,
+)
+
+register_query(
+    "dedup_greedy_accept_distributed",
+    _dedup_greedy_distributed,
+    greedy_accept_sql(dedup.minhash_lsh_pairs_sql(k=8, threshold=0.8)),
+)
 # Efraimidis–Spirakis weighted sample (token-count weights) with
 # md5-derived uniforms and quantized keys — deterministic, shuffle-free.
 register_query(
