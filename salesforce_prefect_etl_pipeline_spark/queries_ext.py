@@ -591,11 +591,12 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
-def agg_approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9's 100 TB path: HyperLogLog++ approximate distinct counts
-    (constant memory per group vs exact distinct's shuffle of every
-    distinct value). No SQL oracle — HLL sketches are engine-specific —
-    the accuracy contract (<5% error vs exact) is tested in pytest."""
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9's 100 TB path, raw form: HyperLogLog++ approximate distinct
+    counts (constant memory per group vs exact distinct's shuffle of
+    every distinct value). Sketch values are engine-specific, so this
+    raw form carries the <5%-error pytest; the REGISTERED query wraps
+    it in the hashable error-contract check below."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -605,6 +606,54 @@ def agg_approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("l_returnflag")
     )
+
+
+def agg_approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct sketch oracled by its error model: rsd=0.02 is
+    the sketch's relative STANDARD DEVIATION, so a 10-sigma band
+    (|approx - exact| <= 20% of exact) holds with near-certainty for a
+    correct implementation while any real breakage (wrong register
+    merge, wrong column) lands far outside it. The query computes both
+    the sketch and the exact distinct counts and emits contract
+    booleans plus the deterministic exact values; the oracle replays
+    the contract (exact counts + TRUE). Same posture as
+    agg_approx_percentile_price — a sketch violating its own
+    documented accuracy hash-mismatches instead of hiding behind
+    "no oracle". (The tighter 5% accuracy expectation stays in
+    pytest.)"""
+    sk = approx_distinct_sketch(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+    def ok(approx: str, ex: str):
+        return (
+            F.abs(F.col(approx) - F.col(ex))
+            <= F.lit(0.2) * F.col(ex).cast("double")
+        )
+
+    return (
+        sk.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("exact_suppliers").cast("long").alias("exact_suppliers"),
+            F.col("exact_parts").cast("long").alias("exact_parts"),
+            ok("approx_suppliers", "exact_suppliers").alias("suppliers_within_20pct"),
+            ok("approx_parts", "exact_parts").alias("parts_within_20pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+APPROX_DISTINCT_CONTRACT_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS suppliers_within_20pct, TRUE AS parts_within_20pct
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
 
 
 def agg_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1867,7 +1916,7 @@ for _name, _fn, _sql in [
     ("grouping_sets_lineitem", grouping_sets_lineitem, GROUPING_SETS_SQL),
     ("pivot_status_by_priority", pivot_status_by_priority, PIVOT_DF_SQL),
     ("agg_distinct_suppliers_per_flag", agg_distinct_suppliers_per_flag, DISTINCT_AGG_SQL),
-    ("agg_approx_distinct_suppliers", agg_approx_distinct_suppliers, None),
+    ("agg_approx_distinct_suppliers", agg_approx_distinct_suppliers, APPROX_DISTINCT_CONTRACT_SQL),
     ("agg_median_acctbal_by_nation", agg_median_acctbal_by_nation, MEDIAN_SQL),
     ("agg_corr_price_qty", agg_corr_price_qty, AGG_CORR_SQL),
     ("agg_stddev_acctbal_by_segment", agg_stddev_acctbal_by_segment, STDDEV_SQL),

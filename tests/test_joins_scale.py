@@ -73,8 +73,8 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
 def test_approx_distinct_accuracy(spark):
     from salesforce_prefect_etl_pipeline_spark.queries_ext import (
-        agg_approx_distinct_suppliers,
         agg_distinct_suppliers_per_flag,
+        approx_distinct_sketch,
     )
 
     exact = {
@@ -83,7 +83,7 @@ def test_approx_distinct_accuracy(spark):
     }
     approx = {
         r.l_returnflag: (r.approx_suppliers, r.approx_parts)
-        for r in agg_approx_distinct_suppliers(spark, SF_SMALL).collect()
+        for r in approx_distinct_sketch(spark, SF_SMALL).collect()
     }
     for flag, (es, ep) in exact.items():
         as_, ap = approx[flag]
