@@ -1078,6 +1078,55 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured props: parse_json
+    ONCE into a binary-encoded VARIANT column, then typed
+    ``variant_get`` extractions — repeated field access decodes the
+    compact binary form instead of re-parsing the JSON string per
+    expression (the reason a 100 TB event pipeline stores props as
+    VARIANT, not VARCHAR). Exercised semantics: a present path typed
+    as long, a MISSING path through ``try_variant_get`` (NULL, not an
+    error — the count proves every row misses it), and
+    ``schema_of_variant`` type introspection carried through the
+    aggregation. Doubles are summed with the engine's
+    order-independent exact_sum so the result value-hashes."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    rows = ev.select(
+        F.floor(k / 10).cast("long").alias("k_decade"),
+        k.alias("k"),
+        F.try_variant_get(v, "$.absent", "long").alias("absent"),
+        F.schema_of_variant(v).alias("vschema"),
+        "value",
+    )
+    return (
+        rows.groupBy("k_decade")
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            F.sum("k").alias("sum_k"),
+            F.count("absent").alias("n_absent_nonnull"),
+            F.countDistinct("vschema").alias("n_schemas"),
+            exact_sum("value").alias("sum_value"),
+        )
+        .orderBy("k_decade")
+    )
+
+
+EVENTS_VARIANT_SQL = f"""
+SELECT CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0)
+            AS BIGINT) AS k_decade,
+       COUNT(*) AS records,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(COUNT(TRY_CAST(json_extract_string(props, '$.absent') AS BIGINT))
+            AS BIGINT) AS n_absent_nonnull,
+       CAST(COUNT(DISTINCT json_structure(props)) AS BIGINT) AS n_schemas,
+       {exact_sum_sql('value')} AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def join_salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted fact join (operators/joins.py): lineitem probe rows
     scatter over 8 salts, the orders build side replicates 8x, and the
@@ -1922,6 +1971,7 @@ for _name, _fn, _sql in [
     ("agg_stddev_acctbal_by_segment", agg_stddev_acctbal_by_segment, STDDEV_SQL),
     ("orders_by_month", orders_by_month, ORDERS_BY_MONTH_SQL),
     ("events_json_extract", events_json_extract, EVENTS_JSON_SQL),
+    ("events_props_variant", events_props_variant, EVENTS_VARIANT_SQL),
     ("join_salted_revenue_by_priority", join_salted_revenue_by_priority, SALTED_JOIN_SQL),
     ("events_props_explode", events_props_explode, EVENTS_PROPS_EXPLODE_SQL),
     ("lineitem_unpivot_stats", lineitem_unpivot_stats, LINEITEM_UNPIVOT_SQL),
