@@ -49,12 +49,13 @@ _PRUNE = {
 #: path), ann_pq_topk (lookup tables now ride a broadcast relation),
 #: and agg_approx_percentile_price (first oracle — the sketch's
 #: rank-error contract);
-#: (2) 25 of the 41-query round-5-stale cohort (streaming, events,
-#: the q-family, sql_*, asof clicks). The 16
+#: (2) 23 of the 41-query round-5-stale cohort (streaming, events,
+#: the q-family, asof clicks). The 18
 #: slipping past slot 50 (spec_* compiler cores, text unigram/bigram/
 #: rolling/bpe-estimate, agg corr/mode, media_audio_stats,
 #: corpus_shard_assignment, dedup_chunk_overlap, dedup_simhash_pairs,
-#: ann_cosine_topk, emb_near_dup_pairs) front the r9 window;
+#: ann_cosine_topk, emb_near_dup_pairs, sql_q5_local_supplier,
+#: sql_orders_above_avg) front the r9 window;
 #: all stay green in the local 100%-registry sweep
 #: (tools/check_oracle.py), as do the 2 remaining no-oracle sketches
 #: (agg_approx_distinct_suppliers, ann_ivf_probe — pytest accuracy
@@ -86,6 +87,8 @@ _PRIORITY = [
     "media_phash_families",  # new: family-collapsed image near-dup
     "ann_ivf_probe_appended",  # new: frozen-centroid index append, probed
     "emb_e2e_curation",  # new: SemDeDup -> balanced-sample funnel
+    "dedup_greedy_accept_distributed",  # new: frontier MIS, hard-gated
+    "events_props_variant",  # new: Spark-4 VariantType path
     # --- tier 2: the round-5-stale cohort (28 of 41) ---
     "streaming_events_hourly",
     "streaming_sessionization",
@@ -109,8 +112,6 @@ _PRIORITY = [
     "q20_dominant_suppliers",
     "q21_suppliers_kept_waiting",
     "q22_idle_balance",
-    "sql_q5_local_supplier",
-    "sql_orders_above_avg",
     "join_asof_clicks_to_purchases",
 ]
 
