@@ -586,6 +586,68 @@ def probe_ivf(
     )
 
 
+def probe_ivf_exact_within_lists(
+    spark,
+    index_dir: str,
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Independent exact top-k WITHIN the probed lists — the
+    verification half of ``ann_ivf_probe``'s contract oracle. Same
+    probe-list selection as ``probe_ivf`` (that selection IS the
+    approximation boundary and is covered by recall pytests), but the
+    candidate VECTORS are re-joined from the raw ``emb`` source table
+    instead of trusting the index's embedding copies: the index
+    contributes only candidate membership (list_id, vec_id — a pruned
+    2-column ReadSchema). A stale or corrupt index copy, a dropped
+    candidate, or a re-rank bug in probe_ivf therefore diverges from
+    this frame. Deterministic tie-break (qcos desc, neighbor_id asc)
+    matches probe_ivf so positional equality is exact."""
+    cents = centroids if centroids is not None else load_ivf_centroids(spark, index_dir)
+    probe_rows = []
+    for qid, vec in queries:
+        qv = np.array(vec, dtype=np.float64)
+        qsims = np.floor(((qv / np.linalg.norm(qv)) @ cents.T) * 1e6).astype(np.int64)
+        for lid in np.argsort(-qsims, kind="stable")[:nprobe]:
+            probe_rows.append((qid, [float(v) for v in vec], int(lid)))
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qvec", T.ArrayType(T.FloatType())),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
+    probes = spark.createDataFrame(probe_rows, probe_schema)
+    probe_lists = sorted({r[2] for r in probe_rows})
+
+    members = (
+        spark.read.parquet(f"{index_dir}/lists")
+        .filter(F.col("list_id").isin(probe_lists))
+        .select("list_id", "vec_id")
+    )
+    cand = members.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.join(
+        emb.select(F.col("vec_id"), F.col("embedding").alias("src_embedding")),
+        "vec_id",
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        qcos(F.col("qvec"), F.col("src_embedding")).alias("qcos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "qcos")
+        .orderBy("query_id", "rnk")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -39,80 +39,80 @@ _PRUNE = {
 #: follows in raw registration order. Unknown names are ignored so the
 #: list may reference queries introduced in a later module version.
 #:
-#: Round-8 window, two tiers filling the 50-slot gate exactly:
-#: (1) every query that has NEVER had a driver row (the r7 verdict's
-#: 19-query list: the late-r7 media/semdedup/bloom/histogram/provenance/
-#: mixture/gate family, the asof forward/nearest pair, percentile
-#: ranks, triangles, seasonal/MAD/chi2, the recursive month spine and
-#: the outer click attribution) plus the queries born or changed THIS
-#: round: dedup_containment_lsh (new one-sided containment scale
-#: path), ann_pq_topk (lookup tables now ride a broadcast relation),
-#: and agg_approx_percentile_price (first oracle — the sketch's
-#: rank-error contract);
-#: (2) 23 of the 41-query round-5-stale cohort (streaming, events,
-#: the q-family, asof clicks). The 18
-#: slipping past slot 50 (spec_* compiler cores, text unigram/bigram/
-#: rolling/bpe-estimate, agg corr/mode, media_audio_stats,
-#: corpus_shard_assignment, dedup_chunk_overlap, dedup_simhash_pairs,
-#: ann_cosine_topk, emb_near_dup_pairs, sql_q5_local_supplier,
-#: sql_orders_above_avg) front the r9 window;
-#: all stay green in the local 100%-registry sweep
-#: (tools/check_oracle.py), as do the 2 remaining no-oracle sketches
-#: (agg_approx_distinct_suppliers, ann_ivf_probe — pytest accuracy
-#: contracts).
+#: Round-9 window, retiring the pre-r7 staleness debt (r8 verdict task
+#: 1) with two tiers filling the 50-slot gate exactly:
+#: (1) the 20 oldest hard-signal rows: the 18-query round-5-stale
+#: cohort that slipped past slot 50 last round (spec_* compiler cores,
+#: text unigram/bigram/rolling/bpe-estimate, agg corr/mode,
+#: media_audio_stats, corpus_shard_assignment, dedup_chunk_overlap,
+#: dedup_simhash_pairs, ann_cosine_topk, emb_near_dup_pairs,
+#: sql_q5_local_supplier, sql_orders_above_avg) plus
+#: agg_approx_distinct_suppliers (last row r2; its 10-sigma
+#: error-contract oracle has never seen a driver run) and
+#: ann_ivf_probe (last row r2; gains its within-probed-lists contract
+#: oracle THIS round);
+#: (2) 30 of the 43-query round-6 cohort. The 13 deferred to r10 each
+#: have an in-window sibling exercising the same code path this round
+#: (set_{union,intersect,except}_nationkeys, sql_union_all_counts,
+#: sql_pivot_counts, window_{running_total,first_last_order,
+#: ntile_order_quartiles,rank_nations_by_acctbal},
+#: qa_profile_orders_topk, corpus_pack_stats, emb_cluster_sample,
+#: media_frame_sample) and stay green in the local 100%-registry sweep
+#: (tools/check_oracle.py).
 _PRIORITY = [
-    # --- tier 1: first-ever driver rows + this round's changes ---
-    "corpus_multimodal_gate",  # memoized + cache-released this round
-    "media_phash_near_dup",
-    "media_audio_near_dup",
-    "media_video_near_dup",
-    "emb_semdedup_prune",
-    "dedup_bloom_snapshot",
-    "dedup_cluster_size_histogram",
-    "dedup_containment_lsh",  # new: one-sided containment LSH
-    "corpus_shard_provenance",
-    "corpus_mixture_plan",
-    "corpus_mixture_sample",
-    "events_seasonal_anomalies",
-    "events_mad_outliers",
-    "agg_chi2_type_by_daypart",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "window_percentile_ranks",
-    "graph_nation_triangles",
-    "sql_recursive_month_spine",
-    "streaming_click_attribution_outer",
-    "ann_pq_topk",  # broadcast lookup-table rewrite
-    "agg_approx_percentile_price",  # rank-error contract oracle (new)
-    "media_phash_families",  # new: family-collapsed image near-dup
-    "ann_ivf_probe_appended",  # new: frozen-centroid index append, probed
-    "emb_e2e_curation",  # new: SemDeDup -> balanced-sample funnel
-    "dedup_greedy_accept_distributed",  # new: frontier MIS, hard-gated
-    "events_props_variant",  # new: Spark-4 VariantType path
-    # --- tier 2: the round-5-stale cohort (28 of 41) ---
-    "streaming_events_hourly",
-    "streaming_sessionization",
-    "streaming_dedup_user_counts",
-    "streaming_enriched_segment_counts",
-    "streaming_click_attribution",
-    "events_json_extract",
-    "events_props_explode",
-    "events_hourly_by_type",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_session_sequences",
-    "events_transition_counts",
-    "events_sessionization",
-    "events_sliding_counts",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q12_ship_latency",
-    "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    "q21_suppliers_kept_waiting",
-    "q22_idle_balance",
-    "join_asof_clicks_to_purchases",
+    # --- tier 1: the 20 oldest driver rows (r5 cohort + the two
+    # sketch queries stuck at r2) ---
+    "spec_orders_by_status",
+    "spec_orders_by_missing_channel",
+    "spec_orders_missing_metric",
+    "spec_lineitem_global",
+    "text_unigram_familiarity",
+    "text_bigram_counts",
+    "text_rolling_fingerprint",
+    "text_bpe_token_estimate",
+    "agg_corr_price_qty",
+    "agg_mode_priority_by_segment",
+    "media_audio_stats",
+    "corpus_shard_assignment",
+    "dedup_chunk_overlap",
+    "dedup_simhash_pairs",
+    "ann_cosine_topk",
+    "emb_near_dup_pairs",
+    "sql_q5_local_supplier",
+    "sql_orders_above_avg",
+    "agg_approx_distinct_suppliers",  # r2; error-contract oracle, never driver-run
+    "ann_ivf_probe",  # r2; within-probed-lists contract oracle new this round
+    # --- tier 2: 30 of the round-6-stale cohort ---
+    "agg_mad_value_by_type",
+    "ann_ivf_probe_exact",
+    "ann_srp_topk",
+    "corpus_canonical_by_quality",
+    "corpus_pack_documents",
+    "corpus_pii_scan",
+    "corpus_stratified_sample",
+    "corpus_training_manifest",
+    "emb_cluster_mix",
+    "emb_near_dup_banded",
+    "media_decode_stats",
+    "media_feature_stats",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "qa_profile_orders",
+    "sql_correlated_exists",
+    "sql_embedding_dim_stats",
+    "sql_in_subquery_having",
+    "text_chunk_fingerprints",
+    "text_cms_top_tokens",
+    "text_tfidf_top_terms",
+    "window_order_gap_days",
+    "window_top3_orders_per_customer",
 ]
 
 

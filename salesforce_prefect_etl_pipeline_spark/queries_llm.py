@@ -463,8 +463,89 @@ register_query(
 # partitioned by list_id, probes read only ~nprobe/nlist of the corpus via
 # partition pruning. The legacy one-shot ivf_topk (train+assign per call)
 # is a test-only helper, no longer registered; tests assert probe results
-# equal the one-shot for the same seed. Approximate -> rows-only.
-register_query("ann_ivf_probe", _ivf_probe_query)
+# equal the one-shot for the same seed.
+#
+# Oracle posture (r8 verdict task 2): the Lloyd's-refined centroids are
+# float-iterative and NOT SQL-replayable, but the approximation boundary
+# is the nprobe list SELECTION, not the re-rank — GIVEN the probed
+# lists, the returned top-k must be the exact qcos top-k of those lists.
+# The registered query therefore recomputes that exact answer through an
+# independent path (candidate vec_ids from the index lists, vectors
+# re-joined from the RAW embeddings parquet — not the index's embedding
+# copies — scored and ranked with the same deterministic tie-break) and
+# emits per-hit contract booleans; the oracle replays the contract
+# (query_id x rank grid, all TRUE). A violation — dropped candidate,
+# re-rank bug, stale/corrupt embedding copy in the index — produces a
+# FALSE (or a missing row) and hash-mismatches. Recall vs the GLOBAL
+# exact top-k (the nprobe approximation itself) stays in pytest, as for
+# every sketch. Same posture as agg_approx_distinct_suppliers /
+# agg_approx_percentile_price.
+
+
+def _ivf_probe_contract_query(spark, sf_dir: str, k: int = 10, nprobe: int = 8):
+    index_dir = ensure_ivf_index(spark, sf_dir)
+    cents = _IVF_CENTROID_CACHE.get(index_dir)
+    if cents is None:
+        cents = similarity.load_ivf_centroids(spark, index_dir)
+        _IVF_CENTROID_CACHE[index_dir] = cents
+    qkey = (spark.sparkContext.applicationId, sf_dir)
+    qvecs = _QVEC_CACHE.get(qkey)
+    if qvecs is None:
+        qvecs = [
+            (r.vec_id, list(r.embedding))
+            for r in load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+            .collect()
+        ]
+        _QVEC_CACHE[qkey] = qvecs
+    probed = similarity.probe_ivf(
+        spark, index_dir, qvecs, k=k, nprobe=nprobe, centroids=cents
+    )
+    exact = similarity.probe_ivf_exact_within_lists(
+        spark,
+        index_dir,
+        _emb(spark, sf_dir),
+        qvecs,
+        k=k,
+        nprobe=nprobe,
+        centroids=cents,
+    )
+    ex = exact.select(
+        "query_id",
+        "rnk",
+        F.col("neighbor_id").alias("exact_neighbor_id"),
+        F.col("qcos").alias("exact_qcos"),
+    )
+    return (
+        probed.join(ex, ["query_id", "rnk"], "full_outer")
+        .select(
+            "query_id",
+            "rnk",
+            (
+                F.col("neighbor_id").isNotNull()
+                & (F.col("neighbor_id") == F.col("exact_neighbor_id"))
+            ).alias("in_probed_exact_topk"),
+            (
+                F.col("qcos").isNotNull() & (F.col("qcos") == F.col("exact_qcos"))
+            ).alias("qcos_matches_source"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _ivf_probe_contract_sql(k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+SELECT e.vec_id AS query_id, CAST(r.rnk AS INTEGER) AS rnk,
+       TRUE AS in_probed_exact_topk, TRUE AS qcos_matches_source
+FROM embeddings e
+CROSS JOIN (SELECT UNNEST(range(1, {k + 1})) AS rnk) r
+WHERE e.vec_id IN ({ids})
+ORDER BY query_id, rnk
+"""
+
+
+register_query("ann_ivf_probe", _ivf_probe_contract_query, _ivf_probe_contract_sql())
 
 
 def _ivf_probe_exact_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):

@@ -278,6 +278,42 @@ def test_ivf_index_lifecycle_prunes_partitions(spark, emb, tmp_path):
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in oneshot.collect()]
 
 
+def test_ivf_probe_contract_verifier(spark, emb, tmp_path):
+    """ann_ivf_probe's oracle contract: probe_ivf_exact_within_lists is
+    an independent recomputation (vectors from the SOURCE table, index
+    used only for candidate membership) that must positionally equal
+    probe_ivf — and must DIVERGE when the index's embedding copies go
+    stale, which is exactly the failure class the contract booleans
+    exist to catch."""
+    index_dir = str(tmp_path / "ivf")
+    cents = similarity.build_ivf_index(emb, index_dir, nlist=16)
+    qvecs = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin([1, 7, 42])).collect()
+    ]
+    probed = similarity.probe_ivf(
+        spark, index_dir, qvecs, k=10, nprobe=4, centroids=cents
+    )
+    exact = similarity.probe_ivf_exact_within_lists(
+        spark, index_dir, emb, qvecs, k=10, nprobe=4, centroids=cents
+    )
+    assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in exact.collect()]
+
+    # Negative: corrupt the source the verifier re-joins against (the
+    # moral equivalent of a stale index copy, from the other side) and
+    # the positional equality must break for at least one hit.
+    drifted = emb.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x + (F.col("vec_id") % 7).cast("float")),
+    )
+    drift_exact = similarity.probe_ivf_exact_within_lists(
+        spark, index_dir, drifted, qvecs, k=10, nprobe=4, centroids=cents
+    )
+    assert [tuple(r) for r in probed.collect()] != [
+        tuple(r) for r in drift_exact.collect()
+    ]
+
+
 def test_banded_near_dup_equals_brute_force_with_pruning(spark, emb):
     """On a corpus with planted high-cosine twins, the SRP-banded
     threshold-pairs operator must (a) return exactly the brute-force
