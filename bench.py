@@ -94,6 +94,12 @@ HEADLINE = [
     # New this round: the one-sided containment LSH scale path
     # (argmin-signature probe join + exact verification of survivors).
     "dedup_containment_lsh",
+    # Round-9 row: the distributed frontier-MIS greedy accept (the
+    # decision engine behind streaming dedup-on-ingest's
+    # distributed_accept path) — benched so its round count / shuffle
+    # growth gets a measured exponent in the sf1 scaling suite. Shares
+    # the memoized LSH pairs frame, so the row is the MIS marginal.
+    "dedup_greedy_accept_distributed",
     # corpus_e2e_curation DOES recompose stages benched above (minhash
     # signing/pairs + CC + packing), but it is the flagship end-to-end
     # pipeline a user actually runs, so its wall-clock belongs in the
@@ -139,22 +145,46 @@ def main() -> None:
 
     from salesforce_prefect_etl_pipeline_spark.queries_llm import _minhash_pairs_cached
 
-    # min-of-2 per query: single-shot timings on this box swing ~1.5x
-    # with VM noise (measured 38.7 s vs 57.0 s total for identical
-    # code); the min of two runs is attributable round-over-round.
+    # median-of-3 per query, spread reported: single-shot timings on this
+    # box swing ~1.5x with VM noise (measured 38.7 s vs 57.0 s total for
+    # identical code, and a round-8 audit burned time proving a 0.4 s
+    # query's apparent 1.5x "regression" was scheduling noise). The
+    # median is the attributable round-over-round number; the per-query
+    # [min, max] spread distinguishes a real shift (spreads separate)
+    # from noise (spreads overlap) without re-running.
+    from salesforce_prefect_etl_pipeline_spark.operators.multimodal import (
+        FamilySizeError,
+    )
+
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best, n = float("inf"), -1
-        for _ in range(2):
-            t0 = time.time()
-            if name == "dedup_minhash_pairs_build":
-                n = _minhash_pairs_cached(spark, sf_dir, refresh=True).count()
-            else:
-                df = queries[name](spark, sf_dir)
-                n = df.count() if not df.isStreaming else -1
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        times, n = [], -1
+        try:
+            for _ in range(runs_per_query):
+                t0 = time.time()
+                if name == "dedup_minhash_pairs_build":
+                    n = _minhash_pairs_cached(spark, sf_dir, refresh=True).count()
+                else:
+                    df = queries[name](spark, sf_dir)
+                    n = df.count() if not df.isStreaming else -1
+                times.append(time.time() - t0)
+        except FamilySizeError as exc:
+            # The quadratic-output pair form refuses family-heavy corpora
+            # (e.g. the sf1 scaling fixture, where its 35M-row output made
+            # the suite spend half its wall time proving an output bound);
+            # the linear media_phash_families row IS the representative
+            # there, so omit this row rather than bench the refusal.
+            print(f"# {name}: SKIPPED ({exc})", file=sys.stderr)
+            continue
+        times.sort()
+        timings[name] = round(times[len(times) // 2], 3)
+        spread[name] = [round(times[0], 3), round(times[-1], 3)]
+        print(
+            f"# {name}: {timings[name]}s median of {times} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -164,6 +194,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs_per_query": runs_per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

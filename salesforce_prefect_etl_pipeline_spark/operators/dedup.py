@@ -1176,6 +1176,12 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     return labels.orderBy("doc_id")
 
 
+#: Frontier rounds used by the most recent greedy_mis_in_id_order call —
+#: observability for the scaling suite (SCALE.md records round count vs
+#: corpus size; the bound is the longest ascending dependency chain).
+LAST_GREEDY_MIS_ROUNDS: int = 0
+
+
 def greedy_mis_in_id_order(
     ids: DataFrame,
     pairs: DataFrame,
@@ -1233,9 +1239,12 @@ def greedy_mis_in_id_order(
     accepted = empty
     rejected = rejected.localCheckpoint(eager=True)
     undecided = nodes.join(rejected, "v", "anti").localCheckpoint(eager=True)
+    global LAST_GREEDY_MIS_ROUNDS
+    LAST_GREEDY_MIS_ROUNDS = 0
     for _ in range(max_iterations):
         if undecided.isEmpty():
             break
+        LAST_GREEDY_MIS_ROUNDS += 1
         st = smaller.join(undecided.select("v"), "v", "semi")
         acc_u = accepted.select(F.col("v").alias("u"))
         und_u = undecided.select(F.col("v").alias("u"))

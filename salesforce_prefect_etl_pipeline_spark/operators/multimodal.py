@@ -513,16 +513,56 @@ def image_ahash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_hash, AHASH_SCHEMA)
 
 
-def ahash_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+class FamilySizeError(ValueError):
+    """Raised by :func:`ahash_near_dup_pairs` when an exact-signature
+    family exceeds ``max_family_size``: the PAIR LIST output would be
+    quadratic in that family's size no matter how the engine computes
+    it, which is an unbounded-output footgun on family-heavy corpora
+    (measured on the sf1 scaling fixture: 35M pair rows / 130 s, all
+    output). The linear-output report over the same corpus is
+    :func:`ahash_near_dup_families`."""
+
+
+def ahash_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, max_family_size: int | None = 256
+) -> DataFrame:
     """Image near-dup pairs (ma, mb, hamming) within Hamming distance
     <= max_hamming of their perceptual hashes, found by banding the 64
     bits into 4 x 16-bit chunks — the shared pigeonhole scaffold
     (``dedup.banded_hamming_pairs``), which raises for max_hamming >=
     n_bands rather than silently losing recall: the corpus x corpus
     comparison becomes an equi-join on (band, key), and only
-    band-collision candidates pay the bit_count verification."""
+    band-collision candidates pay the bit_count verification.
+
+    Output-size guardrail: a corpus with an identical-image family of
+    size s emits s*(s-1)/2 pair rows FROM THAT FAMILY ALONE — the pair
+    contract itself is quadratic, not the engine. So before banding,
+    one cheap group-by over the (persisted, 24-bytes-per-image) hash
+    frame finds the largest exact-signature family and raises
+    :class:`FamilySizeError` above ``max_family_size``, steering to
+    the linear-output :func:`ahash_near_dup_families` form. Pass
+    ``max_family_size=None`` to explicitly accept quadratic output.
+    Persisting the hash frame also means the decode pass runs ONCE —
+    the banding self-join previously decoded the corpus twice."""
     ah = image_ahash(media)
     chunks = hash64_band_chunks()
+    if max_family_size is not None:
+        ah = ah.persist()
+        biggest = (
+            ah.groupBy("h_lo", "h_hi")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        ) or 0
+        if biggest > max_family_size:
+            ah.unpersist(blocking=False)
+            raise FamilySizeError(
+                f"largest exact-signature image family has {biggest} members "
+                f"(> max_family_size={max_family_size}); the pair list would "
+                f"be quadratic in family size. Use ahash_near_dup_families "
+                f"(linear output: one row per family pair), or pass "
+                f"max_family_size=None to accept the output volume."
+            )
     return banded_hamming_pairs(
         ah,
         "media_id",

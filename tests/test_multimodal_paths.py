@@ -364,3 +364,33 @@ def test_ahash_families_expand_exactly_to_pair_form(spark):
         assert r.ra in rep_ids and r.rb in rep_ids
         assert member_pair_h.get((r.ra, r.rb)) == r.hamming
         assert r.size_a >= 1 and r.size_b >= 1
+
+
+def test_ahash_pair_form_guards_oversized_families(spark):
+    """Output-size guardrail: an exact-signature family larger than
+    max_family_size makes the pair list quadratic no matter the engine,
+    so ahash_near_dup_pairs must refuse with a pointer to the linear
+    family form; max_family_size=None is the explicit opt-in, and the
+    family form itself never guards (its output is family-bounded)."""
+    base = bytes((7 * i) % 256 for i in range(3 * 16 * 16))
+    rows = [
+        (i, "image", "image/bmp", multimodal.encode_bmp(16, 16, base))
+        for i in range(1, 7)  # one 6-member identical family
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(multimodal.FamilySizeError, match="ahash_near_dup_families"):
+        multimodal.ahash_near_dup_pairs(media, max_hamming=3, max_family_size=5)
+    # opt-out emits the full quadratic list: C(6,2) hamming-0 pairs
+    opted = multimodal.ahash_near_dup_pairs(
+        media, max_hamming=3, max_family_size=None
+    ).collect()
+    assert len(opted) == 15 and all(r.hamming == 0 for r in opted)
+    # at/below the bound the guarded default passes and agrees
+    ok = multimodal.ahash_near_dup_pairs(
+        media, max_hamming=3, max_family_size=6
+    ).collect()
+    assert [tuple(r) for r in ok] == [tuple(r) for r in opted]
+    # the family form handles the same corpus without a guard: a single
+    # identical family means no FAMILY pairs at all — constant output
+    fams = multimodal.ahash_near_dup_families(media, max_hamming=3).collect()
+    assert fams == []
