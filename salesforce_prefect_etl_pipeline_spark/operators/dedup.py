@@ -388,6 +388,53 @@ def containment_argmin_profile(
     )
 
 
+def joint_shingle_profile(
+    docs: DataFrame, k: int = 8, num_hashes: int = 64
+) -> DataFrame:
+    """(doc_id, shingles, sig, argmins) in ONE corpus scan + ONE
+    shuffle: the MinHash signature mins (minhash_profile) and the
+    packed containment argmins (containment_argmin_profile) are
+    different aggregates over the SAME exploded shingle-hash frame, so
+    a session running both the MinHash build and the containment LSH
+    probe — the two most expensive non-e2e queries in the suite — can
+    compute the 128 min-aggregates plus the shingle collect_set in one
+    group-by instead of paying the corpus scan + explode + shuffle
+    twice. Column values are IDENTICAL to the two single-purpose
+    profiles (same formulas over the same hashes), so both oracles
+    replay unchanged; callers that run only one pipeline should keep
+    the narrower profile (fewer aggregates, same single pass)."""
+    sh = char_shingle_hashes(docs, k)
+    hm = F.pmod(F.col("h"), F.lit(MERSENNE_31))
+    h32 = F.col("h").bitwiseAND(F.lit(0xFFFFFFFF))
+    sig_mins = [
+        F.min(
+            F.pmod(F.lit(MINHASH_A[i]) * hm + F.lit(MINHASH_B[i]), F.lit(MERSENNE_31))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    argmin_mins = [
+        F.min(
+            F.shiftleft(
+                F.pmod(
+                    F.lit(MINHASH_A[i]) * hm + F.lit(MINHASH_B[i]),
+                    F.lit(MERSENNE_31),
+                ),
+                32,
+            ).bitwiseOR(h32)
+        ).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(
+        F.collect_set("h").alias("shingles"), *sig_mins, *argmin_mins
+    )
+    return agg.select(
+        "doc_id",
+        "shingles",
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+        F.array(*[f"s{i}" for i in range(num_hashes)]).alias("argmins"),
+    )
+
+
 def containment_cutoff(threshold: float, num_hashes: int = 64) -> int:
     """Candidate cutoff on matched-argmin count: mean - 5 sigma of
     Binomial(num_hashes, threshold), floored at 2. A pair whose
@@ -399,7 +446,11 @@ def containment_cutoff(threshold: float, num_hashes: int = 64) -> int:
 
 
 def containment_lsh_pairs(
-    docs: DataFrame, k: int = 8, threshold: float = 0.8, num_hashes: int = 64
+    docs: DataFrame,
+    k: int = 8,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """Scale path for :func:`containment_pairs` — one-sided LSH: band
     each doc's argmin signature (see containment_argmin_profile)
@@ -435,8 +486,16 @@ def containment_lsh_pairs(
       near-dup-family corpora high df comes from the duplicate
       clusters themselves, so capping drops true pairs (657 -> 312 at
       cap 64) — it is not the boilerplate hardening it is for web
-      text."""
-    prof = containment_argmin_profile(docs, k, num_hashes)
+      text.
+
+    ``profile``: pass a precomputed (doc_id, shingles, argmins) frame —
+    e.g. :func:`joint_shingle_profile` shared with the MinHash build —
+    to skip this operator's own corpus scan."""
+    prof = (
+        profile
+        if profile is not None
+        else containment_argmin_profile(docs, k, num_hashes)
+    )
     probes = prof.select(
         F.col("doc_id").alias("pa"),
         F.explode("argmins").alias("packed"),
@@ -785,7 +844,22 @@ def compact_minhash_index(
     before/after row counts per component — the report a maintenance
     job logs. Probe results over a compacted index are IDENTICAL
     (pytest-asserted): dedup and tombstone-drop change bytes, not
-    candidates."""
+    candidates.
+
+    Operational contract — SINGLE WRITER, NO CONCURRENT PROBES:
+    between the two renames of a component there is a window where
+    ``<index_dir>/<comp>`` does not exist (a concurrent probe would
+    fail to read it), and a crash INSIDE that window leaves the only
+    copy at ``<index_dir>/.__compact_old_<comp>__``. Recovery is one
+    rename back: if ``<comp>`` is missing and
+    ``.__compact_old_<comp>__`` exists, restore it before probing or
+    re-running compaction. Run compaction from the single maintenance
+    job that owns the index (the same discipline under which the
+    ingest appends), pausing probes for the swap — per component the
+    window is two directory renames, not the rewrite itself. A
+    rename-free layout (versioned dirs + a pointer file) is the right
+    shape once readers must stay live through maintenance; this
+    operator pins the reference-style single-owner layout."""
     import shutil
 
     stats: dict = {}

@@ -1088,8 +1088,16 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     as long, a MISSING path through ``try_variant_get`` (NULL, not an
     error — the count proves every row misses it), and
     ``schema_of_variant`` type introspection carried through the
-    aggregation. Doubles are summed with the engine's
-    order-independent exact_sum so the result value-hashes."""
+    aggregation. The introspection is hashed REPRESENTATION-
+    INDEPENDENTLY: Spark renders variant schemas as ``OBJECT<k:
+    BIGINT>`` while DuckDB's ``json_structure`` renders
+    ``{"k":"UBIGINT"}`` (and splits integer types by sign), so
+    comparing distinct-schema COUNTS only worked by luck of the
+    fixture's single shape — instead each engine asserts its OWN
+    introspection mentions the ``k`` field, a predicate both
+    renderings satisfy for any row where the path exists. Doubles are
+    summed with the engine's order-independent exact_sum so the
+    result value-hashes."""
     ev = _t(spark, sf_dir, "events")
     v = F.parse_json("props")
     k = F.variant_get(v, "$.k", "long")
@@ -1106,7 +1114,9 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("records"),
             F.sum("k").alias("sum_k"),
             F.count("absent").alias("n_absent_nonnull"),
-            F.countDistinct("vschema").alias("n_schemas"),
+            F.count(F.when(F.col("vschema").contains("k"), 1)).alias(
+                "n_schema_has_k"
+            ),
             exact_sum("value").alias("sum_value"),
         )
         .orderBy("k_decade")
@@ -1121,7 +1131,8 @@ SELECT CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0)
          AS sum_k,
        CAST(COUNT(TRY_CAST(json_extract_string(props, '$.absent') AS BIGINT))
             AS BIGINT) AS n_absent_nonnull,
-       CAST(COUNT(DISTINCT json_structure(props)) AS BIGINT) AS n_schemas,
+       CAST(COUNT(CASE WHEN json_structure(props) LIKE '%"k"%' THEN 1 END)
+            AS BIGINT) AS n_schema_has_k,
        {exact_sum_sql('value')} AS sum_value
 FROM events GROUP BY 1 ORDER BY 1
 """

@@ -15,6 +15,7 @@ from salesforce_prefect_etl_pipeline_spark.operators import (
     similarity,
     text,
 )
+from salesforce_prefect_etl_pipeline_spark.memo import AppMemo
 from salesforce_prefect_etl_pipeline_spark.plans import load_table
 from salesforce_prefect_etl_pipeline_spark.queries_registry import register_query
 
@@ -70,8 +71,12 @@ _SEED_QUANTIZER_CTES = _seed_quantizer_ctes()
 #: (index_dir) -> centroids ndarray; (app, sf_dir) -> query vectors.
 #: Driver-side memo: centroids/query vectors are tiny and immutable per
 #: index — a probe should pay ONLY the pruned-partition scan + rank.
+#: The centroid cache stays a PLAIN dict: its keys are index dirs, its
+#: ndarrays are disk-backed and session-independent, and staleness is
+#: handled where the index is (re)built. Everything session-scoped uses
+#: AppMemo (bounded, auto-evicting on a new applicationId — see memo.py).
 _IVF_CENTROID_CACHE: dict = {}
-_QVEC_CACHE: dict = {}
+_QVEC_CACHE = AppMemo()
 
 
 def ensure_ivf_index(spark, sf_dir: str, nlist: int = 16, iters: int = 10) -> str:
@@ -234,32 +239,44 @@ register_query(
 #: one materialization of the (expensive) signature pipeline instead of
 #: each re-running it — at corpus scale the pairs would be a persisted
 #: table feeding both reports.
-_MINHASH_PAIRS_CACHE: dict = {}
+_MINHASH_PAIRS_CACHE = AppMemo()
+
+#: Per-(app, sf_dir, k) memo of the JOINT shingle profile (doc_id,
+#: shingles, sig, argmins) — one corpus scan + one shuffle feeding BOTH
+#: the MinHash build and the containment LSH probe (the two heaviest
+#: non-e2e dedup queries each paid their own scan before; measured at
+#: sf0.1 the shared profile cuts their combined wall time — see
+#: SCALE.md). Lazily checkpointed: the first consumer materializes it.
+_JOINT_PROFILE_CACHE = AppMemo()
 
 
-def _evict_other_apps(cache: dict, app_id: str) -> None:
-    """Memoized frames (localCheckpoints, trained codebooks) die with
-    their SparkSession; when a NEW applicationId shows up, drop entries
-    keyed to previous applications so a long-lived process spanning
-    session restarts doesn't accumulate orphaned references. Keys are
-    tuples whose first element is the applicationId."""
-    for k in [k for k in cache if k[0] != app_id]:
-        cache.pop(k, None)
+def _joint_profile_cached(spark, sf_dir: str, k: int = 8, refresh: bool = False):
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    df = None if refresh else _JOINT_PROFILE_CACHE.get(key)
+    if df is None:
+        df = dedup.joint_shingle_profile(_docs(spark, sf_dir), k=k).localCheckpoint(
+            eager=False
+        )
+        _JOINT_PROFILE_CACHE[key] = df
+    return df
 
 
 def _minhash_pairs_cached(
     spark, sf_dir: str, k: int = 8, threshold: float = 0.8, refresh: bool = False
 ):
-    """``refresh=True`` recomputes and replaces the cached frame — the
-    bench uses it so min-of-2 timing measures the BUILD twice instead of
-    timing a checkpoint re-read on the second pass."""
+    """``refresh=True`` recomputes and replaces the cached frames — the
+    bench uses it so repeated timing runs measure the BUILD each time
+    instead of timing a checkpoint re-read."""
     app_id = spark.sparkContext.applicationId
-    _evict_other_apps(_MINHASH_PAIRS_CACHE, app_id)
     key = (app_id, sf_dir, k, threshold)
     df = None if refresh else _MINHASH_PAIRS_CACHE.get(key)
     if df is None:
+        prof = _joint_profile_cached(spark, sf_dir, k=k, refresh=refresh)
         df = dedup.minhash_near_dup_pairs(
-            _docs(spark, sf_dir), k=k, threshold=threshold
+            _docs(spark, sf_dir),
+            k=k,
+            threshold=threshold,
+            profile=prof.select("doc_id", "shingles", "sig"),
         ).localCheckpoint(eager=False)
         _MINHASH_PAIRS_CACHE[key] = df
     return df
@@ -279,12 +296,11 @@ register_query(
 #: an EAGER iterative job (N rounds of joins + localCheckpoint), so the
 #: clusters query and the size histogram must share one run of it, not
 #: just one pairs frame.
-_NEAR_DUP_LABELS_CACHE: dict = {}
+_NEAR_DUP_LABELS_CACHE = AppMemo()
 
 
 def _near_dup_labels(spark, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
-    _evict_other_apps(_NEAR_DUP_LABELS_CACHE, key[0])
     df = _NEAR_DUP_LABELS_CACHE.get(key)
     if df is None:
         df = dedup.connected_components(
@@ -726,7 +742,7 @@ register_query(
 
 #: (app, sf_dir) -> seed PQ codebooks; tiny (m x codes x dsub doubles),
 #: the same control-plane memo discipline as _SEED_CENT_CACHE.
-_PQ_BOOK_CACHE: dict = {}
+_PQ_BOOK_CACHE = AppMemo()
 
 
 def _pq_codes_query(spark, sf_dir):
@@ -737,7 +753,6 @@ def _pq_codes_query(spark, sf_dir):
     Lloyd's-refined codebooks (iters>0) are the quality path, covered
     by the reconstruction-error pytest rather than the value oracle."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    _evict_other_apps(_PQ_BOOK_CACHE, key[0])
     books = _PQ_BOOK_CACHE.get(key)
     if books is None:
         books = similarity.train_pq_codebooks(_emb(spark, sf_dir), m=4, codes=16, iters=0)
@@ -756,7 +771,6 @@ def _pq_topk_query(spark, sf_dir):
     recall pytest instead): per query one (m x codes) integer lookup
     table, corpus scored by table lookups on its codes alone."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    _evict_other_apps(_PQ_BOOK_CACHE, key[0])
     books = _PQ_BOOK_CACHE.get(key)
     if books is None:
         books = similarity.train_pq_codebooks(_emb(spark, sf_dir), m=4, codes=16, iters=0)
@@ -818,7 +832,7 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """,
 )
 
-_MULTIMODAL_GATE_CACHE: dict = {}
+_MULTIMODAL_GATE_CACHE = AppMemo()
 
 
 def _corpus_multimodal_gate(spark, sf_dir: str):
@@ -850,7 +864,6 @@ def _corpus_multimodal_gate(spark, sf_dir: str):
     memoized 4-row result instead of stacking orphaned cache entries
     in executor storage."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    _evict_other_apps(_MULTIMODAL_GATE_CACHE, key[0])
     memo = _MULTIMODAL_GATE_CACHE.get(key)
     if memo is not None:
         return memo
@@ -1153,7 +1166,12 @@ register_query(
 register_query(
     "dedup_containment_lsh",
     lambda spark, sf_dir: dedup.containment_lsh_pairs(
-        _docs(spark, sf_dir), k=8, threshold=0.8
+        _docs(spark, sf_dir),
+        k=8,
+        threshold=0.8,
+        profile=_joint_profile_cached(spark, sf_dir, k=8).select(
+            "doc_id", "shingles", "argmins"
+        ),
     ),
     dedup.containment_lsh_pairs_sql(k=8, threshold=0.8),
 )
@@ -1229,7 +1247,7 @@ _CLUSTER_MIX_NLIST = _SEED_NLIST
 
 #: Per-(app, sf_dir) memo of the iteration-0 seed centroids — one
 #: count+collect per process, like the IVF centroid cache.
-_SEED_CENT_CACHE: dict = {}
+_SEED_CENT_CACHE = AppMemo()
 
 
 def _emb_cluster_mix(spark, sf_dir: str):

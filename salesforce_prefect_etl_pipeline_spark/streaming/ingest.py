@@ -129,16 +129,19 @@ def stream_dedup_on_ingest(
             return
         batch_df = batch_df.select("doc_id", "text")
         # enforce the driver-state contract BEFORE anything is
-        # collected: a distributed count is one cheap job, and failing
-        # fast beats an OOM'd driver mid-backfill. The cap bounds the
-        # collected id list and (transitively) the pair-endpoint set.
-        # The distributed_accept path never collects ids or pairs, so
-        # it needs no cap — any batch size goes.
+        # collected, and failing fast beats an OOM'd driver
+        # mid-backfill. The cap bounds the collected id list and
+        # (transitively) the pair-endpoint set. limit(cap+1) keeps the
+        # guard itself cheap: a well-behaved batch scans at most cap+1
+        # rows to prove it's under the cap, instead of paying a full
+        # extra source pass per micro-batch to count rows it will scan
+        # again anyway. The distributed_accept path never collects ids
+        # or pairs, so it needs no cap — any batch size goes.
         if not distributed_accept:
-            n_rows = batch_df.count()
+            n_rows = batch_df.limit(max_batch_rows + 1).count()
             if n_rows > max_batch_rows:
                 raise ValueError(
-                    f"micro-batch of {n_rows} rows exceeds max_batch_rows="
+                    f"micro-batch of >{max_batch_rows} rows exceeds max_batch_rows="
                     f"{max_batch_rows}: the greedy-accept step is "
                     "driver-side over the batch id list and its near-dup "
                     "pairs, so driver memory is O(max_batch_rows). Bound "

@@ -872,9 +872,11 @@ def test_containment_lsh_matches_exact_kernel_on_planted_quotes(spark):
 
 
 def test_containment_lsh_matches_exact_kernel_on_corpus(spark, docs):
-    """Same differential on the real documents table at the registered
-    threshold (0.5): the 5-sigma cutoff makes a recall miss at c >= 0.5
-    a ~3e-7 event, so exact equality is the expectation, not luck."""
+    """Same differential on the real documents table at the exact
+    kernel's registered threshold (0.5; the LSH query itself is
+    registered at 0.8): the 5-sigma cutoff makes a recall miss at
+    c >= 0.5 a ~3e-7 event, so exact equality is the expectation, not
+    luck."""
     exact = {
         (r.da, r.db) for r in dedup.containment_pairs(docs, k=8, threshold=0.5).collect()
     }

@@ -1,0 +1,57 @@
+"""AppMemo: the one bounded per-application memo discipline behind
+every driver-side query cache (see memo.py docstring)."""
+
+import pytest
+
+from salesforce_prefect_etl_pipeline_spark.memo import AppMemo
+
+
+def test_new_application_evicts_dead_entries():
+    m = AppMemo()
+    m[("app-1", "sf0.01")] = "pairs-1"
+    m[("app-1", "sf0.1")] = "pairs-2"
+    assert len(m) == 2
+    # any access under a NEW applicationId drops the dead session's
+    # entries — get() included, so the leak can't outlive first touch
+    assert m.get(("app-2", "sf0.01")) is None
+    assert len(m) == 0
+    m[("app-2", "sf0.01")] = "pairs-3"
+    assert m[("app-2", "sf0.01")] == "pairs-3"
+    assert ("app-1", "sf0.01") not in m
+
+
+def test_within_app_bound_is_fifo():
+    m = AppMemo(max_entries=3)
+    for i in range(5):
+        m[("app", f"dir{i}")] = i
+    assert len(m) == 3
+    assert m.get(("app", "dir0")) is None and m.get(("app", "dir1")) is None
+    assert m[("app", "dir4")] == 4
+
+
+def test_rejects_non_tuple_keys():
+    m = AppMemo()
+    with pytest.raises(TypeError):
+        m["not-a-tuple"] = 1
+    with pytest.raises(TypeError):
+        m.get("not-a-tuple")
+
+
+def test_query_layer_caches_are_appmemos():
+    """The ad-hoc dicts the r8 advice flagged are gone: every
+    session-scoped cache in queries_llm runs through AppMemo (the
+    index-dir-keyed centroid cache is deliberately a plain dict — its
+    ndarrays are disk-backed and session-independent)."""
+    from salesforce_prefect_etl_pipeline_spark import queries_llm as q
+
+    for name in [
+        "_QVEC_CACHE",
+        "_MINHASH_PAIRS_CACHE",
+        "_JOINT_PROFILE_CACHE",
+        "_NEAR_DUP_LABELS_CACHE",
+        "_PQ_BOOK_CACHE",
+        "_MULTIMODAL_GATE_CACHE",
+        "_SEED_CENT_CACHE",
+    ]:
+        assert isinstance(getattr(q, name), AppMemo), name
+    assert isinstance(q._IVF_CENTROID_CACHE, dict)
