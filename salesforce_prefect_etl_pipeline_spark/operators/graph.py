@@ -190,8 +190,8 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
 def triangle_counts_sql(edges_sql: str) -> str:
     """DuckDB twin of :func:`triangle_counts` over the same edge SQL."""
     return f"""
-WITH raw AS ({edges_sql}),
-e AS (
+WITH raw AS MATERIALIZED ({edges_sql}),
+e AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
   FROM raw WHERE src <> dst
 ),

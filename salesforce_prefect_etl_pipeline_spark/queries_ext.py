@@ -1918,18 +1918,40 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     OPTIMIZE ZORDER BY computes). The key derivation is exact bit
     arithmetic, so the layout itself is oracle-checked; at scale the
     frame feeds repartitionByRange(zkey) + sortWithinPartitions before
-    the write (operators/layout.py)."""
+    the write (operators/layout.py).
+
+    Coordinates are RANGE-BUCKETED from the data's own min/max (one
+    1-row aggregate, broadcast) into [0, 2^16) before interleaving —
+    linear scaling preserves order and locality, so pruning still
+    works, and the curve no longer assumes raw ids fit 16 bits. The
+    unbucketed form passed at sf<=0.1 and was caught by zorder_key's
+    bounds guard in the round-9 sf1 correctness sweep (user_id 1e7
+    exceeds 2^16) — exactly the silent-aliasing failure the guard
+    exists to surface. Integer floor division keeps both engines
+    bit-identical."""
     from salesforce_prefect_etl_pipeline_spark.operators.layout import zorder_key
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", F.floor("value").cast("long").alias("vbucket")
     )
-    return ev.select(
-        "event_id",
-        "user_id",
-        "vbucket",
-        zorder_key(F.col("user_id"), F.col("vbucket")).alias("zkey"),
-    ).orderBy("zkey", "event_id")
+    bounds = ev.agg(
+        F.min("user_id").alias("u_lo"),
+        F.max("user_id").alias("u_hi"),
+        F.min("vbucket").alias("v_lo"),
+        F.max("vbucket").alias("v_hi"),
+    )
+    xq = F.expr("((user_id - u_lo) * 65536) div (u_hi - u_lo + 1)")
+    yq = F.expr("((vbucket - v_lo) * 65536) div (v_hi - v_lo + 1)")
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_id",
+            "user_id",
+            "vbucket",
+            zorder_key(xq, yq).alias("zkey"),
+        )
+        .orderBy("zkey", "event_id")
+    )
 
 
 def _events_zorder_sql() -> str:
@@ -1937,10 +1959,21 @@ def _events_zorder_sql() -> str:
         zorder_key_sql,
     )
 
-    zk = zorder_key_sql("user_id", "CAST(FLOOR(value) AS BIGINT)")
+    zk = zorder_key_sql(
+        "((user_id - u_lo) * 65536) // (u_hi - u_lo + 1)",
+        "((vbucket - v_lo) * 65536) // (v_hi - v_lo + 1)",
+    )
     return f"""
-SELECT event_id, user_id, CAST(FLOOR(value) AS BIGINT) AS vbucket, {zk} AS zkey
-FROM events ORDER BY zkey, event_id
+WITH ev AS (
+  SELECT event_id, user_id, CAST(FLOOR(value) AS BIGINT) AS vbucket FROM events
+),
+b AS (
+  SELECT MIN(user_id) AS u_lo, MAX(user_id) AS u_hi,
+         MIN(vbucket) AS v_lo, MAX(vbucket) AS v_hi
+  FROM ev
+)
+SELECT event_id, user_id, vbucket, {zk} AS zkey
+FROM ev, b ORDER BY zkey, event_id
 """
 
 
