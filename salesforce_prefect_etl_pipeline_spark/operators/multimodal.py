@@ -632,7 +632,7 @@ def _ahash_sig_ctes(width: int, height: int, source: str) -> str:
     (lo, hi): replay the synthetic pixel formula, block-average pool,
     threshold against the image mean, pack 64 bits as two 32-bit
     halves — used by both the pair and the family oracles."""
-    return f"""px AS (
+    return f"""px AS MATERIALIZED (
   SELECT d.doc_id AS m, t.p,
          ((d.doc_id * 31 + 3 * t.p) % 256)
          + ((d.doc_id * 31 + 3 * t.p + 1) % 256)
@@ -653,7 +653,7 @@ bits AS (
   SELECT b.m, b.j, CASE WHEN b.bsum * 64 >= t.tsum THEN 1 ELSE 0 END AS bit
   FROM blocks b JOIN tot t ON b.m = t.m
 ),
-sig AS (
+sig AS MATERIALIZED (
   SELECT m,
     CAST(SUM(CASE WHEN j < 32 AND bit = 1
              THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
@@ -1014,7 +1014,7 @@ def video_near_dup_sql(
         raise ValueError(f"aHash oracle needs dimensions divisible by 8, got {width}x{height}")
     n_px = 3 * width * height
     return f"""
-WITH fr AS (
+WITH fr AS MATERIALIZED (
   SELECT d.doc_id AS m, f.f,
          CAST(CAST(concat('0x', substr(md5(
              CAST(CASE WHEN d.doc_id % 9 = 0 AND f.f > 0
@@ -1059,7 +1059,7 @@ persig AS (
       AS hi
   FROM bits GROUP BY m, f
 ),
-sigs AS (SELECT DISTINCT m, lo, hi FROM persig)
+sigs AS MATERIALIZED (SELECT DISTINCT m, lo, hi FROM persig)
 SELECT a.m AS ma, b.m AS mb, CAST(COUNT(*) AS BIGINT) AS n_shared_frames
 FROM sigs a JOIN sigs b ON a.lo = b.lo AND a.hi = b.hi AND a.m < b.m
 GROUP BY a.m, b.m
@@ -1196,7 +1196,7 @@ def audio_near_dup_sql(
     w = n_samples // 64
     n_blocks = (n_samples + 4) // 5
     return f"""
-WITH blocks AS (
+WITH blocks AS MATERIALIZED (
   SELECT d.doc_id AS m, b.blk,
          CAST(CAST(concat('0x', substr(md5(
              CAST(CASE WHEN d.doc_id % 7 = 0 THEN d.doc_id - 1
@@ -1222,7 +1222,7 @@ alt AS (
          SUM(CASE WHEN (i % {w}) % 2 = 0 THEN v ELSE -v END) AS a
   FROM s GROUP BY m, i // {w}
 ),
-sig AS (
+sig AS MATERIALIZED (
   SELECT m,
     CAST(SUM(CASE WHEN j < 32 AND a >= 0
              THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT)

@@ -939,18 +939,22 @@ def _multimodal_gate_sql() -> str:
         ]
     )
     return f"""
-WITH s1 AS (SELECT * FROM documents WHERE n_chars >= 200),
-s2 AS (
+WITH s1 AS MATERIALIZED (SELECT * FROM documents WHERE n_chars >= 200),
+s2 AS MATERIALIZED (
   SELECT s1.* FROM s1 JOIN (
     SELECT MIN(doc_id) AS doc_id FROM (
       SELECT doc_id, md5({NORMALIZED_SQL}) AS fp FROM s1
     ) GROUP BY fp
   ) k ON s1.doc_id = k.doc_id
 ),
-vdrop AS (SELECT DISTINCT mb FROM ({multimodal.video_near_dup_sql(source="s2")})),
-s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT mb FROM vdrop)),
-adrop AS (SELECT DISTINCT mb FROM ({multimodal.audio_near_dup_sql(source="s3")})),
-s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT mb FROM adrop))
+vdrop AS MATERIALIZED (
+  SELECT DISTINCT mb FROM ({multimodal.video_near_dup_sql(source="s2")})),
+s3 AS MATERIALIZED (
+  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT mb FROM vdrop)),
+adrop AS MATERIALIZED (
+  SELECT DISTINCT mb FROM ({multimodal.audio_near_dup_sql(source="s3")})),
+s4 AS MATERIALIZED (
+  SELECT * FROM s3 WHERE doc_id NOT IN (SELECT mb FROM adrop))
 SELECT * FROM ({rows}) ORDER BY stage_idx
 """
 
