@@ -31,6 +31,22 @@ def test_minhash_lsh_matches_exact_jaccard(spark, docs):
     assert exact, "testdata should contain planted near-dups"
 
 
+def test_joint_profile_equals_single_purpose_profiles(spark, docs):
+    """joint_shingle_profile's columns must be value-identical to the
+    two single-purpose profiles it fuses (same formulas over the same
+    shingle hashes in one group-by) — the guarantee that lets the
+    MinHash build and the containment probe share one corpus scan
+    without either oracle changing."""
+    joint = {r.doc_id: r for r in dedup.joint_shingle_profile(docs, k=8).collect()}
+    mh = {r.doc_id: r for r in dedup.minhash_profile(docs, k=8).collect()}
+    cm = {r.doc_id: r for r in dedup.containment_argmin_profile(docs, k=8).collect()}
+    assert joint.keys() == mh.keys() == cm.keys()
+    for d, j in joint.items():
+        assert j.sig == mh[d].sig
+        assert j.argmins == cm[d].argmins
+        assert sorted(j.shingles) == sorted(mh[d].shingles) == sorted(cm[d].shingles)
+
+
 def test_simhash_separates_near_dups_from_random(spark, docs):
     """Near-dup pairs must sit at much lower Hamming distance than the
     average random pair. (With the testdata's tiny vocabulary the per-bit
