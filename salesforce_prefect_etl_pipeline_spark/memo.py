@@ -13,11 +13,15 @@ the ad-hoc dicts with one discipline:
   other applications (their session is gone — the references are dead);
 - within an application, insertion order is bounded by ``max_entries``
   (oldest evicted first), so even a pathological caller cycling through
-  thousands of distinct sf_dirs cannot grow the memo without bound.
+  thousands of distinct sf_dirs cannot grow the memo without bound;
+- access is lock-serialized: query helpers run under the concurrent
+  flow runner (flows/stages.py uses a thread pool), and the
+  evict-then-mutate sequences here are not otherwise atomic.
 """
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from typing import Any, Hashable
 
@@ -30,6 +34,7 @@ class AppMemo:
             raise ValueError("max_entries must be >= 1")
         self._max = max_entries
         self._entries: OrderedDict[tuple, Any] = OrderedDict()
+        self._lock = threading.Lock()
 
     def _check_key(self, key: Hashable) -> tuple:
         if not isinstance(key, tuple) or not key:
@@ -42,24 +47,28 @@ class AppMemo:
 
     def get(self, key: tuple, default=None):
         key = self._check_key(key)
-        self._evict_other_apps(key[0])
-        return self._entries.get(key, default)
+        with self._lock:
+            self._evict_other_apps(key[0])
+            return self._entries.get(key, default)
 
     def __getitem__(self, key: tuple):
         key = self._check_key(key)
-        self._evict_other_apps(key[0])
-        return self._entries[key]
+        with self._lock:
+            self._evict_other_apps(key[0])
+            return self._entries[key]
 
     def __setitem__(self, key: tuple, value) -> None:
         key = self._check_key(key)
-        self._evict_other_apps(key[0])
-        self._entries[key] = value
-        self._entries.move_to_end(key)
-        while len(self._entries) > self._max:
-            self._entries.popitem(last=False)
+        with self._lock:
+            self._evict_other_apps(key[0])
+            self._entries[key] = value
+            self._entries.move_to_end(key)
+            while len(self._entries) > self._max:
+                self._entries.popitem(last=False)
 
     def pop(self, key: tuple, default=None):
-        return self._entries.pop(self._check_key(key), default)
+        with self._lock:
+            return self._entries.pop(self._check_key(key), default)
 
     def __contains__(self, key) -> bool:
         return isinstance(key, tuple) and key in self._entries
@@ -68,4 +77,5 @@ class AppMemo:
         return len(self._entries)
 
     def clear(self) -> None:
-        self._entries.clear()
+        with self._lock:
+            self._entries.clear()

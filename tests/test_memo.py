@@ -37,6 +37,38 @@ def test_rejects_non_tuple_keys():
         m.get("not-a-tuple")
 
 
+def test_concurrent_access_is_safe():
+    """Query helpers run under the concurrent flow runner's thread
+    pool; hammered get/set/evict from many threads must neither raise
+    (dict-changed-during-iteration in the eviction loop) nor break the
+    bound/eviction invariants."""
+    import threading
+
+    m = AppMemo(max_entries=8)
+    errors = []
+
+    def worker(app):
+        try:
+            for i in range(300):
+                m[(app, i % 12)] = i
+                m.get((app, (i + 1) % 12))
+                m.pop((app, (i + 5) % 12))
+        except Exception as exc:  # pragma: no cover - failure path
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=(f"app-{t % 3}",)) for t in range(6)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(m) <= 8
+    m.get(("final-app", "x"))
+    assert len(m) == 0  # everything belonged to other apps
+
+
 def test_query_layer_caches_are_appmemos():
     """The ad-hoc dicts the r8 advice flagged are gone: every
     session-scoped cache in queries_llm runs through AppMemo (the
