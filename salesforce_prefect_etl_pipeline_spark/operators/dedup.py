@@ -802,6 +802,24 @@ ORDER BY da, db
 
 # ----------------------------------------------------------------------
 # Incremental dedup: persisted LSH index + probe
+def index_component_path(index_dir: str, comp: str) -> str:
+    """Resolve an index component (``bands`` / ``profiles``) through the
+    version pointer. A fresh build writes the FLAT layout
+    (``<index_dir>/<comp>``); the first compaction introduces versioned
+    dirs (``<index_dir>/versions/v<N>/<comp>``) published by atomically
+    replacing the ``CURRENT`` pointer file — so there is never a window
+    where the live component doesn't exist, and a probe that resolved
+    CURRENT keeps reading a retained version even while a compaction
+    publishes the next one. Every reader and appender resolves through
+    this function."""
+    cur = os.path.join(index_dir, "CURRENT")
+    if os.path.exists(cur):
+        v = open(cur).read().strip()
+        if v:
+            return os.path.join(index_dir, "versions", v, comp)
+    return os.path.join(index_dir, comp)
+
+
 def build_minhash_index(docs: DataFrame, index_dir: str, k: int = 8) -> None:
     """Persist the corpus near-dup index: ``bands/`` (doc_id, band, key
     — partitioned by band, sorted by key within each partition for
@@ -838,28 +856,31 @@ def compact_minhash_index(
     generation applies distinct() — but they inflate every probe's
     scan), and (2) physically dropping ``drop_doc_ids`` (documents
     retracted by a later curation pass; the ingest contract itself
-    never retracts). The rewrite is staged into temp dirs and swapped
-    via the same two-rename commit discipline as ``merge_snapshot``
-    (crash before the swap leaves the old index intact). Returns
-    before/after row counts per component — the report a maintenance
-    job logs. Probe results over a compacted index are IDENTICAL
-    (pytest-asserted): dedup and tombstone-drop change bytes, not
-    candidates.
+    never retracts). Returns before/after row counts per component —
+    the report a maintenance job logs. Probe results over a compacted
+    index are IDENTICAL (pytest-asserted): dedup and tombstone-drop
+    change bytes, not candidates.
 
-    Operational contract — SINGLE WRITER, NO CONCURRENT PROBES:
-    between the two renames of a component there is a window where
-    ``<index_dir>/<comp>`` does not exist (a concurrent probe would
-    fail to read it), and a crash INSIDE that window leaves the only
-    copy at ``<index_dir>/.__compact_old_<comp>__``. Recovery is one
-    rename back: if ``<comp>`` is missing and
-    ``.__compact_old_<comp>__`` exists, restore it before probing or
-    re-running compaction. Run compaction from the single maintenance
-    job that owns the index (the same discipline under which the
-    ingest appends), pausing probes for the swap — per component the
-    window is two directory renames, not the rewrite itself. A
-    rename-free layout (versioned dirs + a pointer file) is the right
-    shape once readers must stay live through maintenance; this
-    operator pins the reference-style single-owner layout."""
+    Publication is SNAPSHOT-ISOLATED (versioned dirs + a pointer file,
+    the Delta/Iceberg commit shape at directory grain): both components
+    are rewritten into ``versions/v<N+1>/`` and become live via ONE
+    atomic ``os.replace`` of the ``CURRENT`` pointer. There is no
+    window where a live component is missing — a concurrent probe that
+    resolved CURRENT (``index_component_path``) before the swap keeps
+    reading the retained previous version; one that resolves after
+    reads the new one. A crash anywhere leaves CURRENT pointing at
+    intact data (an orphaned in-progress version dir is simply
+    overwritten by the next compaction). Retention: the current and
+    previous versions are kept, older ones (and the superseded
+    flat-layout dirs of the original build) are removed at publish
+    time — so a probe must finish within one full maintenance cycle,
+    trivially true at any realistic compaction cadence.
+
+    Still required: a SINGLE maintenance writer, and no concurrent
+    APPENDS during compaction (an append into the old version after
+    the rewrite began would be silently dropped by the publish — the
+    ingest job and the compactor must be the same owner, which is the
+    reference's operating model)."""
     import shutil
 
     stats: dict = {}
@@ -870,8 +891,25 @@ def compact_minhash_index(
         if drop_doc_ids is not None
         else None
     )
+    versions_root = os.path.join(index_dir, "versions")
+    cur_pointer = os.path.join(index_dir, "CURRENT")
+    prev_version = ""
+    if os.path.exists(cur_pointer):
+        prev_version = open(cur_pointer).read().strip()
+    existing = (
+        sorted(
+            int(v[1:])
+            for v in os.listdir(versions_root)
+            if v.startswith("v") and v[1:].isdigit()
+        )
+        if os.path.isdir(versions_root)
+        else []
+    )
+    next_v = f"v{(existing[-1] + 1) if existing else 1}"
+    new_root = os.path.join(versions_root, next_v)
+    shutil.rmtree(new_root, ignore_errors=True)
     for comp, keys in (("bands", ["doc_id", "band", "key"]), ("profiles", None)):
-        path = f"{index_dir}/{comp}"
+        path = index_component_path(index_dir, comp)
         cur = spark.read.parquet(path)
         before = cur.count()
         if keys is not None:
@@ -883,7 +921,7 @@ def compact_minhash_index(
             new = dedup_keep_first(cur, "doc_id")
         if drops is not None:
             new = new.join(drops, "doc_id", "anti")
-        tmp = f"{index_dir}/.__compact_{comp}__"
+        out = os.path.join(new_root, comp)
         writer = new.write.mode("overwrite")
         if comp == "bands":
             writer = (
@@ -892,14 +930,26 @@ def compact_minhash_index(
                 .write.mode("overwrite")
                 .partitionBy("band")
             )
-        writer.parquet(tmp)
-        after = spark.read.parquet(tmp).count()
-        old = f"{index_dir}/.__compact_old_{comp}__"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        writer.parquet(out)
+        after = spark.read.parquet(out).count()
         stats[comp] = {"before": before, "after": after}
+    # atomic publish: the pointer replace is the commit point
+    tmp_pointer = os.path.join(index_dir, ".CURRENT.tmp")
+    with open(tmp_pointer, "w") as f:
+        f.write(next_v)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_pointer, cur_pointer)
+    # retention: keep the just-published and the previous version; drop
+    # everything older, including the original flat build once it is no
+    # longer the previous snapshot
+    keep = {next_v, prev_version}
+    for v in os.listdir(versions_root):
+        if v not in keep:
+            shutil.rmtree(os.path.join(versions_root, v), ignore_errors=True)
+    if prev_version:  # flat layout superseded at least one publish ago
+        shutil.rmtree(os.path.join(index_dir, "bands"), ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "profiles"), ignore_errors=True)
     if drops is not None:
         drops.unpersist()
     return stats
@@ -931,8 +981,8 @@ def probe_minhash_index(
         F.col("doc_id").alias("new_id"),
         F.posexplode(band_key_array(F.col("sig"))).alias("band", "key"),
     )
-    idx_bands = spark.read.parquet(f"{index_dir}/bands")
-    idx_prof = spark.read.parquet(f"{index_dir}/profiles")
+    idx_bands = spark.read.parquet(index_component_path(index_dir, "bands"))
+    idx_prof = spark.read.parquet(index_component_path(index_dir, "profiles"))
     cand = (
         new_banded.join(
             idx_bands,

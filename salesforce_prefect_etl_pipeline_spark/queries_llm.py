@@ -371,7 +371,7 @@ def ensure_minhash_index(spark, sf_dir: str, k: int = 8) -> str:
     silently probed)."""
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     index_dir = os.path.join(MINHASH_INDEX_ROOT, f"{tag}-k{k}-c{_CORPUS_PCT}")
-    success = os.path.join(index_dir, "bands", "_SUCCESS")
+    success = os.path.join(dedup.index_component_path(index_dir, "bands"), "_SUCCESS")
     src = os.path.join(sf_dir, "documents.parquet")
     stale = os.path.exists(success) and os.path.getmtime(
         success

@@ -78,7 +78,16 @@ def greedy_accept(
 def _append_profile_to_index(prof: DataFrame, index_dir: str) -> None:
     """Append accepted docs' bands + profiles (an already-computed
     minhash_profile frame) to the persisted index — same layout as
-    build_minhash_index, parquet append mode."""
+    build_minhash_index, parquet append mode. Appends resolve the
+    component through the version pointer (index_component_path) so
+    they land in the CURRENT snapshot after a compaction has
+    versioned the index; appends must not run concurrently WITH a
+    compaction (same single-owner contract, see
+    compact_minhash_index)."""
+    from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
+        index_component_path,
+    )
+
     banded = prof.select(
         "doc_id", F.posexplode(band_key_array(F.col("sig"))).alias("band", "key")
     )
@@ -87,10 +96,10 @@ def _append_profile_to_index(prof: DataFrame, index_dir: str) -> None:
         .sortWithinPartitions("key")
         .write.mode("append")
         .partitionBy("band")
-        .parquet(f"{index_dir}/bands")
+        .parquet(index_component_path(index_dir, "bands"))
     )
     prof.select("doc_id", "shingles").write.mode("append").parquet(
-        f"{index_dir}/profiles"
+        index_component_path(index_dir, "profiles")
     )
 
 
@@ -158,7 +167,13 @@ def stream_dedup_on_ingest(
         # profile would silently drop it from the corpus instead of
         # accepting it (it can't near-dup anything it doesn't shingle).
         prof = minhash_profile(batch_df, k).localCheckpoint(eager=True)
-        has_index = os.path.exists(os.path.join(index_dir, "bands", "_SUCCESS"))
+        from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
+            index_component_path,
+        )
+
+        has_index = os.path.exists(
+            os.path.join(index_component_path(index_dir, "bands"), "_SUCCESS")
+        )
         if distributed_accept:
             # everything stays a DataFrame: within-batch + vs-index
             # pairs feed the frontier greedy MIS (dedup.py), and the

@@ -1094,3 +1094,59 @@ def test_compact_minhash_index_preserves_probes_and_drops_tombstones(spark, docs
     assert final == sorted(
         (a, b) for a, b, _ in before if victim not in (a, b)
     )
+
+    # versioned-layout invariants after the two compactions above:
+    # CURRENT points at v2, v1 is retained as the previous snapshot,
+    # and the superseded flat build dirs are gone
+    import os
+
+    assert open(os.path.join(idx, "CURRENT")).read().strip() == "v2"
+    assert os.path.isdir(os.path.join(idx, "versions", "v2", "bands"))
+    assert os.path.isdir(os.path.join(idx, "versions", "v1", "bands"))
+    assert not os.path.exists(os.path.join(idx, "bands"))
+    assert dedup.index_component_path(idx, "bands").endswith(
+        os.path.join("versions", "v2", "bands")
+    )
+
+
+def test_compaction_publish_is_snapshot_isolated(spark, docs, tmp_path):
+    """The pointer-file commit closes the old two-rename window: a probe
+    plan RESOLVED before a compaction publishes keeps reading its
+    retained snapshot and returns identical rows after the publish —
+    there is no instant at which the live component is missing."""
+    from salesforce_prefect_etl_pipeline_spark.operators.corpus import split_bucket
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        _append_profile_to_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus_side = docs.filter(split_bucket(F.col("doc_id")) < 80)
+    increment = docs.filter(split_bucket(F.col("doc_id")) >= 80)
+    dedup.build_minhash_index(corpus_side, idx)
+    _append_profile_to_index(dedup.minhash_profile(corpus_side, 8), idx)
+
+    pre_plan = dedup.probe_minhash_index(spark, idx, increment)
+    expected = sorted((r.da, r.db, r.jaccard) for r in pre_plan.collect())
+    dedup.compact_minhash_index(spark, idx)  # publishes v1
+    # the pre-publish plan still reads the retained snapshot (the flat
+    # build is the "previous" version after the first publish)
+    assert sorted((r.da, r.db, r.jaccard) for r in pre_plan.collect()) == expected
+    # a freshly resolved probe reads the compacted v1 and agrees on the
+    # deduped pair set
+    post = sorted(
+        set(
+            (r.da, r.db, r.jaccard)
+            for r in dedup.probe_minhash_index(spark, idx, increment).collect()
+        )
+    )
+    assert post == sorted(set(expected))
+    # appends resolve into the CURRENT version after compaction
+    _append_profile_to_index(dedup.minhash_profile(increment, 8), idx)
+    import os
+
+    assert os.path.isdir(os.path.join(idx, "versions", "v1", "bands"))
+    grown = spark.read.parquet(
+        dedup.index_component_path(idx, "profiles")
+    ).count()
+    base = corpus_side.count()
+    assert grown == base + increment.count()
