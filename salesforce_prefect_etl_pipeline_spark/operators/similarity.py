@@ -456,6 +456,19 @@ def semdedup_survivors(
     return av.join(pruned, "vec_id", "left_anti").select("vec_id", "list_id", "rk")
 
 
+def ivf_component_path(index_dir: str, comp: str) -> str:
+    """Resolve an IVF index component (``lists`` / ``centroids``)
+    through the same CURRENT-pointer convention as the MinHash index
+    (dedup.index_component_path): flat layout until the first versioned
+    rebuild publishes ``versions/v<N>``; readers and appenders always
+    resolve through this function."""
+    from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
+        index_component_path,
+    )
+
+    return index_component_path(index_dir, comp)
+
+
 def build_ivf_index(
     emb: DataFrame,
     index_dir: str,
@@ -476,17 +489,75 @@ def build_ivf_index(
     whole probe lifecycle is SQL-replayable (see queries_llm's
     ``ann_ivf_probe_exact``); the default Lloyd's-refined quantizer
     trades that replayability for tighter lists."""
+    return _write_ivf_snapshot(emb, index_dir, nlist, iters)
+
+
+def _write_ivf_snapshot(
+    emb: DataFrame, root: str, nlist: int, iters: int
+) -> np.ndarray:
     cents = train_ivf_centroids(emb, nlist=nlist, iters=iters)
     assigned = ivf_assign(emb, cents)
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{index_dir}/lists"
-    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{root}/lists")
     spark = emb.sparkSession
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         schema="list_id int, centroid array<double>",
     )
-    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
+    return cents
+
+
+def rebuild_ivf_index(
+    emb: DataFrame,
+    index_dir: str,
+    nlist: int = 16,
+    iters: int = 10,
+) -> np.ndarray:
+    """Periodic retrain + republish — the rebuild cadence that bounds
+    the frozen-quantizer drift ``append_ivf_vectors`` documents, made
+    SAFE UNDER CONCURRENT PROBES: the fresh snapshot (retrained
+    centroids + fully re-assigned lists) is written into
+    ``versions/v<N+1>/`` and published by one atomic ``os.replace`` of
+    the ``CURRENT`` pointer (the exact commit discipline of
+    ``dedup.compact_minhash_index``). A probe that resolved the old
+    version keeps reading it (current + previous snapshots are
+    retained); a crash leaves CURRENT on intact data. ``build_ivf_index``
+    remains the initial flat-layout build; in-place overwrite rebuilds
+    are exactly the delete-then-write window this exists to remove."""
+    import os
+    import shutil
+
+    versions_root = os.path.join(index_dir, "versions")
+    cur_pointer = os.path.join(index_dir, "CURRENT")
+    prev_version = ""
+    if os.path.exists(cur_pointer):
+        prev_version = open(cur_pointer).read().strip()
+    existing = (
+        sorted(
+            int(v[1:])
+            for v in os.listdir(versions_root)
+            if v.startswith("v") and v[1:].isdigit()
+        )
+        if os.path.isdir(versions_root)
+        else []
+    )
+    next_v = f"v{(existing[-1] + 1) if existing else 1}"
+    new_root = os.path.join(versions_root, next_v)
+    shutil.rmtree(new_root, ignore_errors=True)
+    cents = _write_ivf_snapshot(emb, new_root, nlist, iters)
+    tmp_pointer = os.path.join(index_dir, ".CURRENT.tmp")
+    with open(tmp_pointer, "w") as f:
+        f.write(next_v)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_pointer, cur_pointer)
+    keep = {next_v, prev_version}
+    for v in os.listdir(versions_root):
+        if v not in keep:
+            shutil.rmtree(os.path.join(versions_root, v), ignore_errors=True)
+    if prev_version:
+        shutil.rmtree(os.path.join(index_dir, "lists"), ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "centroids"), ignore_errors=True)
     return cents
 
 
@@ -511,19 +582,26 @@ def append_ivf_vectors(
     Documented limit: the frozen quantizer drifts as the corpus
     distribution moves — lists imbalance and recall/probe degrades.
     Rebuild cadence is corpus policy (the IVF analog of LSH index
-    compaction); this operator is the between-rebuilds path."""
+    compaction); this operator is the between-rebuilds path, and
+    :func:`rebuild_ivf_index` is the rebuild itself — retrain +
+    republish under the CURRENT-pointer commit, safe under
+    concurrent probes."""
     cents = (
         centroids if centroids is not None else load_ivf_centroids(spark, index_dir)
     )
     assigned = ivf_assign(new_emb, cents)
     assigned.write.mode("append").partitionBy("list_id").parquet(
-        f"{index_dir}/lists"
+        ivf_component_path(index_dir, "lists")
     )
     return cents
 
 
 def load_ivf_centroids(spark, index_dir: str) -> np.ndarray:
-    rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("list_id").collect()
+    rows = (
+        spark.read.parquet(ivf_component_path(index_dir, "centroids"))
+        .orderBy("list_id")
+        .collect()
+    )
     return np.array([r.centroid for r in rows], dtype=np.float64)
 
 
@@ -566,7 +644,7 @@ def probe_ivf(
     probes = spark.createDataFrame(probe_rows, probe_schema)
     probe_lists = sorted({r[2] for r in probe_rows})
 
-    lists = spark.read.parquet(f"{index_dir}/lists").filter(
+    lists = spark.read.parquet(ivf_component_path(index_dir, "lists")).filter(
         F.col("list_id").isin(probe_lists)
     )
     cand = lists.join(F.broadcast(probes), "list_id").filter(
@@ -624,7 +702,7 @@ def probe_ivf_exact_within_lists(
     probe_lists = sorted({r[2] for r in probe_rows})
 
     members = (
-        spark.read.parquet(f"{index_dir}/lists")
+        spark.read.parquet(ivf_component_path(index_dir, "lists"))
         .filter(F.col("list_id").isin(probe_lists))
         .select("list_id", "vec_id")
     )

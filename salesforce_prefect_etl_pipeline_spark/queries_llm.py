@@ -93,7 +93,9 @@ def ensure_ivf_index(spark, sf_dir: str, nlist: int = 16, iters: int = 10) -> st
     index_dir = os.path.join(
         IVF_INDEX_ROOT, f"{tag}-nlist{nlist}-iters{iters}-det2"
     )
-    success = os.path.join(index_dir, "centroids", "_SUCCESS")
+    success = os.path.join(
+        similarity.ivf_component_path(index_dir, "centroids"), "_SUCCESS"
+    )
     stale = os.path.exists(success) and os.path.getmtime(success) < os.path.getmtime(
         os.path.join(sf_dir, "embeddings.parquet")
     )

@@ -294,6 +294,46 @@ def test_ivf_index_lifecycle_prunes_partitions(spark, emb, tmp_path):
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in oneshot.collect()]
 
 
+def test_ivf_rebuild_is_snapshot_isolated(spark, emb, tmp_path):
+    """rebuild_ivf_index publishes a retrained snapshot under the same
+    CURRENT-pointer commit as minhash compaction: a probe plan resolved
+    against the flat build keeps returning its rows across the publish,
+    a fresh probe reads the rebuilt index and equals a from-scratch
+    build with the same seed, and the second rebuild retires the flat
+    layout while retaining the previous version."""
+    import os
+
+    index_dir = str(tmp_path / "ivf")
+    cents0 = similarity.build_ivf_index(emb, index_dir, nlist=16, iters=0)
+    qvecs = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin([1, 7, 42])).collect()
+    ]
+    pre_plan = similarity.probe_ivf(
+        spark, index_dir, qvecs, k=10, nprobe=4, centroids=cents0
+    )
+    expected = [tuple(r) for r in pre_plan.collect()]
+
+    cents1 = similarity.rebuild_ivf_index(emb, index_dir, nlist=16, iters=2)
+    # pre-publish plan still reads its resolved (flat) snapshot
+    assert [tuple(r) for r in pre_plan.collect()] == expected
+    assert open(os.path.join(index_dir, "CURRENT")).read().strip() == "v1"
+    # freshly resolved reads see the retrained snapshot
+    assert (similarity.load_ivf_centroids(spark, index_dir) == cents1).all()
+    fresh = similarity.probe_ivf(
+        spark, index_dir, qvecs, k=10, nprobe=4, centroids=cents1
+    )
+    ref_dir = str(tmp_path / "ivf_ref")
+    similarity.build_ivf_index(emb, ref_dir, nlist=16, iters=2)
+    ref = similarity.probe_ivf(spark, ref_dir, qvecs, k=10, nprobe=4, centroids=cents1)
+    assert [tuple(r) for r in fresh.collect()] == [tuple(r) for r in ref.collect()]
+
+    similarity.rebuild_ivf_index(emb, index_dir, nlist=16, iters=0)
+    assert open(os.path.join(index_dir, "CURRENT")).read().strip() == "v2"
+    assert os.path.isdir(os.path.join(index_dir, "versions", "v1", "lists"))
+    assert not os.path.exists(os.path.join(index_dir, "lists"))
+
+
 def test_ivf_probe_contract_verifier(spark, emb, tmp_path):
     """ann_ivf_probe's oracle contract: probe_ivf_exact_within_lists is
     an independent recomputation (vectors from the SOURCE table, index
