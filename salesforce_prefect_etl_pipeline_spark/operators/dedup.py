@@ -828,7 +828,16 @@ def build_minhash_index(docs: DataFrame, index_dir: str, k: int = 8) -> None:
     corpus snapshot; every new crawl increment then probes against it
     without re-scanning or re-signing the corpus — the offline/online
     split that makes dedup-on-ingest affordable at 100 TB (the IVF
-    lifecycle's pattern applied to text)."""
+    lifecycle's pattern applied to text).
+
+    A full build SUPERSEDES any versioned history at this path (the
+    CURRENT pointer and versions/ are removed first), else the fresh
+    flat layout would be shadowed by a stale compacted snapshot."""
+    import shutil
+
+    if os.path.exists(os.path.join(index_dir, "CURRENT")):
+        os.remove(os.path.join(index_dir, "CURRENT"))
+        shutil.rmtree(os.path.join(index_dir, "versions"), ignore_errors=True)
     prof = minhash_profile(docs, k)
     banded = prof.select(
         "doc_id", F.posexplode(band_key_array(F.col("sig"))).alias("band", "key")

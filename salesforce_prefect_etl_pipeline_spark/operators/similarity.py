@@ -488,7 +488,17 @@ def build_ivf_index(
     ``iters=0`` builds on the md5-seeded iteration-0 quantizer, whose
     whole probe lifecycle is SQL-replayable (see queries_llm's
     ``ann_ivf_probe_exact``); the default Lloyd's-refined quantizer
-    trades that replayability for tighter lists."""
+    trades that replayability for tighter lists.
+
+    A full build SUPERSEDES any versioned history at this path: the
+    CURRENT pointer and versions/ are removed first, else the fresh
+    flat layout would be shadowed by a stale versioned snapshot."""
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(index_dir, "CURRENT")):
+        os.remove(os.path.join(index_dir, "CURRENT"))
+        shutil.rmtree(os.path.join(index_dir, "versions"), ignore_errors=True)
     return _write_ivf_snapshot(emb, index_dir, nlist, iters)
 
 

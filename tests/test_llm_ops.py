@@ -333,6 +333,16 @@ def test_ivf_rebuild_is_snapshot_isolated(spark, emb, tmp_path):
     assert os.path.isdir(os.path.join(index_dir, "versions", "v1", "lists"))
     assert not os.path.exists(os.path.join(index_dir, "lists"))
 
+    # a FULL build supersedes the versioned history (pointer + versions
+    # removed), else the fresh flat layout would be shadowed
+    cents_fresh = similarity.build_ivf_index(emb, index_dir, nlist=16, iters=0)
+    assert not os.path.exists(os.path.join(index_dir, "CURRENT"))
+    assert not os.path.exists(os.path.join(index_dir, "versions"))
+    assert similarity.ivf_component_path(index_dir, "lists") == os.path.join(
+        index_dir, "lists"
+    )
+    assert (similarity.load_ivf_centroids(spark, index_dir) == cents_fresh).all()
+
 
 def test_ivf_probe_contract_verifier(spark, emb, tmp_path):
     """ann_ivf_probe's oracle contract: probe_ivf_exact_within_lists is
@@ -1190,3 +1200,17 @@ def test_compaction_publish_is_snapshot_isolated(spark, docs, tmp_path):
     ).count()
     base = corpus_side.count()
     assert grown == base + increment.count()
+
+    # a FULL rebuild supersedes the versioned history: pointer and
+    # versions/ are removed, the flat layout is live again
+    dedup.build_minhash_index(corpus_side, idx)
+    assert not os.path.exists(os.path.join(idx, "CURRENT"))
+    assert not os.path.exists(os.path.join(idx, "versions"))
+    assert dedup.index_component_path(idx, "bands") == os.path.join(idx, "bands")
+    rebuilt = sorted(
+        set(
+            (r.da, r.db, r.jaccard)
+            for r in dedup.probe_minhash_index(spark, idx, increment).collect()
+        )
+    )
+    assert rebuilt == sorted(set(expected))
