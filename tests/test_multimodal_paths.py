@@ -394,3 +394,24 @@ def test_ahash_pair_form_guards_oversized_families(spark):
     # identical family means no FAMILY pairs at all — constant output
     fams = multimodal.ahash_near_dup_families(media, max_hamming=3).collect()
     assert fams == []
+
+
+def test_ahash_pair_guard_persists_hash_frame_for_reuse(spark):
+    """With the guard on, the decoded-hash frame is persisted, so the
+    banding SELF-JOIN reads the cache instead of decoding the corpus a
+    second time — both join sides must be InMemoryTableScans."""
+    import contextlib
+    import io
+
+    base = bytes((7 * i) % 256 for i in range(3 * 16 * 16))
+    rows = [
+        (i, "image", "image/bmp", multimodal.encode_bmp(16, 16, base))
+        for i in range(1, 4)
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    pairs = multimodal.ahash_near_dup_pairs(media, max_hamming=3, max_family_size=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("InMemoryTableScan") >= 2, plan
