@@ -1,9 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (medians only — the driver's tail capture
+has a bounded buffer, and round 9's spread-laden line overflowed it):
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <scale factor>}
+Per-query [min, max] spreads + runs_per_query go to the BENCH_SPREAD.json
+sidecar (repo root) and stderr.
 
 Headline set: one representative per operator family, weighted toward
 what dominates at 100 TB (big-fact scan+agg, multi-join, window, LSH
@@ -16,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -179,7 +183,7 @@ def main() -> None:
             print(f"# {name}: SKIPPED ({exc})", file=sys.stderr)
             continue
         times.sort()
-        timings[name] = round(times[len(times) // 2], 3)
+        timings[name] = round(statistics.median(times), 3)
         spread[name] = [round(times[0], 3), round(times[-1], 3)]
         print(
             f"# {name}: {timings[name]}s median of {times} ({n} rows)",
@@ -187,6 +191,25 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # The [min, max] spreads + run count go to a SIDECAR file and stderr,
+    # NOT the final stdout line: round 9's spread-laden final line
+    # outgrew the driver's tail capture, which recorded a truncated
+    # fragment and parsed nothing — the official perf record for the
+    # round was lost. The final line stays compact (medians only, the
+    # shape that has always parsed); tools/bench_compare.py reads the
+    # sidecar for spread-aware noise separation.
+    sidecar = {
+        "spread": spread,
+        "runs_per_query": runs_per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
+    )
+    with open(sidecar_path, "w") as f:
+        json.dump(sidecar, f, indent=1)
+    print(f"# spread sidecar written to {sidecar_path}", file=sys.stderr)
+    print(f"# {json.dumps(sidecar)}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -194,8 +217,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
-                "runs_per_query": runs_per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

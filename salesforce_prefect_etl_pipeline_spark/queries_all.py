@@ -60,59 +60,74 @@ _PRUNE = {
 #: media_frame_sample) and stay green in the local 100%-registry sweep
 #: (tools/check_oracle.py).
 _PRIORITY = [
-    # --- tier 1: the 20 oldest driver rows (r5 cohort + the two
-    # sketch queries stuck at r2) ---
-    "spec_orders_by_status",
-    "spec_orders_by_missing_channel",
-    "spec_orders_missing_metric",
-    "spec_lineitem_global",
-    "text_unigram_familiarity",
-    "text_bigram_counts",
-    "text_rolling_fingerprint",
-    "text_bpe_token_estimate",
-    "agg_corr_price_qty",
-    "agg_mode_priority_by_segment",
-    "media_audio_stats",
-    "corpus_shard_assignment",
-    "dedup_chunk_overlap",
-    "dedup_simhash_pairs",
-    "ann_cosine_topk",
-    "emb_near_dup_pairs",
-    "sql_q5_local_supplier",
-    "sql_orders_above_avg",
-    "agg_approx_distinct_suppliers",  # r2; error-contract oracle, never driver-run
-    "ann_ivf_probe",  # r2; within-probed-lists contract oracle new this round
-    # --- tier 2: 30 of the round-6-stale cohort ---
-    "agg_mad_value_by_type",
-    "ann_ivf_probe_exact",
-    "ann_srp_topk",
-    "corpus_canonical_by_quality",
-    "corpus_pack_documents",
-    "corpus_pii_scan",
-    "corpus_stratified_sample",
-    "corpus_training_manifest",
-    "emb_cluster_mix",
-    "emb_near_dup_banded",
-    "media_decode_stats",
-    "media_feature_stats",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "qa_profile_orders",
-    "sql_correlated_exists",
-    "sql_embedding_dim_stats",
-    "sql_in_subquery_having",
-    "text_chunk_fingerprints",
-    "text_cms_top_tokens",
-    "text_tfidf_top_terms",
-    "window_order_gap_days",
-    "window_top3_orders_per_customer",
+    # --- round-10 window: the 50 oldest driver rows, exactly as
+    # tools/staleness.py orders them — the 13 queries whose latest hard
+    # row is r6, then the 37 alphabetically-first of the 49 r7 rows.
+    "corpus_pack_stats",  # r6
+    "emb_cluster_sample",  # r6
+    "media_frame_sample",  # r6
+    "qa_profile_orders_topk",  # r6
+    "set_except_nationkeys",  # r6
+    "set_intersect_nationkeys",  # r6
+    "set_union_nationkeys",  # r6
+    "sql_pivot_counts",  # r6
+    "sql_union_all_counts",  # r6
+    "window_first_last_order",  # r6
+    "window_ntile_order_quartiles",  # r6
+    "window_rank_nations_by_acctbal",  # r6
+    "window_running_total",  # r6
+    "agg_binned_percentiles",  # r7
+    "agg_distinct_suppliers_per_flag",  # r7
+    "agg_median_acctbal_by_nation",  # r7
+    "agg_stddev_acctbal_by_segment",  # r7
+    "ann_cosine_topk_np",  # r7
+    "corpus_contamination",  # r7
+    "corpus_dedup_survivor_stats",  # r7
+    "corpus_domain_mix",  # r7
+    "corpus_e2e_curation",  # r7
+    "corpus_length_filter_report",  # r7
+    "corpus_split_counts",  # r7
+    "corpus_token_length_histogram",  # r7
+    "corpus_url_scan",  # r7
+    "corpus_weighted_sample",  # r7
+    "cube_orders",  # r7
+    "dedup_containment_pairs",  # r7
+    "dedup_exact_groups",  # r7
+    "dedup_incremental_probe",  # r7
+    "dedup_jaccard_pairs",  # r7
+    "dedup_minhash_lsh",  # r7
+    "dedup_near_dup_clusters",  # r7
+    "emb_pq_codes",  # r7
+    "events_zorder_layout",  # r7
+    "graph_nation_pagerank",  # r7
+    "grouping_sets_lineitem",  # r7
+    "join_anti_customers_without_orders",  # r7
+    "join_range_ship_within_30d",  # r7
+    "join_revenue_by_region",  # r7
+    "join_salted_revenue_by_priority",  # r7
+    "join_semi_customers_with_orders",  # r7
+    "lineitem_unpivot_stats",  # r7
+    "orders_by_month",  # r7
+    "pivot_status_by_priority",  # r7
+    "q11_supply_value_share",  # r7
+    "q15_top_supplier",  # r7
+    "q3_shipping_priority",  # r7
+    "q6_forecast_revenue",  # r7
+    # --- round-11 queue (pre-staged so the rotation discipline survives
+    # a context reset): front these 12 remaining r7 rows, then fill the
+    # window with the oldest r8 cohort per tools/staleness.py ---
+    #   "qa_key_skew_suppkey",
+    #   "rollup_lineitem",
+    #   "streaming_dedup_ingest",
+    #   "text_bpe_merge_candidates",
+    #   "text_common_ngrams",
+    #   "text_fingerprints",
+    #   "text_lang_id",
+    #   "text_quality_score",
+    #   "text_repetition_stats",
+    #   "text_token_stats",
+    #   "text_top_tokens",
+    #   "udtf_sentence_stats",
 ]
 
 

@@ -6,10 +6,13 @@ two runs' spreads don't overlap) from scheduling noise (they do) — the
 distinction a previous round's audit had to reconstruct by hand for a
 0.4 s query whose single-shot time swung 1.5x.
 
-Usage: python tools/bench_compare.py BENCH_r08.json BENCH_r09.json
-Files may be plain bench output ({"queries": ..., "spread": ...}) or a
-BENCH_SCALING bundle ({"sf0.1": {...}, "sf1": {...}}), in which case
-pass the same sf key on both sides via --sf=sf0.1.
+Usage: python tools/bench_compare.py BENCH_r08.json BENCH_r10.json
+Files may be plain bench output ({"queries": ...}) or a BENCH_SCALING
+bundle ({"sf0.1": {...}, "sf1": {...}}), in which case pass the same sf
+key on both sides via --sf=sf0.1. Since round 10 the final bench line is
+compact (medians only) and the [min, max] spreads live in a sidecar
+(BENCH_SPREAD.json); attach sidecars with --spread-a=path /
+--spread-b=path to restore noise separation for that side.
 """
 
 from __future__ import annotations
@@ -18,25 +21,39 @@ import json
 import sys
 
 
-def load(path: str, sf: str | None) -> dict:
+def load(path: str, sf: str | None, spread_path: str | None = None) -> dict:
     d = json.load(open(path))
     if "parsed" in d and "queries" not in d:
-        d = d["parsed"]  # driver-recorded BENCH_r{N}.json wraps the line
+        # driver-recorded BENCH_r{N}.json wraps the stdout line
+        if d["parsed"] is None:
+            raise SystemExit(
+                f"{path}: driver recorded parsed=null (the bench stdout "
+                "line did not survive tail capture) — no medians to "
+                "compare. Use the round's BENCH_SCALING sidecar with "
+                "--sf=sf0.1 instead, e.g. BENCH_SCALING_r09.json."
+            )
+        d = d["parsed"]
     if sf is not None:
         d = d[sf]
+    if spread_path is not None:
+        d = dict(d, spread=json.load(open(spread_path))["spread"])
     return d
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--sf=")]
-    sf = None
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = spread_a = spread_b = None
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
             sf = a[len("--sf="):]
+        elif a.startswith("--spread-a="):
+            spread_a = a[len("--spread-a="):]
+        elif a.startswith("--spread-b="):
+            spread_b = a[len("--spread-b="):]
     if len(args) != 2:
         print(__doc__)
         return 2
-    a, b = load(args[0], sf), load(args[1], sf)
+    a, b = load(args[0], sf, spread_a), load(args[1], sf, spread_b)
     qa, qb = a["queries"], b["queries"]
     sa, sb = a.get("spread", {}), b.get("spread", {})
     common = [k for k in qa if k in qb]
