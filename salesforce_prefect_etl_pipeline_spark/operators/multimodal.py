@@ -30,6 +30,7 @@ two decode tiers:
 from __future__ import annotations
 
 import hashlib
+import threading as _threading
 from collections.abc import Iterator
 
 import numpy as np
@@ -514,13 +515,79 @@ def image_ahash(media: DataFrame) -> DataFrame:
 
 
 class FamilySizeError(ValueError):
-    """Raised by :func:`ahash_near_dup_pairs` when an exact-signature
-    family exceeds ``max_family_size``: the PAIR LIST output would be
-    quadratic in that family's size no matter how the engine computes
-    it, which is an unbounded-output footgun on family-heavy corpora
-    (measured on the sf1 scaling fixture: 35M pair rows / 130 s, all
-    output). The linear-output report over the same corpus is
-    :func:`ahash_near_dup_families`."""
+    """Raised by the media pair-list operators (:func:`ahash_near_dup_pairs`,
+    :func:`audio_near_dup_pairs`, :func:`video_near_dup_pairs`) when an
+    exact-signature family exceeds ``max_family_size``: the PAIR LIST
+    output would be quadratic in that family's size no matter how the
+    engine computes it, which is an unbounded-output footgun on
+    family-heavy corpora (measured on the sf1 scaling fixture: 35M pair
+    rows / 130 s, all output). The linear-output reports over the same
+    corpora are the matching ``*_near_dup_families`` forms."""
+
+
+# One-slot registry of the most recent guarded pair op's persisted hash
+# frame: each guarded call evicts the previous call's cache before
+# persisting its own, so a session that runs the pair ops repeatedly
+# (the bench runs three of them, 3x each, per round) holds at most ONE
+# small hash frame in executor storage instead of leaking one per call.
+_GUARD_CACHE: list[DataFrame] = []
+_GUARD_LOCK = _threading.Lock()
+
+
+def release_guard_cache() -> None:
+    """Unpersist the media ops' cached hash frame (if any)."""
+    with _GUARD_LOCK:
+        while _GUARD_CACHE:
+            _GUARD_CACHE.pop().unpersist(blocking=False)
+
+
+def _cache_one(df: DataFrame) -> DataFrame:
+    """Persist ``df`` in the one-slot media hash cache, evicting the
+    previous occupant — repeated media-op calls hold at most one small
+    cached frame instead of leaking one per call."""
+    with _GUARD_LOCK:
+        while _GUARD_CACHE:
+            _GUARD_CACHE.pop().unpersist(blocking=False)
+        df = df.persist()
+        _GUARD_CACHE.append(df)
+    return df
+
+
+def _guard_and_persist(
+    hashed: DataFrame,
+    family_cols: list[str],
+    what: str,
+    alt: str,
+    max_family_size: int,
+) -> DataFrame:
+    """Shared output-size guardrail for the media pair-list operators.
+
+    Persists the (tiny: tens of bytes per item) hash frame — so the
+    guard group-by AND both sides of the downstream pair join read one
+    decode pass — then finds the largest exact-signature family with one
+    cheap group-by and raises :class:`FamilySizeError` above
+    ``max_family_size``, steering to the linear-output family form
+    named by ``alt``. The pair contract itself is quadratic in family
+    size (a family of s identical items emits s*(s-1)/2 rows from that
+    family alone); no engine strategy changes that, so the only sound
+    move at scale is to refuse and point at the linear report."""
+    hashed = _cache_one(hashed)
+    biggest = (
+        hashed.groupBy(*family_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    ) or 0
+    if biggest > max_family_size:
+        release_guard_cache()
+        raise FamilySizeError(
+            f"largest exact-signature {what} family has {biggest} members "
+            f"(> max_family_size={max_family_size}); the pair list would "
+            f"be quadratic in family size. Use {alt} "
+            f"(linear output: one row per family pair), or pass "
+            f"max_family_size=None to accept the output volume."
+        )
+    return hashed
 
 
 def ahash_near_dup_pairs(
@@ -547,22 +614,10 @@ def ahash_near_dup_pairs(
     ah = image_ahash(media)
     chunks = hash64_band_chunks()
     if max_family_size is not None:
-        ah = ah.persist()
-        biggest = (
-            ah.groupBy("h_lo", "h_hi")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.max("n"))
-            .first()[0]
-        ) or 0
-        if biggest > max_family_size:
-            ah.unpersist(blocking=False)
-            raise FamilySizeError(
-                f"largest exact-signature image family has {biggest} members "
-                f"(> max_family_size={max_family_size}); the pair list would "
-                f"be quadratic in family size. Use ahash_near_dup_families "
-                f"(linear output: one row per family pair), or pass "
-                f"max_family_size=None to accept the output volume."
-            )
+        ah = _guard_and_persist(
+            ah, ["h_lo", "h_hi"], "image", "ahash_near_dup_families",
+            max_family_size,
+        )
     return banded_hamming_pairs(
         ah,
         "media_id",
@@ -590,16 +645,19 @@ def ahash_near_dup_families(media: DataFrame, max_hamming: int = 3) -> DataFrame
     member ids; ``ahash_near_dup_pairs`` is exactly the expansion
     [within-family all-pairs at hamming 0] + [size_a x size_b member
     pairs per family pair] — asserted by pytest."""
-    ah = image_ahash(media)
+    return _hash64_families(image_ahash(media), max_hamming)
+
+
+def _hash64_families(ah: DataFrame, max_hamming: int) -> DataFrame:
+    """Shared family-collapse kernel over a 64-bit (h_lo, h_hi) hash
+    frame: collapse exact signatures to (rep, size) families with one
+    group-by, band only the DISTINCT signatures, attach family sizes.
+    Used by the image aHash and audio contour family forms — both
+    fingerprints pack the same two-32-bit-halves layout."""
     fams = ah.groupBy("h_lo", "h_hi").agg(
         F.min("media_id").alias("rep_id"),
         F.count(F.lit(1)).alias("family_size"),
     )
-    from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
-        banded_hamming_pairs,
-        hash64_band_chunks,
-    )
-
     pairs = banded_hamming_pairs(
         fams.select("rep_id", "h_lo", "h_hi"),
         "rep_id",
@@ -967,7 +1025,9 @@ def video_frame_ahash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_hash, FRAME_AHASH_SCHEMA)
 
 
-def video_near_dup_pairs(media: DataFrame, min_shared: int = 3) -> DataFrame:
+def video_near_dup_pairs(
+    media: DataFrame, min_shared: int = 3, max_family_size: int | None = 256
+) -> DataFrame:
     """Video near-dup pairs (ma, mb, n_shared_frames): two videos pair
     when they share >= min_shared DISTINCT frame fingerprints — the
     shot-level dedup rule (re-edits, re-encodes and trims keep most
@@ -976,8 +1036,24 @@ def video_near_dup_pairs(media: DataFrame, min_shared: int = 3) -> DataFrame:
     self-joins outside EXACT fingerprint collisions — an equi-join on
     the 64-bit hash, no banding needed because frame identity (not
     tolerance) is the predicate; per-frame tolerance is already
-    handled by the aHash quantization itself."""
+    handled by the aHash quantization itself.
+
+    Output-size guardrail, same contract as
+    :func:`ahash_near_dup_pairs`: s videos sharing one frame
+    fingerprint contribute s*(s-1)/2 rows to the fingerprint equi-join
+    (and, when the videos are identical, to the OUTPUT), so the hottest
+    fingerprint's collision-group size is checked first (one group-by
+    over the persisted per-video distinct-fingerprint frame, which the
+    self-join then also reads — one decode pass, not two) and
+    :class:`FamilySizeError` steers to the linear
+    :func:`video_near_dup_families` form. ``max_family_size=None``
+    opts into the quadratic join explicitly."""
     sigs = video_frame_ahash(media).select("media_id", "h_lo", "h_hi").distinct()
+    if max_family_size is not None:
+        sigs = _guard_and_persist(
+            sigs, ["h_lo", "h_hi"], "video frame-fingerprint",
+            "video_near_dup_families", max_family_size,
+        )
     a = sigs.select(
         F.col("media_id").alias("ma"),
         F.col("h_lo").alias("lo"),
@@ -998,23 +1074,20 @@ def video_near_dup_pairs(media: DataFrame, min_shared: int = 3) -> DataFrame:
     )
 
 
-def video_near_dup_sql(
-    min_shared: int = 3,
-    n_frames: int = 6,
-    width: int = 16,
-    height: int = 16,
-    source: str = "documents",
+def _video_sig_ctes(
+    n_frames: int, width: int, height: int, source: str
 ) -> str:
-    """DuckDB twin for the synthetic SVID corpus: replay the per-frame
-    quadratic pixel formula from the md5 seed coefficients, the shared
-    aHash kernel, then the distinct-fingerprint intersection count."""
+    """Shared DuckDB CTE chain documents -> per-video DISTINCT frame
+    fingerprints (m, lo, hi) for the synthetic SVID corpus: replay the
+    per-frame quadratic pixel formula from the md5 seed coefficients
+    and the shared aHash kernel — used by both the pair and the family
+    oracles."""
     if width % 8 or height % 8:
         # mirror the engine kernel's contract: a non-divisible geometry
         # would silently mis-pool blocks here while the kernel raises
         raise ValueError(f"aHash oracle needs dimensions divisible by 8, got {width}x{height}")
     n_px = 3 * width * height
-    return f"""
-WITH fr AS MATERIALIZED (
+    return f"""fr AS MATERIALIZED (
   SELECT d.doc_id AS m, f.f,
          CAST(CAST(concat('0x', substr(md5(
              CAST(CASE WHEN d.doc_id % 9 = 0 AND f.f > 0
@@ -1059,12 +1132,127 @@ persig AS (
       AS hi
   FROM bits GROUP BY m, f
 ),
-sigs AS MATERIALIZED (SELECT DISTINCT m, lo, hi FROM persig)
+sigs AS MATERIALIZED (SELECT DISTINCT m, lo, hi FROM persig)"""
+
+
+def video_near_dup_sql(
+    min_shared: int = 3,
+    n_frames: int = 6,
+    width: int = 16,
+    height: int = 16,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`video_near_dup_pairs`: the shared
+    frame-fingerprint replay (:func:`_video_sig_ctes`), then the
+    distinct-fingerprint intersection count."""
+    return f"""
+WITH {_video_sig_ctes(n_frames, width, height, source)}
 SELECT a.m AS ma, b.m AS mb, CAST(COUNT(*) AS BIGINT) AS n_shared_frames
 FROM sigs a JOIN sigs b ON a.lo = b.lo AND a.hi = b.hi AND a.m < b.m
 GROUP BY a.m, b.m
 HAVING COUNT(*) >= {min_shared}
 ORDER BY ma, mb
+"""
+
+
+def video_near_dup_families(media: DataFrame, min_shared: int = 3) -> DataFrame:
+    """Family-collapsed video near-dup report — the mega-family-safe
+    form of :func:`video_near_dup_pairs`. Videos whose DISTINCT frame
+    fingerprint SETS are identical form one family (re-uploads and
+    exact re-encodes of the same clip); the family key is the md5 of
+    the lexicographically sorted "lo:hi" fingerprint strings, computed
+    with one per-video collect_list — linear. Only family
+    REPRESENTATIVES (min media_id) then enter the shared-frame
+    equi-join, so a corpus of s identical videos contributes ONE
+    representative instead of an s x s join block. Output one row per
+    near-dup FAMILY pair
+    (ra, rb, n_shared_frames, size_a, size_b, cross_pairs);
+    ``video_near_dup_pairs`` is the expansion [within-family all-pairs
+    sharing every frame] + [size_a x size_b member pairs per family
+    pair] — asserted by pytest."""
+    sigs = _cache_one(
+        video_frame_ahash(media).select("media_id", "h_lo", "h_hi").distinct()
+    )
+    skey = sigs.groupBy("media_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.concat_ws(":", F.col("h_lo"), F.col("h_hi")))
+                ),
+            )
+        ).alias("skey")
+    )
+    fams = skey.groupBy("skey").agg(
+        F.min("media_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("family_size"),
+    )
+    reps = sigs.join(
+        fams.select(F.col("rep_id").alias("media_id"), "family_size"), "media_id"
+    )
+    a = reps.select(
+        F.col("media_id").alias("ra"),
+        F.col("family_size").alias("size_a"),
+        F.col("h_lo").alias("lo"),
+        F.col("h_hi").alias("hi"),
+    )
+    b = reps.select(
+        F.col("media_id").alias("rb"),
+        F.col("family_size").alias("size_b"),
+        F.col("h_lo").alias("lo"),
+        F.col("h_hi").alias("hi"),
+    )
+    return (
+        a.join(b, ["lo", "hi"])
+        .filter(F.col("ra") < F.col("rb"))
+        .groupBy("ra", "rb", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared)
+        .select(
+            "ra",
+            "rb",
+            "n_shared_frames",
+            "size_a",
+            "size_b",
+            (F.col("size_a") * F.col("size_b")).cast("long").alias("cross_pairs"),
+        )
+        .orderBy("ra", "rb")
+    )
+
+
+def video_families_sql(
+    min_shared: int = 3,
+    n_frames: int = 6,
+    width: int = 16,
+    height: int = 16,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`video_near_dup_families`: shared
+    fingerprint replay, md5-of-sorted-fingerprint-strings family key
+    (string_agg ORDER BY the same "lo:hi" string Spark's sort_array
+    sorts — lexicographic on both engines), representative-only
+    intersection counts."""
+    return f"""
+WITH {_video_sig_ctes(n_frames, width, height, source)},
+vset AS (
+  SELECT m, md5(string_agg(lo || ':' || hi, ',' ORDER BY lo || ':' || hi)) AS skey
+  FROM sigs GROUP BY m
+),
+fam AS (
+  SELECT skey, MIN(m) AS rep_id, COUNT(*) AS family_size
+  FROM vset GROUP BY skey
+),
+reps AS (
+  SELECT s.m, f.family_size, s.lo, s.hi
+  FROM sigs s JOIN fam f ON s.m = f.rep_id
+)
+SELECT a.m AS ra, b.m AS rb, CAST(COUNT(*) AS BIGINT) AS n_shared_frames,
+       a.family_size AS size_a, b.family_size AS size_b,
+       CAST(a.family_size * b.family_size AS BIGINT) AS cross_pairs
+FROM reps a JOIN reps b ON a.lo = b.lo AND a.hi = b.hi AND a.m < b.m
+GROUP BY a.m, b.m, a.family_size, b.family_size
+HAVING COUNT(*) >= {min_shared}
+ORDER BY ra, rb
 """
 
 
@@ -1162,13 +1350,28 @@ def audio_contour_hash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_hash, AHASH_SCHEMA)
 
 
-def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def audio_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, max_family_size: int | None = 256
+) -> DataFrame:
     """Audio near-dup pairs (ma, mb, hamming) over the contour
     fingerprint via the shared pigeonhole scaffold
     (``dedup.banded_hamming_pairs``, 4 x 16-bit bands — exact at
-    Hamming <= 3, raises beyond)."""
+    Hamming <= 3, raises beyond).
+
+    Same output-size guardrail as :func:`ahash_near_dup_pairs`: a
+    corpus of s identical tracks emits s*(s-1)/2 pair rows from that
+    family alone, so the largest exact-fingerprint family is checked
+    first (one group-by over the persisted 24-byte-per-track hash
+    frame) and :class:`FamilySizeError` steers to the linear
+    :func:`audio_near_dup_families` form. ``max_family_size=None``
+    opts into quadratic output explicitly."""
     ah = audio_contour_hash(media)
     chunks = hash64_band_chunks()
+    if max_family_size is not None:
+        ah = _guard_and_persist(
+            ah, ["h_lo", "h_hi"], "audio", "audio_near_dup_families",
+            max_family_size,
+        )
     return banded_hamming_pairs(
         ah,
         "media_id",
@@ -1181,22 +1384,20 @@ def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def audio_near_dup_sql(
-    max_hamming: int = 3, n_samples: int = 256, source: str = "documents"
-) -> str:
-    """DuckDB twin for the noisy synthetic WAV corpus: replay the
-    md5-derived samples (planted-dup base + asymmetric nudge included),
-    the identical alternating-sum fingerprint, and a brute-force pair
-    join (exact vs the banded engine at Hamming <= 3). md5 runs at the
-    BLOCK grain — one digest per (doc, i//5), mirroring the generator's
+def _audio_sig_ctes(n_samples: int, source: str) -> str:
+    """Shared DuckDB CTE chain documents -> per-media contour
+    fingerprint (lo, hi) for the NOISY synthetic WAV corpus: replay
+    the md5-derived samples (planted-dup base + asymmetric nudge
+    included) and the alternating-sum fingerprint — used by both the
+    pair and the family oracles. md5 runs at the BLOCK grain — one
+    digest per (doc, i//5), mirroring the generator's
     five-samples-per-hash slicing — not once per sample."""
     if n_samples % 64:
         # mirror audio_contour_hash's contract
         raise ValueError(f"contour oracle needs n_samples divisible by 64, got {n_samples}")
     w = n_samples // 64
     n_blocks = (n_samples + 4) // 5
-    return f"""
-WITH blocks AS MATERIALIZED (
+    return f"""blocks AS MATERIALIZED (
   SELECT d.doc_id AS m, b.blk,
          CAST(CAST(concat('0x', substr(md5(
              CAST(CASE WHEN d.doc_id % 7 = 0 THEN d.doc_id - 1
@@ -1231,12 +1432,56 @@ sig AS MATERIALIZED (
              THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT)
       AS hi
   FROM alt GROUP BY m
-)
+)"""
+
+
+def audio_near_dup_sql(
+    max_hamming: int = 3, n_samples: int = 256, source: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`audio_near_dup_pairs` over the noisy
+    synthetic WAV corpus: the shared sample+fingerprint replay
+    (:func:`_audio_sig_ctes`), then a brute-force pair join (exact vs
+    the banded engine at Hamming <= 3)."""
+    return f"""
+WITH {_audio_sig_ctes(n_samples, source)}
 SELECT a.m AS ma, b.m AS mb,
        bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
 FROM sig a JOIN sig b ON a.m < b.m
 WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
 ORDER BY ma, mb
+"""
+
+
+def audio_near_dup_families(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Family-collapsed audio near-dup report — the mega-family-safe
+    form of :func:`audio_near_dup_pairs`, exactly as
+    :func:`ahash_near_dup_families` is for images: collapse
+    exact-fingerprint families first (one group-by — linear), band only
+    the DISTINCT contour fingerprints, attach family sizes. Output one
+    row per near-dup FAMILY pair
+    (ra, rb, hamming, size_a, size_b, cross_pairs)."""
+    return _hash64_families(audio_contour_hash(media), max_hamming)
+
+
+def audio_families_sql(
+    max_hamming: int = 3, n_samples: int = 256, source: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`audio_near_dup_families`: shared
+    fingerprint replay, collapse exact fingerprints to (rep, size)
+    families, brute-force the DISTINCT fingerprints."""
+    return f"""
+WITH {_audio_sig_ctes(n_samples, source)},
+fam AS (
+  SELECT lo, hi, MIN(m) AS rep_id, COUNT(*) AS family_size
+  FROM sig GROUP BY lo, hi
+)
+SELECT a.rep_id AS ra, b.rep_id AS rb,
+       bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming,
+       a.family_size AS size_a, b.family_size AS size_b,
+       CAST(a.family_size * b.family_size AS BIGINT) AS cross_pairs
+FROM fam a JOIN fam b ON a.rep_id < b.rep_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
+ORDER BY ra, rb
 """
 
 

@@ -977,6 +977,18 @@ register_query(
     ),
     multimodal.video_near_dup_sql(),
 )
+# Family-collapsed video near-dup: identical-fingerprint-set videos
+# collapse to one representative before the shared-frame equi-join, so
+# unbounded re-upload families cost one rep instead of an s x s join
+# block — the mega-family-safe form video_near_dup_pairs' guard steers
+# to (mirrors media_phash_families for images).
+register_query(
+    "media_video_families",
+    lambda spark, sf_dir: multimodal.video_near_dup_families(
+        multimodal.synthetic_video_media(_docs(spark, sf_dir))
+    ),
+    multimodal.video_families_sql(),
+)
 
 # Audio fingerprint dedup: alternating-sum contour hash over REAL
 # decoded PCM16 samples; the noisy synthetic corpus plants an
@@ -988,6 +1000,16 @@ register_query(
         multimodal.synthetic_wav_media_noisy(_docs(spark, sf_dir))
     ),
     multimodal.audio_near_dup_sql(),
+)
+# Family-collapsed audio near-dup: exact-fingerprint group-by first,
+# banded Hamming between DISTINCT contour fingerprints only — the
+# mega-family-safe form audio_near_dup_pairs' guard steers to.
+register_query(
+    "media_audio_families",
+    lambda spark, sf_dir: multimodal.audio_near_dup_families(
+        multimodal.synthetic_wav_media_noisy(_docs(spark, sf_dir))
+    ),
+    multimodal.audio_families_sql(),
 )
 
 # Perceptual image dedup: aHash over REAL decoded BMP pixels, 4x16-bit

@@ -415,3 +415,92 @@ def test_ahash_pair_guard_persists_hash_frame_for_reuse(spark):
         pairs.explain("formatted")
     plan = buf.getvalue()
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_audio_pair_form_guards_oversized_families(spark):
+    """The audio pair op shares the image op's output-size guardrail: a
+    planted identical-track family larger than max_family_size refuses
+    with a pointer to audio_near_dup_families; None opts into the
+    quadratic list; the family form collapses the corpus to zero
+    family pairs (one family pairs with nothing)."""
+    import numpy as np
+
+    samples = (np.arange(64, dtype=np.int64) * 37) % 1024 - 512
+    wav = multimodal.encode_wav(8000, samples)
+    rows = [(i, "audio", "audio/wav", wav) for i in range(1, 8)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(multimodal.FamilySizeError, match="audio_near_dup_families"):
+        multimodal.audio_near_dup_pairs(media, max_hamming=3, max_family_size=5)
+    opted = multimodal.audio_near_dup_pairs(
+        media, max_hamming=3, max_family_size=None
+    ).collect()
+    assert len(opted) == 21 and all(r.hamming == 0 for r in opted)
+    ok = multimodal.audio_near_dup_pairs(
+        media, max_hamming=3, max_family_size=7
+    ).collect()
+    assert [tuple(r) for r in ok] == [tuple(r) for r in opted]
+    assert multimodal.audio_near_dup_families(media, max_hamming=3).collect() == []
+
+
+def test_video_pair_form_guards_oversized_families(spark):
+    """Same guardrail on the video pair op, keyed by the hottest frame
+    fingerprint's collision-group size (that is what the equi-join is
+    quadratic in): a planted identical-video family refuses with a
+    pointer to video_near_dup_families."""
+    base = bytes((7 * i) % 256 for i in range(3 * 16 * 16))
+    inv = bytes(255 - b for b in base)
+    clip = multimodal.encode_video(
+        [multimodal.encode_bmp(16, 16, base), multimodal.encode_bmp(16, 16, inv)]
+    )
+    rows = [(i, "video", "video/svid", clip) for i in range(1, 8)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(multimodal.FamilySizeError, match="video_near_dup_families"):
+        multimodal.video_near_dup_pairs(media, min_shared=1, max_family_size=5)
+    opted = multimodal.video_near_dup_pairs(
+        media, min_shared=1, max_family_size=None
+    ).collect()
+    assert len(opted) == 21 and all(r.n_shared_frames >= 1 for r in opted)
+    ok = multimodal.video_near_dup_pairs(
+        media, min_shared=1, max_family_size=7
+    ).collect()
+    assert [tuple(r) for r in ok] == [tuple(r) for r in opted]
+    # one identical-set family -> no FAMILY pairs at all
+    assert multimodal.video_near_dup_families(media, min_shared=1).collect() == []
+
+
+def test_video_families_expansion_consistency(spark):
+    """video_near_dup_pairs is the member-level expansion of
+    video_near_dup_families: a family pair (ra, rb) with sizes
+    (size_a, size_b) corresponds to size_a * size_b member pairs all
+    sharing the same n_shared_frames, and within-family member pairs
+    share the family's full distinct fingerprint set."""
+    base = bytes((7 * i) % 256 for i in range(3 * 16 * 16))
+    inv = bytes(255 - b for b in base)
+    clip_a = multimodal.encode_video(
+        [multimodal.encode_bmp(16, 16, base), multimodal.encode_bmp(16, 16, inv)]
+    )
+    clip_b = multimodal.encode_video([multimodal.encode_bmp(16, 16, base)])
+    rows = [(i, "video", "video/svid", clip_a) for i in (1, 2, 3)]
+    rows += [(i, "video", "video/svid", clip_b) for i in (10, 11)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    fams = multimodal.video_near_dup_families(media, min_shared=1).collect()
+    pairs = {
+        (r.ma, r.mb): r.n_shared_frames
+        for r in multimodal.video_near_dup_pairs(
+            media, min_shared=1, max_family_size=None
+        ).collect()
+    }
+    # families: {1,2,3} rep 1 and {10,11} rep 10; they share the base
+    # frame's fingerprint (if base and inv hash apart, shared == 1)
+    assert len(fams) == 1
+    f = fams[0]
+    assert (f.ra, f.rb) == (1, 10)
+    assert (f.size_a, f.size_b, f.cross_pairs) == (3, 2, 6)
+    # every cross member pair exists with the family's shared count
+    for a in (1, 2, 3):
+        for b in (10, 11):
+            assert pairs[(a, b)] == f.n_shared_frames
+    # within-family pairs share the family's whole distinct set
+    n_sigs_a = pairs[(1, 2)]
+    assert pairs[(1, 3)] == n_sigs_a and pairs[(2, 3)] == n_sigs_a
+    assert pairs[(10, 11)] >= f.n_shared_frames
