@@ -71,10 +71,19 @@ class AppMemo:
             return self._entries.pop(self._check_key(key), default)
 
     def __contains__(self, key) -> bool:
-        return isinstance(key, tuple) and key in self._entries
+        # Same lock + dead-app eviction as every other accessor: an
+        # unlocked membership test could report an entry a subsequent
+        # locked __getitem__ immediately evicts (TOCTOU under the
+        # concurrent flow runner).
+        if not isinstance(key, tuple) or not key:
+            return False
+        with self._lock:
+            self._evict_other_apps(key[0])
+            return key in self._entries
 
     def __len__(self) -> int:
-        return len(self._entries)
+        with self._lock:
+            return len(self._entries)
 
     def clear(self) -> None:
         with self._lock:

@@ -820,6 +820,18 @@ def index_component_path(index_dir: str, comp: str) -> str:
     return os.path.join(index_dir, comp)
 
 
+def current_index_version(index_dir: str) -> str:
+    """The version the CURRENT pointer resolves to, or "" for the flat
+    (never-compacted/rebuilt) layout. Cache keys derived from an index
+    dir should include this: a versioned rebuild changes it, so memoized
+    per-version artifacts (e.g. loaded IVF centroids) can never pair
+    with a newer version's data."""
+    cur = os.path.join(index_dir, "CURRENT")
+    if os.path.exists(cur):
+        return open(cur).read().strip()
+    return ""
+
+
 def build_minhash_index(docs: DataFrame, index_dir: str, k: int = 8) -> None:
     """Persist the corpus near-dup index: ``bands/`` (doc_id, band, key
     — partitioned by band, sorted by key within each partition for

@@ -1114,7 +1114,12 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("records"),
             F.sum("k").alias("sum_k"),
             F.count("absent").alias("n_absent_nonnull"),
-            F.count(F.when(F.col("vschema").contains("k"), 1)).alias(
+            # the rendered FIELD token ("k:" at a word boundary), not a
+            # bare contains("k") — the latter matches any schema string
+            # with the letter k (a future "kind" field would count)
+            # while the DuckDB side's LIKE '%"k"%' requires the quoted
+            # field; both engines now test presence of field k itself
+            F.count(F.when(F.col("vschema").rlike(r"\bk:"), 1)).alias(
                 "n_schema_has_k"
             ),
             exact_sum("value").alias("sum_value"),

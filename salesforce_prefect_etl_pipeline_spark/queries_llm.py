@@ -68,15 +68,35 @@ assigned AS (
 _SEED_QUANTIZER_CTES = _seed_quantizer_ctes()
 
 
-#: (index_dir) -> centroids ndarray; (app, sf_dir) -> query vectors.
-#: Driver-side memo: centroids/query vectors are tiny and immutable per
-#: index — a probe should pay ONLY the pruned-partition scan + rank.
-#: The centroid cache stays a PLAIN dict: its keys are index dirs, its
-#: ndarrays are disk-backed and session-independent, and staleness is
-#: handled where the index is (re)built. Everything session-scoped uses
-#: AppMemo (bounded, auto-evicting on a new applicationId — see memo.py).
-_IVF_CENTROID_CACHE: dict = {}
+#: (app, index_dir, version) -> centroids ndarray; (app, sf_dir) ->
+#: query vectors. Driver-side memos: centroids/query vectors are tiny
+#: and immutable per index VERSION — a probe should pay ONLY the
+#: pruned-partition scan + rank. Both follow the AppMemo discipline
+#: (bounded, auto-evicting on a new applicationId — see memo.py); the
+#: centroid key includes the index's resolved CURRENT version, so a
+#: versioned rebuild (similarity.rebuild_ivf_index) naturally misses
+#: the old entry instead of pairing stale centroids with new lists.
+_CENTROID_CACHE = AppMemo()
 _QVEC_CACHE = AppMemo()
+
+
+def _ivf_centroids(spark, index_dir: str):
+    """Centroids of ``index_dir``'s CURRENT version, memoized per
+    (application, index dir, resolved version)."""
+    from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
+        current_index_version,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        index_dir,
+        current_index_version(index_dir),
+    )
+    cents = _CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = similarity.load_ivf_centroids(spark, index_dir)
+        _CENTROID_CACHE[key] = cents
+    return cents
 
 
 def ensure_ivf_index(spark, sf_dir: str, nlist: int = 16, iters: int = 10) -> str:
@@ -99,28 +119,24 @@ def ensure_ivf_index(spark, sf_dir: str, nlist: int = 16, iters: int = 10) -> st
     stale = os.path.exists(success) and os.path.getmtime(success) < os.path.getmtime(
         os.path.join(sf_dir, "embeddings.parquet")
     )
-    if stale:
-        _IVF_CENTROID_CACHE.pop(index_dir, None)
     if stale or not os.path.exists(success):
         cents = similarity.build_ivf_index(
             _emb(spark, sf_dir), index_dir, nlist=nlist, iters=iters
         )
-        _IVF_CENTROID_CACHE[index_dir] = cents
-    elif index_dir not in _IVF_CENTROID_CACHE:
+        # a full build resets the index to the flat ("") version layout
+        _CENTROID_CACHE[
+            (spark.sparkContext.applicationId, index_dir, "")
+        ] = cents
+    else:
         # an online ANN service holds the (nlist x dim) centroids in
         # memory; loading them is part of index open, not of a probe
-        _IVF_CENTROID_CACHE[index_dir] = similarity.load_ivf_centroids(
-            spark, index_dir
-        )
+        _ivf_centroids(spark, index_dir)
     return index_dir
 
 
 def _ivf_probe_query(spark, sf_dir: str, k: int = 10, nprobe: int = 8):
     index_dir = ensure_ivf_index(spark, sf_dir)
-    cents = _IVF_CENTROID_CACHE.get(index_dir)
-    if cents is None:
-        cents = similarity.load_ivf_centroids(spark, index_dir)
-        _IVF_CENTROID_CACHE[index_dir] = cents
+    cents = _ivf_centroids(spark, index_dir)
     qkey = (spark.sparkContext.applicationId, sf_dir)
     qvecs = _QVEC_CACHE.get(qkey)
     if qvecs is None:
@@ -502,10 +518,7 @@ register_query(
 
 def _ivf_probe_contract_query(spark, sf_dir: str, k: int = 10, nprobe: int = 8):
     index_dir = ensure_ivf_index(spark, sf_dir)
-    cents = _IVF_CENTROID_CACHE.get(index_dir)
-    if cents is None:
-        cents = similarity.load_ivf_centroids(spark, index_dir)
-        _IVF_CENTROID_CACHE[index_dir] = cents
+    cents = _ivf_centroids(spark, index_dir)
     qkey = (spark.sparkContext.applicationId, sf_dir)
     qvecs = _QVEC_CACHE.get(qkey)
     if qvecs is None:
@@ -577,10 +590,7 @@ def _ivf_probe_exact_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
     replayability; this query proves the probe MACHINERY exact, the
     other keeps the production quantizer honest via recall pytests."""
     index_dir = ensure_ivf_index(spark, sf_dir, iters=0)
-    cents = _IVF_CENTROID_CACHE.get(index_dir)
-    if cents is None:
-        cents = similarity.load_ivf_centroids(spark, index_dir)
-        _IVF_CENTROID_CACHE[index_dir] = cents
+    cents = _ivf_centroids(spark, index_dir)
     qkey = (spark.sparkContext.applicationId, sf_dir)
     qvecs = _QVEC_CACHE.get(qkey)
     if qvecs is None:
@@ -659,7 +669,6 @@ def _ivf_probe_appended_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
         # written only after the append makes a crash between the two
         # rebuild from scratch instead of probing a half-built index
         shutil.rmtree(index_dir, ignore_errors=True)
-        _IVF_CENTROID_CACHE.pop(index_dir, None)
         emb = _emb(spark, sf_dir)
         corpus_side = emb.filter(corpus.split_bucket(F.col("vec_id")) < 80)
         cents = similarity.build_ivf_index(
@@ -668,11 +677,10 @@ def _ivf_probe_appended_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
         increment = emb.filter(corpus.split_bucket(F.col("vec_id")) >= 80)
         similarity.append_ivf_vectors(spark, index_dir, increment, centroids=cents)
         open(marker, "w").close()
-        _IVF_CENTROID_CACHE[index_dir] = cents
-    cents = _IVF_CENTROID_CACHE.get(index_dir)
-    if cents is None:
-        cents = similarity.load_ivf_centroids(spark, index_dir)
-        _IVF_CENTROID_CACHE[index_dir] = cents
+        _CENTROID_CACHE[
+            (spark.sparkContext.applicationId, index_dir, "")
+        ] = cents
+    cents = _ivf_centroids(spark, index_dir)
     qkey = (spark.sparkContext.applicationId, sf_dir)
     qvecs = _QVEC_CACHE.get(qkey)
     if qvecs is None:

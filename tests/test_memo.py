@@ -70,14 +70,15 @@ def test_concurrent_access_is_safe():
 
 
 def test_query_layer_caches_are_appmemos():
-    """The ad-hoc dicts the r8 advice flagged are gone: every
-    session-scoped cache in queries_llm runs through AppMemo (the
-    index-dir-keyed centroid cache is deliberately a plain dict — its
-    ndarrays are disk-backed and session-independent)."""
+    """The ad-hoc dicts the r8/r9 advice flagged are gone: every cache
+    in queries_llm runs through AppMemo — including the centroid cache,
+    now keyed by (app, index_dir, resolved CURRENT version) so a
+    versioned rebuild misses the stale entry."""
     from salesforce_prefect_etl_pipeline_spark import queries_llm as q
 
     for name in [
         "_QVEC_CACHE",
+        "_CENTROID_CACHE",
         "_MINHASH_PAIRS_CACHE",
         "_JOINT_PROFILE_CACHE",
         "_NEAR_DUP_LABELS_CACHE",
@@ -86,4 +87,4 @@ def test_query_layer_caches_are_appmemos():
         "_SEED_CENT_CACHE",
     ]:
         assert isinstance(getattr(q, name), AppMemo), name
-    assert isinstance(q._IVF_CENTROID_CACHE, dict)
+    assert not hasattr(q, "_IVF_CENTROID_CACHE")
