@@ -1214,3 +1214,182 @@ def test_compaction_publish_is_snapshot_isolated(spark, docs, tmp_path):
         )
     )
     assert rebuilt == sorted(set(expected))
+
+
+def test_centroid_cache_invalidated_by_versioned_rebuild(spark, emb, tmp_path):
+    """queries_llm's centroid memo keys on (app, index_dir, resolved
+    CURRENT version): a versioned rebuild republishes the index, so the
+    next registered probe loads the NEW centroids instead of selecting
+    lists with stale ones against the new assignments."""
+    from salesforce_prefect_etl_pipeline_spark import queries_llm as q
+
+    index_dir = str(tmp_path / "ivf")
+    cents0 = similarity.build_ivf_index(emb, index_dir, nlist=16, iters=0)
+    got0 = q._ivf_centroids(spark, index_dir)
+    assert (got0 == cents0).all()
+    cents1 = similarity.rebuild_ivf_index(emb, index_dir, nlist=16, iters=2)
+    got1 = q._ivf_centroids(spark, index_dir)
+    assert (got1 == cents1).all()
+    assert not (got1 == cents0).all()
+
+
+def test_version_retention_bounded_across_many_publishes(spark, docs, emb, tmp_path):
+    """The CURRENT-pointer scheme must not grow versions/ forever: after
+    N maintenance publishes, exactly {current, previous} survive for
+    BOTH index families (minhash compaction and IVF rebuild), and the
+    superseded flat-build dirs are gone."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    dedup.build_minhash_index(docs, idx)
+    for _ in range(3):
+        dedup.compact_minhash_index(spark, idx)
+    assert open(os.path.join(idx, "CURRENT")).read().strip() == "v3"
+    assert sorted(os.listdir(os.path.join(idx, "versions"))) == ["v2", "v3"]
+    assert not os.path.exists(os.path.join(idx, "bands"))
+    assert not os.path.exists(os.path.join(idx, "profiles"))
+
+    ivf = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, ivf, nlist=16, iters=0)
+    for _ in range(3):
+        similarity.rebuild_ivf_index(emb, ivf, nlist=16, iters=0)
+    assert open(os.path.join(ivf, "CURRENT")).read().strip() == "v3"
+    assert sorted(os.listdir(os.path.join(ivf, "versions"))) == ["v2", "v3"]
+    assert not os.path.exists(os.path.join(ivf, "lists"))
+    assert not os.path.exists(os.path.join(ivf, "centroids"))
+
+
+def test_concurrent_probes_during_maintenance(spark, docs, emb, tmp_path):
+    """Stress the snapshot-isolation contract with genuinely concurrent
+    readers: one thread probes the minhash index in a loop while the
+    main thread lands two compaction publishes, then probes the IVF
+    index while a versioned rebuild commits. Every probe must return
+    the expected (deduplicated) result set; the retention contract
+    ('a probe finishes within one maintenance cycle') is enforced by
+    waiting for a full probe iteration between publishes."""
+    import threading
+    import time
+
+    from salesforce_prefect_etl_pipeline_spark.operators.corpus import split_bucket
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        _append_profile_to_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus_side = docs.filter(split_bucket(F.col("doc_id")) < 80)
+    increment = docs.filter(split_bucket(F.col("doc_id")) >= 80)
+    dedup.build_minhash_index(corpus_side, idx)
+    # replay-append so compaction has real work to rewrite
+    _append_profile_to_index(dedup.minhash_profile(corpus_side, 8), idx)
+    expected = set(
+        (r.da, r.db, r.jaccard)
+        for r in dedup.probe_minhash_index(spark, idx, increment).collect()
+    )
+    assert expected
+
+    errors: list = []
+    iters = [0]
+    stop = threading.Event()
+
+    def prober():
+        try:
+            while not stop.is_set():
+                got = set(
+                    (r.da, r.db, r.jaccard)
+                    for r in dedup.probe_minhash_index(
+                        spark, idx, increment
+                    ).collect()
+                )
+                assert got == expected, f"probe diverged: {got ^ expected}"
+                iters[0] += 1
+        except BaseException as exc:  # surface into the main thread
+            errors.append(exc)
+
+    def wait_one_full_iteration():
+        # any probe started BEFORE the last publish has finished once a
+        # complete new iteration lands after this point
+        start = iters[0]
+        deadline = time.time() + 120
+        while iters[0] < start + 2 and not errors:
+            assert time.time() < deadline, "prober stalled"
+            time.sleep(0.05)
+
+    t = threading.Thread(target=prober)
+    t.start()
+    try:
+        wait_one_full_iteration()
+        dedup.compact_minhash_index(spark, idx)  # publishes v1
+        wait_one_full_iteration()
+        dedup.compact_minhash_index(spark, idx)  # publishes v2, GCs flat
+        wait_one_full_iteration()
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, errors
+    assert iters[0] >= 6
+
+    # same shape for the IVF family: probe loop across a rebuild commit
+    ivf = str(tmp_path / "ivf")
+    cents0 = similarity.build_ivf_index(emb, ivf, nlist=16, iters=0)
+    qvecs = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin([1, 7, 42])).collect()
+    ]
+    expected_ivf = set(
+        tuple(r)
+        for r in similarity.probe_ivf(
+            spark, ivf, qvecs, k=10, nprobe=4, centroids=cents0
+        ).collect()
+    )
+    errors2: list = []
+    iters2 = [0]
+    stop2 = threading.Event()
+
+    def ivf_prober():
+        try:
+            while not stop2.is_set():
+                # resolve centroids + lists freshly each iteration, as a
+                # registered probe does; pre- and post-rebuild snapshots
+                # use THEIR OWN matched centroids, so results are always
+                # internally consistent (pairing checked by the contract
+                # verifier elsewhere) — here we assert it never raises
+                # and always returns the full query x k grid
+                from salesforce_prefect_etl_pipeline_spark import queries_llm as q
+
+                cents = q._ivf_centroids(spark, ivf)
+                got = similarity.probe_ivf(
+                    spark, ivf, qvecs, k=10, nprobe=4, centroids=cents
+                ).collect()
+                assert len(got) == len(qvecs) * 10
+                iters2[0] += 1
+        except BaseException as exc:
+            errors2.append(exc)
+
+    def wait_ivf_iteration():
+        start = iters2[0]
+        deadline = time.time() + 120
+        while iters2[0] < start + 2 and not errors2:
+            assert time.time() < deadline, "ivf prober stalled"
+            time.sleep(0.05)
+
+    t2 = threading.Thread(target=ivf_prober)
+    t2.start()
+    try:
+        wait_ivf_iteration()
+        similarity.rebuild_ivf_index(emb, ivf, nlist=16, iters=0)  # v1
+        wait_ivf_iteration()
+    finally:
+        stop2.set()
+        t2.join(timeout=120)
+    assert not errors2, errors2
+    # rebuild with the same quantizer reproduces the same probe rows
+    from salesforce_prefect_etl_pipeline_spark import queries_llm as q
+
+    cents1 = q._ivf_centroids(spark, ivf)
+    post = set(
+        tuple(r)
+        for r in similarity.probe_ivf(
+            spark, ivf, qvecs, k=10, nprobe=4, centroids=cents1
+        ).collect()
+    )
+    assert post == expected_ivf
