@@ -121,12 +121,14 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFra
     )
 
 
-def embedding_near_dup_sql(threshold: float = 0.95) -> str:
+def embedding_near_dup_sql(
+    threshold: float = 0.95, source: str = "embeddings"
+) -> str:
     qthr = int(threshold * 1e6)
     return f"""
 SELECT a.vec_id AS va, b.vec_id AS vb,
        {qcos_sql('a.embedding', 'b.embedding')} AS qcos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM {source} a JOIN {source} b ON a.vec_id < b.vec_id
 WHERE {qcos_sql('a.embedding', 'b.embedding')} >= {qthr}
 ORDER BY va, vb
 """

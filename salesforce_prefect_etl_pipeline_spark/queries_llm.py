@@ -160,6 +160,61 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+# The four exact pair kernels (n-gram Jaccard, directional containment,
+# brute cosine, and the banded-recall contract) are inherently
+# quadratic — they exist to VERIFY the linear scale paths, not to run
+# over a full 100 TB corpus. Registered forms therefore verify over a
+# content-addressed PANEL: the full table while it fits under the cap
+# (every sf the driver hard-checks — 500..5000 docs — is unchanged),
+# else the md5-bucket subset closest to the cap. Both engines compute
+# the same bucket count from the same row count, so the oracle replay
+# stays exact while its cost is bounded at ANY scale (the r9 sf1 sweep
+# had to --skip these four because their full replay was O(n^2) over
+# 50k docs / 20k vectors).
+_PANEL_DOC_CAP = 5000
+_PANEL_VEC_CAP = 2000
+
+
+def _panel_buckets(n: int, cap: int) -> int:
+    """Smallest md5-bucket count (of 100) whose expected panel size
+    reaches ``cap``: ceil(cap * 100 / n), clamped to [1, 100]."""
+    import math
+
+    if n <= 0:
+        return 100
+    return min(100, max(1, math.ceil(cap * 100.0 / n)))
+
+
+def _docs_panel(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    b = _panel_buckets(docs.count(), _PANEL_DOC_CAP)
+    if b >= 100:
+        return docs
+    return docs.filter(corpus.split_bucket(F.col("doc_id")) < b)
+
+
+def _emb_panel(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    b = _panel_buckets(emb.count(), _PANEL_VEC_CAP)
+    if b >= 100:
+        return emb
+    return emb.filter(corpus.split_bucket(F.col("vec_id")) < b)
+
+
+def _panel_source_sql(table: str, id_expr: str, cap: int) -> str:
+    """DuckDB twin of the panel restriction: same md5 bucket, same
+    ceil(cap*100/n) bucket count from a COUNT subquery — IEEE-double
+    division on both sides, so the panels are identical row sets."""
+    b = (
+        f"LEAST(100, GREATEST(1, CAST(CEIL({cap}.0 * 100 / "
+        f"NULLIF((SELECT COUNT(*) FROM {table}), 0)) AS BIGINT)))"
+    )
+    return (
+        f"(SELECT * FROM {table} "
+        f"WHERE {corpus.split_bucket_sql(id_expr)} < {b})"
+    )
+
+
 register_query(
     "text_chunk_fingerprints",
     lambda spark, sf_dir: text.chunk_fingerprints(_docs(spark, sf_dir)),
@@ -249,8 +304,14 @@ register_query(
 )
 register_query(
     "dedup_jaccard_pairs",
-    lambda spark, sf_dir: dedup.jaccard_pairs(_docs(spark, sf_dir), k=8, threshold=0.8),
-    dedup.jaccard_pairs_sql(k=8, threshold=0.8),
+    lambda spark, sf_dir: dedup.jaccard_pairs(
+        _docs_panel(spark, sf_dir), k=8, threshold=0.8
+    ),
+    dedup.jaccard_pairs_sql(
+        k=8,
+        threshold=0.8,
+        source=_panel_source_sql("documents", "doc_id", _PANEL_DOC_CAP),
+    ),
 )
 #: Per-(app, sf_dir) memo of the LSH near-dup pairs, lazily
 #: localCheckpointed: dedup_minhash_lsh and dedup_near_dup_clusters share
@@ -433,8 +494,13 @@ register_query(
 # the "near-dup" predicate is exercised at a 0.4 threshold.
 register_query(
     "emb_near_dup_pairs",
-    lambda spark, sf_dir: similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4),
-    similarity.embedding_near_dup_sql(threshold=0.4),
+    lambda spark, sf_dir: similarity.embedding_near_dup_pairs(
+        _emb_panel(spark, sf_dir), threshold=0.4
+    ),
+    similarity.embedding_near_dup_sql(
+        threshold=0.4,
+        source=_panel_source_sql("embeddings", "vec_id", _PANEL_VEC_CAP),
+    ),
 )
 
 
@@ -444,8 +510,10 @@ def _emb_with_twins(spark, sf_dir):
     against its original at unit norm). The testdata itself is
     near-orthogonal (max natural cosine ~0.5), so banding has no genuine
     near-dup regime to exercise — the planted twins supply one, and the
-    same IEEE-exact construction is reproduced in the DuckDB oracle."""
-    emb = _emb(spark, sf_dir).select(
+    same IEEE-exact construction is reproduced in the DuckDB oracle.
+    Built over the verification PANEL (full corpus under the cap), so
+    the brute-force recall oracle stays tractable at any sf."""
+    emb = _emb_panel(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     twins = emb.filter(F.col("vec_id") % 20 == 0).select(
@@ -455,12 +523,14 @@ def _emb_with_twins(spark, sf_dir):
     return emb.unionByName(twins)
 
 
-_TWIN_CORPUS_SQL = """
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+_TWIN_PANEL_SQL = _panel_source_sql("embeddings", "vec_id", _PANEL_VEC_CAP)
+_TWIN_CORPUS_SQL = f"""
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+  FROM {_TWIN_PANEL_SQL}
   UNION ALL
   SELECT vec_id + 10000000 AS vec_id,
          list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.02) AS embedding
-  FROM embeddings WHERE vec_id % 20 = 0
+  FROM {_TWIN_PANEL_SQL} WHERE vec_id % 20 = 0
 """
 
 # Scale path for the threshold predicate: SRP band-bucket candidates +
@@ -1189,9 +1259,13 @@ register_query(
 register_query(
     "dedup_containment_pairs",
     lambda spark, sf_dir: dedup.containment_pairs(
-        _docs(spark, sf_dir), k=8, threshold=0.5
+        _docs_panel(spark, sf_dir), k=8, threshold=0.5
     ),
-    dedup.containment_pairs_sql(k=8, threshold=0.5),
+    dedup.containment_pairs_sql(
+        k=8,
+        threshold=0.5,
+        source=_panel_source_sql("documents", "doc_id", _PANEL_DOC_CAP),
+    ),
 )
 # Scale path for containment: one-sided LSH — each doc's 64 argmin
 # shingles (a uniform sample of its shingle set) probe the corpus
