@@ -117,6 +117,29 @@ HEADLINE = [
 ]
 
 
+#: The driver records the LAST stdout line of a bench run with a
+#: bounded tail buffer; round 9's line carried the per-query spread
+#: dict, outgrew it, and the round's perf record was lost. Keep the
+#: final line comfortably under this bound (a pytest asserts it for a
+#: full-registry worst case).
+MAX_FINAL_LINE_BYTES = 4096
+
+
+def compact_line(timings: dict[str, float], sf: str) -> str:
+    """The ONE stdout JSON line: metric/value/queries medians/sf only.
+    Spreads and run counts belong in the sidecar, never here."""
+    total = round(sum(timings.values()), 3)
+    return json.dumps(
+        {
+            "metric": "headline_suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -190,14 +213,10 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    total = round(sum(timings.values()), 3)
     # The [min, max] spreads + run count go to a SIDECAR file and stderr,
-    # NOT the final stdout line: round 9's spread-laden final line
-    # outgrew the driver's tail capture, which recorded a truncated
-    # fragment and parsed nothing — the official perf record for the
-    # round was lost. The final line stays compact (medians only, the
-    # shape that has always parsed); tools/bench_compare.py reads the
-    # sidecar for spread-aware noise separation.
+    # NOT the final stdout line (see MAX_FINAL_LINE_BYTES);
+    # tools/bench_compare.py reads the sidecar for spread-aware noise
+    # separation.
     sidecar = {
         "spread": spread,
         "runs_per_query": runs_per_query,
@@ -210,17 +229,9 @@ def main() -> None:
         json.dump(sidecar, f, indent=1)
     print(f"# spread sidecar written to {sidecar_path}", file=sys.stderr)
     print(f"# {json.dumps(sidecar)}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    line = compact_line(timings, sf)
+    assert len(line.encode()) <= MAX_FINAL_LINE_BYTES, len(line)
+    print(line)
 
 
 if __name__ == "__main__":
