@@ -89,6 +89,11 @@ HEADLINE = [
     "media_phash_families",
     "media_audio_near_dup",
     "media_video_near_dup",
+    # Round-10 rows: the family-collapsed audio/video forms (the shapes
+    # their pair ops' family-size guards steer to) — benched beside the
+    # pair forms so both stay visible, like the image twins above.
+    "media_audio_families",
+    "media_video_families",
     # Round-8 rows. First, families previously invisible to the perf
     # gate (a regression there never showed in BENCH): analytic-window
     # percentiles, rollup, and the nearest-direction as-of join.

@@ -79,6 +79,7 @@ def test_query_layer_caches_are_appmemos():
     for name in [
         "_QVEC_CACHE",
         "_CENTROID_CACHE",
+        "_PANEL_COUNT_CACHE",
         "_MINHASH_PAIRS_CACHE",
         "_JOINT_PROFILE_CACHE",
         "_NEAR_DUP_LABELS_CACHE",
