@@ -209,6 +209,33 @@ def decode_image(payload: bytes) -> tuple[int, int, int, float]:
         raise ValueError(f"PIL could not decode payload: {exc}") from exc
 
 
+def _spread_ids(docs: DataFrame) -> DataFrame:
+    """Doc-id frame repartitioned to the cluster's parallelism.
+
+    Media synthesis fans each 8-byte id row into kilobytes of payload
+    inside a Python ``mapInPandas`` worker, so partitioning inherited
+    from the parquet scan (1 small file -> 1 partition at test scale)
+    serializes the whole synth + decode chain on ONE core. Shuffling
+    ids first costs bytes-per-row; the payload generation and every
+    downstream per-media Python stage then spreads across cores. An
+    explicit ``repartition(n)`` is intentionally exempt from AQE
+    coalescing, so the tiny exchange is not folded back to 1.
+
+    The floor is ``max(4, defaultParallelism // 4)``, not full
+    parallelism: each extra partition costs a chained Python-worker
+    pipeline (measured at sf0.1 local[32]: the video pair op is
+    2.90 s serial, 1.62 s at 8, back to 1.96 s at 32, while the
+    cheap image ops monotonically LOSE from 8 up), and a production
+    corpus arrives already partitioned — then the scan's own layout
+    wins and no shuffle is added (never shrink)."""
+    ids = docs.select("doc_id")
+    sc = ids.sparkSession.sparkContext
+    target = max(4, sc.defaultParallelism // 4)
+    if ids.rdd.getNumPartitions() >= target:
+        return ids
+    return ids.repartition(target)
+
+
 def synthetic_bmp_media(docs: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
     """Real BMP payload per document: pixel channel byte i (row-major)
     is ``(media_id * 31 + i) % 256`` — a pure function of the id, so
@@ -238,7 +265,7 @@ def synthetic_bmp_media(docs: DataFrame, width: int = 16, height: int = 16) -> D
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(_make, MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(_make, MEDIA_SCHEMA)
 
 
 DECODED_SCHEMA = T.StructType(
@@ -899,7 +926,7 @@ def synthetic_wav_media(
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(_make, MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(_make, MEDIA_SCHEMA)
 
 
 # ----------------------------------------------------------------------
@@ -989,7 +1016,7 @@ def synthetic_video_media(
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(_make, MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(_make, MEDIA_SCHEMA)
 
 
 FRAME_AHASH_SCHEMA = T.StructType(
@@ -1313,7 +1340,7 @@ def synthetic_wav_media_noisy(
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(_make, MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(_make, MEDIA_SCHEMA)
 
 
 def audio_contour_hash(media: DataFrame) -> DataFrame:

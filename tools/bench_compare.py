@@ -33,7 +33,13 @@ def load(path: str, sf: str | None, spread_path: str | None = None) -> dict:
                 "--sf=sf0.1 instead, e.g. BENCH_SCALING_r09.json."
             )
         d = d["parsed"]
-    if sf is not None:
+    if sf is not None and "queries" not in d:
+        # --sf selects within a BENCH_SCALING bundle; a plain bench
+        # file on the other side of the comparison ignores it.
+        if sf not in d:
+            raise SystemExit(
+                f"{path}: no {sf!r} block (keys: {sorted(d)[:8]})"
+            )
         d = d[sf]
     if spread_path is not None:
         d = dict(d, spread=json.load(open(spread_path))["spread"])
