@@ -152,12 +152,32 @@ def _ivf_probe_query(spark, sf_dir: str, k: int = 10, nprobe: int = 8):
     )
 
 
+def _spread_scan(df):
+    """Raise a compute-heavy table's scan partitioning to a floor.
+
+    The test fixtures are single-row-group parquet files, so Spark's
+    scan gives ONE partition and every narrow stage downstream
+    (shingling, minhash, chunking, vector math) runs serial until the
+    first exchange — measured at sf0.1 local[32]: chunk fingerprints
+    1.63 -> 0.55 s, containment LSH 3.35 -> 2.86 s once spread. The
+    floor matches multimodal._spread_ids (max(4, parallelism/4):
+    higher fan-out loses more to per-partition overhead than it gains
+    here). Never shrinks: a production corpus scans with thousands of
+    partitions already and this becomes a no-op, costing zero extra
+    shuffle at 100 TB."""
+    sc = df.sparkSession.sparkContext
+    target = max(4, sc.defaultParallelism // 4)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents")
+    return _spread_scan(load_table(spark, sf_dir, "documents"))
 
 
 def _emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings")
+    return _spread_scan(load_table(spark, sf_dir, "embeddings"))
 
 
 # The four exact pair kernels (n-gram Jaccard, directional containment,
