@@ -209,8 +209,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, float]:
         raise ValueError(f"PIL could not decode payload: {exc}") from exc
 
 
-def _spread_ids(docs: DataFrame) -> DataFrame:
-    """Doc-id frame repartitioned to the cluster's parallelism.
+def _spread_ids(docs: DataFrame, heavy: bool = False) -> DataFrame:
+    """Doc-id frame repartitioned to a per-modality compute floor.
 
     Media synthesis fans each 8-byte id row into kilobytes of payload
     inside a Python ``mapInPandas`` worker, so partitioning inherited
@@ -221,16 +221,19 @@ def _spread_ids(docs: DataFrame) -> DataFrame:
     explicit ``repartition(n)`` is intentionally exempt from AQE
     coalescing, so the tiny exchange is not folded back to 1.
 
-    The floor is ``max(4, defaultParallelism // 4)``, not full
-    parallelism: each extra partition costs a chained Python-worker
-    pipeline (measured at sf0.1 local[32]: the video pair op is
-    2.90 s serial, 1.62 s at 8, back to 1.96 s at 32, while the
-    cheap image ops monotonically LOSE from 8 up), and a production
-    corpus arrives already partitioned — then the scan's own layout
-    wins and no shuffle is added (never shrink)."""
+    The floor is modality-tuned, not full parallelism: each extra
+    partition costs a chained Python-worker pipeline, so light
+    synth kernels (one BMP / one WAV per row) peak at 4 while the
+    video kernel (n_frames decodes per row) wants more (measured at
+    sf0.1 local[32]: video pair op 2.90 s serial, 2.21 s at 4,
+    1.62 s at 8, back to 1.96 s at 32; the image ops monotonically
+    LOSE from 8 up). ``heavy=True`` selects the video floor
+    ``max(8, defaultParallelism // 4)``. A production corpus arrives
+    already partitioned — then the scan's own layout wins and no
+    shuffle is added (never shrink)."""
     ids = docs.select("doc_id")
     sc = ids.sparkSession.sparkContext
-    target = max(4, sc.defaultParallelism // 4)
+    target = max(8, sc.defaultParallelism // 4) if heavy else 4
     if ids.rdd.getNumPartitions() >= target:
         return ids
     return ids.repartition(target)
@@ -1016,7 +1019,7 @@ def synthetic_video_media(
                 }
             )
 
-    return _spread_ids(docs).mapInPandas(_make, MEDIA_SCHEMA)
+    return _spread_ids(docs, heavy=True).mapInPandas(_make, MEDIA_SCHEMA)
 
 
 FRAME_AHASH_SCHEMA = T.StructType(

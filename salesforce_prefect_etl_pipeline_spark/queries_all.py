@@ -60,9 +60,14 @@ _PRUNE = {
 #: media_frame_sample) and stay green in the local 100%-registry sweep
 #: (tools/check_oracle.py).
 _PRIORITY = [
-    # --- round-10 window: the 50 oldest driver rows, exactly as
-    # tools/staleness.py orders them — the 13 queries whose latest hard
-    # row is r6, then the 37 alphabetically-first of the 49 r7 rows.
+    # --- round-10 window: the two NEVER-driver-checked queries added
+    # this round (a query with no hard row at all is the weakest
+    # signal in the registry), then the 48 oldest driver rows as
+    # tools/staleness.py orders them — the 13 queries whose latest
+    # hard row is r6, then the 35 alphabetically-first of the 49 r7
+    # rows.
+    "media_audio_families",  # new in r10
+    "media_video_families",  # new in r10
     "corpus_pack_stats",  # r6
     "emb_cluster_sample",  # r6
     "media_frame_sample",  # r6
@@ -111,11 +116,11 @@ _PRIORITY = [
     "pivot_status_by_priority",  # r7
     "q11_supply_value_share",  # r7
     "q15_top_supplier",  # r7
-    "q3_shipping_priority",  # r7
-    "q6_forecast_revenue",  # r7
     # --- round-11 queue (pre-staged so the rotation discipline survives
-    # a context reset): front these 12 remaining r7 rows, then fill the
+    # a context reset): front these 14 remaining r7 rows, then fill the
     # window with the oldest r8 cohort per tools/staleness.py ---
+    #   "q3_shipping_priority",
+    #   "q6_forecast_revenue",
     #   "qa_key_skew_suppkey",
     #   "rollup_lineitem",
     #   "streaming_dedup_ingest",

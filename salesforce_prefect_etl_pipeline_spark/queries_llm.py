@@ -172,6 +172,14 @@ def _spread_scan(df):
     return df.repartition(target)
 
 
+def _docs_raw(spark, sf_dir):
+    """Unspread documents for media synthesis: the synth kernels project
+    doc_id immediately and multimodal._spread_ids applies its own
+    modality-tuned floor to the 8-byte id frame, so the _docs full-row
+    spread would only add a wasted exchange in front of it."""
+    return load_table(spark, sf_dir, "documents")
+
+
 def _docs(spark, sf_dir):
     return _spread_scan(load_table(spark, sf_dir, "documents"))
 
@@ -916,7 +924,7 @@ register_query(
 register_query(
     "media_audio_stats",
     lambda spark, sf_dir: multimodal.decode_audio_stats(
-        multimodal.synthetic_wav_media(_docs(spark, sf_dir))
+        multimodal.synthetic_wav_media(_docs_raw(spark, sf_dir))
     ).orderBy("media_id"),
     multimodal.audio_stats_sql(),
 )
@@ -928,7 +936,7 @@ register_query(
 register_query(
     "media_decode_stats",
     lambda spark, sf_dir: multimodal.decode_image_stats(
-        multimodal.synthetic_bmp_media(_docs(spark, sf_dir))
+        multimodal.synthetic_bmp_media(_docs_raw(spark, sf_dir))
     ).orderBy("media_id"),
     """
 WITH px AS (
@@ -1081,7 +1089,7 @@ register_query(
 register_query(
     "media_video_near_dup",
     lambda spark, sf_dir: multimodal.video_near_dup_pairs(
-        multimodal.synthetic_video_media(_docs(spark, sf_dir))
+        multimodal.synthetic_video_media(_docs_raw(spark, sf_dir))
     ),
     multimodal.video_near_dup_sql(),
 )
@@ -1093,7 +1101,7 @@ register_query(
 register_query(
     "media_video_families",
     lambda spark, sf_dir: multimodal.video_near_dup_families(
-        multimodal.synthetic_video_media(_docs(spark, sf_dir))
+        multimodal.synthetic_video_media(_docs_raw(spark, sf_dir))
     ),
     multimodal.video_families_sql(),
 )
@@ -1105,7 +1113,7 @@ register_query(
 register_query(
     "media_audio_near_dup",
     lambda spark, sf_dir: multimodal.audio_near_dup_pairs(
-        multimodal.synthetic_wav_media_noisy(_docs(spark, sf_dir))
+        multimodal.synthetic_wav_media_noisy(_docs_raw(spark, sf_dir))
     ),
     multimodal.audio_near_dup_sql(),
 )
@@ -1115,7 +1123,7 @@ register_query(
 register_query(
     "media_audio_families",
     lambda spark, sf_dir: multimodal.audio_near_dup_families(
-        multimodal.synthetic_wav_media_noisy(_docs(spark, sf_dir))
+        multimodal.synthetic_wav_media_noisy(_docs_raw(spark, sf_dir))
     ),
     multimodal.audio_families_sql(),
 )
@@ -1127,7 +1135,7 @@ register_query(
 register_query(
     "media_phash_near_dup",
     lambda spark, sf_dir: multimodal.ahash_near_dup_pairs(
-        multimodal.synthetic_bmp_media(_docs(spark, sf_dir))
+        multimodal.synthetic_bmp_media(_docs_raw(spark, sf_dir))
     ),
     multimodal.ahash_near_dup_sql(),
 )
@@ -1140,7 +1148,7 @@ register_query(
 register_query(
     "media_phash_families",
     lambda spark, sf_dir: multimodal.ahash_near_dup_families(
-        multimodal.synthetic_bmp_media(_docs(spark, sf_dir))
+        multimodal.synthetic_bmp_media(_docs_raw(spark, sf_dir))
     ),
     multimodal.ahash_families_sql(),
 )
