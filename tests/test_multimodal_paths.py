@@ -504,3 +504,34 @@ def test_video_families_expansion_consistency(spark):
     n_sigs_a = pairs[(1, 2)]
     assert pairs[(1, 3)] == n_sigs_a and pairs[(2, 3)] == n_sigs_a
     assert pairs[(10, 11)] >= f.n_shared_frames
+
+
+def test_spread_ids_raises_to_floor_but_never_shrinks(spark):
+    """_spread_ids must parallelize a single-partition scan (the test
+    fixtures are single-row-group parquet) yet leave an
+    already-partitioned production input untouched — shrinking would
+    throw away a real corpus's scan parallelism."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert docs.rdd.getNumPartitions() == 1
+
+    light = multimodal._spread_ids(docs)
+    assert light.rdd.getNumPartitions() == 4
+
+    sc = spark.sparkContext
+    heavy = multimodal._spread_ids(docs, heavy=True)
+    assert heavy.rdd.getNumPartitions() == max(8, sc.defaultParallelism // 4)
+
+    wide = docs.repartition(50)
+    assert multimodal._spread_ids(wide).rdd.getNumPartitions() == 50
+    assert multimodal._spread_ids(wide, heavy=True).rdd.getNumPartitions() == 50
+
+
+def test_spread_scan_raises_to_floor_but_never_shrinks(spark):
+    from salesforce_prefect_etl_pipeline_spark.queries_llm import _spread_scan
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sc = spark.sparkContext
+    floor = max(4, sc.defaultParallelism // 4)
+    assert _spread_scan(docs).rdd.getNumPartitions() == floor
+    wide = docs.repartition(floor + 7)
+    assert _spread_scan(wide).rdd.getNumPartitions() == floor + 7
