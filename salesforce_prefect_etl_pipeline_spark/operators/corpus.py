@@ -1146,6 +1146,7 @@ def e2e_curation(
     n_groups: int = 64,
     train_pct: int = 90,
     val_pct: int = 5,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """The WHOLE curation pipeline as one composed query: token-count
     filter -> exact dedup (quality-aware survivor) -> MinHash-LSH
@@ -1164,7 +1165,17 @@ def e2e_curation(
     the packer, and the lazy stages fuse into one Catalyst plan up to
     the two genuinely iterative steps (pointer-jumping components, the
     applyInPandas packer), which remain the documented scale paths.
-    The oracle replays every stage in DuckDB, recursion included."""
+    The oracle replays every stage in DuckDB, recursion included.
+
+    ``profile``: an optional precomputed full-corpus (doc_id, shingles,
+    sig) frame (e.g. the session's shared
+    :func:`~..dedup.joint_shingle_profile`, already paid for by the
+    MinHash build). A MinHash signature is a pure per-doc function, so
+    restricting the corpus profile to the exact-dedup survivors (inner
+    join on doc_id) yields bit-identical pairs to re-profiling the
+    survivors from text — the near-dup stage then skips this query's
+    own shingle explode + 64-min aggregation, the most expensive stage
+    of the chain. Must be built with the same ``k``."""
     nt = F.size(tokens("text"))
     filtered = docs.filter((nt >= min_tokens) & (nt <= max_tokens))
     fp = filtered.select(
@@ -1181,7 +1192,12 @@ def e2e_curation(
         .filter(F.col("__rnk") == 1)
         .select("doc_id", "text")
     )
-    pairs = minhash_near_dup_pairs(exact, k=k, threshold=threshold)
+    prof = (
+        None
+        if profile is None
+        else profile.join(exact.select("doc_id"), "doc_id")
+    )
+    pairs = minhash_near_dup_pairs(exact, k=k, threshold=threshold, profile=prof)
     comp = connected_components(pairs.select("da", "db"))
     dropped = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     survivors = exact.join(dropped, "doc_id", "left_anti")

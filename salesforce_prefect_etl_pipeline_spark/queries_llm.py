@@ -1214,7 +1214,16 @@ register_query(
 # Every stage is individually green; this row proves they chain.
 register_query(
     "corpus_e2e_curation",
-    lambda spark, sf_dir: corpus.e2e_curation(_docs(spark, sf_dir)),
+    lambda spark, sf_dir: corpus.e2e_curation(
+        _docs(spark, sf_dir),
+        # Reuse the session's shared joint shingle profile for the
+        # near-dup stage (signatures are per-doc pure functions, so the
+        # survivor-restricted corpus profile is bit-identical to
+        # re-profiling the survivors — see e2e_curation's docstring).
+        profile=_joint_profile_cached(spark, sf_dir, k=8).select(
+            "doc_id", "shingles", "sig"
+        ),
+    ),
     corpus.e2e_curation_sql(),
 )
 # Deterministic stratified sampling: exactly-n-per-stratum by a stable

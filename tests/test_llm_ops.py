@@ -1393,3 +1393,17 @@ def test_concurrent_probes_during_maintenance(spark, docs, emb, tmp_path):
         ).collect()
     )
     assert post == expected_ivf
+
+
+def test_e2e_curation_profile_reuse_is_bit_identical(spark, docs):
+    """Feeding e2e_curation the full-corpus joint profile (restricted to
+    its own survivors internally) must yield exactly the rows of the
+    self-profiling form — signatures are per-doc pure functions."""
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    base = corpus.e2e_curation(docs, capacity=512).collect()
+    prof = dedup.joint_shingle_profile(docs, k=8).select(
+        "doc_id", "shingles", "sig"
+    )
+    reused = corpus.e2e_curation(docs, capacity=512, profile=prof).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, reused))
