@@ -36,10 +36,14 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
+    is_local = True
     if master is not None:
         builder = builder.master(master)
+        is_local = master.startswith("local")
     elif "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_CONNECT_MODE_ENABLED"):
         builder = builder.master(f"local[{cpus}]")
+    else:
+        is_local = False
 
     conf = {
         "spark.sql.session.timeZone": "UTC",
@@ -53,7 +57,18 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) (e.g. events.ts) is not a Spark type;
         # read as long and convert at the scan edge (plans.compiler.load_table).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
-        "spark.sql.files.maxPartitionBytes": "134217728",
+        # Scan split size. The fixtures are ONE file per table (driver
+        # layout), so at the 128 MB cluster default even sf1's 113 MB
+        # lineitem scans as a single partition — one core decodes the
+        # whole file while 31 idle. Local mode therefore splits at
+        # 16 MB (the files carry ~16 row groups each since
+        # tools/rechunk_scaledata.py, so the splits land on real row
+        # groups); a real cluster keeps the 128 MB default — its data
+        # arrives as thousands of files and smaller splits would only
+        # multiply scheduling overhead.
+        "spark.sql.files.maxPartitionBytes": (
+            "16m" if is_local else "134217728"
+        ),
         # Auto-broadcast small dims (region/nation/customer at test SF);
         # at 100 TB only genuinely small sides stay under this.
         "spark.sql.autoBroadcastJoinThreshold": "64m",
