@@ -28,8 +28,12 @@ from __future__ import annotations
 import os
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from salesforce_prefect_etl_pipeline_spark.operators.text import (
     NORMALIZED_SQL,
@@ -435,6 +439,128 @@ def joint_shingle_profile(
     )
 
 
+_MATCHED_SCHEMA = T.StructType(
+    [
+        T.StructField("pa", T.LongType()),
+        T.StructField("pb", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def _containment_counts_broadcast(prof: DataFrame, cutoff: int) -> DataFrame:
+    """Directed matched-argmin counts >= cutoff via a broadcast inverted
+    probe index — integer-exact identical to the shuffle form's
+    probe-join + count aggregate, with zero shuffle and nothing
+    materialized per sub-cutoff pair.
+
+    Index (driver-built, broadcast): the corpus's (argmin m -> probing
+    docs) inversion as four numpy arrays — sorted distinct m keys,
+    CSR-style offsets, probing docs as int32 codes into a doc vocab,
+    and each probe's multiplicity (a doc's 64 argmins can repeat an
+    m). ~16 bytes per distinct (doc, m) row.
+
+    Kernel (``mapInPandas`` over the profile): for a chunk of
+    inventory docs, vectorized ``searchsorted`` finds each distinct
+    shingle's probe list; the gathered (inventory-row, prober-code)
+    keys pack into one int64, one sort + ``add.reduceat`` produces the
+    weighted per-pair counts, and only rows at/above the cutoff are
+    emitted. All numpy — the per-chunk candidate volume (sum of df
+    over the chunk's shingles) stays bounded by the chunk size."""
+    pdf = (
+        prof.select(F.col("doc_id").alias("pa"), F.explode("argmins").alias("p"))
+        .select("pa", F.col("p").bitwiseAND(F.lit(0xFFFFFFFF)).alias("m"))
+        .groupBy("pa", "m")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .toPandas()
+    )
+    spark = prof.sparkSession
+    if len(pdf) == 0:
+        return spark.createDataFrame([], _MATCHED_SCHEMA)
+    m_arr = pdf["m"].to_numpy(np.int64)
+    pa_arr = pdf["pa"].to_numpy(np.int64)
+    w_arr = pdf["w"].to_numpy(np.int64)
+    order = np.argsort(m_arr, kind="stable")
+    m_s, pa_s, w_s = m_arr[order], pa_arr[order], w_arr[order]
+    keys, starts = np.unique(m_s, return_index=True)
+    offsets = np.append(starts, len(m_s)).astype(np.int64)
+    vocab, pa_codes = np.unique(pa_s, return_inverse=True)
+    index = spark.sparkContext.broadcast(
+        (keys, offsets, pa_codes.astype(np.int64), w_s, vocab)
+    )
+
+    def _count(batches):
+        keys, offsets, pa_codes, w_s, vocab = index.value
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        for pdf_in in batches:
+            docs_ids = pdf_in["doc_id"].to_numpy(np.int64)
+            shingle_lists = pdf_in["shingles"]
+            out_pa, out_pb, out_cnt = [], [], []
+            chunk = 256
+            for lo in range(0, len(docs_ids), chunk):
+                hs_parts, row_parts = [], []
+                for i in range(lo, min(lo + chunk, len(docs_ids))):
+                    hs = np.unique(
+                        np.asarray(shingle_lists.iloc[i], dtype=np.int64)
+                        & 0xFFFFFFFF
+                    )
+                    hs_parts.append(hs)
+                    row_parts.append(np.full(len(hs), i, dtype=np.int64))
+                if not hs_parts:
+                    continue
+                hs_all = np.concatenate(hs_parts)
+                row_all = np.concatenate(row_parts)
+                pos = np.searchsorted(keys, hs_all)
+                ok = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == hs_all)
+                pos, row_hit = pos[ok], row_all[ok]
+                if len(pos) == 0:
+                    continue
+                n_per = lens[pos]
+                tot = int(n_per.sum())
+                if tot == 0:
+                    continue
+                # gather the CSR slices for every matched shingle at once
+                starts_hit = offsets[pos]
+                idx = np.repeat(starts_hit + n_per - n_per.cumsum(), n_per) + np.arange(
+                    tot, dtype=np.int64
+                )
+                cand_code = pa_codes[idx]
+                cand_w = w_s[idx]
+                cand_row = np.repeat(row_hit, n_per)
+                key = (cand_row << 32) | cand_code
+                order = np.argsort(key, kind="stable")
+                key_s, w_sorted = key[order], cand_w[order]
+                bounds = np.flatnonzero(
+                    np.concatenate(([True], key_s[1:] != key_s[:-1]))
+                )
+                counts = np.add.reduceat(w_sorted, bounds)
+                keep = counts >= cutoff
+                if not keep.any():
+                    continue
+                kk = key_s[bounds[keep]]
+                pa_out = vocab[(kk & 0xFFFFFFFF).astype(np.int64)]
+                pb_out = docs_ids[(kk >> 32).astype(np.int64)]
+                cnt_out = counts[keep].astype(np.int64)
+                notself = pa_out != pb_out
+                out_pa.append(pa_out[notself])
+                out_pb.append(pb_out[notself])
+                out_cnt.append(cnt_out[notself])
+            if out_pa:
+                yield pd.DataFrame(
+                    {
+                        "pa": np.concatenate(out_pa),
+                        "pb": np.concatenate(out_pb),
+                        "cnt": np.concatenate(out_cnt),
+                    }
+                )
+            else:
+                yield pd.DataFrame({"pa": [], "pb": [], "cnt": []}).astype(
+                    {"pa": "int64", "pb": "int64", "cnt": "int64"}
+                )
+
+    return prof.select("doc_id", "shingles").mapInPandas(_count, _MATCHED_SCHEMA)
+
+
 def containment_cutoff(threshold: float, num_hashes: int = 64) -> int:
     """Candidate cutoff on matched-argmin count: mean - 5 sigma of
     Binomial(num_hashes, threshold), floored at 2. A pair whose
@@ -445,12 +571,21 @@ def containment_cutoff(threshold: float, num_hashes: int = 64) -> int:
     return max(2, int(mu - 5.0 * (mu * (1.0 - threshold)) ** 0.5))
 
 
+#: Broadcast-strategy ceiling for :func:`containment_lsh_pairs`: the
+#: probe index is (m -> packed pa/weight arrays), ~16 bytes per
+#: (doc, distinct argmin) row, so 20M rows ~ 320 MB of task memory —
+#: the same order as Spark's own broadcast-join comfort zone. Above
+#: it the shuffle form is the only shape that scales.
+CONTAINMENT_BROADCAST_MAX_PROBE_ROWS = 20_000_000
+
+
 def containment_lsh_pairs(
     docs: DataFrame,
     k: int = 8,
     threshold: float = 0.8,
     num_hashes: int = 64,
     profile: DataFrame | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Scale path for :func:`containment_pairs` — one-sided LSH: band
     each doc's argmin signature (see containment_argmin_profile)
@@ -490,36 +625,74 @@ def containment_lsh_pairs(
 
     ``profile``: pass a precomputed (doc_id, shingles, argmins) frame —
     e.g. :func:`joint_shingle_profile` shared with the MinHash build —
-    to skip this operator's own corpus scan."""
+    to skip this operator's own corpus scan.
+
+    ``strategy``: how the matched-argmin counts are produced. The
+    directed counting is the measured core of this operator (at the
+    sf1 fixture: 1.36B probe-match instances collapse to 233M distinct
+    directed pairs before the cutoff keeps 9.3k — a 33 GB shuffle into
+    a spill-heavy aggregation). Two shapes, same Spark philosophy as
+    broadcast-vs-shuffle join selection:
+
+    - ``"shuffle"`` — the probe equi-join + count aggregate above. One
+      exchange + one agg; the only shape that scales to a corpus whose
+      probe index exceeds executor memory. The 100 TB path.
+    - ``"broadcast"`` — invert the probes into an (argmin -> packed
+      doc/weight arrays) index, broadcast it (~16 B per probe row),
+      and count matches LOCALLY per inventory document with vectorized
+      numpy inside ``mapInPandas``: zero shuffle, nothing
+      materialized per sub-cutoff pair, integer-exact identical
+      counts. Valid while the probe index fits task memory
+      (:data:`CONTAINMENT_BROADCAST_MAX_PROBE_ROWS`).
+    - ``"auto"`` (default) — broadcast when the probe-row count is
+      under the ceiling, else shuffle — decided from one cheap
+      aggregate over the profile, mirroring
+      ``spark.sql.autoBroadcastJoinThreshold``'s size-based switch."""
     prof = (
         profile
         if profile is not None
         else containment_argmin_profile(docs, k, num_hashes)
     )
-    probes = prof.select(
-        F.col("doc_id").alias("pa"),
-        F.explode("argmins").alias("packed"),
-    ).select("pa", F.col("packed").bitwiseAND(F.lit(0xFFFFFFFF)).alias("m"))
-    # inventory in the same 32-bit probe domain; array_distinct runs
-    # map-side (no extra shuffle), deduping the rare h32 collision
-    # WITHIN a doc so it can't double-count a match
-    inv = prof.select(
-        F.col("doc_id").alias("pb"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    "shingles", lambda x: x.bitwiseAND(F.lit(0xFFFFFFFF))
-                )
-            )
-        ).alias("h"),
-    )
     cutoff = containment_cutoff(threshold, num_hashes)
-    matched = (
-        probes.join(inv, (F.col("m") == F.col("h")) & (F.col("pa") != F.col("pb")))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= cutoff)
-    )
+    if strategy not in ("auto", "shuffle", "broadcast"):
+        raise ValueError(f"unknown containment strategy: {strategy!r}")
+    if strategy == "auto":
+        n_probe_rows = prof.select(
+            F.sum(F.size(F.array_distinct("argmins"))).alias("n")
+        ).collect()[0][0] or 0
+        strategy = (
+            "broadcast"
+            if n_probe_rows <= CONTAINMENT_BROADCAST_MAX_PROBE_ROWS
+            else "shuffle"
+        )
+    if strategy == "broadcast":
+        matched = _containment_counts_broadcast(prof, cutoff)
+    else:
+        probes = prof.select(
+            F.col("doc_id").alias("pa"),
+            F.explode("argmins").alias("packed"),
+        ).select("pa", F.col("packed").bitwiseAND(F.lit(0xFFFFFFFF)).alias("m"))
+        # inventory in the same 32-bit probe domain; array_distinct runs
+        # map-side (no extra shuffle), deduping the rare h32 collision
+        # WITHIN a doc so it can't double-count a match
+        inv = prof.select(
+            F.col("doc_id").alias("pb"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        "shingles", lambda x: x.bitwiseAND(F.lit(0xFFFFFFFF))
+                    )
+                )
+            ).alias("h"),
+        )
+        matched = (
+            probes.join(
+                inv, (F.col("m") == F.col("h")) & (F.col("pa") != F.col("pb"))
+            )
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= cutoff)
+        )
     cand = matched.select(
         F.least("pa", "pb").alias("da"), F.greatest("pa", "pb").alias("db")
     ).distinct()

@@ -1407,3 +1407,26 @@ def test_e2e_curation_profile_reuse_is_bit_identical(spark, docs):
     )
     reused = corpus.e2e_curation(docs, capacity=512, profile=prof).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, reused))
+
+
+def test_containment_strategies_are_bit_identical(spark, docs):
+    """The broadcast inverted-index counting path must reproduce the
+    shuffle probe-join's directed counts exactly — same candidates,
+    same verified pairs, same containment values."""
+    shuffle = dedup.containment_lsh_pairs(docs, strategy="shuffle").collect()
+    bcast = dedup.containment_lsh_pairs(docs, strategy="broadcast").collect()
+    assert sorted(map(tuple, shuffle)) == sorted(map(tuple, bcast))
+    assert len(shuffle) > 0
+
+
+def test_containment_auto_strategy_respects_probe_ceiling(spark, docs, monkeypatch):
+    """auto = broadcast under the probe-row ceiling, shuffle above it
+    (the 100 TB shape): force the ceiling to 0 and the auto plan must
+    be the shuffle join, not the mapInPandas kernel."""
+    auto_plan = dedup.containment_lsh_pairs(docs, strategy="auto")
+    assert "mapInPandas" in auto_plan._jdf.queryExecution().logical().toString() or \
+           "MapInPandas" in auto_plan._jdf.queryExecution().logical().toString()
+    monkeypatch.setattr(dedup, "CONTAINMENT_BROADCAST_MAX_PROBE_ROWS", 0)
+    forced = dedup.containment_lsh_pairs(docs, strategy="auto")
+    s = forced._jdf.queryExecution().logical().toString()
+    assert "MapInPandas" not in s and "mapInPandas" not in s
