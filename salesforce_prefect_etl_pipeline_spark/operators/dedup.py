@@ -447,6 +447,23 @@ _MATCHED_SCHEMA = T.StructType(
     ]
 )
 
+#: One-slot registry of the most recent probe-index broadcast, mirroring
+#: the media ops' guard cache: each broadcast call unpersists the
+#: previous call's executor copies, so a session that runs the
+#: containment query repeatedly holds ONE index in executor memory
+#: instead of one per call. unpersist (not destroy) keeps the driver
+#: copy, so an unconsumed earlier frame simply re-ships on demand.
+_PROBE_BCAST_SLOT: list = []
+
+
+def _swap_probe_broadcast(b) -> None:
+    while _PROBE_BCAST_SLOT:
+        try:
+            _PROBE_BCAST_SLOT.pop().unpersist(False)
+        except Exception:
+            pass
+    _PROBE_BCAST_SLOT.append(b)
+
 
 def _containment_counts_broadcast(prof: DataFrame, cutoff: int) -> DataFrame:
     """Directed matched-argmin counts >= cutoff via a broadcast inverted
@@ -488,6 +505,7 @@ def _containment_counts_broadcast(prof: DataFrame, cutoff: int) -> DataFrame:
     index = spark.sparkContext.broadcast(
         (keys, offsets, pa_codes.astype(np.int64), w_s, vocab)
     )
+    _swap_probe_broadcast(index)
 
     def _count(batches):
         keys, offsets, pa_codes, w_s, vocab = index.value
@@ -496,7 +514,7 @@ def _containment_counts_broadcast(prof: DataFrame, cutoff: int) -> DataFrame:
             docs_ids = pdf_in["doc_id"].to_numpy(np.int64)
             shingle_lists = pdf_in["shingles"]
             out_pa, out_pb, out_cnt = [], [], []
-            chunk = 256
+            chunk = 64
             for lo in range(0, len(docs_ids), chunk):
                 hs_parts, row_parts = [], []
                 for i in range(lo, min(lo + chunk, len(docs_ids))):
@@ -528,7 +546,10 @@ def _containment_counts_broadcast(prof: DataFrame, cutoff: int) -> DataFrame:
                 cand_w = w_s[idx]
                 cand_row = np.repeat(row_hit, n_per)
                 key = (cand_row << 32) | cand_code
-                order = np.argsort(key, kind="stable")
+                # quicksort: within-key order is irrelevant to the
+                # reduceat sums, and radix/stable's temp allocations
+                # measurably thrash when 32 workers sort concurrently
+                order = np.argsort(key)
                 key_s, w_sorted = key[order], cand_w[order]
                 bounds = np.flatnonzero(
                     np.concatenate(([True], key_s[1:] != key_s[:-1]))
