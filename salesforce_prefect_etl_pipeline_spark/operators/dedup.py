@@ -592,12 +592,18 @@ def containment_cutoff(threshold: float, num_hashes: int = 64) -> int:
     return max(2, int(mu - 5.0 * (mu * (1.0 - threshold)) ** 0.5))
 
 
-#: Broadcast-strategy ceiling for :func:`containment_lsh_pairs`: the
-#: probe index is (m -> packed pa/weight arrays), ~16 bytes per
+#: Broadcast-strategy window for :func:`containment_lsh_pairs`. Ceiling:
+#: the probe index is (m -> packed pa/weight arrays), ~16 bytes per
 #: (doc, distinct argmin) row, so 20M rows ~ 320 MB of task memory —
-#: the same order as Spark's own broadcast-join comfort zone. Above
-#: it the shuffle form is the only shape that scales.
+#: the same order as Spark's own broadcast-join comfort zone; above it
+#: the shuffle form is the only shape that scales. Floor: below ~500k
+#: probe rows the shuffled count-aggregate is small enough to stay
+#: entirely inside JVM codegen without spilling, and the broadcast
+#: path's Python-worker toll (index job + kernel spin-up) costs more
+#: than it saves (measured at sf0.1: shuffle 3.0 s vs broadcast 9.0 s
+#: in a warm bench session; at sf0.3 the order flips, 11.0 vs 5 s).
 CONTAINMENT_BROADCAST_MAX_PROBE_ROWS = 20_000_000
+CONTAINMENT_BROADCAST_MIN_PROBE_ROWS = 500_000
 
 
 def containment_lsh_pairs(
@@ -665,10 +671,13 @@ def containment_lsh_pairs(
       materialized per sub-cutoff pair, integer-exact identical
       counts. Valid while the probe index fits task memory
       (:data:`CONTAINMENT_BROADCAST_MAX_PROBE_ROWS`).
-    - ``"auto"`` (default) — broadcast when the probe-row count is
-      under the ceiling, else shuffle — decided from one cheap
-      aggregate over the profile, mirroring
-      ``spark.sql.autoBroadcastJoinThreshold``'s size-based switch."""
+    - ``"auto"`` (default) — broadcast when the probe-row count sits
+      inside the window [:data:`CONTAINMENT_BROADCAST_MIN_PROBE_ROWS`,
+      :data:`CONTAINMENT_BROADCAST_MAX_PROBE_ROWS`], else shuffle —
+      decided from one cheap aggregate over the profile, mirroring
+      ``spark.sql.autoBroadcastJoinThreshold``'s size-based switch
+      (tiny corpora stay in the JVM-codegen aggregate; oversized
+      probe indexes can't broadcast)."""
     prof = (
         profile
         if profile is not None
@@ -683,7 +692,9 @@ def containment_lsh_pairs(
         ).collect()[0][0] or 0
         strategy = (
             "broadcast"
-            if n_probe_rows <= CONTAINMENT_BROADCAST_MAX_PROBE_ROWS
+            if CONTAINMENT_BROADCAST_MIN_PROBE_ROWS
+            <= n_probe_rows
+            <= CONTAINMENT_BROADCAST_MAX_PROBE_ROWS
             else "shuffle"
         )
     if strategy == "broadcast":

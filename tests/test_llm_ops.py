@@ -1419,14 +1419,22 @@ def test_containment_strategies_are_bit_identical(spark, docs):
     assert len(shuffle) > 0
 
 
-def test_containment_auto_strategy_respects_probe_ceiling(spark, docs, monkeypatch):
-    """auto = broadcast under the probe-row ceiling, shuffle above it
-    (the 100 TB shape): force the ceiling to 0 and the auto plan must
-    be the shuffle join, not the mapInPandas kernel."""
-    auto_plan = dedup.containment_lsh_pairs(docs, strategy="auto")
-    assert "mapInPandas" in auto_plan._jdf.queryExecution().logical().toString() or \
-           "MapInPandas" in auto_plan._jdf.queryExecution().logical().toString()
+def test_containment_auto_strategy_respects_probe_window(spark, docs, monkeypatch):
+    """auto = broadcast only inside the probe-row window: tiny corpora
+    stay in the JVM-codegen shuffle aggregate, oversized indexes (the
+    100 TB shape) fall back to shuffle too."""
+
+    def plan(df):
+        return df._jdf.queryExecution().logical().toString()
+
+    # the SF_SMALL corpus sits under the floor -> shuffle
+    tiny = dedup.containment_lsh_pairs(docs, strategy="auto")
+    assert "MapInPandas" not in plan(tiny) and "mapInPandas" not in plan(tiny)
+    # widen the window to include it -> broadcast kernel
+    monkeypatch.setattr(dedup, "CONTAINMENT_BROADCAST_MIN_PROBE_ROWS", 0)
+    inside = dedup.containment_lsh_pairs(docs, strategy="auto")
+    assert "MapInPandas" in plan(inside) or "mapInPandas" in plan(inside)
+    # shrink the ceiling below it -> shuffle again (can't broadcast)
     monkeypatch.setattr(dedup, "CONTAINMENT_BROADCAST_MAX_PROBE_ROWS", 0)
-    forced = dedup.containment_lsh_pairs(docs, strategy="auto")
-    s = forced._jdf.queryExecution().logical().toString()
-    assert "MapInPandas" not in s and "mapInPandas" not in s
+    over = dedup.containment_lsh_pairs(docs, strategy="auto")
+    assert "MapInPandas" not in plan(over) and "mapInPandas" not in plan(over)
