@@ -38,101 +38,68 @@ _PRUNE = {
 #: Names listed here are registered first, in this order; everything else
 #: follows in raw registration order. Unknown names are ignored so the
 #: list may reference queries introduced in a later module version.
-#:
-#: Round-9 window, retiring the pre-r7 staleness debt (r8 verdict task
-#: 1) with two tiers filling the 50-slot gate exactly:
-#: (1) the 20 oldest hard-signal rows: the 18-query round-5-stale
-#: cohort that slipped past slot 50 last round (spec_* compiler cores,
-#: text unigram/bigram/rolling/bpe-estimate, agg corr/mode,
-#: media_audio_stats, corpus_shard_assignment, dedup_chunk_overlap,
-#: dedup_simhash_pairs, ann_cosine_topk, emb_near_dup_pairs,
-#: sql_q5_local_supplier, sql_orders_above_avg) plus
-#: agg_approx_distinct_suppliers (last row r2; its 10-sigma
-#: error-contract oracle has never seen a driver run) and
-#: ann_ivf_probe (last row r2; gains its within-probed-lists contract
-#: oracle THIS round);
-#: (2) 30 of the 43-query round-6 cohort. The 13 deferred to r10 each
-#: have an in-window sibling exercising the same code path this round
-#: (set_{union,intersect,except}_nationkeys, sql_union_all_counts,
-#: sql_pivot_counts, window_{running_total,first_last_order,
-#: ntile_order_quartiles,rank_nations_by_acctbal},
-#: qa_profile_orders_topk, corpus_pack_stats, emb_cluster_sample,
-#: media_frame_sample) and stay green in the local 100%-registry sweep
-#: (tools/check_oracle.py).
+#: Each round the list is regenerated verbatim from tools/staleness.py's
+#: suggested window (oldest driver row first); a pytest
+#: (tests/test_registry.py) fails if the list drifts from that output,
+#: so the rotation discipline is self-auditing.
 _PRIORITY = [
-    # --- round-10 window: the two NEVER-driver-checked queries added
-    # this round (a query with no hard row at all is the weakest
-    # signal in the registry), then the 48 oldest driver rows as
-    # tools/staleness.py orders them — the 13 queries whose latest
-    # hard row is r6, then the 35 alphabetically-first of the 49 r7
-    # rows.
-    "media_audio_families",  # new in r10
-    "media_video_families",  # new in r10
-    "corpus_pack_stats",  # r6
-    "emb_cluster_sample",  # r6
-    "media_frame_sample",  # r6
-    "qa_profile_orders_topk",  # r6
-    "set_except_nationkeys",  # r6
-    "set_intersect_nationkeys",  # r6
-    "set_union_nationkeys",  # r6
-    "sql_pivot_counts",  # r6
-    "sql_union_all_counts",  # r6
-    "window_first_last_order",  # r6
-    "window_ntile_order_quartiles",  # r6
-    "window_rank_nations_by_acctbal",  # r6
-    "window_running_total",  # r6
-    "agg_binned_percentiles",  # r7
-    "agg_distinct_suppliers_per_flag",  # r7
-    "agg_median_acctbal_by_nation",  # r7
-    "agg_stddev_acctbal_by_segment",  # r7
-    "ann_cosine_topk_np",  # r7
-    "corpus_contamination",  # r7
-    "corpus_dedup_survivor_stats",  # r7
-    "corpus_domain_mix",  # r7
-    "corpus_e2e_curation",  # r7
-    "corpus_length_filter_report",  # r7
-    "corpus_split_counts",  # r7
-    "corpus_token_length_histogram",  # r7
-    "corpus_url_scan",  # r7
-    "corpus_weighted_sample",  # r7
-    "cube_orders",  # r7
-    "dedup_containment_pairs",  # r7
-    "dedup_exact_groups",  # r7
-    "dedup_incremental_probe",  # r7
-    "dedup_jaccard_pairs",  # r7
-    "dedup_minhash_lsh",  # r7
-    "dedup_near_dup_clusters",  # r7
-    "emb_pq_codes",  # r7
-    "events_zorder_layout",  # r7
-    "graph_nation_pagerank",  # r7
-    "grouping_sets_lineitem",  # r7
-    "join_anti_customers_without_orders",  # r7
-    "join_range_ship_within_30d",  # r7
-    "join_revenue_by_region",  # r7
-    "join_salted_revenue_by_priority",  # r7
-    "join_semi_customers_with_orders",  # r7
-    "lineitem_unpivot_stats",  # r7
-    "orders_by_month",  # r7
-    "pivot_status_by_priority",  # r7
-    "q11_supply_value_share",  # r7
-    "q15_top_supplier",  # r7
-    # --- round-11 queue (pre-staged so the rotation discipline survives
-    # a context reset): front these 14 remaining r7 rows, then fill the
-    # window with the oldest r8 cohort per tools/staleness.py ---
-    #   "q3_shipping_priority",
-    #   "q6_forecast_revenue",
-    #   "qa_key_skew_suppkey",
-    #   "rollup_lineitem",
-    #   "streaming_dedup_ingest",
-    #   "text_bpe_merge_candidates",
-    #   "text_common_ngrams",
-    #   "text_fingerprints",
-    #   "text_lang_id",
-    #   "text_quality_score",
-    #   "text_repetition_stats",
-    #   "text_token_stats",
-    #   "text_top_tokens",
-    #   "udtf_sentence_stats",
+    # --- round-11 window (tools/staleness.py suggested list, verbatim):
+    # the 14 remaining r7 rows (the last of the r7 staleness debt:
+    # q3/q6_forecast, qa_key_skew, rollup, streaming_dedup_ingest, the
+    # 8-query text family + text_common_ngrams, udtf_sentence_stats),
+    # then the 36 alphabetically-first of the 58-row r8 cohort. After
+    # this round no registered query's latest hard row is older than r8
+    # (r11 verdict task 1).
+    "q3_shipping_priority",  # r7
+    "q6_forecast_revenue",  # r7
+    "qa_key_skew_suppkey",  # r7
+    "rollup_lineitem",  # r7
+    "streaming_dedup_ingest",  # r7
+    "text_bpe_merge_candidates",  # r7
+    "text_common_ngrams",  # r7
+    "text_fingerprints",  # r7
+    "text_lang_id",  # r7
+    "text_quality_score",  # r7
+    "text_repetition_stats",  # r7
+    "text_token_stats",  # r7
+    "text_top_tokens",  # r7
+    "udtf_sentence_stats",  # r7
+    "agg_approx_percentile_price",  # r8
+    "agg_chi2_type_by_daypart",  # r8
+    "ann_ivf_probe_appended",  # r8
+    "ann_pq_topk",  # r8
+    "corpus_mixture_plan",  # r8
+    "corpus_mixture_sample",  # r8
+    "corpus_multimodal_gate",  # r8
+    "corpus_shard_provenance",  # r8
+    "dedup_bloom_snapshot",  # r8
+    "dedup_cluster_size_histogram",  # r8
+    "dedup_containment_lsh",  # r8
+    "dedup_greedy_accept_distributed",  # r8
+    "emb_e2e_curation",  # r8
+    "emb_semdedup_prune",  # r8
+    "events_funnel",  # r8
+    "events_hourly_by_type",  # r8
+    "events_json_extract",  # r8
+    "events_mad_outliers",  # r8
+    "events_props_explode",  # r8
+    "events_props_variant",  # r8
+    "events_retention_cohorts",  # r8
+    "events_seasonal_anomalies",  # r8
+    "events_session_sequences",  # r8
+    "events_sessionization",  # r8
+    "events_sliding_counts",  # r8
+    "events_transition_counts",  # r8
+    "graph_nation_triangles",  # r8
+    "join_asof_clicks_to_purchases",  # r8
+    "join_asof_forward",  # r8
+    "join_asof_nearest",  # r8
+    "media_audio_near_dup",  # r8
+    "media_phash_families",  # r8
+    "media_phash_near_dup",  # r8
+    "media_video_near_dup",  # r8
+    "q12_ship_latency",  # r8
+    "q16_supplier_part_counts",  # r8
 ]
 
 

@@ -7,7 +7,13 @@ rotated back into the window. This prints, oldest first, the round of
 each registered query's most recent CORRECTNESS_r*.json appearance —
 exactly the list the next round's tier-1/tier-2 window should front.
 
-Usage: python tools/staleness.py [--window 50]
+``--check`` diffs the CURRENT ``_PRIORITY`` window against the suggested
+one and exits non-zero on drift, so forgetting the rotation at the start
+of a round is a hard failure (tests/test_registry.py wires this into
+pytest). The comparison is by set — reordering inside the window is
+legitimate (all 50 get checked either way); missing/extra names are not.
+
+Usage: python tools/staleness.py [--window 50] [--check]
 """
 
 from __future__ import annotations
@@ -17,24 +23,72 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def latest_rounds() -> dict[str, int]:
+    """Latest CORRECTNESS_r*.json round per query name (repo root)."""
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        for k in json.load(open(f)):
+            latest[k] = rnd
+    return latest
+
+
+def suggested_window(window: int = 50) -> list[str]:
+    """The oldest-``window`` registered queries, never-checked first then
+    by (round, name) — what next round's _PRIORITY should front."""
+    from salesforce_prefect_etl_pipeline_spark.queries_all import QUERIES
+
+    latest = latest_rounds()
+    rows = sorted((latest.get(q, 0), q) for q in QUERIES)
+    return [q for _, q in rows][:window]
+
+
+def priority_window(window: int = 50) -> list[str]:
+    """The first ``window`` names the registry actually fronts."""
+    from salesforce_prefect_etl_pipeline_spark.queries_all import QUERIES
+
+    return list(QUERIES)[:window]
+
+
+def check_drift(window: int = 50) -> list[str]:
+    """Human-readable drift lines; empty means the rotation is current."""
+    want = set(suggested_window(window))
+    have = set(priority_window(window))
+    problems = []
+    for q in sorted(want - have):
+        problems.append(f"stale query NOT fronted: {q}")
+    for q in sorted(have - want):
+        problems.append(f"fronted but not in suggested window: {q}")
+    return problems
 
 
 def main() -> int:
     window = 50
+    check = False
     for a in sys.argv[1:]:
         if a.startswith("--window"):
             window = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    latest: dict[str, int] = {}
-    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(f.split("_r")[1].split(".")[0])
-        d = json.load(open(f))
-        for k in d:
-            latest[k] = rnd
+        elif a == "--check":
+            check = True
+
+    if check:
+        problems = check_drift(window)
+        if problems:
+            print(f"ROTATION DRIFT ({len(problems)}):")
+            for p in problems:
+                print(f"  {p}")
+            return 1
+        print(f"rotation current: _PRIORITY window matches the suggested oldest-{window}")
+        return 0
 
     from salesforce_prefect_etl_pipeline_spark.queries_all import QUERIES
 
-    rows = sorted(((latest.get(q, 0), q) for q in QUERIES))
+    latest = latest_rounds()
+    rows = sorted((latest.get(q, 0), q) for q in QUERIES)
     never = [q for r, q in rows if r == 0]
     if never:
         print(f"NEVER driver-checked ({len(never)}):")
@@ -44,9 +98,8 @@ def main() -> int:
     for r, q in rows:
         if r:
             print(f"  r{r:<2d} {q}")
-    suggested = [q for _, q in rows][:window]
     print(f"\nsuggested next-round window (oldest {window}):")
-    for q in suggested:
+    for q in [q for _, q in rows][:window]:
         print(f'    "{q}",')
     return 0
 
