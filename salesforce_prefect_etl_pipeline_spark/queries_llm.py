@@ -173,10 +173,18 @@ def _spread_scan(df):
 
 
 def _docs_raw(spark, sf_dir):
-    """Unspread documents for media synthesis: the synth kernels project
-    doc_id immediately and multimodal._spread_ids applies its own
-    modality-tuned floor to the 8-byte id frame, so the _docs full-row
-    spread would only add a wasted exchange in front of it."""
+    """Unspread documents — two classes of caller (r10 verdict task 4):
+
+    1. Media synthesis: the synth kernels project doc_id immediately and
+       multimodal._spread_ids applies its own modality-tuned floor to
+       the 8-byte id frame, so a full-row spread would only add a wasted
+       exchange in front of it.
+    2. Cheap one-pass scans (quality_score, bloom_snapshot_probe): a
+       single narrow projection + one aggregate exchange, where the
+       spread's repartition costs more than the serial scan it
+       parallelizes (measured sf0.1: text_quality_score 0.18 -> 0.27 s
+       when spread). At scale the scan has thousands of partitions
+       anyway, so skipping the spread is also a no-op there."""
     return load_table(spark, sf_dir, "documents")
 
 
@@ -316,7 +324,9 @@ register_query(
 )
 register_query(
     "text_quality_score",
-    lambda spark, sf_dir: text.quality_score(_docs(spark, sf_dir)),
+    # one narrow pass + one aggregate exchange: spread costs more than it
+    # parallelizes here (see _docs_raw), so scan unspread
+    lambda spark, sf_dir: text.quality_score(_docs_raw(spark, sf_dir)),
     text.QUALITY_SCORE_SQL,
 )
 register_query(
@@ -1631,8 +1641,12 @@ def _dedup_bloom_snapshot(spark, sf_dir: str):
     1024-bit Bloom filter — the splits overlap on purpose so the report
     exercises true dups, false positives AND definite-new in one row.
     See ``dedup.bloom_snapshot_probe`` for the no-false-negative
-    contract and production sizing."""
-    docs = _docs(spark, sf_dir)
+    contract and production sizing.
+
+    Scans unspread (_docs_raw): both sides are single narrow projections
+    whose aggregate/broadcast exchanges dominate — the spread exchange
+    costs more than the serial scan it parallelizes at bench scale."""
+    docs = _docs_raw(spark, sf_dir)
     prior = docs.filter(F.col("doc_id") % 3 != 2)
     incoming = docs.filter(F.col("doc_id") % 2 == 0)
     return dedup.bloom_snapshot_probe(prior, incoming)
