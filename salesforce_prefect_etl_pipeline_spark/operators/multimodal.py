@@ -227,14 +227,21 @@ def _spread_ids(docs: DataFrame, heavy: bool = False) -> DataFrame:
     video kernel (n_frames decodes per row) wants more (measured at
     sf0.1 local[32]: video pair op 2.90 s serial, 2.21 s at 4,
     1.62 s at 8, back to 1.96 s at 32; the image ops monotonically
-    LOSE from 8 up). ``heavy=True`` selects the video floor
-    ``max(8, defaultParallelism // 4)``. A production corpus arrives
-    already partitioned — then the scan's own layout wins and no
-    shuffle is added (never shrink)."""
+    LOSE from 8 up). Floors are pinned by the session confs
+    ``spark.salesforceEtl.spread.idsFloor`` / ``.idsFloorHeavy``
+    (session.py; env-overridable) so cluster deployments tune them
+    without code edits; a heavy floor of 0 falls back to
+    ``max(8, defaultParallelism // 4)`` at call time and a floor of 1
+    disables the spread. A production corpus arrives already
+    partitioned — then the scan's own layout wins and no shuffle is
+    added (never shrink)."""
     ids = docs.select("doc_id")
-    sc = ids.sparkSession.sparkContext
-    target = max(8, sc.defaultParallelism // 4) if heavy else 4
-    if ids.rdd.getNumPartitions() >= target:
+    spark = ids.sparkSession
+    key = "idsFloorHeavy" if heavy else "idsFloor"
+    target = int(spark.conf.get(f"spark.salesforceEtl.spread.{key}", "0"))
+    if target <= 0:
+        target = max(8, spark.sparkContext.defaultParallelism // 4) if heavy else 4
+    if target <= 1 or ids.rdd.getNumPartitions() >= target:
         return ids
     return ids.repartition(target)
 

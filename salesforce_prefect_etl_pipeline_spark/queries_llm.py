@@ -152,6 +152,11 @@ def _ivf_probe_query(spark, sf_dir: str, k: int = 10, nprobe: int = 8):
     )
 
 
+#: (appId,) -> resolved scan floor; the conf read is cheap but this sits
+#: in front of every _docs/_emb call, so resolve once per session.
+_SCAN_FLOOR_CACHE: dict[str, int] = {}
+
+
 def _spread_scan(df):
     """Raise a compute-heavy table's scan partitioning to a floor.
 
@@ -159,15 +164,26 @@ def _spread_scan(df):
     scan gives ONE partition and every narrow stage downstream
     (shingling, minhash, chunking, vector math) runs serial until the
     first exchange — measured at sf0.1 local[32]: chunk fingerprints
-    1.63 -> 0.55 s, containment LSH 3.35 -> 2.86 s once spread. The
-    floor matches multimodal._spread_ids (max(4, parallelism/4):
-    higher fan-out loses more to per-partition overhead than it gains
-    here). Never shrinks: a production corpus scans with thousands of
+    1.63 -> 0.55 s, containment LSH 3.35 -> 2.86 s once spread.
+
+    The floor is pinned by ``spark.salesforceEtl.spread.scanFloor``
+    (session.py; env ``SPARK_GRAFT_SPREAD_SCAN_FLOOR``) so cluster
+    deployments tune it without code edits; 0 falls back to
+    ``max(4, defaultParallelism // 4)`` at call time (higher fan-out
+    loses more to per-partition overhead than it gains here), and a
+    floor of 1 disables the spread (and its partition probe) entirely.
+    Never shrinks: a production corpus scans with thousands of
     partitions already and this becomes a no-op, costing zero extra
     shuffle at 100 TB."""
-    sc = df.sparkSession.sparkContext
-    target = max(4, sc.defaultParallelism // 4)
-    if df.rdd.getNumPartitions() >= target:
+    spark = df.sparkSession
+    app = spark.sparkContext.applicationId
+    target = _SCAN_FLOOR_CACHE.get(app)
+    if target is None:
+        target = int(spark.conf.get("spark.salesforceEtl.spread.scanFloor", "0"))
+        if target <= 0:
+            target = max(4, spark.sparkContext.defaultParallelism // 4)
+        _SCAN_FLOOR_CACHE[app] = target
+    if target <= 1 or df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

@@ -40,10 +40,16 @@ def get_spark(
     if master is not None:
         builder = builder.master(master)
         is_local = master.startswith("local")
-    elif "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_CONNECT_MODE_ENABLED"):
-        builder = builder.master(f"local[{cpus}]")
-    else:
+    elif "SPARK_MASTER" in os.environ:
+        # Externally-configured master: inspect its VALUE — a
+        # SPARK_MASTER=local[N] session must still get the local-mode
+        # tunings (16 MB scan splits), not silently keep cluster
+        # defaults just because the env var exists.
+        is_local = os.environ["SPARK_MASTER"].startswith("local")
+    elif os.environ.get("SPARK_CONNECT_MODE_ENABLED"):
         is_local = False
+    else:
+        builder = builder.master(f"local[{cpus}]")
 
     conf = {
         "spark.sql.session.timeZone": "UTC",
@@ -75,6 +81,33 @@ def get_spark(
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "spark.ui.enabled": "false",
     }
+    # Spread floors for the small-fixture compute spreads
+    # (queries_llm._spread_scan, multimodal._spread_ids): pinned in ONE
+    # place so cluster deployments tune via env without code edits. A
+    # value of 0 means "derive from sc.defaultParallelism at call time"
+    # (the cluster default — executor count isn't known at build time);
+    # local mode pins explicit values so plans are deterministic under
+    # test. Both helpers never shrink existing partitioning, so any
+    # floor is a no-op on a production many-file scan.
+    try:
+        _cores = int(cpus)
+    except ValueError:
+        _cores = 32
+    conf.update(
+        {
+            "spark.salesforceEtl.spread.scanFloor": os.environ.get(
+                "SPARK_GRAFT_SPREAD_SCAN_FLOOR",
+                str(max(4, _cores // 4)) if is_local else "0",
+            ),
+            "spark.salesforceEtl.spread.idsFloor": os.environ.get(
+                "SPARK_GRAFT_SPREAD_IDS_FLOOR", "4"
+            ),
+            "spark.salesforceEtl.spread.idsFloorHeavy": os.environ.get(
+                "SPARK_GRAFT_SPREAD_IDS_FLOOR_HEAVY",
+                str(max(8, _cores // 4)) if is_local else "0",
+            ),
+        }
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -535,3 +535,41 @@ def test_spread_scan_raises_to_floor_but_never_shrinks(spark):
     assert _spread_scan(docs).rdd.getNumPartitions() == floor
     wide = docs.repartition(floor + 7)
     assert _spread_scan(wide).rdd.getNumPartitions() == floor + 7
+
+
+def test_spread_floors_pinned_through_session_conf(spark):
+    """r10 verdict task 6: floors come from session conf (one place,
+    env-overridable) — a conf override changes the spread target, a
+    floor of 1 disables the spread (and its partition probe), and 0
+    falls back to the defaultParallelism formula."""
+    import salesforce_prefect_etl_pipeline_spark.queries_llm as qllm
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    app = spark.sparkContext.applicationId
+    old = spark.conf.get("spark.salesforceEtl.spread.scanFloor", "0")
+    try:
+        spark.conf.set("spark.salesforceEtl.spread.scanFloor", "6")
+        qllm._SCAN_FLOOR_CACHE.pop(app, None)
+        assert qllm._spread_scan(docs).rdd.getNumPartitions() == 6
+
+        spark.conf.set("spark.salesforceEtl.spread.scanFloor", "1")
+        qllm._SCAN_FLOOR_CACHE.pop(app, None)
+        assert qllm._spread_scan(docs) is docs
+
+        spark.conf.set("spark.salesforceEtl.spread.scanFloor", "0")
+        qllm._SCAN_FLOOR_CACHE.pop(app, None)
+        floor = max(4, spark.sparkContext.defaultParallelism // 4)
+        assert qllm._spread_scan(docs).rdd.getNumPartitions() == floor
+    finally:
+        spark.conf.set("spark.salesforceEtl.spread.scanFloor", old)
+        qllm._SCAN_FLOOR_CACHE.pop(app, None)
+
+    old_ids = spark.conf.get("spark.salesforceEtl.spread.idsFloor", "4")
+    try:
+        spark.conf.set("spark.salesforceEtl.spread.idsFloor", "12")
+        assert multimodal._spread_ids(docs).rdd.getNumPartitions() == 12
+        spark.conf.set("spark.salesforceEtl.spread.idsFloor", "1")
+        spread = multimodal._spread_ids(docs)
+        assert spread.rdd.getNumPartitions() == docs.rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.salesforceEtl.spread.idsFloor", old_ids)
