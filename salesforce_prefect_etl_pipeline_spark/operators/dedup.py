@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import random
+import threading
 
 import numpy as np
 import pandas as pd
@@ -454,15 +455,21 @@ _MATCHED_SCHEMA = T.StructType(
 #: instead of one per call. unpersist (not destroy) keeps the driver
 #: copy, so an unconsumed earlier frame simply re-ships on demand.
 _PROBE_BCAST_SLOT: list = []
+_PROBE_BCAST_LOCK = threading.Lock()
 
 
 def _swap_probe_broadcast(b) -> None:
-    while _PROBE_BCAST_SLOT:
-        try:
-            _PROBE_BCAST_SLOT.pop().unpersist(False)
-        except Exception:
-            pass
-    _PROBE_BCAST_SLOT.append(b)
+    # locked like multimodal._GUARD_LOCK: two concurrent containment
+    # queries must not interleave pop/append, or the slot could end up
+    # holding two broadcasts (leaking executor copies) or unpersist the
+    # one just registered
+    with _PROBE_BCAST_LOCK:
+        while _PROBE_BCAST_SLOT:
+            try:
+                _PROBE_BCAST_SLOT.pop().unpersist(False)
+            except Exception:
+                pass
+        _PROBE_BCAST_SLOT.append(b)
 
 
 def _containment_counts_broadcast(prof: DataFrame, cutoff: int) -> DataFrame:
@@ -687,8 +694,21 @@ def containment_lsh_pairs(
     if strategy not in ("auto", "shuffle", "broadcast"):
         raise ValueError(f"unknown containment strategy: {strategy!r}")
     if strategy == "auto":
+        # size on the broadcast index's REAL grain — distinct (doc, m=h32)
+        # rows: two permutations picking the same shingle pack differently
+        # (perm<<32|h32) yet collapse to ONE index row, so counting
+        # distinct packed values would overestimate the index (~7% on
+        # 500-shingle docs) and could mis-window a corpus near an edge
         n_probe_rows = prof.select(
-            F.sum(F.size(F.array_distinct("argmins"))).alias("n")
+            F.sum(
+                F.size(
+                    F.array_distinct(
+                        F.transform(
+                            "argmins", lambda x: x.bitwiseAND(F.lit(0xFFFFFFFF))
+                        )
+                    )
+                )
+            ).alias("n")
         ).collect()[0][0] or 0
         strategy = (
             "broadcast"

@@ -244,7 +244,16 @@ def _panel_buckets(n: int, cap: int) -> int:
 
 def _panel(spark, sf_dir, table: str, id_col: str, cap: int):
     df = load_table(spark, sf_dir, table)
-    key = (spark.sparkContext.applicationId, sf_dir, table)
+    # key includes the file's (mtime, size) fingerprint: the DuckDB twin
+    # recomputes COUNT(*) live, so a fixture regenerated mid-session must
+    # invalidate the memoized count or the two engines would pick
+    # different bucket counts and spuriously mismatch
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+        fp = (int(st.st_mtime_ns), st.st_size)
+    except OSError:
+        fp = None
+    key = (spark.sparkContext.applicationId, sf_dir, table, fp)
     n = _PANEL_COUNT_CACHE.get(key)
     if n is None:
         n = df.count()

@@ -1,0 +1,142 @@
+"""Measure the containment broadcast window's UPPER edge (r10 verdict
+task 3) — the one designed-for-scale behavior that had no data point:
+``CONTAINMENT_BROADCAST_MAX_PROBE_ROWS`` (20M) and the ~320 MB index
+footprint claim were reasoned, not measured (sf1 sits at ~3M probe
+rows, far inside the window).
+
+A synthetic argmin PROFILE (passed via ``containment_lsh_pairs``'s
+``profile=`` hook, so no text/shingling cost) pins the probe-row count
+exactly: each doc carries 64 distinct h32 values used as BOTH its
+shingles and its packed argmins, so probe rows = 64 x n_docs, each m
+is probed by exactly one doc (worst case for the index's keys/offsets
+arrays — every m distinct), and self-matches are excluded, leaving
+only birthday-collision noise far below the cutoff. That isolates the
+cost being measured: index build + broadcast + counting kernel, with
+approximately zero candidate/verification volume.
+
+For each size (just under / just over the ceiling) it runs BOTH
+strategies end-to-end, records wall time, what ``auto`` picks, the
+real index array bytes (pulled from the live broadcast slot), and
+driver-side RSS deltas (python + JVM) around the broadcast build.
+
+Usage: python tools/containment_ceiling.py [n_docs ...]
+  (default sizes: 281250 -> 18.0M rows, 343750 -> 22.0M rows)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _rss_mb() -> dict[str, float]:
+    """Resident-set sizes of this python process and the session JVM."""
+    out = {"python": 0.0, "java": 0.0}
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                out["python"] = int(line.split()[1]) / 1024.0
+    try:
+        ps = subprocess.run(
+            ["ps", "-C", "java", "-o", "rss="], capture_output=True, text=True
+        )
+        out["java"] = sum(int(x) for x in ps.stdout.split()) / 1024.0
+    except Exception:
+        pass
+    return out
+
+
+def make_profile(spark, n_docs: int):
+    """(doc_id, shingles, argmins) with 64 distinct h32 per doc, unique
+    across docs up to birthday noise: probe rows == 64 * n_docs."""
+    idx = F.sequence(F.lit(0), F.lit(63))
+
+    def h32(i):
+        return F.xxhash64(F.col("doc_id"), i).bitwiseAND(F.lit(0xFFFFFFFF))
+
+    return (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"))
+        .repartition(32)
+        .select(
+            "doc_id",
+            F.transform(idx, h32).alias("shingles"),
+            F.transform(
+                idx,
+                lambda i: F.shiftleft(i.cast("long"), 32).bitwiseOR(h32(i)),
+            ).alias("argmins"),
+        )
+    )
+
+
+def main() -> int:
+    from salesforce_prefect_etl_pipeline_spark.operators import dedup
+    from salesforce_prefect_etl_pipeline_spark.session import get_spark
+
+    sizes = [int(a) for a in sys.argv[1:]] or [281_250, 343_750]
+    spark = get_spark("containment-ceiling")
+    results = []
+    for n_docs in sizes:
+        prof = make_profile(spark, n_docs).localCheckpoint()
+        n_probe = prof.select(
+            F.sum(
+                F.size(
+                    F.array_distinct(
+                        F.transform(
+                            "argmins", lambda x: x.bitwiseAND(F.lit(0xFFFFFFFF))
+                        )
+                    )
+                )
+            )
+        ).first()[0]
+        auto_pick = (
+            "broadcast"
+            if dedup.CONTAINMENT_BROADCAST_MIN_PROBE_ROWS
+            <= n_probe
+            <= dedup.CONTAINMENT_BROADCAST_MAX_PROBE_ROWS
+            else "shuffle"
+        )
+        row = {"n_docs": n_docs, "n_probe_rows": int(n_probe), "auto": auto_pick}
+        for strat in ("broadcast", "shuffle"):
+            rss0 = _rss_mb()
+            t0 = time.time()
+            n_out = dedup.containment_lsh_pairs(
+                None, profile=prof, strategy=strat
+            ).count()
+            wall = round(time.time() - t0, 1)
+            rss1 = _rss_mb()
+            row[strat] = {
+                "wall_s": wall,
+                "out_rows": n_out,
+                "rss_delta_mb": {
+                    k: round(rss1[k] - rss0[k], 1) for k in rss1
+                },
+            }
+            if strat == "broadcast" and dedup._PROBE_BCAST_SLOT:
+                arrs = dedup._PROBE_BCAST_SLOT[-1].value
+                row[strat]["index_bytes_mb"] = round(
+                    sum(a.nbytes for a in arrs) / 1e6, 1
+                )
+                row[strat]["index_arrays_mb"] = {
+                    name: round(a.nbytes / 1e6, 1)
+                    for name, a in zip(
+                        ("keys", "offsets", "pa_codes", "w", "vocab"), arrs
+                    )
+                }
+            print(f"# n={n_docs} ({n_probe} rows) {strat}: {row[strat]}",
+                  file=sys.stderr)
+        results.append(row)
+        prof.unpersist()
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
