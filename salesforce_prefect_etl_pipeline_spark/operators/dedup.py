@@ -599,18 +599,103 @@ def containment_cutoff(threshold: float, num_hashes: int = 64) -> int:
     return max(2, int(mu - 5.0 * (mu * (1.0 - threshold)) ** 0.5))
 
 
-#: Broadcast-strategy window for :func:`containment_lsh_pairs`. Ceiling:
-#: the probe index is (m -> packed pa/weight arrays), ~16 bytes per
-#: (doc, distinct argmin) row, so 20M rows ~ 320 MB of task memory —
-#: the same order as Spark's own broadcast-join comfort zone; above it
-#: the shuffle form is the only shape that scales. Floor: below ~500k
-#: probe rows the shuffled count-aggregate is small enough to stay
-#: entirely inside JVM codegen without spilling, and the broadcast
-#: path's Python-worker toll (index job + kernel spin-up) costs more
-#: than it saves (measured at sf0.1: shuffle 3.0 s vs broadcast 9.0 s
-#: in a warm bench session; at sf0.3 the order flips, 11.0 vs 5 s).
+#: Broadcast-strategy window for :func:`containment_lsh_pairs`,
+#: measured on both sides of every edge (tools/containment_ceiling.py;
+#: SCALE.md "Round 11: the containment broadcast ceiling, measured").
+#:
+#: Ceiling: the probe index is (m -> packed pa/weight arrays). Measured
+#: footprint at 18M index rows: 308 MB when shingles are hot
+#: (distinct-m count << rows; ~17 B/row, the regime real templated
+#: corpora live in) up to 578 MB when every m is distinct (32 B/row
+#: worst case — keys/offsets scale with DISTINCT m, not rows). Above
+#: the ceiling auto falls back to shuffle, measured sane (12.6-13.8 s
+#: at 22M rows); forcing broadcast there ran 2-4x slower and shipped a
+#: 376-706 MB index.
+#:
+#: Floor: below ~500k index rows the shuffled count-aggregate stays
+#: entirely inside JVM codegen, and the broadcast path's Python-worker
+#: toll (index job + kernel spin-up) costs more than it saves
+#: (measured at sf0.1: shuffle 3.0 s vs broadcast 9.0 s warm; at
+#: sf0.3 the order flips, 11.0 vs 5 s).
+#:
+#: Density: inside the row window, broadcast only wins when the
+#: shuffle it avoids is actually big — the probe join's output volume
+#: is sum over m of probes(m) x inventory(m) ("matched instances").
+#: Measured: at 450 instances/index row (the sf1 fixture: 1.36B
+#: instances -> a 33 GB spill-heavy shuffle) broadcast wins 4x
+#: (8.6 vs 35.9 s); at <= 16 instances/row (synthetic low-density
+#: corpora at 18M rows) shuffle wins ~1.6x even though the index fits.
+#: The gate is the measured-crossing ratio below: broadcast only when
+#: matched instances >= ratio x index rows.
 CONTAINMENT_BROADCAST_MAX_PROBE_ROWS = 20_000_000
 CONTAINMENT_BROADCAST_MIN_PROBE_ROWS = 500_000
+CONTAINMENT_BROADCAST_MIN_DENSITY = 32.0
+
+
+def containment_auto_stats(prof: DataFrame) -> dict:
+    """Sizing pass behind ``containment_lsh_pairs(strategy="auto")``:
+    measure the two quantities the broadcast/shuffle decision actually
+    depends on, then apply the window above.
+
+    - ``n_index_rows``: distinct (doc, m=h32) — the broadcast index's
+      REAL grain (two permutations picking the same shingle pack
+      differently yet collapse to one index row, so counting distinct
+      PACKED argmins would overestimate ~7% on 500-shingle docs).
+      Bounds index memory: 17-32 B/row measured.
+    - ``n_matched``: sum over m of probes(m) x inventory(m) — exactly
+      the probe equi-join's output volume, i.e. the shuffle the
+      broadcast path would avoid. One narrow aggregate: two
+      (key, count) frames joined on the 32-bit shingle domain, at most
+      |distinct shingles| rows each — tiny on hot corpora, and O(index
+      rows) even in the all-distinct worst case.
+
+    Cost: two aggregate jobs over the (already-checkpointed) profile —
+    sub-second at sf1 against the 27 s a wrong pick costs there."""
+    mask = lambda x: x.bitwiseAND(F.lit(0xFFFFFFFF))  # noqa: E731
+    n_index_rows = (
+        prof.select(
+            F.sum(F.size(F.array_distinct(F.transform("argmins", mask)))).alias("n")
+        ).collect()[0][0]
+        or 0
+    )
+    in_window = (
+        CONTAINMENT_BROADCAST_MIN_PROBE_ROWS
+        <= n_index_rows
+        <= CONTAINMENT_BROADCAST_MAX_PROBE_ROWS
+    )
+    if not in_window:
+        # outside the memory window the density never matters — skip its
+        # aggregate so small corpora (every sf the driver hard-checks)
+        # pay only the one cheap sizing count
+        return {
+            "n_index_rows": int(n_index_rows),
+            "n_matched": None,
+            "strategy": "shuffle",
+        }
+    pc = (
+        prof.select(F.explode(F.transform("argmins", mask)).alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("np"))
+    )
+    ic = (
+        prof.select(
+            F.explode(F.array_distinct(F.transform("shingles", mask))).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    n_matched = (
+        pc.join(ic, pc["m"] == ic["h"])
+        .select(F.sum(F.col("np") * F.col("ni")).alias("n"))
+        .collect()[0][0]
+        or 0
+    )
+    dense = n_matched >= CONTAINMENT_BROADCAST_MIN_DENSITY * n_index_rows
+    return {
+        "n_index_rows": int(n_index_rows),
+        "n_matched": int(n_matched),
+        "strategy": "broadcast" if dense else "shuffle",
+    }
 
 
 def containment_lsh_pairs(
@@ -678,13 +763,18 @@ def containment_lsh_pairs(
       materialized per sub-cutoff pair, integer-exact identical
       counts. Valid while the probe index fits task memory
       (:data:`CONTAINMENT_BROADCAST_MAX_PROBE_ROWS`).
-    - ``"auto"`` (default) — broadcast when the probe-row count sits
-      inside the window [:data:`CONTAINMENT_BROADCAST_MIN_PROBE_ROWS`,
-      :data:`CONTAINMENT_BROADCAST_MAX_PROBE_ROWS`], else shuffle —
-      decided from one cheap aggregate over the profile, mirroring
-      ``spark.sql.autoBroadcastJoinThreshold``'s size-based switch
-      (tiny corpora stay in the JVM-codegen aggregate; oversized
-      probe indexes can't broadcast)."""
+    - ``"auto"`` (default) — broadcast only when the index-row count
+      sits inside [:data:`CONTAINMENT_BROADCAST_MIN_PROBE_ROWS`,
+      :data:`CONTAINMENT_BROADCAST_MAX_PROBE_ROWS`] (index memory)
+      AND the measured match density clears
+      :data:`CONTAINMENT_BROADCAST_MIN_DENSITY` (the shuffle being
+      avoided is actually big) — see :func:`containment_auto_stats`.
+      Mirrors ``spark.sql.autoBroadcastJoinThreshold``'s size-based
+      switch, with the join-volume term that switch doesn't have:
+      tiny corpora stay in the JVM-codegen aggregate, oversized
+      indexes can't broadcast, and low-density corpora keep the
+      cheap shuffle even when the index would fit (measured — see
+      the window constants' docstring)."""
     prof = (
         profile
         if profile is not None
@@ -694,29 +784,8 @@ def containment_lsh_pairs(
     if strategy not in ("auto", "shuffle", "broadcast"):
         raise ValueError(f"unknown containment strategy: {strategy!r}")
     if strategy == "auto":
-        # size on the broadcast index's REAL grain — distinct (doc, m=h32)
-        # rows: two permutations picking the same shingle pack differently
-        # (perm<<32|h32) yet collapse to ONE index row, so counting
-        # distinct packed values would overestimate the index (~7% on
-        # 500-shingle docs) and could mis-window a corpus near an edge
-        n_probe_rows = prof.select(
-            F.sum(
-                F.size(
-                    F.array_distinct(
-                        F.transform(
-                            "argmins", lambda x: x.bitwiseAND(F.lit(0xFFFFFFFF))
-                        )
-                    )
-                )
-            ).alias("n")
-        ).collect()[0][0] or 0
-        strategy = (
-            "broadcast"
-            if CONTAINMENT_BROADCAST_MIN_PROBE_ROWS
-            <= n_probe_rows
-            <= CONTAINMENT_BROADCAST_MAX_PROBE_ROWS
-            else "shuffle"
-        )
+        stats = containment_auto_stats(prof)
+        strategy = stats["strategy"]
     if strategy == "broadcast":
         matched = _containment_counts_broadcast(prof, cutoff)
     else:

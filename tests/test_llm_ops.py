@@ -1438,3 +1438,35 @@ def test_containment_auto_strategy_respects_probe_window(spark, docs, monkeypatc
     monkeypatch.setattr(dedup, "CONTAINMENT_BROADCAST_MAX_PROBE_ROWS", 0)
     over = dedup.containment_lsh_pairs(docs, strategy="auto")
     assert "MapInPandas" not in plan(over) and "mapInPandas" not in plan(over)
+
+
+def test_containment_auto_strategy_respects_density_gate(spark, docs, monkeypatch):
+    """Inside the row window, auto still keeps the shuffle when the
+    measured match density (sum over m of probes x inventory, i.e. the
+    probe join's output volume) is below the crossing ratio — a
+    fitting index is not sufficient, the shuffle being avoided must be
+    big (measured both ways, SCALE.md r11)."""
+
+    def plan(df):
+        return df._jdf.queryExecution().logical().toString()
+
+    monkeypatch.setattr(dedup, "CONTAINMENT_BROADCAST_MIN_PROBE_ROWS", 0)
+    stats = dedup.containment_auto_stats(
+        dedup.containment_argmin_profile(docs, 8, 64)
+    )
+    assert stats["strategy"] == "broadcast"  # fixture corpus is dense
+    assert stats["n_matched"] >= 32 * stats["n_index_rows"]
+    # raise the required density above the corpus's -> shuffle
+    monkeypatch.setattr(
+        dedup,
+        "CONTAINMENT_BROADCAST_MIN_DENSITY",
+        stats["n_matched"] / stats["n_index_rows"] + 1,
+    )
+    low = dedup.containment_lsh_pairs(docs, strategy="auto")
+    assert "MapInPandas" not in plan(low) and "mapInPandas" not in plan(low)
+    # outside the row window the density aggregate is skipped entirely
+    monkeypatch.setattr(dedup, "CONTAINMENT_BROADCAST_MAX_PROBE_ROWS", 0)
+    skipped = dedup.containment_auto_stats(
+        dedup.containment_argmin_profile(docs, 8, 64)
+    )
+    assert skipped["strategy"] == "shuffle" and skipped["n_matched"] is None

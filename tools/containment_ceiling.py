@@ -53,13 +53,19 @@ def _rss_mb() -> dict[str, float]:
     return out
 
 
-def make_profile(spark, n_docs: int):
-    """(doc_id, shingles, argmins) with 64 distinct h32 per doc, unique
-    across docs up to birthday noise: probe rows == 64 * n_docs."""
+def make_profile(spark, n_docs: int, group: int = 1):
+    """(doc_id, shingles, argmins) with 64 distinct h32 per doc: probe
+    rows == 64 * n_docs. ``group=1`` makes every m unique across docs
+    (worst case for the index's keys/offsets arrays, ~zero match
+    volume); ``group=g`` makes docs in blocks of g share all 64 values
+    (hot-m regime: distinct-m count and the keys/offsets arrays shrink
+    g-fold while match volume becomes 64*(g-1) per doc — the
+    duplicate-family shape the broadcast path was built for)."""
     idx = F.sequence(F.lit(0), F.lit(63))
 
     def h32(i):
-        return F.xxhash64(F.col("doc_id"), i).bitwiseAND(F.lit(0xFFFFFFFF))
+        seed = (F.col("doc_id") / F.lit(group)).cast("long")
+        return F.xxhash64(seed, i).bitwiseAND(F.lit(0xFFFFFFFF))
 
     return (
         spark.range(n_docs)
@@ -80,30 +86,21 @@ def main() -> int:
     from salesforce_prefect_etl_pipeline_spark.operators import dedup
     from salesforce_prefect_etl_pipeline_spark.session import get_spark
 
-    sizes = [int(a) for a in sys.argv[1:]] or [281_250, 343_750]
+    specs = sys.argv[1:] or ["281250", "343750"]
     spark = get_spark("containment-ceiling")
     results = []
-    for n_docs in sizes:
-        prof = make_profile(spark, n_docs).localCheckpoint()
-        n_probe = prof.select(
-            F.sum(
-                F.size(
-                    F.array_distinct(
-                        F.transform(
-                            "argmins", lambda x: x.bitwiseAND(F.lit(0xFFFFFFFF))
-                        )
-                    )
-                )
-            )
-        ).first()[0]
-        auto_pick = (
-            "broadcast"
-            if dedup.CONTAINMENT_BROADCAST_MIN_PROBE_ROWS
-            <= n_probe
-            <= dedup.CONTAINMENT_BROADCAST_MAX_PROBE_ROWS
-            else "shuffle"
-        )
-        row = {"n_docs": n_docs, "n_probe_rows": int(n_probe), "auto": auto_pick}
+    for spec in specs:
+        n_docs, _, g = spec.partition(":")
+        n_docs, group = int(n_docs), int(g or 1)
+        prof = make_profile(spark, n_docs, group).localCheckpoint()
+        stats = dedup.containment_auto_stats(prof)
+        row = {
+            "n_docs": n_docs,
+            "group": group,
+            "n_probe_rows": stats["n_index_rows"],
+            "n_matched": stats["n_matched"],
+            "auto": stats["strategy"],
+        }
         for strat in ("broadcast", "shuffle"):
             rss0 = _rss_mb()
             t0 = time.time()
