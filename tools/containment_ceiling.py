@@ -19,8 +19,10 @@ strategies end-to-end, records wall time, what ``auto`` picks, the
 real index array bytes (pulled from the live broadcast slot), and
 driver-side RSS deltas (python + JVM) around the broadcast build.
 
-Usage: python tools/containment_ceiling.py [n_docs ...]
-  (default sizes: 281250 -> 18.0M rows, 343750 -> 22.0M rows)
+Usage: python tools/containment_ceiling.py [n_docs[:group] ...]
+  (default sizes: 281250 -> 18.0M rows, 343750 -> 22.0M rows;
+  ":group" switches to the hot-m regime, e.g. 281250:16 makes doc
+  blocks of 16 share all 64 argmins — match density 16)
 """
 
 from __future__ import annotations
