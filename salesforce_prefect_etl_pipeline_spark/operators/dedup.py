@@ -621,12 +621,18 @@ def containment_cutoff(threshold: float, num_hashes: int = 64) -> int:
 #: Density: inside the row window, broadcast only wins when the
 #: shuffle it avoids is actually big — the probe join's output volume
 #: is sum over m of probes(m) x inventory(m) ("matched instances").
-#: Measured: at 450 instances/index row (the sf1 fixture: 1.36B
-#: instances -> a 33 GB spill-heavy shuffle) broadcast wins 4x
-#: (8.6 vs 35.9 s); at <= 16 instances/row (synthetic low-density
-#: corpora at 18M rows) shuffle wins ~1.6x even though the index fits.
-#: The gate is the measured-crossing ratio below: broadcast only when
-#: matched instances >= ratio x index rows.
+#: Measured at 18M index rows (block-family synthetics, density = g):
+#: g<=16 shuffle wins ~1.6x, g=64 shuffle wins 1.35x, g=192 dead even
+#: (34.3 vs 34.7 s); on the REAL fixtures (density ~500) broadcast
+#: wins 4x (sf1: 8.6 vs 35.9 s). The synthetic crossing (~190)
+#: overstates shuffle: collapsed block families concentrate instances
+#: onto few distinct pairs, while real near-dup corpora spread them
+#: (sf1: 1.36B instances over 233M distinct directed pairs -> a 33 GB
+#: spill-heavy aggregate — cardinality, not just volume, is shuffle's
+#: pain). The gate stays at the low end of the band because the costs
+#: are asymmetric: a wrong broadcast pick is bounded (~1.35x — both
+#: kernels are linear in matched instances), a wrong shuffle pick on a
+#: spill-heavy real corpus costs 4x+.
 CONTAINMENT_BROADCAST_MAX_PROBE_ROWS = 20_000_000
 CONTAINMENT_BROADCAST_MIN_PROBE_ROWS = 500_000
 CONTAINMENT_BROADCAST_MIN_DENSITY = 32.0

@@ -129,8 +129,11 @@ def main() -> int:
                         ("keys", "offsets", "pa_codes", "w", "vocab"), arrs
                     )
                 }
-            print(f"# n={n_docs} ({n_probe} rows) {strat}: {row[strat]}",
-                  file=sys.stderr)
+            print(
+                f"# n={n_docs}:{group} ({row['n_probe_rows']} rows, "
+                f"matched={row['n_matched']}) {strat}: {row[strat]}",
+                file=sys.stderr,
+            )
         results.append(row)
         prof.unpersist()
     print(json.dumps(results))
