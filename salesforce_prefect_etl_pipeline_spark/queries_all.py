@@ -43,63 +43,62 @@ _PRUNE = {
 #: (tests/test_registry.py) fails if the list drifts from that output,
 #: so the rotation discipline is self-auditing.
 _PRIORITY = [
-    # --- round-11 window (tools/staleness.py suggested list, verbatim):
-    # the 14 remaining r7 rows (the last of the r7 staleness debt:
-    # q3/q6_forecast, qa_key_skew, rollup, streaming_dedup_ingest, the
-    # 8-query text family + text_common_ngrams, udtf_sentence_stats),
-    # then the 36 alphabetically-first of the 58-row r8 cohort. After
-    # this round no registered query's latest hard row is older than r8
+    # --- round-12 window (tools/staleness.py suggested list, verbatim):
+    # the 14 remaining r8 rows (the TPC-H flagships q1/q2/q9/q20-q22,
+    # the 6 streaming rows, sql_recursive_month_spine,
+    # window_percentile_ranks), then the 36 oldest r9 rows. After this
+    # round no registered query's latest hard row is older than r9
     # (r11 verdict task 1).
-    "q3_shipping_priority",  # r7
-    "q6_forecast_revenue",  # r7
-    "qa_key_skew_suppkey",  # r7
-    "rollup_lineitem",  # r7
-    "streaming_dedup_ingest",  # r7
-    "text_bpe_merge_candidates",  # r7
-    "text_common_ngrams",  # r7
-    "text_fingerprints",  # r7
-    "text_lang_id",  # r7
-    "text_quality_score",  # r7
-    "text_repetition_stats",  # r7
-    "text_token_stats",  # r7
-    "text_top_tokens",  # r7
-    "udtf_sentence_stats",  # r7
-    "agg_approx_percentile_price",  # r8
-    "agg_chi2_type_by_daypart",  # r8
-    "ann_ivf_probe_appended",  # r8
-    "ann_pq_topk",  # r8
-    "corpus_mixture_plan",  # r8
-    "corpus_mixture_sample",  # r8
-    "corpus_multimodal_gate",  # r8
-    "corpus_shard_provenance",  # r8
-    "dedup_bloom_snapshot",  # r8
-    "dedup_cluster_size_histogram",  # r8
-    "dedup_containment_lsh",  # r8
-    "dedup_greedy_accept_distributed",  # r8
-    "emb_e2e_curation",  # r8
-    "emb_semdedup_prune",  # r8
-    "events_funnel",  # r8
-    "events_hourly_by_type",  # r8
-    "events_json_extract",  # r8
-    "events_mad_outliers",  # r8
-    "events_props_explode",  # r8
-    "events_props_variant",  # r8
-    "events_retention_cohorts",  # r8
-    "events_seasonal_anomalies",  # r8
-    "events_session_sequences",  # r8
-    "events_sessionization",  # r8
-    "events_sliding_counts",  # r8
-    "events_transition_counts",  # r8
-    "graph_nation_triangles",  # r8
-    "join_asof_clicks_to_purchases",  # r8
-    "join_asof_forward",  # r8
-    "join_asof_nearest",  # r8
-    "media_audio_near_dup",  # r8
-    "media_phash_families",  # r8
-    "media_phash_near_dup",  # r8
-    "media_video_near_dup",  # r8
-    "q12_ship_latency",  # r8
-    "q16_supplier_part_counts",  # r8
+    "q1_pricing_summary",  # r8
+    "q20_dominant_suppliers",  # r8
+    "q21_suppliers_kept_waiting",  # r8
+    "q22_idle_balance",  # r8
+    "q2_min_cost_supplier",  # r8
+    "q9_product_profit",  # r8
+    "sql_recursive_month_spine",  # r8
+    "streaming_click_attribution",  # r8
+    "streaming_click_attribution_outer",  # r8
+    "streaming_dedup_user_counts",  # r8
+    "streaming_enriched_segment_counts",  # r8
+    "streaming_events_hourly",  # r8
+    "streaming_sessionization",  # r8
+    "window_percentile_ranks",  # r8
+    "agg_approx_distinct_suppliers",  # r9
+    "agg_corr_price_qty",  # r9
+    "agg_mad_value_by_type",  # r9
+    "agg_mode_priority_by_segment",  # r9
+    "ann_cosine_topk",  # r9
+    "ann_ivf_probe",  # r9
+    "ann_ivf_probe_exact",  # r9
+    "ann_srp_topk",  # r9
+    "corpus_canonical_by_quality",  # r9
+    "corpus_pack_documents",  # r9
+    "corpus_pii_scan",  # r9
+    "corpus_shard_assignment",  # r9
+    "corpus_stratified_sample",  # r9
+    "corpus_training_manifest",  # r9
+    "dedup_chunk_overlap",  # r9
+    "dedup_simhash_pairs",  # r9
+    "emb_cluster_mix",  # r9
+    "emb_near_dup_banded",  # r9
+    "emb_near_dup_pairs",  # r9
+    "media_audio_stats",  # r9
+    "media_decode_stats",  # r9
+    "media_feature_stats",  # r9
+    "q10_returned_items",  # r9
+    "q13_customer_distribution",  # r9
+    "q14_promo_revenue",  # r9
+    "q17_small_qty_revenue",  # r9
+    "q18_large_orders",  # r9
+    "q19_disjunctive",  # r9
+    "q4_order_priority",  # r9
+    "q7_volume_shipping",  # r9
+    "q8_market_share",  # r9
+    "qa_profile_orders",  # r9
+    "spec_lineitem_global",  # r9
+    "spec_orders_by_missing_channel",  # r9
+    "spec_orders_by_status",  # r9
+    "spec_orders_missing_metric",  # r9
 ]
 
 

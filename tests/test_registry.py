@@ -27,6 +27,29 @@ def test_priority_window_matches_staleness_suggestion():
     )
 
 
+def test_drift_check_accepts_consumed_rotation(monkeypatch):
+    """Time-consistency (r11 advice): once the newest CORRECTNESS round's
+    file covers exactly the fronted window, the rotation has been
+    consumed — the check must stay green even though that file re-dates
+    every query it covers (which moves the suggested-oldest-50 on)."""
+    newest = staleness.newest_round_set()
+    assert newest, "driver correctness files missing from repo root"
+    monkeypatch.setattr(staleness, "priority_window", lambda window=50: sorted(newest))
+    assert staleness.check_drift(50) == []
+
+
+def test_drift_check_rejects_stale_window(monkeypatch):
+    """A fronted window that is neither the suggestion nor the newest
+    round's set (e.g. two rounds old) must trip the check."""
+    stale = sorted(staleness.latest_rounds())[:50]
+    newest = staleness.newest_round_set()
+    suggested = set(staleness.suggested_window(50))
+    if set(stale) in (newest, suggested):  # pragma: no cover - fixture luck
+        stale = sorted(staleness.latest_rounds())[1:51]
+    monkeypatch.setattr(staleness, "priority_window", lambda window=50: stale)
+    assert staleness.check_drift(50)
+
+
 def test_every_query_has_unique_registration():
     from salesforce_prefect_etl_pipeline_spark.queries_all import ORACLES, QUERIES
 

@@ -27,14 +27,29 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 
+def _round_files() -> list[tuple[int, str]]:
+    """(round, path) for every CORRECTNESS_r*.json, ascending by round."""
+    out = []
+    for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        out.append((int(os.path.basename(f).split("_r")[1].split(".")[0]), f))
+    return sorted(out)
+
+
 def latest_rounds() -> dict[str, int]:
     """Latest CORRECTNESS_r*.json round per query name (repo root)."""
     latest: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+    for rnd, f in _round_files():
         for k in json.load(open(f)):
             latest[k] = rnd
     return latest
+
+
+def newest_round_set() -> set[str]:
+    """Query names covered by the newest CORRECTNESS round (empty if none)."""
+    files = _round_files()
+    if not files:
+        return set()
+    return set(json.load(open(files[-1][1])))
 
 
 def suggested_window(window: int = 50) -> list[str]:
@@ -55,9 +70,20 @@ def priority_window(window: int = 50) -> list[str]:
 
 
 def check_drift(window: int = 50) -> list[str]:
-    """Human-readable drift lines; empty means the rotation is current."""
-    want = set(suggested_window(window))
+    """Human-readable drift lines; empty means the rotation is current.
+
+    Time-consistency (r11 advice): once the driver's newest
+    CORRECTNESS_r*.json lands it re-dates every query it covers, so the
+    naive "fronted == suggested-oldest-N" comparison flips red at the
+    natural end-of-round commit even though the rotation WAS done. If
+    the fronted window is exactly the newest round's checked set, the
+    rotation has been consumed by that round — treat it as current; the
+    check goes red only when a NEW round starts without rotating.
+    """
     have = set(priority_window(window))
+    if have and have == newest_round_set():
+        return []
+    want = set(suggested_window(window))
     problems = []
     for q in sorted(want - have):
         problems.append(f"stale query NOT fronted: {q}")
