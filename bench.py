@@ -227,11 +227,28 @@ def main() -> None:
         "runs_per_query": runs_per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    sidecar_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
-    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sidecar_path = os.path.join(repo, "BENCH_SPREAD.json")
     with open(sidecar_path, "w") as f:
         json.dump(sidecar, f, indent=1)
+    # ... and a round-stamped archive copy (r11 verdict task 5): the
+    # un-stamped file is overwritten each round, so spread-aware
+    # comparison of two past rounds needed git archaeology. The round
+    # being built is (newest CORRECTNESS round present) + 1 — the
+    # driver records BENCH_r{N} after CORRECTNESS_r{N-1} landed.
+    import glob as _glob
+
+    rounds = [
+        int(os.path.basename(p).split("_r")[1].split(".")[0])
+        for p in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    ]
+    if rounds and sf == "0.1":
+        # only the driver-shaped sf0.1 run is archived — builder runs at
+        # other scale factors must not clobber the round's record
+        stamped = os.path.join(repo, f"BENCH_SPREAD_r{max(rounds) + 1:02d}.json")
+        with open(stamped, "w") as f:
+            json.dump(sidecar, f, indent=1)
+        print(f"# round-stamped spread sidecar: {stamped}", file=sys.stderr)
     print(f"# spread sidecar written to {sidecar_path}", file=sys.stderr)
     print(f"# {json.dumps(sidecar)}", file=sys.stderr)
     line = compact_line(timings, sf)

@@ -48,7 +48,9 @@ _PRIORITY = [
     # the 6 streaming rows, sql_recursive_month_spine,
     # window_percentile_ranks), then the 36 oldest r9 rows. After this
     # round no registered query's latest hard row is older than r9
-    # (r11 verdict task 1).
+    # (r11 verdict task 1). Never-driver-checked queries added this
+    # round sort first in the suggestion, displacing the newest tail.
+    "dedup_containment_lsh_panel",  # new (r12)
     "q1_pricing_summary",  # r8
     "q20_dominant_suppliers",  # r8
     "q21_suppliers_kept_waiting",  # r8
@@ -98,7 +100,6 @@ _PRIORITY = [
     "spec_lineitem_global",  # r9
     "spec_orders_by_missing_channel",  # r9
     "spec_orders_by_status",  # r9
-    "spec_orders_missing_metric",  # r9
 ]
 
 

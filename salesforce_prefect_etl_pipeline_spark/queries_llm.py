@@ -1409,6 +1409,27 @@ register_query(
     dedup.containment_lsh_pairs_sql(k=8, threshold=0.8),
 )
 
+# Panel twin (r11 verdict task 2): the full-corpus oracle above replays
+# the whole probe pipeline in DuckDB, whose probe join is O(sum df^2) —
+# it OOMs the oracle process above sf1 (150k docs at sf3) even though
+# the Spark side runs fine (24.97 s). Same fix the media pair ops got:
+# verify the identical pipeline over the content-addressed doc panel so
+# BOTH engines see a <=5k-doc row set picked by the same md5-bucket rule
+# and the replay stays bounded at ANY scale. The full-corpus form above
+# remains the production path and keeps its exact replay at every sf
+# the driver hard-checks (<=1).
+register_query(
+    "dedup_containment_lsh_panel",
+    lambda spark, sf_dir: dedup.containment_lsh_pairs(
+        _docs_panel(spark, sf_dir), k=8, threshold=0.8
+    ),
+    dedup.containment_lsh_pairs_sql(
+        k=8,
+        threshold=0.8,
+        source=_panel_source_sql("documents", "doc_id", _PANEL_DOC_CAP),
+    ),
+)
+
 
 def _dedup_greedy_distributed(spark, sf_dir: str):
     """Whole-corpus greedy dedup via the DISTRIBUTED frontier MIS

@@ -18,7 +18,21 @@ compact (medians only) and the [min, max] spreads live in a sidecar
 from __future__ import annotations
 
 import json
+import os
+import re
 import sys
+
+
+def _auto_spread(path: str) -> str | None:
+    """BENCH_r{N}.json -> sibling BENCH_SPREAD_r{N}.json when present
+    (bench.py archives one per round since r12; r10/r11 backfilled), so
+    `bench_compare.py BENCH_r10.json BENCH_r11.json` noise-separates
+    both sides with no flags."""
+    m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+    if not m:
+        return None
+    cand = os.path.join(os.path.dirname(path), f"BENCH_SPREAD_r{m.group(1)}.json")
+    return cand if os.path.exists(cand) else None
 
 
 def load(path: str, sf: str | None, spread_path: str | None = None) -> dict:
@@ -59,6 +73,8 @@ def main() -> int:
     if len(args) != 2:
         print(__doc__)
         return 2
+    spread_a = spread_a or _auto_spread(args[0])
+    spread_b = spread_b or _auto_spread(args[1])
     a, b = load(args[0], sf, spread_a), load(args[1], sf, spread_b)
     qa, qb = a["queries"], b["queries"]
     sa, sb = a.get("spread", {}), b.get("spread", {})
