@@ -648,9 +648,12 @@ def containment_auto_stats(prof: DataFrame) -> dict:
       differently yet collapse to one index row, so counting distinct
       PACKED argmins would overestimate ~7% on 500-shingle docs).
       Bounds index memory: 17-32 B/row measured.
-    - ``n_matched``: sum over m of probes(m) x inventory(m) — exactly
-      the probe equi-join's output volume, i.e. the shuffle the
-      broadcast path would avoid. One narrow aggregate: two
+    - ``n_matched``: sum over m of probes(m) x inventory(m) — the probe
+      equi-join's output volume PLUS the self-match contribution (each
+      doc's argmins hit its own shingle inventory — ~64 instances/doc —
+      which the probe join's pa != pb excludes; at the 32x gate that is
+      a <=1-density overcount, negligible, and always toward broadcast
+      by the same margin). One narrow aggregate: two
       (key, count) frames joined on the 32-bit shingle domain, at most
       |distinct shingles| rows each — tiny on hot corpora, and O(index
       rows) even in the all-distinct worst case.

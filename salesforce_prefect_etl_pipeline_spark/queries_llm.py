@@ -152,11 +152,6 @@ def _ivf_probe_query(spark, sf_dir: str, k: int = 10, nprobe: int = 8):
     )
 
 
-#: (appId,) -> resolved scan floor; the conf read is cheap but this sits
-#: in front of every _docs/_emb call, so resolve once per session.
-_SCAN_FLOOR_CACHE: dict[str, int] = {}
-
-
 def _spread_scan(df):
     """Raise a compute-heavy table's scan partitioning to a floor.
 
@@ -174,15 +169,17 @@ def _spread_scan(df):
     floor of 1 disables the spread (and its partition probe) entirely.
     Never shrinks: a production corpus scans with thousands of
     partitions already and this becomes a no-op, costing zero extra
-    shuffle at 100 TB."""
+    shuffle at 100 TB.
+
+    The conf is re-read every call (one cheap py4j get, negligible next
+    to the partition probe beside it): a per-session memo made runtime
+    ``spark.conf.set`` overrides silently inert once cached, while
+    multimodal._spread_ids honored them — inconsistent override
+    semantics (r11 advice)."""
     spark = df.sparkSession
-    app = spark.sparkContext.applicationId
-    target = _SCAN_FLOOR_CACHE.get(app)
-    if target is None:
-        target = int(spark.conf.get("spark.salesforceEtl.spread.scanFloor", "0"))
-        if target <= 0:
-            target = max(4, spark.sparkContext.defaultParallelism // 4)
-        _SCAN_FLOOR_CACHE[app] = target
+    target = int(spark.conf.get("spark.salesforceEtl.spread.scanFloor", "0"))
+    if target <= 0:
+        target = max(4, spark.sparkContext.defaultParallelism // 4)
     if target <= 1 or df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -545,24 +545,21 @@ def test_spread_floors_pinned_through_session_conf(spark):
     import salesforce_prefect_etl_pipeline_spark.queries_llm as qllm
 
     docs = load_table(spark, SF_SMALL, "documents")
-    app = spark.sparkContext.applicationId
     old = spark.conf.get("spark.salesforceEtl.spread.scanFloor", "0")
     try:
+        # runtime conf.set overrides take effect immediately — the floor
+        # is re-read per call, same semantics as _spread_ids (r11 advice)
         spark.conf.set("spark.salesforceEtl.spread.scanFloor", "6")
-        qllm._SCAN_FLOOR_CACHE.pop(app, None)
         assert qllm._spread_scan(docs).rdd.getNumPartitions() == 6
 
         spark.conf.set("spark.salesforceEtl.spread.scanFloor", "1")
-        qllm._SCAN_FLOOR_CACHE.pop(app, None)
         assert qllm._spread_scan(docs) is docs
 
         spark.conf.set("spark.salesforceEtl.spread.scanFloor", "0")
-        qllm._SCAN_FLOOR_CACHE.pop(app, None)
         floor = max(4, spark.sparkContext.defaultParallelism // 4)
         assert qllm._spread_scan(docs).rdd.getNumPartitions() == floor
     finally:
         spark.conf.set("spark.salesforceEtl.spread.scanFloor", old)
-        qllm._SCAN_FLOOR_CACHE.pop(app, None)
 
     old_ids = spark.conf.get("spark.salesforceEtl.spread.idsFloor", "4")
     try:
