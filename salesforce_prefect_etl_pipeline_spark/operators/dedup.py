@@ -624,15 +624,25 @@ def containment_cutoff(threshold: float, num_hashes: int = 64) -> int:
 #: Measured at 18M index rows (block-family synthetics, density = g):
 #: g<=16 shuffle wins ~1.6x, g=64 shuffle wins 1.35x, g=192 dead even
 #: (34.3 vs 34.7 s); on the REAL fixtures (density ~500) broadcast
-#: wins 4x (sf1: 8.6 vs 35.9 s). The synthetic crossing (~190)
-#: overstates shuffle: collapsed block families concentrate instances
-#: onto few distinct pairs, while real near-dup corpora spread them
-#: (sf1: 1.36B instances over 233M distinct directed pairs -> a 33 GB
-#: spill-heavy aggregate — cardinality, not just volume, is shuffle's
-#: pain). The gate stays at the low end of the band because the costs
-#: are asymmetric: a wrong broadcast pick is bounded (~1.35x — both
-#: kernels are linear in matched instances), a wrong shuffle pick on a
-#: spill-heavy real corpus costs 4x+.
+#: wins 4x (sf1: 8.6 vs 35.9 s). The r11 caveat — that the synthetic
+#: crossing (~190) overstates shuffle because block families
+#: concentrate instances onto few distinct pairs while real corpora
+#: spread them (sf1: 1.36B instances over 233M distinct directed
+#: pairs) — was CONFIRMED by measurement in r12: with the ceiling
+#: tool's dispersed-pairs mode (realistic pair cardinality, ~1
+#: instance per distinct pair) broadcast wins the entire density
+#: 50-300 band by 4.5-22x (shuffle spills 10-49 GB), and the dispersed
+#: crossing sits between density 9 (shuffle 1.7x faster) and 17
+#: (broadcast 1.5x faster) — see SCALE.md "the density gate's crossing
+#: band". The gate stays at 32, ABOVE the dispersed crossing, because
+#: density alone can't distinguish dispersed from block-shaped
+#: corpora and block shapes still favor shuffle up to ~190: a wrong
+#: shuffle pick in the 17-32 dispersed gap costs a bounded ~1.5x,
+#: while dropping the gate to the dispersed crossing would make
+#: block-shaped corpora at density 17-190 pay the wrong-broadcast
+#: toll plus verification volume. Costs stay asymmetric in the
+#: gate's favor: wrong-broadcast bounded (~1.35x), wrong-shuffle on a
+#: spill-heavy realistic corpus 4.5-22x.
 CONTAINMENT_BROADCAST_MAX_PROBE_ROWS = 20_000_000
 CONTAINMENT_BROADCAST_MIN_PROBE_ROWS = 500_000
 CONTAINMENT_BROADCAST_MIN_DENSITY = 32.0
