@@ -607,10 +607,18 @@ def containment_cutoff(threshold: float, num_hashes: int = 64) -> int:
 #: footprint at 18M index rows: 308 MB when shingles are hot
 #: (distinct-m count << rows; ~17 B/row, the regime real templated
 #: corpora live in) up to 578 MB when every m is distinct (32 B/row
-#: worst case — keys/offsets scale with DISTINCT m, not rows). Above
-#: the ceiling auto falls back to shuffle, measured sane (12.6-13.8 s
-#: at 22M rows); forcing broadcast there ran 2-4x slower and shipped a
-#: 376-706 MB index.
+#: worst case — keys/offsets scale with DISTINCT m, not rows). r11 set
+#: the ceiling at 20M rows from near-zero-density synthetics where the
+#: above-ceiling shuffle fallback looked sane (12.6-13.8 s at 22M
+#: rows). r12's REAL above-ceiling cell overturned that: the sf10
+#: fixture (27.5M rows, density ~494) broadcast in 79 s with a 458 MB
+#: index, while the honest pinned-shuffle fallback's 13.6B-instance
+#: aggregate filled 77 GB of spill disk and died — above the ceiling a
+#: DENSE corpus has no good shuffle, so a too-low ceiling is the
+#: costly mispick. Raised to 40M rows, validated by a worst-case
+#: (all-distinct m) synthetic broadcast at exactly 40M rows: 1,282 MB
+#: index (the 32 B/row model, bang on), 100 s, zero spill — inside
+#: task memory and far under Spark's 8 GiB broadcast hard limit.
 #:
 #: Floor: below ~500k index rows the shuffled count-aggregate stays
 #: entirely inside JVM codegen, and the broadcast path's Python-worker
@@ -643,7 +651,7 @@ def containment_cutoff(threshold: float, num_hashes: int = 64) -> int:
 #: toll plus verification volume. Costs stay asymmetric in the
 #: gate's favor: wrong-broadcast bounded (~1.35x), wrong-shuffle on a
 #: spill-heavy realistic corpus 4.5-22x.
-CONTAINMENT_BROADCAST_MAX_PROBE_ROWS = 20_000_000
+CONTAINMENT_BROADCAST_MAX_PROBE_ROWS = 40_000_000
 CONTAINMENT_BROADCAST_MIN_PROBE_ROWS = 500_000
 CONTAINMENT_BROADCAST_MIN_DENSITY = 32.0
 
@@ -825,10 +833,20 @@ def containment_lsh_pairs(
                 )
             ).alias("h"),
         )
+        # The SHUFFLE_HASH hint (build = probes, the narrower side) is
+        # load-bearing, not a tuning nicety: Catalyst's size estimate
+        # for an exploded child is the UNEXPLODED child's, so the
+        # planner statically picks BroadcastHashJoin with the ~8x-wider
+        # inventory as the build side — measured at the sf10 fixture it
+        # tried to broadcast a 12 GiB hashed relation and the query
+        # DIED on Spark's 8 GiB broadcast hard limit. This strategy
+        # exists precisely for corpora too big to broadcast, so its
+        # plan must pin the exchange: probes hash per-partition
+        # (64/doc, bounded), inventory streams. AQE skew-split still
+        # applies to hot shingles.
         matched = (
-            probes.join(
-                inv, (F.col("m") == F.col("h")) & (F.col("pa") != F.col("pb"))
-            )
+            probes.hint("shuffle_hash")
+            .join(inv, (F.col("m") == F.col("h")) & (F.col("pa") != F.col("pb")))
             .groupBy("pa", "pb")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") >= cutoff)
@@ -841,8 +859,16 @@ def containment_lsh_pairs(
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     c_ab = common.cast("double") / F.size("sa")
     c_ba = common.cast("double") / F.size("sb")
+    # Same estimate blindness on the verification joins: the planner
+    # was broadcasting the FULL profile sides (a then b — unbounded,
+    # ~2 GB of shingle arrays at sf10; a corpus-sized broadcast at
+    # 100 TB). Pin the build side to the candidate subtree, which the
+    # cutoff filter bounds, and shuffle the profile sides on the doc
+    # key instead.
     return (
-        cand.join(a, "da")
+        cand.hint("shuffle_hash")
+        .join(a, "da")
+        .hint("shuffle_hash")
         .join(b, "db")
         .select("da", "db", c_ab.alias("c_a_in_b"), c_ba.alias("c_b_in_a"))
         .filter(F.greatest("c_a_in_b", "c_b_in_a") >= threshold)

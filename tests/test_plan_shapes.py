@@ -25,3 +25,30 @@ def test_no_cartesian_product_in_any_registered_plan(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian product in: {offenders}"
+
+
+def test_containment_lsh_never_broadcasts_unbounded_sides(spark):
+    """r12: Catalyst's size estimate for an exploded child is the
+    UNEXPLODED child's size, so without explicit hints the static plan
+    broadcast the shingle inventory (12 GiB at sf10 — query death on
+    the 8 GiB broadcast hard limit) and the full profile sides of the
+    verification joins. The shuffle strategy exists for corpora too
+    big to broadcast; its plan must contain NO BroadcastExchange at
+    all, and in BOTH strategies the verification joins must build on
+    the cutoff-bounded candidate side, never the corpus-sized profile."""
+    from salesforce_prefect_etl_pipeline_spark.operators import dedup
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    prof = dedup.joint_shingle_profile(docs, k=8).select(
+        "doc_id", "shingles", "argmins"
+    )
+    for strat in ("shuffle", "broadcast"):
+        plan = (
+            dedup.containment_lsh_pairs(None, profile=prof, strategy=strat)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastExchange" not in plan, f"{strat}: {plan[:2000]}"
+        assert "ShuffledHashJoin" in plan, f"{strat}: verification join unpinned"

@@ -193,7 +193,16 @@ def main() -> int:
     from salesforce_prefect_etl_pipeline_spark.session import get_spark
 
     specs = sys.argv[1:] or ["281250", "343750"]
-    spark = get_spark("containment-ceiling", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(
+        "containment-ceiling",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # the corpus cells drive runs whose AQE-planned broadcast
+            # builds exceed the 1g default; the tool measures, it must
+            # not abort mid-cell
+            "spark.driver.maxResultSize": "8g",
+        },
+    )
     results = []
     for spec in specs:
         if spec.startswith("corpus:"):
@@ -253,7 +262,12 @@ def main() -> int:
             "density": round(stats["n_matched"] / max(1, stats["n_index_rows"]), 1),
             "auto": stats["strategy"],
         }
-        for strat in ("broadcast", "shuffle"):
+        strategies = tuple(
+            s
+            for s in ("broadcast", "shuffle")
+            if s in os.environ.get("CEILING_STRATEGIES", "broadcast,shuffle")
+        )
+        for strat in strategies:
             rss0 = _rss_mb()
             stages0 = _stage_metrics(spark)
             t0 = time.time()
