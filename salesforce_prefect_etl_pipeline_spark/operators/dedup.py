@@ -655,6 +655,18 @@ CONTAINMENT_BROADCAST_MAX_PROBE_ROWS = 40_000_000
 CONTAINMENT_BROADCAST_MIN_PROBE_ROWS = 500_000
 CONTAINMENT_BROADCAST_MIN_DENSITY = 32.0
 
+#: Salt fan-out for the true-shuffle probe join. The hot-shingle skew
+#: is MULTIPLICATIVE — a template shingle's join output is
+#: probes(m) x inventory(m) while its shuffle INPUT partition stays a
+#: few MB, so AQE's skew detection (input-partition bytes) never sees
+#: it and one reducer inherits the whole df^2 core (measured at sf0.1:
+#: 53 s single-reducer vs ~3 s when the work is spread). Salting
+#: splits each key's inventory rows over this many reducers
+#: (salt = hash(pb) % S) and replicates the narrow probe side x S —
+#: the bounded, deterministic spread the old accidental broadcast-inv
+#: plan got for free from scan partitioning.
+CONTAINMENT_SHUFFLE_SALT = 16
+
 
 def containment_auto_stats(prof: DataFrame) -> dict:
     """Sizing pass behind ``containment_lsh_pairs(strategy="auto")``:
@@ -693,11 +705,19 @@ def containment_auto_stats(prof: DataFrame) -> dict:
     if not in_window:
         # outside the memory window the density never matters — skip its
         # aggregate so small corpora (every sf the driver hard-checks)
-        # pay only the one cheap sizing count
+        # pay only the one cheap sizing count. BELOW the floor the
+        # inventory is provably small (<~500k index rows -> a few-MB to
+        # tens-of-MB inventory), so the JVM broadcast-inv plan — the
+        # shape Catalyst used to pick by accident and the measured
+        # small-corpus winner (sf0.1: 3.0 s vs 9.0 s kernel, 53 s
+        # single-reducer true shuffle) — is chosen explicitly; ABOVE
+        # the ceiling nothing may broadcast and the salted shuffle is
+        # the only memory-safe plan.
+        below = n_index_rows < CONTAINMENT_BROADCAST_MIN_PROBE_ROWS
         return {
             "n_index_rows": int(n_index_rows),
             "n_matched": None,
-            "strategy": "shuffle",
+            "strategy": "broadcast_inv" if below else "shuffle",
         }
     pc = (
         prof.select(F.explode(F.transform("argmins", mask)).alias("m"))
@@ -780,9 +800,19 @@ def containment_lsh_pairs(
     a spill-heavy aggregation). Two shapes, same Spark philosophy as
     broadcast-vs-shuffle join selection:
 
-    - ``"shuffle"`` — the probe equi-join + count aggregate above. One
-      exchange + one agg; the only shape that scales to a corpus whose
-      probe index exceeds executor memory. The 100 TB path.
+    - ``"shuffle"`` — the salted, SHUFFLE_HASH-pinned probe equi-join
+      + count aggregate; the only shape that scales to a corpus whose
+      probe index exceeds executor memory. The 100 TB path. Pinned
+      because Catalyst's explode-blind size estimates otherwise
+      broadcast the inventory (12 GiB attempt at sf10); salted because
+      hot-shingle skew is multiplicative and invisible to AQE's
+      input-size-based skew splitting (see
+      :data:`CONTAINMENT_SHUFFLE_SALT`).
+    - ``"broadcast_inv"`` — JVM plan that broadcasts the shingle
+      INVENTORY and streams probes in their scan partitions. The
+      measured small-corpus winner (sf0.1: 3.0 s vs 9.0 s kernel vs
+      53 s unsalted true shuffle); only safe while the inventory is
+      bounded, so auto picks it exactly below the row floor.
     - ``"broadcast"`` — invert the probes into an (argmin -> packed
       doc/weight arrays) index, broadcast it (~16 B per probe row),
       and count matches LOCALLY per inventory document with vectorized
@@ -790,25 +820,23 @@ def containment_lsh_pairs(
       materialized per sub-cutoff pair, integer-exact identical
       counts. Valid while the probe index fits task memory
       (:data:`CONTAINMENT_BROADCAST_MAX_PROBE_ROWS`).
-    - ``"auto"`` (default) — broadcast only when the index-row count
-      sits inside [:data:`CONTAINMENT_BROADCAST_MIN_PROBE_ROWS`,
+    - ``"auto"`` (default) — kernel broadcast only when the index-row
+      count sits inside [:data:`CONTAINMENT_BROADCAST_MIN_PROBE_ROWS`,
       :data:`CONTAINMENT_BROADCAST_MAX_PROBE_ROWS`] (index memory)
       AND the measured match density clears
       :data:`CONTAINMENT_BROADCAST_MIN_DENSITY` (the shuffle being
       avoided is actually big) — see :func:`containment_auto_stats`.
+      Below the floor: ``broadcast_inv`` (inventory provably small).
+      Above the ceiling or sparse-in-window: the salted shuffle.
       Mirrors ``spark.sql.autoBroadcastJoinThreshold``'s size-based
-      switch, with the join-volume term that switch doesn't have:
-      tiny corpora stay in the JVM-codegen aggregate, oversized
-      indexes can't broadcast, and low-density corpora keep the
-      cheap shuffle even when the index would fit (measured — see
-      the window constants' docstring)."""
+      switch, with the join-volume term that switch doesn't have."""
     prof = (
         profile
         if profile is not None
         else containment_argmin_profile(docs, k, num_hashes)
     )
     cutoff = containment_cutoff(threshold, num_hashes)
-    if strategy not in ("auto", "shuffle", "broadcast"):
+    if strategy not in ("auto", "shuffle", "broadcast", "broadcast_inv"):
         raise ValueError(f"unknown containment strategy: {strategy!r}")
     if strategy == "auto":
         stats = containment_auto_stats(prof)
@@ -833,21 +861,50 @@ def containment_lsh_pairs(
                 )
             ).alias("h"),
         )
-        # The SHUFFLE_HASH hint (build = probes, the narrower side) is
-        # load-bearing, not a tuning nicety: Catalyst's size estimate
-        # for an exploded child is the UNEXPLODED child's, so the
-        # planner statically picks BroadcastHashJoin with the ~8x-wider
-        # inventory as the build side — measured at the sf10 fixture it
-        # tried to broadcast a 12 GiB hashed relation and the query
-        # DIED on Spark's 8 GiB broadcast hard limit. This strategy
-        # exists precisely for corpora too big to broadcast, so its
-        # plan must pin the exchange: probes hash per-partition
-        # (64/doc, bounded), inventory streams. AQE skew-split still
-        # applies to hot shingles.
+        if strategy == "broadcast_inv":
+            # Small-corpus JVM plan: broadcast the (provably bounded —
+            # below-floor) inventory and stream probes in their scan
+            # partitions, which spreads hot-shingle output across every
+            # probe partition for free. This is the shape Catalyst used
+            # to pick by accident from explode-blind stats; making it
+            # explicit keeps it exactly where it is SAFE.
+            joined = probes.join(
+                F.broadcast(inv),
+                (F.col("m") == F.col("h")) & (F.col("pa") != F.col("pb")),
+            )
+        else:
+            # True-shuffle path — the only memory-safe plan for corpora
+            # whose inventory can't broadcast. Two pins, both
+            # load-bearing:
+            # 1. SHUFFLE_HASH hint (build = probes, the narrower side):
+            #    Catalyst's size estimate for an exploded child is the
+            #    UNEXPLODED child's, so the static planner picked
+            #    BroadcastHashJoin with the ~8x-wider inventory as the
+            #    build side — at sf10 a 12 GiB hashed relation that
+            #    DIED on Spark's 8 GiB broadcast hard limit.
+            # 2. Salting (see CONTAINMENT_SHUFFLE_SALT): hot-shingle
+            #    skew is multiplicative — join OUTPUT explodes while
+            #    the shuffle INPUT partition stays small, so AQE skew
+            #    splitting (input-bytes-based) never triggers and one
+            #    reducer inherits a template shingle's whole df^2 core
+            #    (measured: 53 s at sf0.1 unsalted). Salt spreads each
+            #    key's inventory over S reducers for the cost of
+            #    replicating the 12-byte probe rows x S.
+            s_n = CONTAINMENT_SHUFFLE_SALT
+            probes_s = probes.withColumn(
+                "salt_p", F.explode(F.array(*[F.lit(i) for i in range(s_n)]))
+            )
+            inv_s = inv.withColumn(
+                "salt_i", F.pmod(F.xxhash64("pb"), F.lit(s_n)).cast("int")
+            )
+            joined = probes_s.hint("shuffle_hash").join(
+                inv_s,
+                (F.col("m") == F.col("h"))
+                & (F.col("salt_p") == F.col("salt_i"))
+                & (F.col("pa") != F.col("pb")),
+            )
         matched = (
-            probes.hint("shuffle_hash")
-            .join(inv, (F.col("m") == F.col("h")) & (F.col("pa") != F.col("pb")))
-            .groupBy("pa", "pb")
+            joined.groupBy("pa", "pb")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") >= cutoff)
         )

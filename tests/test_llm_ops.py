@@ -1415,7 +1415,9 @@ def test_containment_strategies_are_bit_identical(spark, docs):
     same verified pairs, same containment values."""
     shuffle = dedup.containment_lsh_pairs(docs, strategy="shuffle").collect()
     bcast = dedup.containment_lsh_pairs(docs, strategy="broadcast").collect()
+    binv = dedup.containment_lsh_pairs(docs, strategy="broadcast_inv").collect()
     assert sorted(map(tuple, shuffle)) == sorted(map(tuple, bcast))
+    assert sorted(map(tuple, shuffle)) == sorted(map(tuple, binv))
     assert len(shuffle) > 0
 
 

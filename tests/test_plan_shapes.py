@@ -43,12 +43,22 @@ def test_containment_lsh_never_broadcasts_unbounded_sides(spark):
     prof = dedup.joint_shingle_profile(docs, k=8).select(
         "doc_id", "shingles", "argmins"
     )
-    for strat in ("shuffle", "broadcast"):
-        plan = (
+
+    def plan_of(strat):
+        return (
             dedup.containment_lsh_pairs(None, profile=prof, strategy=strat)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
+
+    for strat in ("shuffle", "broadcast"):
+        plan = plan_of(strat)
         assert "BroadcastExchange" not in plan, f"{strat}: {plan[:2000]}"
         assert "ShuffledHashJoin" in plan, f"{strat}: verification join unpinned"
+    # broadcast_inv broadcasts exactly ONE bounded relation (the
+    # below-floor inventory) — anything more means the planner is
+    # broadcasting profile-sized sides again
+    plan = plan_of("broadcast_inv")
+    assert plan.count("BroadcastExchange") == 1, plan[:2000]
+    assert "ShuffledHashJoin" in plan, "verification join unpinned"
