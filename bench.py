@@ -187,6 +187,9 @@ def main() -> None:
     from salesforce_prefect_etl_pipeline_spark.operators.multimodal import (
         FamilySizeError,
     )
+    from salesforce_prefect_etl_pipeline_spark.operators.similarity import (
+        SeedReplayError,
+    )
 
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
@@ -202,12 +205,13 @@ def main() -> None:
                     df = queries[name](spark, sf_dir)
                     n = df.count() if not df.isStreaming else -1
                 times.append(time.time() - t0)
-        except FamilySizeError as exc:
-            # The quadratic-output pair form refuses family-heavy corpora
-            # (e.g. the sf1 scaling fixture, where its 35M-row output made
-            # the suite spend half its wall time proving an output bound);
-            # the linear media_phash_families row IS the representative
-            # there, so omit this row rather than bench the refusal.
+        except (FamilySizeError, SeedReplayError) as exc:
+            # Designed guards, not failures: the quadratic-output pair
+            # form refuses family-heavy corpora (the linear *_families
+            # row is the representative there), and the SQL-replayable
+            # iters=0 seed quantizer/codebook refuses corpora above its
+            # full-seed cap (the iters>0 Lloyd's path is the scale
+            # form). Omit the row rather than bench the refusal.
             print(f"# {name}: SKIPPED ({exc})", file=sys.stderr)
             continue
         times.sort()

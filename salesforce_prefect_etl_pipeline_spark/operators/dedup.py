@@ -1052,8 +1052,16 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataF
         "doc_id", F.posexplode(band_keys).alias("band", "key")
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # SHUFFLE_HASH pin (r12): Catalyst estimates the posexploded frame
+    # at its UNEXPLODED parent's size, so the static planner broadcast
+    # one side of this self-join — fine at bench scale, but at sf10 the
+    # 8M-row banded side's hashed relation exceeded driver memory and
+    # the build DIED. A banded self-join must shuffle on its band key;
+    # per-key output is bounded by duplicate-family size, so no salt is
+    # needed (unlike the containment probe join's template shingles).
     return (
-        a.join(
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
@@ -1114,13 +1122,18 @@ def minhash_near_dup_pairs(
     b = prof.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sb"))
     # Verification joins candidates back to the two shingle sets and
     # intersects the arrays map-side - candidate count x O(|set|) work,
-    # no shingle-level shuffle. AQE broadcasts the set tables when small;
-    # at corpus scale these are plain shuffled equi-joins on doc_id.
+    # no shingle-level shuffle. Build side pinned to the banding-bounded
+    # candidate set (r12): left to its stats, Catalyst broadcast the
+    # PROFILE sides — which are corpus-sized (shingle arrays) and die at
+    # scale, the same explode-blind-estimate failure the containment
+    # verification joins had.
     common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     na, nb = F.size(F.col("sa")), F.size(F.col("sb"))
     j = common.cast("double") / (na + nb - common)
     return (
-        cand.join(a, "da")
+        cand.hint("shuffle_hash")
+        .join(a, "da")
+        .hint("shuffle_hash")
         .join(b, "db")
         .select("da", "db", j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -1547,8 +1560,15 @@ def banded_hamming_pairs(
         )
     banded = sig.select(id_col, *hash_cols, F.posexplode(chunks).alias("band", "key"))
     a, b = banded.alias("a"), banded.alias("b")
+    # SHUFFLE_HASH pin (r12): Catalyst estimates a posexploded frame at
+    # its unexploded parent's size, so left to stats the planner
+    # broadcasts one side of this corpus-sized self-join (the same
+    # failure that died at sf10 in the minhash band join). Banded
+    # self-joins must shuffle on the band key; per-key output is
+    # bounded by near-dup family size.
     cand = (
-        a.join(
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))

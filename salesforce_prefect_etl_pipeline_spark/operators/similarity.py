@@ -35,6 +35,15 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
+class SeedReplayError(ValueError):
+    """The iters=0 seed quantizer/codebook is the SQL-replayable form
+    and must seed from the FULL vector set; above max_sample vectors it
+    refuses (the oracle has no twin for the xxhash64 sampling
+    predicate) and steers callers to the iters>0 Lloyd's scale path —
+    the same designed-guard pattern as multimodal.FamilySizeError, and
+    like it, a bench skip rather than a bench crash."""
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Strict sequential left-fold dot product in double precision."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -243,7 +252,7 @@ def train_ivf_centroids(
     n = emb.count()
     mod = max(1, n // max_sample)
     if iters == 0 and mod > 1:
-        raise ValueError(
+        raise SeedReplayError(
             f"train_ivf_centroids(iters=0) is the SQL-replayable seed "
             f"quantizer and must seed from the full vector set, but "
             f"n={n} > max_sample={max_sample} would trigger xxhash64 "
@@ -1118,7 +1127,7 @@ def train_pq_codebooks(
     n = emb.count()
     mod = max(1, n // max_sample)
     if iters == 0 and mod > 1:
-        raise ValueError(
+        raise SeedReplayError(
             f"train_pq_codebooks(iters=0) is the SQL-replayable seed "
             f"codebook and must seed from the full vector set, but "
             f"n={n} > max_sample={max_sample}; raise max_sample or use "
