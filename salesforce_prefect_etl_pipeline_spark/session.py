@@ -80,6 +80,11 @@ def get_spark(
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "spark.ui.enabled": "false",
+        # JVM unified logging defaults to STDOUT; under memory pressure
+        # the [gc,alloc] GCLocker warnings interleave with bench.py's
+        # one-line JSON contract (observed at sf10) and can corrupt the
+        # driver's last-line capture. Logs belong on stderr.
+        "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr",
     }
     # Spread floors for the small-fixture compute spreads
     # (queries_llm._spread_scan, multimodal._spread_ids): pinned in ONE

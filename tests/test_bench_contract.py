@@ -31,3 +31,26 @@ def test_final_line_headroom_for_registry_growth():
     width = max(len(n) for n in bench.HEADLINE)
     timings = {f"q{i:03d}".ljust(width, "x"): 123.456 for i in range(2 * len(bench.HEADLINE))}
     assert len(bench.compact_line(timings, "1").encode()) <= bench.MAX_FINAL_LINE_BYTES
+
+
+def test_designed_guards_are_bench_skips_not_crashes():
+    """Both designed-refusal guards must be subclasses of the exception
+    pair bench.main() catches per-row (r12: the sf10 ladder CRASHED on
+    the iters=0 seed guard because it raised a bare ValueError the
+    skip handler didn't cover — a guard firing by design must cost one
+    row, never the whole suite's record)."""
+    import inspect
+
+    from salesforce_prefect_etl_pipeline_spark.operators.multimodal import (
+        FamilySizeError,
+    )
+    from salesforce_prefect_etl_pipeline_spark.operators.similarity import (
+        SeedReplayError,
+    )
+
+    src = inspect.getsource(bench.main)
+    handler = "except (FamilySizeError, SeedReplayError)"
+    assert handler in src, "bench lost its designed-guard skip handler"
+    # both stay ValueErrors so non-bench callers' existing handling holds
+    assert issubclass(FamilySizeError, ValueError)
+    assert issubclass(SeedReplayError, ValueError)
