@@ -43,63 +43,63 @@ _PRUNE = {
 #: (tests/test_registry.py) fails if the list drifts from that output,
 #: so the rotation discipline is self-auditing.
 _PRIORITY = [
-    # --- round-12 window (tools/staleness.py suggested list, verbatim):
-    # the 14 remaining r8 rows (the TPC-H flagships q1/q2/q9/q20-q22,
-    # the 6 streaming rows, sql_recursive_month_spine,
-    # window_percentile_ranks), then the 36 oldest r9 rows. After this
-    # round no registered query's latest hard row is older than r9
-    # (r11 verdict task 1). Never-driver-checked queries added this
-    # round sort first in the suggestion, displacing the newest tail.
-    "dedup_containment_lsh_panel",  # new (r12)
-    "q1_pricing_summary",  # r8
-    "q20_dominant_suppliers",  # r8
-    "q21_suppliers_kept_waiting",  # r8
-    "q22_idle_balance",  # r8
-    "q2_min_cost_supplier",  # r8
-    "q9_product_profit",  # r8
-    "sql_recursive_month_spine",  # r8
-    "streaming_click_attribution",  # r8
-    "streaming_click_attribution_outer",  # r8
-    "streaming_dedup_user_counts",  # r8
-    "streaming_enriched_segment_counts",  # r8
-    "streaming_events_hourly",  # r8
-    "streaming_sessionization",  # r8
-    "window_percentile_ranks",  # r8
-    "agg_approx_distinct_suppliers",  # r9
-    "agg_corr_price_qty",  # r9
-    "agg_mad_value_by_type",  # r9
-    "agg_mode_priority_by_segment",  # r9
-    "ann_cosine_topk",  # r9
-    "ann_ivf_probe",  # r9
-    "ann_ivf_probe_exact",  # r9
-    "ann_srp_topk",  # r9
-    "corpus_canonical_by_quality",  # r9
-    "corpus_pack_documents",  # r9
-    "corpus_pii_scan",  # r9
-    "corpus_shard_assignment",  # r9
-    "corpus_stratified_sample",  # r9
-    "corpus_training_manifest",  # r9
-    "dedup_chunk_overlap",  # r9
-    "dedup_simhash_pairs",  # r9
-    "emb_cluster_mix",  # r9
-    "emb_near_dup_banded",  # r9
-    "emb_near_dup_pairs",  # r9
-    "media_audio_stats",  # r9
-    "media_decode_stats",  # r9
-    "media_feature_stats",  # r9
-    "q10_returned_items",  # r9
-    "q13_customer_distribution",  # r9
-    "q14_promo_revenue",  # r9
-    "q17_small_qty_revenue",  # r9
-    "q18_large_orders",  # r9
-    "q19_disjunctive",  # r9
-    "q4_order_priority",  # r9
-    "q7_volume_shipping",  # r9
-    "q8_market_share",  # r9
-    "qa_profile_orders",  # r9
-    "spec_lineitem_global",  # r9
-    "spec_orders_by_missing_channel",  # r9
-    "spec_orders_by_status",  # r9
+    # --- round-13 window (tools/staleness.py suggested list, verbatim):
+    # the 15 remaining r9 rows (spec_orders_missing_metric, the sql_*
+    # five, the text_* seven, two window_*), then the 35 oldest r10
+    # rows. After this round no registered query's latest hard row is
+    # older than r10 (r12 verdict task 1). Never-driver-checked queries
+    # added this round sort first in the suggestion, displacing the
+    # newest tail.
+    "spec_orders_missing_metric",  # r9
+    "sql_correlated_exists",  # r9
+    "sql_embedding_dim_stats",  # r9
+    "sql_in_subquery_having",  # r9
+    "sql_orders_above_avg",  # r9
+    "sql_q5_local_supplier",  # r9
+    "text_bigram_counts",  # r9
+    "text_bpe_token_estimate",  # r9
+    "text_chunk_fingerprints",  # r9
+    "text_cms_top_tokens",  # r9
+    "text_rolling_fingerprint",  # r9
+    "text_tfidf_top_terms",  # r9
+    "text_unigram_familiarity",  # r9
+    "window_order_gap_days",  # r9
+    "window_top3_orders_per_customer",  # r9
+    "agg_binned_percentiles",  # r10
+    "agg_distinct_suppliers_per_flag",  # r10
+    "agg_median_acctbal_by_nation",  # r10
+    "agg_stddev_acctbal_by_segment",  # r10
+    "ann_cosine_topk_np",  # r10
+    "corpus_contamination",  # r10
+    "corpus_dedup_survivor_stats",  # r10
+    "corpus_domain_mix",  # r10
+    "corpus_e2e_curation",  # r10
+    "corpus_length_filter_report",  # r10
+    "corpus_pack_stats",  # r10
+    "corpus_split_counts",  # r10
+    "corpus_token_length_histogram",  # r10
+    "corpus_url_scan",  # r10
+    "corpus_weighted_sample",  # r10
+    "cube_orders",  # r10
+    "dedup_containment_pairs",  # r10
+    "dedup_exact_groups",  # r10
+    "dedup_incremental_probe",  # r10
+    "dedup_jaccard_pairs",  # r10
+    "dedup_minhash_lsh",  # r10
+    "dedup_near_dup_clusters",  # r10
+    "emb_cluster_sample",  # r10
+    "emb_pq_codes",  # r10
+    "events_zorder_layout",  # r10
+    "graph_nation_pagerank",  # r10
+    "grouping_sets_lineitem",  # r10
+    "join_anti_customers_without_orders",  # r10
+    "join_range_ship_within_30d",  # r10
+    "join_revenue_by_region",  # r10
+    "join_salted_revenue_by_priority",  # r10
+    "join_semi_customers_with_orders",  # r10
+    "lineitem_unpivot_stats",  # r10
+    "media_audio_families",  # r10
+    "media_frame_sample",  # r10
 ]
 
 

@@ -52,6 +52,14 @@ def newest_round_set() -> set[str]:
     return set(json.load(open(files[-1][1])))
 
 
+def second_newest_round_set() -> set[str]:
+    """Query names covered by the second-newest round (empty if <2 rounds)."""
+    files = _round_files()
+    if len(files) < 2:
+        return set()
+    return set(json.load(open(files[-2][1])))
+
+
 def suggested_window(window: int = 50) -> list[str]:
     """The oldest-``window`` registered queries, never-checked first then
     by (round, name) — what next round's _PRIORITY should front."""
@@ -79,9 +87,17 @@ def check_drift(window: int = 50) -> list[str]:
     the fronted window is exactly the newest round's checked set, the
     rotation has been consumed by that round — treat it as current; the
     check goes red only when a NEW round starts without rotating.
+
+    Exemption guard (r12 advice): the driver always checks the fronted
+    50, so a round that SKIPS the rotation still lands a CORRECTNESS
+    file equal to the fronted window — the exemption alone would keep
+    the check green forever. Two consecutive rounds covering the same
+    set is the fingerprint of a skipped rotation, so the exemption is
+    denied when the two newest round sets are identical.
     """
     have = set(priority_window(window))
-    if have and have == newest_round_set():
+    newest = newest_round_set()
+    if have and have == newest and newest != second_newest_round_set():
         return []
     want = set(suggested_window(window))
     problems = []
