@@ -1212,10 +1212,15 @@ def pq_encode(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(_encode, out_schema)
 
 
-def _pq_ctes(m: int = 4, codes: int = 16, dim: int = 64) -> str:
+def _pq_ctes(
+    m: int = 4, codes: int = 16, dim: int = 64, source: str = "embeddings"
+) -> str:
     """Shared CTE body for the PQ replays: md5-ordered seed codebook
     (seeds, cb) + per-subspace quantized-L2 argmin assignments
-    (a0..a{m-1}, each carrying code_s and its qd_s)."""
+    (a0..a{m-1}, each carrying code_s and its qd_s). ``source`` swaps
+    the vector relation — the panel twins pass the content-addressed
+    md5-bucket subquery so seed AND encode replay on the same ≤cap row
+    set at every scale factor (r12 verdict task 2)."""
     dsub = dim // m
     qd = (
         "CAST(FLOOR(list_sum(list_transform(range(1, {n}), "
@@ -1231,14 +1236,14 @@ def _pq_ctes(m: int = 4, codes: int = 16, dim: int = 64) -> str:
              PARTITION BY e.vec_id
              ORDER BY {qd.format(n=dsub + 1, off=s * dsub)} ASC, cb.code ASC
            ) AS r
-    FROM embeddings e CROSS JOIN cb
+    FROM {source} e CROSS JOIN cb
   ) WHERE r = 1
 )"""
         for s in range(m)
     )
     return f"""seeds AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
-  FROM embeddings
+  FROM {source}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {codes}
 ),
@@ -1251,16 +1256,19 @@ cb AS MATERIALIZED (
 {sub_assigns}"""
 
 
-def pq_encode_sql(m: int = 4, codes: int = 16, dim: int = 64) -> str:
+def pq_encode_sql(
+    m: int = 4, codes: int = 16, dim: int = 64, source: str = "embeddings"
+) -> str:
     """DuckDB replay of the iters=0 seed codebook + :func:`pq_encode`:
     seeds from md5 order, per-subspace quantized-L2 argmin (ROW_NUMBER
     over qd, code), summed qerr. Verification scale — the cross join is
-    corpus x codes."""
+    corpus x codes. ``source`` swaps the vector relation for the
+    content-addressed panel twin."""
     joins = " ".join(f"JOIN a{s} USING (vec_id)" for s in range(1, m))
     code_cols = ", ".join(f"code_{s}" for s in range(m))
     err_sum = " + ".join(f"qd_{s}" for s in range(m))
     return f"""
-WITH {_pq_ctes(m, codes, dim)}
+WITH {_pq_ctes(m, codes, dim, source)}
 SELECT vec_id, {code_cols}, CAST({err_sum} AS BIGINT) AS qerr
 FROM a0 {joins}
 ORDER BY vec_id

@@ -50,6 +50,8 @@ _PRIORITY = [
     # older than r10 (r12 verdict task 1). Never-driver-checked queries
     # added this round sort first in the suggestion, displacing the
     # newest tail.
+    "emb_pq_codes_panel",  # new (r13)
+    "emb_semdedup_prune_panel",  # new (r13)
     "spec_orders_missing_metric",  # r9
     "sql_correlated_exists",  # r9
     "sql_embedding_dim_stats",  # r9
@@ -98,8 +100,6 @@ _PRIORITY = [
     "join_salted_revenue_by_priority",  # r10
     "join_semi_customers_with_orders",  # r10
     "lineitem_unpivot_stats",  # r10
-    "media_audio_families",  # r10
-    "media_frame_sample",  # r10
 ]
 
 

@@ -28,7 +28,7 @@ IVF_INDEX_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".ivf_
 #: the cluster-mix/sample reports and the exact-probe IVF variant.
 _SEED_NLIST = 16
 
-def _seed_quantizer_ctes(seed_pred: str = "TRUE") -> str:
+def _seed_quantizer_ctes(seed_pred: str = "TRUE", source: str = "embeddings") -> str:
     """DuckDB replay of ``train_ivf_centroids(iters=0)`` + ``ivf_assign``:
     seeds are the _SEED_NLIST embeddings (restricted by ``seed_pred`` —
     the appended-index oracle seeds from the 80% build split only) with
@@ -36,10 +36,13 @@ def _seed_quantizer_ctes(seed_pred: str = "TRUE") -> str:
     QUANTIZED cosine (floor(cos * 1e6), exactly what ivf_assign
     computes) over the FULL corpus with ties to the lowest list_id.
     Shared by every oracle that replays the quantizer so they can never
-    drift apart."""
+    drift apart. ``source`` swaps the vector relation for BOTH the seed
+    pick and the assignment scan — the panel twins pass the
+    content-addressed md5-bucket subquery so the whole quantizer
+    replays on the same ≤cap row set at every scale factor."""
     return f"""seeds AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
-  FROM embeddings
+  FROM {source}
   WHERE {seed_pred}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {_SEED_NLIST}
@@ -59,7 +62,7 @@ assigned AS (
                         CAST(e.embedding AS DOUBLE[]), c.c) * 1000000.0)
                         AS BIGINT) DESC,
                       c.list_id ASC) AS r
-    FROM embeddings e CROSS JOIN cents c
+    FROM {source} e CROSS JOIN cents c
   ) WHERE r = 1
 )"""
 
@@ -915,6 +918,39 @@ register_query(
 )
 
 
+def _pq_codes_panel_query(spark, sf_dir):
+    """Panel twin of ``emb_pq_codes`` (r12 verdict task 2): seed
+    codebooks AND encode both run over the content-addressed md5-bucket
+    vector panel, so the PQ pipeline value-verifies at every scale
+    factor — the full form is a designed SeedReplayError skip above
+    100k vectors (train_pq_codebooks iters=0 refuses to sample because
+    the oracle cannot replay the predicate). Encoding the panel rather
+    than the corpus keeps the oracle's corpus x codes cross join
+    bounded too; the full-corpus encode's distributed shape (one Arrow
+    map, no shuffle) is unchanged and still benched via emb_pq_codes at
+    in-guard scales."""
+    key = (spark.sparkContext.applicationId, sf_dir, "panel")
+    books = _PQ_BOOK_CACHE.get(key)
+    if books is None:
+        books = similarity.train_pq_codebooks(
+            _emb_panel(spark, sf_dir), m=4, codes=16, iters=0
+        )
+        _PQ_BOOK_CACHE[key] = books
+    return similarity.pq_encode(_emb_panel(spark, sf_dir), books).orderBy("vec_id")
+
+
+register_query(
+    "emb_pq_codes_panel",
+    _pq_codes_panel_query,
+    similarity.pq_encode_sql(
+        m=4,
+        codes=16,
+        dim=64,
+        source=_panel_source_sql("embeddings", "vec_id", _PANEL_VEC_CAP),
+    ),
+)
+
+
 def _pq_topk_query(spark, sf_dir):
     """ADC search over the PQ codes (seed codebooks — the
     SQL-replayable configuration; Lloyd's-refined codebooks carry the
@@ -1601,15 +1637,21 @@ def _emb_semdedup_prune(spark, sf_dir: str):
     )
 
 
-#: Shared quantizer replay, then the within-cluster pairwise prune:
-#: a vector is pruned iff a same-cluster vector with smaller
-#: (md5, vec_id) rank has quantized cosine >= the threshold.
-EMB_SEMDEDUP_SQL = f"""
-WITH {_SEED_QUANTIZER_CTES},
+def _emb_semdedup_sql(source: str = "embeddings") -> str:
+    """Shared quantizer replay, then the within-cluster pairwise prune:
+    a vector is pruned iff a same-cluster vector with smaller
+    (md5, vec_id) rank has quantized cosine >= the threshold.
+    ``source`` swaps the vector relation — the panel twin replays the
+    WHOLE pipeline (seed, assign, prune) on the content-addressed
+    ≤cap panel, so it value-verifies where the full form's iters=0
+    seed guard (similarity.SeedReplayError above 100k vectors) and
+    DuckDB's O(n²/nlist) pairwise replay both give out."""
+    return f"""
+WITH {_seed_quantizer_ctes(source=source)},
 av AS (
   SELECT a.vec_id, a.list_id, CAST(e.embedding AS DOUBLE[]) AS v,
          md5(CAST(a.vec_id AS VARCHAR)) AS rk
-  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+  FROM assigned a JOIN {source} e ON a.vec_id = e.vec_id
 ),
 pruned AS (
   SELECT DISTINCT b.list_id, b.vec_id
@@ -1628,7 +1670,41 @@ FROM av LEFT JOIN pruned p
 GROUP BY av.list_id ORDER BY av.list_id
 """
 
+
+EMB_SEMDEDUP_SQL = _emb_semdedup_sql()
+
 register_query("emb_semdedup_prune", _emb_semdedup_prune, EMB_SEMDEDUP_SQL)
+
+
+def _emb_semdedup_prune_panel(spark, sf_dir: str):
+    """Panel twin of ``emb_semdedup_prune`` (r12 verdict task 2): the
+    identical SemDeDup pipeline — iters=0 md5-seeded quantizer, assign,
+    within-cluster rank-ordered prune — run end-to-end over the
+    content-addressed md5-bucket vector panel (≤~2x _PANEL_VEC_CAP rows
+    at any sf). The panel is a pure function of vec_id content, so this
+    row value-verifies at sf10 and beyond, where the full form is a
+    designed SeedReplayError skip (train_ivf_centroids refuses to seed
+    from >100k vectors because the oracle cannot replay the sampling
+    predicate). The full form stays registered — this twin is the
+    every-scale verification surface, exactly like
+    dedup_containment_lsh_panel for the containment pipeline."""
+    key = (spark.sparkContext.applicationId, sf_dir, "panel")
+    cents = _SEED_CENT_CACHE.get(key)
+    if cents is None:
+        cents = similarity.train_ivf_centroids(
+            _emb_panel(spark, sf_dir), nlist=_CLUSTER_MIX_NLIST, iters=0
+        )
+        _SEED_CENT_CACHE[key] = cents
+    return similarity.semdedup_prune(
+        _emb_panel(spark, sf_dir), cents, threshold=_SEMDEDUP_THRESHOLD
+    )
+
+
+register_query(
+    "emb_semdedup_prune_panel",
+    _emb_semdedup_prune_panel,
+    _emb_semdedup_sql(source=_panel_source_sql("embeddings", "vec_id", _PANEL_VEC_CAP)),
+)
 
 
 def _emb_e2e_curation(spark, sf_dir: str):

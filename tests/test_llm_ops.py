@@ -1472,3 +1472,41 @@ def test_containment_auto_strategy_respects_density_gate(spark, docs, monkeypatc
         dedup.containment_argmin_profile(docs, 8, 64)
     )
     assert skipped["strategy"] == "shuffle" and skipped["n_matched"] is None
+
+
+def test_emb_panel_twins_match_full_forms_under_cap(spark):
+    """When the corpus fits the panel cap (sf0.001: 50 vectors), the
+    md5-bucket panel IS the corpus, so the panel twins must be
+    row-identical to the full forms — the equivalence that makes the
+    twins a verification surface for the same pipeline rather than a
+    different query."""
+    from salesforce_prefect_etl_pipeline_spark import queries_llm as qllm
+
+    full_pq = qllm._pq_codes_query(spark, SF_SMALL).collect()
+    panel_pq = qllm._pq_codes_panel_query(spark, SF_SMALL).collect()
+    assert panel_pq == full_pq and full_pq
+
+    full_sd = qllm._emb_semdedup_prune(spark, SF_SMALL).collect()
+    panel_sd = qllm._emb_semdedup_prune_panel(spark, SF_SMALL).collect()
+    assert panel_sd == full_sd and full_sd
+
+
+def test_emb_panel_survives_seed_replay_guard(spark, emb):
+    """The reason the twins exist (r12 verdict task 2): above the seed
+    cap the iters=0 trainers REFUSE (SeedReplayError — the oracle can't
+    replay the sampling predicate), but the panel is content-bounded
+    below any cap, so the panel-seeded form keeps verifying. Simulated
+    here by dropping max_sample under the corpus size."""
+    n = emb.count()
+    cap = n // 3  # n // cap >= 3 -> the guard's sampling mod kicks in
+    with pytest.raises(similarity.SeedReplayError):
+        similarity.train_pq_codebooks(emb, m=4, codes=16, iters=0, max_sample=cap)
+    with pytest.raises(similarity.SeedReplayError):
+        similarity.train_ivf_centroids(emb, nlist=16, iters=0, max_sample=cap)
+    panel = emb.limit(cap)  # stand-in for the md5-bucket restriction
+    books = similarity.train_pq_codebooks(
+        panel, m=4, codes=16, iters=0, max_sample=cap
+    )
+    assert books.shape == (4, 16, 16)
+    cents = similarity.train_ivf_centroids(panel, nlist=16, iters=0, max_sample=cap)
+    assert cents.shape[0] == 16
