@@ -2008,3 +2008,285 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_incoming,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM bitset) AS n_bits_set
 FROM graded
 """
+
+
+# ----------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the suffix-array modality): verbatim
+# >=W-char overlaps that MinHash's bag-of-shingles misses and CDC
+# chunking only approximates. The distributed shape replaces the suffix
+# array with content-defined anchor grams: any sufficiently long shared
+# run contains, with overwhelming probability, an interior position
+# whose trailing CDC window hash selects it as an anchor IN BOTH DOCS
+# (the predicate depends only on local content), so grouping anchor
+# grams by their md5 finds every such run with one banded shuffle — no
+# all-pairs comparison, no global ordering, nothing driver-side.
+
+#: Gram width — the minimum verbatim span the operator reports. Spans
+#: must actually exceed W + ~EXSUB_ANCHOR_MOD chars to be detected
+#: w.h.p. (an interior anchor must fall inside the shared run).
+EXSUB_W = 48
+#: Anchor selection modulus over the CDC window hash: ~1/mod of
+#: eligible positions become anchors (expected anchor spacing = mod).
+EXSUB_ANCHOR_MOD = 8
+#: Same-diagonal anchors further apart than this start a new island.
+#: P(no anchor in a gap of 64 shared positions) = (7/8)^64 ~= 2e-4.
+EXSUB_MAX_GAP = 64
+#: Gram families spanning more docs than this are boilerplate — dropped
+#: from pairing (the Lee et al. frequent-substring guard), which bounds
+#: the within-bucket self-join fan-out at scale.
+EXSUB_MAX_FAMILY = 8
+#: Total anchor occurrences per gram cap (same prune, second axis): a
+#: gram repeating >64 times corpus-wide inside <=8 docs is degenerate
+#: repetition; the cap bounds the per-bucket pair fan-out at 64^2.
+EXSUB_MAX_BUCKET_ROWS = 64
+
+
+def _exsub_win_hash(codes: Column, p):
+    """The CDC trailing-window polynomial ``sum(code[p-j] * B^j) % M``
+    (text.chunk_fingerprints' win_hash, same CDC_POWS coefficients) —
+    content-defined, O(1) per position over a materialized code array."""
+    from salesforce_prefect_etl_pipeline_spark.operators.text import (
+        CDC_POWS,
+        ROLL_M,
+    )
+
+    acc = F.element_at(codes, p) * F.lit(CDC_POWS[0])
+    for j in range(1, len(CDC_POWS)):
+        acc = acc + F.element_at(codes, p - F.lit(j)) * F.lit(CDC_POWS[j])
+    return acc % F.lit(ROLL_M)
+
+
+def exact_substring_anchors(
+    docs: DataFrame, w: int = EXSUB_W, anchor_mod: int = EXSUB_ANCHOR_MOD
+) -> DataFrame:
+    """(doc_id, p, gm): content-defined anchor positions (1-based, over
+    the printable-ASCII projection — the same cross-engine char-code
+    parity trick as text.rolling_fingerprint) and the md5 of the W-char
+    gram starting at each. One corpus scan, all array ops JVM-side in
+    whole-stage codegen; output is ~len/anchor_mod rows per doc, the
+    banded index the pairing shuffles on."""
+    from salesforce_prefect_etl_pipeline_spark.operators.text import CDC_W
+
+    staged = docs.select(
+        "doc_id", F.regexp_replace("text", r"[^\x20-\x7E]", "").alias("__t")
+    ).select(
+        "doc_id",
+        "__t",
+        F.length("__t").alias("__n"),
+        F.transform(F.split("__t", ""), lambda ch: F.ascii(ch).cast("long")).alias(
+            "__codes"
+        ),
+    )
+    codes, n = F.col("__codes"), F.col("__n")
+    anchors = F.when(
+        n >= F.lit(w + CDC_W - 1),
+        F.filter(
+            F.sequence(F.lit(CDC_W), n - F.lit(w) + 1),
+            lambda p: _exsub_win_hash(codes, p) % F.lit(anchor_mod) == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return staged.select(
+        "doc_id", "__t", F.explode(anchors).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.md5(F.col("__t").substr(F.col("p"), F.lit(w))).alias("gm"),
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    w: int = EXSUB_W,
+    anchor_mod: int = EXSUB_ANCHOR_MOD,
+    max_gap: int = EXSUB_MAX_GAP,
+    max_family: int = EXSUB_MAX_FAMILY,
+    max_bucket_rows: int = EXSUB_MAX_BUCKET_ROWS,
+) -> DataFrame:
+    """Cross-document verbatim-overlap spans, md5-verified exact.
+
+    Pipeline: anchor grams -> ONE shuffle on gm collapsing each gram
+    family into an array (family prune inline: 2..max_family distinct
+    docs, <=max_bucket_rows occurrences — drops boilerplate AND
+    singletons) -> ordered pairs generated IN-ARRAY (no self-join, so
+    the corpus is scanned and the grams extracted exactly once; the
+    naive a JOIN a formulation rebuilt the whole anchor pipeline per
+    side) -> same-diagonal (pa - pb) islands via the gaps-and-islands
+    window -> per-island candidate span [min pa, max pa + w) ->
+    verification joins back to the two texts: a span is reported only
+    if md5 of BOTH substrings agree, so every output row is a genuine
+    verbatim match of exactly span_len chars.
+
+    Reported spans are anchor-granular: a shared run's unanchored head/
+    tail (< ~anchor_mod + CDC_W chars each) is not extended, and a
+    bridged island whose gap hides a real edit fails verification and
+    is dropped rather than mis-reported (recall, not precision, bears
+    the approximation — the Lee et al. trade, made explicit).
+
+    Scale: anchors are ~len/anchor_mod rows/doc; the wide ops are the
+    gram group-by (pair fan-out bounded by max_bucket_rows^2 per gram),
+    the (da, db, diag) window, and two verification joins whose build
+    side (the candidate spans) is tiny relative to the corpus — AQE
+    broadcasts it against the text scan.
+    Output: (da, db, a_start, b_start, span_len, n_anchors).
+    """
+    from pyspark.sql.window import Window
+
+    a = exact_substring_anchors(docs, w, anchor_mod)
+    # distinct-doc count derived from the collected array rather than
+    # countDistinct: the latter plans a second full-anchor exchange
+    # (two-phase distinct agg), the former keeps the build to ONE
+    # shuffle — the array is already bounded by the bucket-rows cap.
+    nd = F.size(F.array_distinct(F.transform(F.col("rows"), lambda x: x["doc_id"])))
+    buckets = (
+        a.groupBy("gm")
+        .agg(F.collect_list(F.struct("doc_id", "p")).alias("rows"))
+        .filter(
+            (F.size("rows") <= max_bucket_rows)
+            & (nd >= 2)
+            & (nd <= max_family)
+        )
+    )
+    rows = F.col("rows")
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                rows,
+                lambda x: F.transform(
+                    rows,
+                    lambda y: F.struct(
+                        x["doc_id"].alias("da"),
+                        y["doc_id"].alias("db"),
+                        x["p"].alias("pa"),
+                        y["p"].alias("pb"),
+                    ),
+                ),
+            )
+        ),
+        lambda pr: pr["da"] < pr["db"],
+    )
+    m = buckets.select(F.explode(pairs).alias("pr")).select(
+        F.col("pr.da").alias("da"),
+        F.col("pr.db").alias("db"),
+        F.col("pr.pa").alias("pa"),
+        F.col("pr.pb").alias("pb"),
+        (F.col("pr.pa") - F.col("pr.pb")).alias("diag"),
+    )
+    win = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    isl = (
+        m.withColumn("gap", F.col("pa") - F.lag("pa").over(win))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("gap").isNull() | (F.col("gap") > max_gap), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "isl",
+            F.sum("brk").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = (
+        isl.groupBy("da", "db", "diag", "isl")
+        .agg(
+            F.min("pa").alias("a_start"),
+            (F.max("pa") - F.min("pa") + F.lit(w)).cast("long").alias("span_len"),
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        )
+        .withColumn("b_start", (F.col("a_start") - F.col("diag")).cast("long"))
+    )
+    texts = docs.select(
+        "doc_id", F.regexp_replace("text", r"[^\x20-\x7E]", "").alias("t")
+    )
+    ta = texts.select(F.col("doc_id").alias("da"), F.col("t").alias("__ta"))
+    tb = texts.select(F.col("doc_id").alias("db"), F.col("t").alias("__tb"))
+    verified = (
+        spans.join(ta, "da")
+        .join(tb, "db")
+        .filter(
+            F.md5(F.col("__ta").substr(F.col("a_start").cast("int"), F.col("span_len").cast("int")))
+            == F.md5(F.col("__tb").substr(F.col("b_start").cast("int"), F.col("span_len").cast("int")))
+        )
+    )
+    return verified.select(
+        "da",
+        "db",
+        F.col("a_start").cast("long").alias("a_start"),
+        "b_start",
+        "span_len",
+        "n_anchors",
+    ).orderBy("da", "db", "a_start", "b_start")
+
+
+def exact_substring_sql(
+    w: int = EXSUB_W,
+    anchor_mod: int = EXSUB_ANCHOR_MOD,
+    max_gap: int = EXSUB_MAX_GAP,
+    max_family: int = EXSUB_MAX_FAMILY,
+    max_bucket_rows: int = EXSUB_MAX_BUCKET_ROWS,
+    source: str = "documents",
+) -> str:
+    """Full DuckDB replay of :func:`exact_substring_spans`: the same
+    trailing-window polynomial (rendered from CDC_POWS, never
+    hand-written), anchor predicate, family prune, diagonal islands and
+    md5 span verification."""
+    from salesforce_prefect_etl_pipeline_spark.operators.text import (
+        CDC_POWS,
+        CDC_W,
+        ROLL_M,
+    )
+
+    poly = " + ".join(
+        f"codes[p{f' - {j}' if j else ''}] * {c}" for j, c in enumerate(CDC_POWS)
+    )
+    return rf"""
+WITH a AS (
+  SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS t
+  FROM {source}
+), a2 AS (
+  SELECT doc_id, t,
+         list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)) AS codes
+  FROM a
+), anch AS (
+  SELECT doc_id, t,
+         unnest(CASE WHEN length(t) >= {w + CDC_W - 1} THEN
+           list_filter(range({CDC_W}, length(t) - {w} + 2),
+             p -> (({poly}) % {ROLL_M}) % {anchor_mod} = 0)
+         ELSE [] END) AS p
+  FROM a2
+), g AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p, md5(substr(t, CAST(p AS INT), {w})) AS gm
+  FROM anch
+), fam AS (
+  SELECT gm FROM g GROUP BY gm
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {max_family}
+     AND COUNT(*) <= {max_bucket_rows}
+), m AS (
+  SELECT l.doc_id AS da, r.doc_id AS db, l.p AS pa, r.p AS pb,
+         l.p - r.p AS diag
+  FROM g l JOIN fam USING (gm) JOIN g r USING (gm)
+  WHERE l.doc_id < r.doc_id
+), isl AS (
+  SELECT da, db, diag, pa,
+         SUM(CASE WHEN gap IS NULL OR gap > {max_gap} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY da, db, diag ORDER BY pa) AS isl
+  FROM (SELECT *, pa - LAG(pa) OVER (PARTITION BY da, db, diag ORDER BY pa)
+               AS gap FROM m)
+), spans AS (
+  SELECT da, db, diag,
+         MIN(pa) AS a_start,
+         CAST(MAX(pa) - MIN(pa) + {w} AS BIGINT) AS span_len,
+         CAST(COUNT(*) AS BIGINT) AS n_anchors
+  FROM isl GROUP BY da, db, diag, isl
+)
+SELECT s.da, s.db,
+       CAST(s.a_start AS BIGINT) AS a_start,
+       CAST(s.a_start - s.diag AS BIGINT) AS b_start,
+       s.span_len, s.n_anchors
+FROM spans s
+JOIN a ta ON ta.doc_id = s.da
+JOIN a tb ON tb.doc_id = s.db
+WHERE md5(substr(ta.t, CAST(s.a_start AS INT), CAST(s.span_len AS INT)))
+    = md5(substr(tb.t, CAST(s.a_start - s.diag AS INT), CAST(s.span_len AS INT)))
+ORDER BY da, db, a_start, b_start
+"""

@@ -50,6 +50,7 @@ _PRIORITY = [
     # older than r10 (r12 verdict task 1). Never-driver-checked queries
     # added this round sort first in the suggestion, displacing the
     # newest tail.
+    "dedup_exact_substring",  # new (r13)
     "emb_pq_codes_panel",  # new (r13)
     "emb_semdedup_prune_panel",  # new (r13)
     "spec_orders_missing_metric",  # r9
@@ -99,7 +100,6 @@ _PRIORITY = [
     "join_revenue_by_region",  # r10
     "join_salted_revenue_by_priority",  # r10
     "join_semi_customers_with_orders",  # r10
-    "lineitem_unpivot_stats",  # r10
 ]
 
 

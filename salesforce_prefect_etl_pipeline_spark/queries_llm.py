@@ -375,6 +375,15 @@ register_query(
     lambda spark, sf_dir: dedup.exact_duplicate_groups(_docs(spark, sf_dir)),
     dedup.EXACT_DUP_GROUPS_SQL,
 )
+# Exact-substring dedup (Lee et al. 2022's suffix-array modality,
+# re-shaped as content-defined anchor grams — see
+# dedup.exact_substring_spans): verbatim >=W-char cross-doc overlaps,
+# every reported span md5-verified on both texts. Full SQL replay.
+register_query(
+    "dedup_exact_substring",
+    lambda spark, sf_dir: dedup.exact_substring_spans(_docs(spark, sf_dir)),
+    dedup.exact_substring_sql(),
+)
 register_query(
     "dedup_jaccard_pairs",
     lambda spark, sf_dir: dedup.jaccard_pairs(

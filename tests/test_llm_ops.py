@@ -1510,3 +1510,65 @@ def test_emb_panel_survives_seed_replay_guard(spark, emb):
     assert books.shape == (4, 16, 16)
     cents = similarity.train_ivf_centroids(panel, nlist=16, iters=0, max_sample=cap)
     assert cents.shape[0] == 16
+
+
+def test_exact_substring_finds_planted_overlap(spark):
+    """A 220-char verbatim block planted inside two otherwise-different
+    documents must come back as one verified span per direction-ordered
+    pair, covering (at anchor granularity) the planted region; docs
+    with no long shared run must produce nothing."""
+    import random as _random
+
+    rng = _random.Random(13)
+    words = ["alpha", "bravo", "carbon", "delta", "echo", "fox", "golf", "hotel"]
+
+    def prose(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    shared = prose(40)[:220]
+    rows = [
+        (1, prose(30) + " " + shared + " " + prose(25)),
+        (2, prose(50) + " " + shared + " " + prose(10)),
+        (3, prose(60)),  # unrelated
+        (4, prose(60)),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.exact_substring_spans(docs).collect()
+    hits = [r for r in spans if (r.da, r.db) == (1, 2)]
+    assert hits, "planted overlap not found"
+    best = max(hits, key=lambda r: r.span_len)
+    # anchor-granular: detected span sits inside the planted block and
+    # covers most of it (heads/tails up to ~anchor_mod + CDC_W missed)
+    assert best.span_len >= 150
+    a_text, b_text = rows[0][1], rows[1][1]
+    got_a = a_text[best.a_start - 1 : best.a_start - 1 + best.span_len]
+    got_b = b_text[best.b_start - 1 : best.b_start - 1 + best.span_len]
+    assert got_a == got_b and got_a in shared
+    # unrelated docs never pair
+    assert not [r for r in spans if r.da >= 3 or r.db >= 3]
+
+
+def test_exact_substring_verification_rejects_bridged_edit(spark):
+    """Two docs sharing two separate runs with a small edit between
+    them: every reported span must still be verbatim (the md5
+    verification drops any island that accidentally bridges the edit),
+    i.e. the substrings named by every output row are equal."""
+    import random as _random
+
+    rng = _random.Random(99)
+    words = ["kilo", "lima", "metric", "nova", "oscar", "papa"]
+
+    def prose(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    left = prose(35)
+    right = prose(35)
+    a = left + " EDIT-A " + right
+    b = left + " edit-b " + right
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    for r in dedup.exact_substring_spans(docs).collect():
+        ga = a[r.a_start - 1 : r.a_start - 1 + r.span_len]
+        gb = b[r.b_start - 1 : r.b_start - 1 + r.span_len]
+        assert ga == gb, "non-verbatim span reported"
