@@ -238,18 +238,30 @@ def main() -> None:
     # ... and a round-stamped archive copy (r11 verdict task 5): the
     # un-stamped file is overwritten each round, so spread-aware
     # comparison of two past rounds needed git archaeology. The round
-    # being built is (newest CORRECTNESS round present) + 1 — the
-    # driver records BENCH_r{N} after CORRECTNESS_r{N-1} landed.
+    # stamp comes from SPARK_GRAFT_BENCH_ROUND when set; otherwise it
+    # is inferred from BOTH round artifacts (r12 advice — the naive
+    # max(CORRECTNESS)+1 mislabeled the driver's own end-of-round bench,
+    # which runs AFTER its CORRECTNESS_rN lands): if CORRECTNESS_rN
+    # exists but BENCH_rN does not, round N is still being recorded and
+    # the stamp is N; once both exist, round N is closed and the stamp
+    # is N+1.
     import glob as _glob
 
     rounds = [
         int(os.path.basename(p).split("_r")[1].split(".")[0])
         for p in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
     ]
-    if rounds and sf == "0.1":
+    env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if (rounds or env_round) and sf == "0.1":
         # only the driver-shaped sf0.1 run is archived — builder runs at
         # other scale factors must not clobber the round's record
-        stamped = os.path.join(repo, f"BENCH_SPREAD_r{max(rounds) + 1:02d}.json")
+        if env_round:
+            n = int(env_round)
+        else:
+            n = max(rounds)
+            if os.path.exists(os.path.join(repo, f"BENCH_r{n}.json")):
+                n += 1
+        stamped = os.path.join(repo, f"BENCH_SPREAD_r{n:02d}.json")
         with open(stamped, "w") as f:
             json.dump(sidecar, f, indent=1)
         print(f"# round-stamped spread sidecar: {stamped}", file=sys.stderr)

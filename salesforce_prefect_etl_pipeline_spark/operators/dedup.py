@@ -667,6 +667,16 @@ CONTAINMENT_BROADCAST_MIN_DENSITY = 32.0
 #: plan got for free from scan partitioning.
 CONTAINMENT_SHUFFLE_SALT = 16
 
+#: broadcast_inv's own memory bound (r12 advice): the probe-row floor
+#: bounds argmin rows (64/doc), NOT inventory rows (distinct
+#: shingles/doc — 5k-50k on real documents), so a below-floor corpus
+#: of a few thousand long docs can still carry a 100M+-row inventory
+#: whose forced F.broadcast() would hit Spark's 8 GiB broadcast hard
+#: limit / driver OOM. 20M rows ~= 1-2 GiB as a JVM hashed relation —
+#: comfortably inside the limit; above it the salted shuffle is the
+#: only memory-safe shape and auto must say so.
+CONTAINMENT_BROADCAST_INV_MAX_ROWS = 20_000_000
+
 
 def containment_auto_stats(prof: DataFrame) -> dict:
     """Sizing pass behind ``containment_lsh_pairs(strategy="auto")``:
@@ -705,19 +715,35 @@ def containment_auto_stats(prof: DataFrame) -> dict:
     if not in_window:
         # outside the memory window the density never matters — skip its
         # aggregate so small corpora (every sf the driver hard-checks)
-        # pay only the one cheap sizing count. BELOW the floor the
-        # inventory is provably small (<~500k index rows -> a few-MB to
-        # tens-of-MB inventory), so the JVM broadcast-inv plan — the
-        # shape Catalyst used to pick by accident and the measured
-        # small-corpus winner (sf0.1: 3.0 s vs 9.0 s kernel, 53 s
-        # single-reducer true shuffle) — is chosen explicitly; ABOVE
-        # the ceiling nothing may broadcast and the salted shuffle is
-        # the only memory-safe plan.
+        # pay only the cheap sizing counts. BELOW the floor the probe
+        # side is provably small, but the INVENTORY is a separate axis
+        # (distinct shingles/doc, not argmins/doc — r12 advice), so the
+        # JVM broadcast-inv plan — the shape Catalyst used to pick by
+        # accident and the measured small-corpus winner (sf0.1: 3.0 s
+        # vs 9.0 s kernel, 53 s single-reducer true shuffle) — is
+        # chosen only while the inventory row count also clears its own
+        # broadcast bound; otherwise, and ABOVE the ceiling, nothing
+        # may broadcast and the salted shuffle is the only memory-safe
+        # plan.
         below = n_index_rows < CONTAINMENT_BROADCAST_MIN_PROBE_ROWS
+        n_inv_rows = None
+        strategy = "shuffle"
+        if below:
+            n_inv_rows = int(
+                prof.select(
+                    F.sum(
+                        F.size(F.array_distinct(F.transform("shingles", mask)))
+                    ).alias("n")
+                ).collect()[0][0]
+                or 0
+            )
+            if n_inv_rows <= CONTAINMENT_BROADCAST_INV_MAX_ROWS:
+                strategy = "broadcast_inv"
         return {
             "n_index_rows": int(n_index_rows),
+            "n_inv_rows": n_inv_rows,
             "n_matched": None,
-            "strategy": "broadcast_inv" if below else "shuffle",
+            "strategy": strategy,
         }
     pc = (
         prof.select(F.explode(F.transform("argmins", mask)).alias("m"))
@@ -812,7 +838,8 @@ def containment_lsh_pairs(
       INVENTORY and streams probes in their scan partitions. The
       measured small-corpus winner (sf0.1: 3.0 s vs 9.0 s kernel vs
       53 s unsalted true shuffle); only safe while the inventory is
-      bounded, so auto picks it exactly below the row floor.
+      bounded, so auto picks it below the probe-row floor AND under
+      the inventory's own broadcast cap.
     - ``"broadcast"`` — invert the probes into an (argmin -> packed
       doc/weight arrays) index, broadcast it (~16 B per probe row),
       and count matches LOCALLY per inventory document with vectorized
@@ -826,8 +853,11 @@ def containment_lsh_pairs(
       AND the measured match density clears
       :data:`CONTAINMENT_BROADCAST_MIN_DENSITY` (the shuffle being
       avoided is actually big) — see :func:`containment_auto_stats`.
-      Below the floor: ``broadcast_inv`` (inventory provably small).
-      Above the ceiling or sparse-in-window: the salted shuffle.
+      Below the floor: ``broadcast_inv`` — if the inventory row count
+      also clears :data:`CONTAINMENT_BROADCAST_INV_MAX_ROWS` (the
+      probe floor does not bound the inventory axis). Above the
+      ceiling, sparse-in-window, or inventory-heavy below the floor:
+      the salted shuffle.
       Mirrors ``spark.sql.autoBroadcastJoinThreshold``'s size-based
       switch, with the join-volume term that switch doesn't have."""
     prof = (

@@ -1572,3 +1572,21 @@ def test_exact_substring_verification_rejects_bridged_edit(spark):
         ga = a[r.a_start - 1 : r.a_start - 1 + r.span_len]
         gb = b[r.b_start - 1 : r.b_start - 1 + r.span_len]
         assert ga == gb, "non-verbatim span reported"
+
+
+def test_containment_auto_inv_bound_gates_broadcast_inv(spark, docs, monkeypatch):
+    """Below the probe-row floor the probe side is small but the
+    INVENTORY is a separate axis (distinct shingles/doc, not
+    argmins/doc): auto may pick broadcast_inv only while the inventory
+    row count clears its own broadcast cap, else the salted shuffle is
+    the only memory-safe shape (r12 advice)."""
+    prof = dedup.containment_argmin_profile(docs, 8, 64)
+    stats = dedup.containment_auto_stats(prof)
+    assert stats["strategy"] == "broadcast_inv"  # fixture is below-floor
+    assert stats["n_inv_rows"] and stats["n_inv_rows"] > stats["n_index_rows"]
+    monkeypatch.setattr(
+        dedup, "CONTAINMENT_BROADCAST_INV_MAX_ROWS", stats["n_inv_rows"] - 1
+    )
+    gated = dedup.containment_auto_stats(prof)
+    assert gated["strategy"] == "shuffle"
+    assert gated["n_inv_rows"] == stats["n_inv_rows"]

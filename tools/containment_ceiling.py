@@ -262,11 +262,10 @@ def main() -> int:
             "density": round(stats["n_matched"] / max(1, stats["n_index_rows"]), 1),
             "auto": stats["strategy"],
         }
-        strategies = tuple(
-            s
-            for s in ("broadcast", "shuffle")
-            if s in os.environ.get("CEILING_STRATEGIES", "broadcast,shuffle")
-        )
+        # exact comma-separated tokens, not substring membership —
+        # CEILING_STRATEGIES=reshuffled must select nothing, not shuffle
+        wanted = os.environ.get("CEILING_STRATEGIES", "broadcast,shuffle").split(",")
+        strategies = tuple(s for s in ("broadcast", "shuffle") if s in wanted)
         for strat in strategies:
             rss0 = _rss_mb()
             stages0 = _stage_metrics(spark)
