@@ -1590,3 +1590,38 @@ def test_containment_auto_inv_bound_gates_broadcast_inv(spark, docs, monkeypatch
     gated = dedup.containment_auto_stats(prof)
     assert gated["strategy"] == "shuffle"
     assert gated["n_inv_rows"] == stats["n_inv_rows"]
+
+
+def test_containment_strategy_sidecar_persists_across_sessions(
+    spark, docs, tmp_path, monkeypatch
+):
+    """The auto-stats decision is a pure function of the documents
+    fixture, so it persists to a fingerprint-keyed sidecar next to the
+    stats root and is READ, not recomputed, by later sessions (the
+    bench cold-run toll, r12 verdict task 4); a corrupt sidecar falls
+    back to recomputation and rewrites."""
+    import json as _json
+    import os as _os
+
+    from salesforce_prefect_etl_pipeline_spark import queries_llm as qllm
+
+    monkeypatch.setattr(qllm, "CONTAINMENT_STATS_ROOT", str(tmp_path / "stats"))
+    prof = dedup.containment_argmin_profile(docs, 8, 64)
+
+    def fresh(sf_dir=SF_SMALL):
+        # new "session": drop the in-memory memo so disk is consulted
+        monkeypatch.setattr(qllm, "_CONTAINMENT_STRATEGY_CACHE", type(qllm._CONTAINMENT_STRATEGY_CACHE)())
+        return qllm._containment_strategy_cached(spark, sf_dir, prof)
+
+    s1 = fresh()
+    path = qllm._containment_stats_path(SF_SMALL)
+    assert _os.path.exists(path)
+    stats = _json.load(open(path))
+    assert stats["strategy"] == s1
+    # later session trusts the sidecar: plant a sentinel and expect it back
+    _json.dump({"strategy": "shuffle"}, open(path, "w"))
+    assert fresh() == "shuffle"
+    # corruption falls back to compute and rewrites the sidecar
+    open(path, "w").write("{not json")
+    assert fresh() == s1
+    assert _json.load(open(path))["strategy"] == s1
