@@ -626,34 +626,24 @@ def containment_cutoff(threshold: float, num_hashes: int = 64) -> int:
 #: (measured at sf0.1: shuffle 3.0 s vs broadcast 9.0 s warm; at
 #: sf0.3 the order flips, 11.0 vs 5 s).
 #:
-#: Density: inside the row window, broadcast only wins when the
-#: shuffle it avoids is actually big — the probe join's output volume
-#: is sum over m of probes(m) x inventory(m) ("matched instances").
-#: Measured at 18M index rows (block-family synthetics, density = g):
-#: g<=16 shuffle wins ~1.6x, g=64 shuffle wins 1.35x, g=192 dead even
-#: (34.3 vs 34.7 s); on the REAL fixtures (density ~500) broadcast
-#: wins 4x (sf1: 8.6 vs 35.9 s). The r11 caveat — that the synthetic
-#: crossing (~190) overstates shuffle because block families
-#: concentrate instances onto few distinct pairs while real corpora
-#: spread them (sf1: 1.36B instances over 233M distinct directed
-#: pairs) — was CONFIRMED by measurement in r12: with the ceiling
-#: tool's dispersed-pairs mode (realistic pair cardinality, ~1
-#: instance per distinct pair) broadcast wins the entire density
-#: 50-300 band by 4.5-22x (shuffle spills 10-49 GB), and the dispersed
-#: crossing sits between density 9 (shuffle 1.7x faster) and 17
-#: (broadcast 1.5x faster) — see SCALE.md "the density gate's crossing
-#: band". The gate stays at 32, ABOVE the dispersed crossing, because
-#: density alone can't distinguish dispersed from block-shaped
-#: corpora and block shapes still favor shuffle up to ~190: a wrong
-#: shuffle pick in the 17-32 dispersed gap costs a bounded ~1.5x,
-#: while dropping the gate to the dispersed crossing would make
-#: block-shaped corpora at density 17-190 pay the wrong-broadcast
-#: toll plus verification volume. Costs stay asymmetric in the
-#: gate's favor: wrong-broadcast bounded (~1.35x), wrong-shuffle on a
-#: spill-heavy realistic corpus 4.5-22x.
+#: Density gate, RETIRED in r13: every cell that ever showed shuffle
+#: winning in-window (low dispersed density, block shapes up to ~190)
+#: was measured against the plan Catalyst produced BEFORE the r12
+#: join pinning — the accidental inventory-broadcast join, strictly
+#: cheaper than the honest salted SHUFFLE_HASH shuffle. Re-measured
+#: at 18M index rows with the pinned plan (48 GB heap, SCALE.md r13):
+#: dispersed densities 10/18/52/102 -> shuffle 92.5/141.1/237.8/281.5 s
+#: (spilling 1.7-31 GB disk) vs broadcast 40.8/20.5/23.5/35.5 s
+#: (2.3-10x), and block-shaped density 102 -> shuffle 136.6 s vs
+#: broadcast 75.6 s (1.8x). The honest shuffle's FIXED machinery (x16
+#: salt replication + per-partition hash-map builds, ~60-90 s at 18M
+#: rows) already exceeds the kernel's fixed index cost (~40 s,
+#: 319 MB), so inside the row window broadcast dominates at every
+#: measured density and pair-cardinality shape; auto now picks it
+#: unconditionally in-window and skips the density sizing aggregate
+#: entirely (two fewer jobs in the sizing pass).
 CONTAINMENT_BROADCAST_MAX_PROBE_ROWS = 40_000_000
 CONTAINMENT_BROADCAST_MIN_PROBE_ROWS = 500_000
-CONTAINMENT_BROADCAST_MIN_DENSITY = 32.0
 
 #: Salt fan-out for the true-shuffle probe join. The hot-shingle skew
 #: is MULTIPLICATIVE — a template shingle's join output is
@@ -680,26 +670,30 @@ CONTAINMENT_BROADCAST_INV_MAX_ROWS = 20_000_000
 
 def containment_auto_stats(prof: DataFrame) -> dict:
     """Sizing pass behind ``containment_lsh_pairs(strategy="auto")``:
-    measure the two quantities the broadcast/shuffle decision actually
-    depends on, then apply the window above.
+    measure the quantities the strategy decision actually depends on,
+    then apply the window above.
 
     - ``n_index_rows``: distinct (doc, m=h32) — the broadcast index's
       REAL grain (two permutations picking the same shingle pack
       differently yet collapse to one index row, so counting distinct
       PACKED argmins would overestimate ~7% on 500-shingle docs).
-      Bounds index memory: 17-32 B/row measured.
-    - ``n_matched``: sum over m of probes(m) x inventory(m) — the probe
-      equi-join's output volume PLUS the self-match contribution (each
-      doc's argmins hit its own shingle inventory — ~64 instances/doc —
-      which the probe join's pa != pb excludes; at the 32x gate that is
-      a <=1-density overcount, negligible, and always toward broadcast
-      by the same margin). One narrow aggregate: two
-      (key, count) frames joined on the 32-bit shingle domain, at most
-      |distinct shingles| rows each — tiny on hot corpora, and O(index
-      rows) even in the all-distinct worst case.
+      Bounds index memory: 17-32 B/row measured. In-window ->
+      broadcast kernel, unconditionally: the r13 honest-pinned-plan
+      cells showed the salted shuffle's fixed machinery alone exceeds
+      the kernel's fixed index cost at every measured density and
+      shape (see the retired-density-gate note above), so no further
+      measurement can change the in-window pick.
+    - ``n_inv_rows`` (below the floor only): total distinct shingles —
+      the broadcast_inv build side, a separate axis from probe rows
+      (r12 advice); over its cap the salted shuffle is the only
+      memory-safe shape.
 
-    Cost: two aggregate jobs over the (already-checkpointed) profile —
-    sub-second at sf1 against the 27 s a wrong pick costs there."""
+    ``n_matched`` (the probe join's output volume) is no longer part
+    of any decision and is returned as None; the ceiling tool computes
+    it itself when characterizing cells.
+
+    Cost: one aggregate job over the (already-checkpointed) profile,
+    plus one more below the floor."""
     mask = lambda x: x.bitwiseAND(F.lit(0xFFFFFFFF))  # noqa: E731
     n_index_rows = (
         prof.select(
@@ -712,62 +706,41 @@ def containment_auto_stats(prof: DataFrame) -> dict:
         <= n_index_rows
         <= CONTAINMENT_BROADCAST_MAX_PROBE_ROWS
     )
-    if not in_window:
-        # outside the memory window the density never matters — skip its
-        # aggregate so small corpora (every sf the driver hard-checks)
-        # pay only the cheap sizing counts. BELOW the floor the probe
-        # side is provably small, but the INVENTORY is a separate axis
-        # (distinct shingles/doc, not argmins/doc — r12 advice), so the
-        # JVM broadcast-inv plan — the shape Catalyst used to pick by
-        # accident and the measured small-corpus winner (sf0.1: 3.0 s
-        # vs 9.0 s kernel, 53 s single-reducer true shuffle) — is
-        # chosen only while the inventory row count also clears its own
-        # broadcast bound; otherwise, and ABOVE the ceiling, nothing
-        # may broadcast and the salted shuffle is the only memory-safe
-        # plan.
-        below = n_index_rows < CONTAINMENT_BROADCAST_MIN_PROBE_ROWS
-        n_inv_rows = None
-        strategy = "shuffle"
-        if below:
-            n_inv_rows = int(
-                prof.select(
-                    F.sum(
-                        F.size(F.array_distinct(F.transform("shingles", mask)))
-                    ).alias("n")
-                ).collect()[0][0]
-                or 0
-            )
-            if n_inv_rows <= CONTAINMENT_BROADCAST_INV_MAX_ROWS:
-                strategy = "broadcast_inv"
+    if in_window:
         return {
             "n_index_rows": int(n_index_rows),
-            "n_inv_rows": n_inv_rows,
+            "n_inv_rows": None,
             "n_matched": None,
-            "strategy": strategy,
+            "strategy": "broadcast",
         }
-    pc = (
-        prof.select(F.explode(F.transform("argmins", mask)).alias("m"))
-        .groupBy("m")
-        .agg(F.count(F.lit(1)).alias("np"))
-    )
-    ic = (
-        prof.select(
-            F.explode(F.array_distinct(F.transform("shingles", mask))).alias("h")
+    # BELOW the floor the probe side is provably small, but the
+    # INVENTORY is a separate axis (distinct shingles/doc, not
+    # argmins/doc — r12 advice), so the JVM broadcast-inv plan — the
+    # shape Catalyst used to pick by accident and the measured
+    # small-corpus winner (sf0.1: 3.0 s vs 9.0 s kernel, 53 s
+    # single-reducer true shuffle) — is chosen only while the inventory
+    # row count also clears its own broadcast bound; otherwise, and
+    # ABOVE the ceiling, nothing may broadcast and the salted shuffle
+    # is the only memory-safe plan.
+    below = n_index_rows < CONTAINMENT_BROADCAST_MIN_PROBE_ROWS
+    n_inv_rows = None
+    strategy = "shuffle"
+    if below:
+        n_inv_rows = int(
+            prof.select(
+                F.sum(
+                    F.size(F.array_distinct(F.transform("shingles", mask)))
+                ).alias("n")
+            ).collect()[0][0]
+            or 0
         )
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    n_matched = (
-        pc.join(ic, pc["m"] == ic["h"])
-        .select(F.sum(F.col("np") * F.col("ni")).alias("n"))
-        .collect()[0][0]
-        or 0
-    )
-    dense = n_matched >= CONTAINMENT_BROADCAST_MIN_DENSITY * n_index_rows
+        if n_inv_rows <= CONTAINMENT_BROADCAST_INV_MAX_ROWS:
+            strategy = "broadcast_inv"
     return {
         "n_index_rows": int(n_index_rows),
-        "n_matched": int(n_matched),
-        "strategy": "broadcast" if dense else "shuffle",
+        "n_inv_rows": n_inv_rows,
+        "n_matched": None,
+        "strategy": strategy,
     }
 
 
@@ -847,19 +820,18 @@ def containment_lsh_pairs(
       materialized per sub-cutoff pair, integer-exact identical
       counts. Valid while the probe index fits task memory
       (:data:`CONTAINMENT_BROADCAST_MAX_PROBE_ROWS`).
-    - ``"auto"`` (default) — kernel broadcast only when the index-row
+    - ``"auto"`` (default) — kernel broadcast whenever the index-row
       count sits inside [:data:`CONTAINMENT_BROADCAST_MIN_PROBE_ROWS`,
-      :data:`CONTAINMENT_BROADCAST_MAX_PROBE_ROWS`] (index memory)
-      AND the measured match density clears
-      :data:`CONTAINMENT_BROADCAST_MIN_DENSITY` (the shuffle being
-      avoided is actually big) — see :func:`containment_auto_stats`.
-      Below the floor: ``broadcast_inv`` — if the inventory row count
-      also clears :data:`CONTAINMENT_BROADCAST_INV_MAX_ROWS` (the
-      probe floor does not bound the inventory axis). Above the
-      ceiling, sparse-in-window, or inventory-heavy below the floor:
-      the salted shuffle.
+      :data:`CONTAINMENT_BROADCAST_MAX_PROBE_ROWS`] (index memory);
+      the former density gate is retired — re-measured against the
+      honest pinned shuffle, broadcast wins in-window at every density
+      and shape (see :func:`containment_auto_stats`). Below the floor:
+      ``broadcast_inv`` — if the inventory row count also clears
+      :data:`CONTAINMENT_BROADCAST_INV_MAX_ROWS` (the probe floor does
+      not bound the inventory axis). Above the ceiling, or
+      inventory-heavy below the floor: the salted shuffle.
       Mirrors ``spark.sql.autoBroadcastJoinThreshold``'s size-based
-      switch, with the join-volume term that switch doesn't have."""
+      switch, on the index's true row grain."""
     prof = (
         profile
         if profile is not None

@@ -1443,8 +1443,16 @@ def _containment_stats_path(sf_dir: str) -> str | None:
         return None
     import hashlib as _hashlib
 
+    # the gate constants are part of the key: a retuned window/density
+    # gate must invalidate every persisted DECISION, not inherit one
+    # made under the old cost model
+    gates = (
+        dedup.CONTAINMENT_BROADCAST_MIN_PROBE_ROWS,
+        dedup.CONTAINMENT_BROADCAST_MAX_PROBE_ROWS,
+        dedup.CONTAINMENT_BROADCAST_INV_MAX_ROWS,
+    )
     fp = _hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}:{gates}".encode()
     ).hexdigest()
     return os.path.join(CONTAINMENT_STATS_ROOT, f"{fp}.json")
 

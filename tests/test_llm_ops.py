@@ -1442,36 +1442,27 @@ def test_containment_auto_strategy_respects_probe_window(spark, docs, monkeypatc
     assert "MapInPandas" not in plan(over) and "mapInPandas" not in plan(over)
 
 
-def test_containment_auto_strategy_respects_density_gate(spark, docs, monkeypatch):
-    """Inside the row window, auto still keeps the shuffle when the
-    measured match density (sum over m of probes x inventory, i.e. the
-    probe join's output volume) is below the crossing ratio — a
-    fitting index is not sufficient, the shuffle being avoided must be
-    big (measured both ways, SCALE.md r11)."""
-
-    def plan(df):
-        return df._jdf.queryExecution().logical().toString()
-
+def test_containment_auto_in_window_is_unconditional_broadcast(
+    spark, docs, monkeypatch
+):
+    """The density gate is retired (r13): re-measured against the
+    honest pinned shuffle, broadcast wins in-window at every density
+    and pair-cardinality shape, so auto picks it unconditionally
+    inside the row window and the sizing pass never runs the density
+    aggregate (n_matched is always None now — one aggregate job
+    in-window, two below the floor)."""
     monkeypatch.setattr(dedup, "CONTAINMENT_BROADCAST_MIN_PROBE_ROWS", 0)
     stats = dedup.containment_auto_stats(
         dedup.containment_argmin_profile(docs, 8, 64)
     )
-    assert stats["strategy"] == "broadcast"  # fixture corpus is dense
-    assert stats["n_matched"] >= 32 * stats["n_index_rows"]
-    # raise the required density above the corpus's -> shuffle
-    monkeypatch.setattr(
-        dedup,
-        "CONTAINMENT_BROADCAST_MIN_DENSITY",
-        stats["n_matched"] / stats["n_index_rows"] + 1,
-    )
-    low = dedup.containment_lsh_pairs(docs, strategy="auto")
-    assert "MapInPandas" not in plan(low) and "mapInPandas" not in plan(low)
-    # outside the row window the density aggregate is skipped entirely
+    assert stats["strategy"] == "broadcast"
+    assert stats["n_matched"] is None and stats["n_inv_rows"] is None
+    # above the ceiling nothing may broadcast
     monkeypatch.setattr(dedup, "CONTAINMENT_BROADCAST_MAX_PROBE_ROWS", 0)
-    skipped = dedup.containment_auto_stats(
+    over = dedup.containment_auto_stats(
         dedup.containment_argmin_profile(docs, 8, 64)
     )
-    assert skipped["strategy"] == "shuffle" and skipped["n_matched"] is None
+    assert over["strategy"] == "shuffle" and over["n_matched"] is None
 
 
 def test_emb_panel_twins_match_full_forms_under_cap(spark):

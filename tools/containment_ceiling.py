@@ -270,9 +270,17 @@ def main() -> int:
             rss0 = _rss_mb()
             stages0 = _stage_metrics(spark)
             t0 = time.time()
-            n_out = dedup.containment_lsh_pairs(
-                None, profile=prof, strategy=strat
-            ).count()
+            try:
+                n_out = dedup.containment_lsh_pairs(
+                    None, profile=prof, strategy=strat
+                ).count()
+            except Exception as exc:  # a died cell IS a measurement
+                row[strat] = {
+                    "wall_s": round(time.time() - t0, 1),
+                    "died": f"{type(exc).__name__}: {str(exc)[:200]}",
+                }
+                print(f"# {strat} DIED: {row[strat]}", file=sys.stderr)
+                continue
             wall = round(time.time() - t0, 1)
             rss1 = _rss_mb()
             stages1 = _stage_metrics(spark)
