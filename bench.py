@@ -119,6 +119,15 @@ HEADLINE = [
     # remain out: each recomposes benched stages (signing + index
     # probe + micro-batch overhead; video/audio synthesis +
     # fingerprint joins) without being a headline user pipeline.
+    # Round-13 rows: exact-substring dedup (per-position window
+    # polynomial + gram-keyed shuffle + span verification joins — a
+    # new heavy text shape), and the embedding panel twins — fixed-size
+    # by construction, benched so the ladder records their ~flat
+    # exponents where the full forms are designed SeedReplayError
+    # skips (sf10).
+    "dedup_exact_substring",
+    "emb_pq_codes_panel",
+    "emb_semdedup_prune_panel",
 ]
 
 
