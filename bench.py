@@ -150,7 +150,11 @@ def compact_line(timings: dict[str, float], sf: str) -> str:
             "unit": "sec",
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
+        },
+        # Compact separators: JSON-equivalent to the spaced form but ~2
+        # bytes/entry smaller, which is what keeps the full-registry
+        # worst case under MAX_FINAL_LINE_BYTES as HEADLINE grows.
+        separators=(",", ":"),
     )
 
 
