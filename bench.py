@@ -128,6 +128,14 @@ HEADLINE = [
     "dedup_exact_substring",
     "emb_pq_codes_panel",
     "emb_semdedup_prune_panel",
+    # Round-13 training/retrieval rows: BM25 top-k (one corpus explode
+    # restricted by a broadcast query-term join), 4-merge BPE training
+    # (one corpus scan + 4 vocabulary-sized iterations), and the
+    # 3-epoch batch perceptron (sparse hashed features x broadcast
+    # weight vector per epoch).
+    "text_bm25_topk",
+    "text_bpe_train_merges",
+    "text_perceptron_quality",
 ]
 
 
@@ -141,21 +149,39 @@ MAX_FINAL_LINE_BYTES = 4096
 
 def compact_line(timings: dict[str, float], sf: str) -> str:
     """The ONE stdout JSON line: metric/value/queries medians/sf only.
-    Spreads and run counts belong in the sidecar, never here."""
+    Spreads and run counts belong in the sidecar, never here.
+
+    Fits under MAX_FINAL_LINE_BYTES BY CONSTRUCTION: compact JSON
+    separators first, and if the per-query dict still overflows the cap
+    (registry growth), the CHEAPEST-timed entries are dropped — their
+    medians survive in the sidecar — with a ``queries_dropped`` count so
+    the truncation is visible in the record. ``value`` stays the FULL
+    suite total either way. A pytest tripwire separately asserts the
+    current HEADLINE emits with zero drops, so growth is a review
+    decision, not a silent degradation."""
     total = round(sum(timings.values()), 3)
-    return json.dumps(
-        {
+
+    def render(kept: dict[str, float], dropped: int) -> str:
+        rec = {
             "metric": "headline_suite_wall_seconds",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": kept,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        # Compact separators: JSON-equivalent to the spaced form but ~2
-        # bytes/entry smaller, which is what keeps the full-registry
-        # worst case under MAX_FINAL_LINE_BYTES as HEADLINE grows.
-        separators=(",", ":"),
-    )
+        }
+        if dropped:
+            rec["queries_dropped"] = dropped
+        return json.dumps(rec, separators=(",", ":"))
+
+    # Cheapest-first drop order (ties: name desc so the kept set is
+    # deterministic); expensive rows are the cross-round signal.
+    order = sorted(timings, key=lambda n: (timings[n], n), reverse=True)
+    for n_drop in range(len(timings) + 1):
+        kept = {n: timings[n] for n in timings if n in set(order[: len(order) - n_drop])}
+        line = render(kept, n_drop)
+        if len(line.encode()) <= MAX_FINAL_LINE_BYTES:
+            return line
+    return render({}, len(timings))
 
 
 def main() -> None:
@@ -280,27 +306,15 @@ def main() -> None:
         print(f"# round-stamped spread sidecar: {stamped}", file=sys.stderr)
     print(f"# spread sidecar written to {sidecar_path}", file=sys.stderr)
     print(f"# {json.dumps(sidecar)}", file=sys.stderr)
+    # compact_line fits the cap by construction (cheapest entries drop
+    # to the sidecar if the registry outgrows it, flagged in-record via
+    # queries_dropped).
     line = compact_line(timings, sf)
-    if len(line.encode()) > MAX_FINAL_LINE_BYTES:
-        # explicit (assert would vanish under -O, and by the time this
-        # fires the whole suite's wall time is already spent): fall back
-        # to a minimal parseable record — per-query detail survives in
-        # the sidecar — rather than dropping the stdout record entirely
+    if '"queries_dropped"' in line:
         print(
-            f"# final line {len(line.encode())}B exceeds "
-            f"{MAX_FINAL_LINE_BYTES}B cap; emitting minimal record "
-            f"(see {sidecar_path})",
+            f"# final line truncated to fit {MAX_FINAL_LINE_BYTES}B cap; "
+            f"dropped medians survive in {sidecar_path}",
             file=sys.stderr,
-        )
-        line = json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": {},
-                "sf": sidecar["sf"],
-                "truncated": True,
-            }
         )
     print(line)
 

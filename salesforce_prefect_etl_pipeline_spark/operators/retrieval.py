@@ -1,0 +1,204 @@
+"""Full-text retrieval over the document corpus: BM25 top-k.
+
+The missing fourth leg next to exact search (equi-joins), fuzzy search
+(MinHash/SimHash) and semantic search (ANN over embeddings): classic
+lexical ranking, the retrieval primitive behind RAG corpus indexing and
+search-engine-style data exploration.
+
+Determinism contract (the module-family rule: see ``text.tfidf_top_terms``
+and ``graph.pagerank_exact``): no ``log`` and no float division anywhere.
+BM25's idf uses the standard +1 smoothing, under which
+
+    idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1) = ln(2(N+1) / (2 df + 1))
+
+is a monotone transform of the RATIONAL ``2(N+1) / (2 df + 1)`` — the
+scorer uses the rational directly (scaled integer floor division), the
+same log-avoidance contract as ``tfidf_top_terms``'s ``1/df``. The tf
+saturation keeps BM25's exact k1 = 1.2, b = 0.75 as the integer ratio
+
+    tf_part = tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl))
+            = 44 L tf / (20 L tf + 6 L + 18 dl N)      (avgdl = L/N)
+
+after clearing denominators (k1 = 6/5, b = 3/4, x20 x L). Every
+intermediate is exact integer arithmetic in DECIMAL(38,0) (Spark) /
+HUGEINT (DuckDB) — products reach ~1e6 * 44 * L * tf, past bigint at
+corpus token counts L >~ 4e11 — with only the two documented floor
+divisions, so the ranking value-hashes against the SQL replay on any
+cluster layout.
+
+The rational idf is a PER-TERM monotone transform of the log idf, so
+single-term rankings match float BM25 exactly (pytest-pinned); across
+terms the transform re-weights rare terms more steeply than the log, so
+multi-term rankings are a documented BM25-family variant — still
+idf-monotone, tf-saturating and length-normalized, but not bit-for-bit
+the log scorer's order. Deployments needing the exact log weighting
+trade away the value-hash (float log) — the same tradeoff
+``text.unigram_familiarity`` documents.
+
+Scale shape (100 TB): ONE corpus tokenize+explode, restricted to query
+terms by a broadcast join BEFORE the tf aggregation (the query term set
+is tiny and known, so selectivity lands inside the explode stage); df
+and corpus totals come from the restricted frame + one narrow
+length-only scan. All post-explode frames are (matched docs x query
+terms)-sized. The final top-k is a per-query window over per-doc
+scores. No all-pairs anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from salesforce_prefect_etl_pipeline_spark.operators.text import tokens
+
+#: Fixed benchmark query set (query_id, text). Like the ANN query
+#: vectors, a small known set: real deployments pass their own.
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "spark join slow"),
+    (2, "window stream agg"),
+    (3, "customer query big table"),
+)
+
+#: Fixed-point scale for the two floor divisions (1e-6 score quantum).
+BM25_SCALE = 1_000_000
+
+
+def bm25_topk(
+    docs: DataFrame,
+    spark: SparkSession,
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` documents per query under integer-exact BM25.
+
+    Returns (query_id, rnk, doc_id, score_scaled) ordered by
+    (query_id, rnk); ties within a query break on doc_id ascending.
+    Documents sharing no term with a query never appear (score 0 rows
+    are not emitted — standard inverted-index behavior).
+    """
+    qdf = spark.createDataFrame(list(queries), "query_id int, qtext string")
+    qterms = qdf.select(
+        "query_id", F.explode(tokens("qtext")).alias("term")
+    ).distinct()
+
+    # One corpus pass: per-doc length rides through the explode so no
+    # doc-length join is needed later.
+    t = tokens("text")
+    tok = docs.select(
+        "doc_id", F.size(t).alias("dl"), F.explode(t).alias("term")
+    )
+    matched = tok.join(F.broadcast(qterms), "term")
+    tf = matched.groupBy("query_id", "term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
+
+    # df(t) over the full corpus, needed only for query terms — derived
+    # from the restricted post-agg frame (distinct (term, doc)).
+    dfreq = (
+        tf.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    # Corpus totals: a second, narrow scan (tokenize + size, no explode).
+    totals = docs.select(F.size(tokens("text")).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                # idf_scaled = SCALE * 2(N+1) DIV (2 df + 1); bounded by
+                # SCALE * 2(N+1) / 3 — decimal guards the product.
+                f"CAST(CAST({BM25_SCALE} AS DECIMAL(38,0)) * (2 * n_docs + 2)"
+                "     DIV (2 * df + 1) AS DECIMAL(38,0))"
+                # tf_part_scaled = SCALE * 44 L tf DIV (20 L tf + 6 L
+                #   + 18 dl N), bounded by SCALE * (k1+1) = 2.2e6.
+                f" * (CAST({BM25_SCALE} AS DECIMAL(38,0)) * 44 * total_len * tf"
+                "     DIV (CAST(20 AS DECIMAL(38,0)) * total_len * tf"
+                "          + 6 * total_len + 18 * dl * n_docs))"
+                f" DIV {BM25_SCALE}"
+            )
+            .cast("long")
+            .alias("term_score"),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score_scaled")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "score_scaled")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def bm25_topk_sql(
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES, k: int = 5
+) -> str:
+    """DuckDB replay of :func:`bm25_topk` — identical integer arithmetic
+    (HUGEINT stands in for DECIMAL(38,0), ``//`` for ``DIV``)."""
+    values = ", ".join(f"({qid}, '{text}')" for qid, text in queries)
+    return f"""
+WITH q(query_id, qtext) AS (VALUES {values}),
+qterms AS (
+  SELECT DISTINCT query_id, unnest(string_split_regex(trim(qtext), '\\s+')) AS term
+  FROM q
+),
+tok AS MATERIALIZED (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS dl,
+         unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT qt.query_id, qt.term, tok.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS tf, MIN(tok.dl) AS dl
+  FROM tok JOIN qterms qt USING (term)
+  GROUP BY 1, 2, 3
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS total_len
+  FROM documents
+),
+scored AS (
+  SELECT tf.query_id, tf.doc_id,
+         CAST(
+           (CAST({BM25_SCALE} AS HUGEINT) * (2 * t.n_docs + 2) // (2 * d.df + 1))
+           * (CAST({BM25_SCALE} AS HUGEINT) * 44 * t.total_len * tf.tf
+              // (CAST(20 AS HUGEINT) * t.total_len * tf.tf
+                  + 6 * t.total_len + 18 * tf.dl * t.n_docs))
+           // {BM25_SCALE}
+         AS BIGINT) AS term_score
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN totals t
+),
+per_doc AS (
+  SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_scaled
+  FROM scored GROUP BY 1, 2
+)
+SELECT query_id, rnk, doc_id, score_scaled FROM (
+  SELECT query_id, doc_id, score_scaled,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY score_scaled DESC, doc_id ASC) AS INT) AS rnk
+  FROM per_doc
+) WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""

@@ -22,6 +22,7 @@ from salesforce_prefect_etl_pipeline_spark import queries_llm  # noqa: F401
 from salesforce_prefect_etl_pipeline_spark import queries_sql  # noqa: F401
 from salesforce_prefect_etl_pipeline_spark import queries_streaming  # noqa: F401
 from salesforce_prefect_etl_pipeline_spark import queries_tpch  # noqa: F401
+from salesforce_prefect_etl_pipeline_spark import queries_train  # noqa: F401
 from salesforce_prefect_etl_pipeline_spark.queries_registry import ORACLES, QUERIES
 
 #: spec_* queries that duplicate the same plans/compiler.py path; the four
@@ -53,6 +54,9 @@ _PRIORITY = [
     "dedup_exact_substring",  # new (r13)
     "emb_pq_codes_panel",  # new (r13)
     "emb_semdedup_prune_panel",  # new (r13)
+    "text_bm25_topk",  # new (r13)
+    "text_bpe_train_merges",  # new (r13)
+    "text_perceptron_quality",  # new (r13)
     "spec_orders_missing_metric",  # r9
     "sql_correlated_exists",  # r9
     "sql_embedding_dim_stats",  # r9
@@ -97,9 +101,6 @@ _PRIORITY = [
     "grouping_sets_lineitem",  # r10
     "join_anti_customers_without_orders",  # r10
     "join_range_ship_within_30d",  # r10
-    "join_revenue_by_region",  # r10
-    "join_salted_revenue_by_priority",  # r10
-    "join_semi_customers_with_orders",  # r10
 ]
 
 

@@ -24,13 +24,35 @@ def test_final_line_is_compact_for_a_full_registry_worst_case():
     assert parsed["value"] == round(sum(timings.values()), 3)
 
 
-def test_final_line_headroom_for_registry_growth():
-    # 2x the current headline count at the current longest name length
-    # must still fit — growth should hit this assert in review, not the
-    # driver's buffer
+def test_current_headline_emits_with_zero_drops():
+    # The cap-by-construction truncation must be DORMANT at the current
+    # registry size even with every name at the real longest width and
+    # wide medians — HEADLINE growth that would start dropping entries
+    # should hit this assert in review, not silently thin the record.
     width = max(len(n) for n in bench.HEADLINE)
-    timings = {f"q{i:03d}".ljust(width, "x"): 123.456 for i in range(2 * len(bench.HEADLINE))}
-    assert len(bench.compact_line(timings, "1").encode()) <= bench.MAX_FINAL_LINE_BYTES
+    timings = {
+        f"q{i:03d}".ljust(width, "x"): 9999.999
+        for i in range(len(bench.HEADLINE))
+    }
+    parsed = json.loads(bench.compact_line(timings, "1"))
+    assert "queries_dropped" not in parsed
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
+
+
+def test_oversized_registry_truncates_cheapest_first_never_overflows():
+    # 5x growth: the line still fits the cap by construction, the FULL
+    # suite total survives, the kept entries are the most expensive
+    # ones, and the drop is flagged in-record.
+    timings = {f"q{i:04d}_{'x' * 30}": float(i) for i in range(5 * len(bench.HEADLINE))}
+    line = bench.compact_line(timings, "1")
+    assert len(line.encode()) <= bench.MAX_FINAL_LINE_BYTES
+    parsed = json.loads(line)
+    assert parsed["queries_dropped"] > 0
+    assert parsed["queries_dropped"] + len(parsed["queries"]) == len(timings)
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    kept_min = min(parsed["queries"].values())
+    dropped_max = max(v for n, v in timings.items() if n not in parsed["queries"])
+    assert kept_min >= dropped_max
 
 
 def test_designed_guards_are_bench_skips_not_crashes():

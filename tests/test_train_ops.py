@@ -1,0 +1,275 @@
+"""In-engine training + retrieval operators (operators/train.py,
+operators/retrieval.py): semantic pins the oracle can't provide.
+
+The DuckDB oracles replay the SAME algorithm, so an implementation bug
+shared by both sides passes the value-hash — these tests pin the
+algorithms against hand-computed ground truth (BPE merge sequences,
+sequential-replay perceptron, float-BM25 single-term ranking) and the
+one engine-parity primitive everything leans on (left-to-right
+non-overlapping literal `replace`).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from salesforce_prefect_etl_pipeline_spark.operators import retrieval, train
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _duck_docs(texts):
+    con = duckdb.connect()
+    values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {values}) t(doc_id, text)"
+    )
+    return con
+
+
+# ----------------------------------------------------------------------
+# replace(): the merge primitive's engine-parity contract
+
+
+@pytest.mark.parametrize(
+    ("s", "a", "b"),
+    [
+        ("a;a;a;a;a;", "a;a;", "aa;"),  # adjacent overlapping candidates
+        ("xyxyxyx", "xyx", "Z"),  # resume-after-match, odd tail
+        ("aaaa", "aa", "b"),  # self-overlap
+    ],
+)
+def test_replace_left_to_right_nonoverlap_matches_duckdb(spark, s, a, b):
+    got_spark = (
+        spark.range(1)
+        .select(F.replace(F.lit(s), F.lit(a), F.lit(b)).alias("r"))
+        .collect()[0][0]
+    )
+    got_duck = duckdb.sql(
+        "SELECT replace(?, ?, ?)", params=[s, a, b]
+    ).fetchone()[0]
+    assert got_spark == got_duck == s.replace(a, b)  # Python str.replace
+    # is the same left-to-right non-overlapping scan — three-way pin.
+
+
+# ----------------------------------------------------------------------
+# BPE merge training
+
+
+def test_bpe_planted_merge_sequence(spark):
+    """Hand-computed 4-merge sequence, including the two traps:
+
+    - step 2 tie (a,b)=2 vs (aa,a)=2 resolved by left-symbol order;
+    - step 4 proves (a,b) did NOT merge across the symbol boundary in
+      "aa|b" (a single-separator representation false-matches the 'a'
+      SUFFIX of symbol "aa" and would collapse "aa b" to "aab",
+      changing steps 3-4 — the double-separator scheme's whole point).
+    """
+    docs = _docs(spark, ["aaab aaab aab"])
+    got = [tuple(r) for r in train.bpe_train_merges(docs, n_merges=4).collect()]
+    assert got == [
+        (1, "a", "a", 5),
+        (2, "a", "b", 2),
+        (3, "aa", "ab", 2),
+        (4, "aa", "b", 1),
+    ]
+
+
+def test_bpe_adjacent_occurrences_all_merge(spark):
+    """BPE's greedy pass merges disjoint occurrences left-to-right:
+    "abab" -> (a,b) twice -> [ab, ab] -> step 2 merges (ab, ab)."""
+    docs = _docs(spark, ["abab abab"])
+    got = [tuple(r) for r in train.bpe_train_merges(docs, n_merges=2).collect()]
+    assert got == [(1, "a", "b", 4), (2, "ab", "ab", 2)]
+
+
+def test_bpe_odd_run_merges_greedily(spark):
+    """"aaa" has two overlapping (a,a) pairs but greedy left-to-right
+    merges only the first: [aa, a], counted 2 at step 1 (overlap-counted
+    like reference BPE), then (aa, a) at step 2."""
+    docs = _docs(spark, ["aaa aaa aaa"])
+    got = [tuple(r) for r in train.bpe_train_merges(docs, n_merges=2).collect()]
+    assert got == [(1, "a", "a", 6), (2, "aa", "a", 3)]
+
+
+def test_bpe_oracle_matches_on_planted_corpus(spark):
+    texts = ["aaab aaab aab", "abab low lower lowest", "aaa bb aab low"]
+    con = _duck_docs(texts)
+    want = con.execute(train.bpe_train_merges_sql(4)).fetchall()
+    got = [
+        tuple(r)
+        for r in train.bpe_train_merges(_docs(spark, texts), 4).collect()
+    ]
+    assert got == [tuple(r) for r in want]
+
+
+def test_bpe_exhausted_pairs_stop_early(spark):
+    """Single-char words only: no pairs ever, zero merge rows (both
+    engines produce the empty trajectory, not an error)."""
+    texts = ["a b c a b"]
+    got = train.bpe_train_merges(_docs(spark, texts), n_merges=3).collect()
+    assert got == []
+    con = _duck_docs(texts)
+    assert con.execute(train.bpe_train_merges_sql(3)).fetchall() == []
+
+
+# ----------------------------------------------------------------------
+# Batch perceptron
+
+
+def _py_perceptron(texts, dims, epochs):
+    """Sequential Python replay of the batch update — independent of
+    both engines (hashing replayed with hashlib)."""
+    import hashlib
+
+    def bucket(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % dims
+
+    feats, labels = [], []
+    for _i, t in enumerate(texts):
+        toks = t.split()
+        x = {-1: 1}
+        for tok in toks:
+            d = bucket(tok)
+            x[d] = x.get(d, 0) + 1
+        feats.append(x)
+        labels.append(1 if 2 * len(set(toks)) >= len(toks) else -1)
+    w = {d: 0 for d in range(-1, dims)}
+    out = []
+    for epoch in range(1, epochs + 1):
+        upd = {d: 0 for d in w}
+        for x, y in zip(feats, labels):
+            dot = sum(w[d] * v for d, v in x.items())
+            if y * dot <= 0:
+                for d, v in x.items():
+                    upd[d] += y * v
+        for d in w:
+            w[d] += upd[d]
+        out.extend((epoch, d, w[d]) for d in sorted(w))
+    return out
+
+
+def test_perceptron_matches_sequential_replay(spark):
+    texts = [
+        "key agg row scan slow fast table",
+        "a a a a a a a a b",  # repetitive -> y = -1
+        "spark join merge batch window sort",
+        "the the the the table table",  # repetitive -> y = -1
+        "customer query big small line value",
+    ]
+    got = [
+        tuple(r)
+        for r in train.perceptron_train(
+            _docs(spark, texts), dims=8, epochs=3
+        ).collect()
+    ]
+    assert got == _py_perceptron(texts, dims=8, epochs=3)
+
+
+def test_perceptron_epoch1_update_is_full_gradient(spark):
+    """With w0 = 0 every margin is 0 (misclassified), so epoch 1's
+    weights must equal sum_docs y * x exactly."""
+    texts = ["a b c d e f", "g g g g g g g g"]
+    got = {
+        (r.d): r.w
+        for r in train.perceptron_train(
+            _docs(spark, texts), dims=4, epochs=1
+        ).collect()
+    }
+    expect = {d: 0 for d in range(-1, 4)}
+    for _e, d, w in _py_perceptron(texts, dims=4, epochs=1):
+        expect[d] = w
+    assert got == expect
+
+
+def test_perceptron_oracle_matches_on_planted_corpus(spark):
+    texts = ["a b c a b", "z z z z z z", "spark join slow fast"]
+    con = _duck_docs(texts)
+    want = con.execute(train.perceptron_train_sql(dims=32, epochs=3)).fetchall()
+    got = [
+        tuple(r)
+        for r in train.perceptron_train(
+            _docs(spark, texts), dims=32, epochs=3
+        ).collect()
+    ]
+    assert got == [tuple(r) for r in want]
+
+
+# ----------------------------------------------------------------------
+# BM25
+
+
+def _py_bm25_single_term(texts, term, k1=1.2, b=0.75):
+    """Float log-BM25 ranking for a single-term query (the exact-match
+    contract: per-term the rational scorer is a monotone transform)."""
+    import math
+
+    toks = [t.split() for t in texts]
+    n = len(texts)
+    avgdl = sum(len(t) for t in toks) / n
+    df = sum(1 for t in toks if term in t)
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+    scores = {}
+    for i, t in enumerate(toks):
+        tf = t.count(term)
+        if tf:
+            scores[i] = idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(t) / avgdl)
+            )
+    return sorted(scores, key=lambda i: (-scores[i], i))
+
+
+def test_bm25_single_term_ranking_matches_float_bm25(spark):
+    texts = [
+        "spark spark spark join",  # high tf, short
+        "spark join merge batch window sort table value",  # tf 1, long
+        "spark spark join merge",  # tf 2
+        "row scan table",  # no hit: absent
+        "spark " * 30 + "join",  # tf 30 but very long (saturation)
+    ]
+    out = retrieval.bm25_topk(
+        _docs(spark, texts), spark, queries=((1, "spark"),), k=10
+    ).collect()
+    got = [r.doc_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert got == _py_bm25_single_term(texts, "spark")
+    assert 3 not in got  # doc without the term never appears
+
+
+def test_bm25_multi_term_coverage_beats_single_term(spark):
+    """A doc matching both query terms outranks same-length docs
+    matching one term once (scores add across terms)."""
+    texts = [
+        "spark join table value",  # both terms
+        "spark row table value",  # one term
+        "join row table value",  # one term
+        "row scan line value",  # none
+    ]
+    out = retrieval.bm25_topk(
+        _docs(spark, texts), spark, queries=((1, "spark join"),), k=10
+    ).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert ranked[0] == 0
+    assert set(ranked) == {0, 1, 2}
+
+
+def test_bm25_oracle_matches_on_planted_corpus(spark):
+    texts = [
+        "spark join slow",
+        "window stream agg window stream",
+        "customer query big table customer",
+        "row scan line value part",
+        "spark spark spark join join slow fast",
+    ]
+    con = _duck_docs(texts)
+    want = con.execute(retrieval.bm25_topk_sql()).fetchall()
+    got = [
+        tuple(r)
+        for r in retrieval.bm25_topk(_docs(spark, texts), spark).collect()
+    ]
+    assert got == [tuple(r) for r in want]
