@@ -136,6 +136,11 @@ HEADLINE = [
     "text_bm25_topk",
     "text_bpe_train_merges",
     "text_perceptron_quality",
+    # ... and the persisted-index probe beside the direct scan form
+    # (build warmed untimed like the IVF/minhash indexes — the probe's
+    # bucket-pruned read is the 100 TB row). text_bpe_encode stays out:
+    # it recomposes the benched training loop plus one corpus join.
+    "text_bm25_indexed",
 ]
 
 
@@ -213,6 +218,12 @@ def main() -> None:
     # Same offline/online split for the LSH index: the probe row
     # measures PROBE cost, the one-time corpus signing is not timed.
     ensure_minhash_index(spark, sf_dir)
+    # ... and for the BM25 inverted index (text_bm25_indexed probes it).
+    from salesforce_prefect_etl_pipeline_spark.queries_train import (
+        ensure_text_index,
+    )
+
+    ensure_text_index(spark, sf_dir)
 
     from salesforce_prefect_etl_pipeline_spark.queries_llm import _minhash_pairs_cached
 

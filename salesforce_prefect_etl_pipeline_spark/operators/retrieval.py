@@ -64,50 +64,18 @@ BM25_QUERIES: tuple[tuple[int, str], ...] = (
 BM25_SCALE = 1_000_000
 
 
-def bm25_topk(
-    docs: DataFrame,
-    spark: SparkSession,
-    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
-    k: int = 5,
-) -> DataFrame:
-    """Top-``k`` documents per query under integer-exact BM25.
-
-    Returns (query_id, rnk, doc_id, score_scaled) ordered by
-    (query_id, rnk); ties within a query break on doc_id ascending.
-    Documents sharing no term with a query never appear (score 0 rows
-    are not emitted — standard inverted-index behavior).
-    """
-    qdf = spark.createDataFrame(list(queries), "query_id int, qtext string")
-    qterms = qdf.select(
-        "query_id", F.explode(tokens("qtext")).alias("term")
-    ).distinct()
-
-    # One corpus pass: per-doc length rides through the explode so no
-    # doc-length join is needed later.
-    t = tokens("text")
-    tok = docs.select(
-        "doc_id", F.size(t).alias("dl"), F.explode(t).alias("term")
-    )
-    matched = tok.join(F.broadcast(qterms), "term")
-    tf = matched.groupBy("query_id", "term", "doc_id").agg(
-        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
-    )
-
-    # df(t) over the full corpus, needed only for query terms — derived
-    # from the restricted post-agg frame (distinct (term, doc)).
+def _score_topk(tf: DataFrame, totals: DataFrame, k: int) -> DataFrame:
+    """The shared scorer: from a restricted per-(query, term, doc) tf
+    frame (columns query_id, term, doc_id, tf, dl) and a 1-row totals
+    frame (n_docs, total_len), produce the ranked top-k. df(t) is
+    derived from the restricted frame itself — one posting row per
+    (term, doc) over the whole corpus, so the count is the true df."""
     dfreq = (
         tf.select("term", "doc_id")
         .distinct()
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-
-    # Corpus totals: a second, narrow scan (tokenize + size, no explode).
-    totals = docs.select(F.size(tokens("text")).alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_len"),
-    )
-
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(totals))
@@ -142,6 +110,127 @@ def bm25_topk(
         .select("query_id", "rnk", "doc_id", "score_scaled")
         .orderBy("query_id", "rnk")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    spark: SparkSession,
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` documents per query under integer-exact BM25.
+
+    Returns (query_id, rnk, doc_id, score_scaled) ordered by
+    (query_id, rnk); ties within a query break on doc_id ascending.
+    Documents sharing no term with a query never appear (score 0 rows
+    are not emitted — standard inverted-index behavior).
+    """
+    qdf = spark.createDataFrame(list(queries), "query_id int, qtext string")
+    qterms = qdf.select(
+        "query_id", F.explode(tokens("qtext")).alias("term")
+    ).distinct()
+
+    # One corpus pass: per-doc length rides through the explode so no
+    # doc-length join is needed later.
+    t = tokens("text")
+    tok = docs.select(
+        "doc_id", F.size(t).alias("dl"), F.explode(t).alias("term")
+    )
+    matched = tok.join(F.broadcast(qterms), "term")
+    tf = matched.groupBy("query_id", "term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
+
+    # Corpus totals: a second, narrow scan (tokenize + size, no explode).
+    totals = docs.select(F.size(tokens("text")).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    return _score_topk(tf, totals, k)
+
+
+# ----------------------------------------------------------------------
+# Persisted inverted index: build once, probe with partition pruning —
+# the offline/online split build_ivf_index gives ANN (similarity.py),
+# here for lexical search. At 100 TB the corpus is tokenized and
+# written ONCE; every probe reads only the query terms' md5 buckets.
+
+#: Posting-list partition count. Each probe reads at most
+#: |distinct query terms| of these partitions via static pruning.
+TEXT_INDEX_BUCKETS = 32
+
+
+def _term_bucket_py(term: str) -> int:
+    """Driver-side twin of the bucket expression (hashlib md5 == both
+    engines' md5): probes compute their buckets BEFORE the scan, so the
+    partition filter is a static literal — pruning guaranteed at plan
+    time, no DPP dependence."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % TEXT_INDEX_BUCKETS
+
+
+def build_text_index(docs: DataFrame, index_dir: str) -> None:
+    """Persist the BM25 inverted index: posting lists
+    (term, doc_id, tf, dl) as parquet PARTITIONED BY the term's md5
+    bucket, plus the 1-row corpus totals. df(t) is intentionally not
+    stored — it's the posting-row count per term, recomputed exactly
+    from the pruned read at probe time (a probe touches every posting
+    of its terms anyway), keeping the index maintenance-free under
+    document appends to unrelated terms."""
+    t = tokens("text")
+    tok = docs.select(
+        "doc_id", F.size(t).alias("dl"), F.explode(t).alias("term")
+    )
+    postings = (
+        tok.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        .withColumn(
+            "bucket",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+                % TEXT_INDEX_BUCKETS
+            ).cast("int"),
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/postings"
+    )
+    totals = docs.select(F.size(tokens("text")).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    totals.write.mode("overwrite").parquet(f"{index_dir}/totals")
+
+
+def probe_text_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` per query from the persisted index — bit-identical to
+    :func:`bm25_topk` over the same corpus (pytest-pinned), but reading
+    only the query terms' bucket partitions instead of scanning and
+    tokenizing the corpus."""
+    qterm_rows = sorted(
+        {
+            (qid, term)
+            for qid, text in queries
+            for term in text.split()
+            if term
+        }
+    )
+    buckets = sorted({_term_bucket_py(t) for _, t in qterm_rows})
+    postings = spark.read.parquet(f"{index_dir}/postings").filter(
+        F.col("bucket").isin([int(b) for b in buckets])
+    )
+    qdf = spark.createDataFrame(qterm_rows, "query_id int, term string")
+    tf = postings.join(F.broadcast(qdf), "term").select(
+        "query_id", "term", "doc_id", "tf", "dl"
+    )
+    totals = spark.read.parquet(f"{index_dir}/totals")
+    return _score_topk(tf, totals, k)
 
 
 def bm25_topk_sql(

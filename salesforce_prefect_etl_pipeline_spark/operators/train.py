@@ -71,23 +71,15 @@ def _word_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_merges(docs: DataFrame, n_merges: int = 4) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merges from the corpus.
-
-    Returns (step, left_sym, right_sym, pair_cnt) ordered by step: at
-    each step the adjacent symbol pair with the highest frequency-
-    weighted count (ties: left then right symbol ascending) is recorded
-    and merged in every word. If the corpus runs out of pairs early the
-    output simply has fewer than ``n_merges`` rows (both engines).
-
-    Words are the whitespace tokens; initial symbols are single chars.
-    The distributed iteration state is the vocabulary-sized
-    (symbol-string, count) frame, cached once — each step is one
-    explode+agg over it plus a 1-row TakeOrdered argmax broadcast back
-    into a `replace`. The corpus itself is scanned exactly once.
-    """
+def _bpe_train(
+    docs: DataFrame, n_merges: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """The shared training loop: returns (per-step 1-row argmax frames,
+    final encoded vocabulary frame (word, sym, cnt)) — ``bpe_train_merges``
+    reports the former, ``bpe_encode_stats`` applies the latter."""
     sep2 = BPE_SEP + BPE_SEP
     cur = _word_counts(docs).select(
+        "word",
         F.concat(
             F.regexp_replace("word", "(.)", sep2 + "$1"), F.lit(sep2)
         ).alias("sym"),
@@ -133,6 +125,7 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 4) -> DataFrame:
                 )
             )
             .select(
+                "word",
                 F.replace(
                     F.col("sym"),
                     F.concat(
@@ -147,17 +140,71 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 4) -> DataFrame:
             # chain from the corpus scan per reference.
             .localCheckpoint(eager=False)
         )
+    return steps, cur
+
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = 4) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus.
+
+    Returns (step, left_sym, right_sym, pair_cnt) ordered by step: at
+    each step the adjacent symbol pair with the highest frequency-
+    weighted count (ties: left then right symbol ascending) is recorded
+    and merged in every word. If the corpus runs out of pairs early the
+    output simply has fewer than ``n_merges`` rows (both engines).
+
+    Words are the whitespace tokens; initial symbols are single chars.
+    The distributed iteration state is the vocabulary-sized
+    (word, symbol-string, count) frame, cached once — each step is one
+    explode+agg over it plus a 1-row TakeOrdered argmax broadcast back
+    into a `replace`. The corpus itself is scanned exactly once.
+    """
+    steps, _ = _bpe_train(docs, n_merges)
     out = steps[0]
     for s in steps[1:]:
         out = out.unionAll(s)
     return out.orderBy("step")
 
 
+def bpe_encode_stats(docs: DataFrame, n_merges: int = 4) -> DataFrame:
+    """Train-then-APPLY: encode every document with the learned merge
+    table and report the per-document compression — (doc_id, n_words,
+    n_bpe_tokens), ordered by doc_id. The tokenizer lifecycle's second
+    half: ``bpe_train_merges`` is fit, this is transform.
+
+    The encoding work is VOCABULARY-shaped, not corpus-shaped: the
+    trained loop's final (word, sym) frame already encodes every
+    distinct word, so applying the tokenizer is one corpus explode
+    joined against that frame (AQE picks broadcast when the vocabulary
+    fits) and a per-doc sum of symbol counts — no per-document merge
+    replay. Words excluded from training (empty, separator-bearing)
+    drop out of both counts via the inner join, identically in the SQL
+    replay."""
+    from salesforce_prefect_etl_pipeline_spark.operators.text import tokens
+
+    _, vocab = _bpe_train(docs, n_merges)
+    sep2 = BPE_SEP + BPE_SEP
+    enc = vocab.select(
+        "word",
+        (F.size(F.split(F.col("sym"), sep2)) - 2).cast("long").alias("n_sym"),
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    return (
+        tok.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: chr(31) || chr(31) — the double separator, as a SQL fragment.
 _S2 = "chr(31) || chr(31)"
 
 _WORDS0_SQL = f"""
-  SELECT regexp_replace(word, '(.)', {_S2} || '\\1', 'g') || {_S2} AS sym, cnt
+  SELECT word,
+         regexp_replace(word, '(.)', {_S2} || '\\1', 'g') || {_S2} AS sym, cnt
   FROM (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
       SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
@@ -168,10 +215,9 @@ _WORDS0_SQL = f"""
 """
 
 
-def bpe_train_merges_sql(n_merges: int = 4) -> str:
-    """DuckDB replay of :func:`bpe_train_merges`: the fixed merge count
-    unrolls into chained CTEs, each re-deriving pairs from the previous
-    vocabulary and applying the same literal `replace` merge."""
+def _bpe_ctes(n_merges: int) -> str:
+    """The shared unrolled CTE chain ``w0 .. w{n_merges}`` (+ per-step
+    ``p{i}``/``b{i}``) both replays build on."""
     out = [f"WITH w0 AS MATERIALIZED ({_WORDS0_SQL})"]
     for i in range(1, n_merges + 1):
         out.append(
@@ -190,17 +236,43 @@ p{i} AS (
 b{i} AS (SELECT a, b, pair_cnt FROM p{i}
          ORDER BY pair_cnt DESC, a ASC, b ASC LIMIT 1),
 w{i} AS MATERIALIZED (
-  SELECT replace(sym, chr(31) || bb.a || {_S2} || bb.b || chr(31),
-                      chr(31) || bb.a || bb.b || chr(31)) AS sym, cnt
+  SELECT word, replace(sym, chr(31) || bb.a || {_S2} || bb.b || chr(31),
+                            chr(31) || bb.a || bb.b || chr(31)) AS sym, cnt
   FROM w{i - 1}, b{i} bb
 )"""
         )
+    return "".join(out)
+
+
+def bpe_train_merges_sql(n_merges: int = 4) -> str:
+    """DuckDB replay of :func:`bpe_train_merges`: the fixed merge count
+    unrolls into chained CTEs, each re-deriving pairs from the previous
+    vocabulary and applying the same literal `replace` merge."""
     union = "\nUNION ALL ".join(
         f"SELECT {i} AS step, a AS left_sym, b AS right_sym, pair_cnt FROM b{i}"
         for i in range(1, n_merges + 1)
     )
-    out.append(f"\nSELECT * FROM ({union}) ORDER BY step")
-    return "".join(out)
+    return f"{_bpe_ctes(n_merges)}\nSELECT * FROM ({union}) ORDER BY step"
+
+
+def bpe_encode_stats_sql(n_merges: int = 4) -> str:
+    """DuckDB replay of :func:`bpe_encode_stats`: the same training
+    chain, then the final vocabulary applied to the corpus tokens."""
+    return f"""{_bpe_ctes(n_merges)},
+enc AS (
+  SELECT word,
+         CAST(len(string_split(sym, {_S2})) - 2 AS BIGINT) AS n_sym
+  FROM w{n_merges}
+),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+FROM tok JOIN enc USING (word)
+GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 # ----------------------------------------------------------------------

@@ -54,7 +54,9 @@ _PRIORITY = [
     "dedup_exact_substring",  # new (r13)
     "emb_pq_codes_panel",  # new (r13)
     "emb_semdedup_prune_panel",  # new (r13)
+    "text_bm25_indexed",  # new (r13)
     "text_bm25_topk",  # new (r13)
+    "text_bpe_encode",  # new (r13)
     "text_bpe_train_merges",  # new (r13)
     "text_perceptron_quality",  # new (r13)
     "spec_orders_missing_metric",  # r9
@@ -99,8 +101,6 @@ _PRIORITY = [
     "events_zorder_layout",  # r10
     "graph_nation_pagerank",  # r10
     "grouping_sets_lineitem",  # r10
-    "join_anti_customers_without_orders",  # r10
-    "join_range_ship_within_30d",  # r10
 ]
 
 

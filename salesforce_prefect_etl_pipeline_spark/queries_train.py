@@ -10,12 +10,42 @@ the fixed iteration count into chained CTEs, same discipline as
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from salesforce_prefect_etl_pipeline_spark.operators import retrieval, train
 from salesforce_prefect_etl_pipeline_spark.plans.compiler import load_table
 from salesforce_prefect_etl_pipeline_spark.queries_llm import _spread_scan
 from salesforce_prefect_etl_pipeline_spark.queries_registry import register_query
+
+#: Persisted inverted-index root (one subdir per testdata dir, like
+#: queries_llm's IVF/minhash index roots).
+TEXT_INDEX_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), ".text_index"
+)
+
+
+def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted BM25 inverted index for a testdata dir once
+    per source version; return its path. Same offline-build /
+    online-probe contract and mtime-staleness rule as
+    ``queries_llm.ensure_ivf_index`` — probing an index persisted
+    before the source documents file was (re)written silently serves
+    deleted data, so it is rebuilt instead."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(
+        TEXT_INDEX_ROOT, f"{tag}-b{retrieval.TEXT_INDEX_BUCKETS}"
+    )
+    success = os.path.join(index_dir, "totals", "_SUCCESS")
+    stale = os.path.exists(success) and os.path.getmtime(
+        success
+    ) < os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    if stale or not os.path.exists(success):
+        retrieval.build_text_index(
+            _spread_scan(load_table(spark, sf_dir, "documents")), index_dir
+        )
+    return index_dir
 
 
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,7 +69,28 @@ def text_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.perceptron_train(docs, epochs=3)
 
 
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same BM25 top-5 via the PERSISTED inverted index: bucket-
+    pruned posting reads instead of a corpus scan. Bit-identical output
+    to text_bm25_topk (the index is lossless), so the oracle is the
+    same full replay — the value-hash proves the whole
+    build->partition->prune->probe lifecycle."""
+    index_dir = ensure_text_index(spark, sf_dir)
+    return retrieval.probe_text_index(spark, index_dir)
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fit->transform: per-document word/BPE-token counts
+    after applying the 4 learned merges (operators/train.py)."""
+    docs = _spread_scan(load_table(spark, sf_dir, "documents"))
+    return train.bpe_encode_stats(docs, n_merges=4)
+
+
 register_query("text_bm25_topk", text_bm25_topk, retrieval.bm25_topk_sql())
+register_query("text_bm25_indexed", text_bm25_indexed, retrieval.bm25_topk_sql())
+register_query(
+    "text_bpe_encode", text_bpe_encode, train.bpe_encode_stats_sql(n_merges=4)
+)
 register_query(
     "text_bpe_train_merges",
     text_bpe_train_merges,

@@ -258,6 +258,67 @@ def test_bm25_multi_term_coverage_beats_single_term(spark):
     assert set(ranked) == {0, 1, 2}
 
 
+def test_bm25_index_probe_identical_to_direct_and_prunes(spark, tmp_path):
+    """The persisted inverted index is lossless: probe == direct over
+    the same corpus — and the probe's posting scan carries a
+    PartitionFilters bucket predicate (static pruning, not DPP) that
+    touches fewer buckets than exist."""
+    import contextlib
+    import io
+
+    texts = [
+        "spark join slow window",
+        "window stream agg window stream",
+        "customer query big table customer spark",
+        "row scan line value part",
+        "spark spark spark join join slow fast",
+        "merge batch sort filter group",
+    ]
+    docs = _docs(spark, texts)
+    index_dir = str(tmp_path / "bm25")
+    retrieval.build_text_index(docs, index_dir)
+
+    probe = retrieval.probe_text_index(spark, index_dir)
+    direct = retrieval.bm25_topk(docs, spark)
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+
+    qterms = {
+        t for _, text in retrieval.BM25_QUERIES for t in text.split()
+    }
+    buckets = {retrieval._term_bucket_py(t) for t in qterms}
+    assert len(buckets) < retrieval.TEXT_INDEX_BUCKETS
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+
+
+def test_bpe_encode_counts_match_hand_computation(spark):
+    """Encode with 2 learned merges on the planted corpus: merges are
+    (a,a) then (a,b) (see test_bpe_planted_merge_sequence), so
+    aaab -> [aa, ab] (2 symbols) and aab -> [aa, b] (2 symbols)."""
+    docs = _docs(spark, ["aaab aaab aab"])
+    got = [tuple(r) for r in train.bpe_encode_stats(docs, n_merges=2).collect()]
+    assert got == [(0, 3, 6)]  # 3 words, 2+2+2 BPE tokens
+    # with all 4 merges every word collapses to one symbol
+    got4 = [tuple(r) for r in train.bpe_encode_stats(docs, n_merges=4).collect()]
+    assert got4 == [(0, 3, 3)]
+
+
+def test_bpe_encode_oracle_matches_on_planted_corpus(spark):
+    texts = ["aaab aaab aab", "abab low lower lowest", "aaa bb aab low"]
+    con = _duck_docs(texts)
+    want = con.execute(train.bpe_encode_stats_sql(3)).fetchall()
+    got = [
+        tuple(r)
+        for r in train.bpe_encode_stats(_docs(spark, texts), 3).collect()
+    ]
+    assert got == [tuple(r) for r in want]
+
+
 def test_bm25_oracle_matches_on_planted_corpus(spark):
     texts = [
         "spark join slow",
