@@ -64,20 +64,28 @@ BM25_QUERIES: tuple[tuple[int, str], ...] = (
 BM25_SCALE = 1_000_000
 
 
-def _score_topk(tf: DataFrame, totals: DataFrame, k: int) -> DataFrame:
-    """The shared scorer: from a restricted per-(query, term, doc) tf
-    frame (columns query_id, term, doc_id, tf, dl) and a 1-row totals
-    frame (n_docs, total_len), produce the ranked top-k. df(t) is
-    derived from the restricted frame itself — one posting row per
-    (term, doc) over the whole corpus, so the count is the true df."""
-    dfreq = (
-        tf.select("term", "doc_id")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+def _score_topk(
+    tf0: DataFrame, qterms: DataFrame, totals: DataFrame, k: int
+) -> DataFrame:
+    """The shared scorer: from a restricted per-(term, doc) posting
+    frame ``tf0`` (columns term, doc_id, tf, dl — one row per (term,
+    doc) over the whole corpus, restricted to query terms), the tiny
+    (query_id, term) frame, and a 1-row totals frame (n_docs,
+    total_len), produce the ranked top-k.
+
+    df(t) is a COUNT window over the posting frame itself (rows are
+    distinct (term, doc), so the term-partition row count IS the true
+    df) — deriving it as a separate aggregate branch would re-execute
+    the whole upstream subtree per Catalyst's no-CSE-across-branches
+    rule, measured as a second corpus explode in the executed plan
+    (same trap ``text.tfidf_top_terms`` documents)."""
+    from pyspark.sql.window import Window as _W
+
+    with_df = tf0.withColumn(
+        "df", F.count(F.lit(1)).over(_W.partitionBy("term"))
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        with_df.join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(totals))
         .select(
             "query_id",
@@ -130,23 +138,27 @@ def bm25_topk(
         "query_id", F.explode(tokens("qtext")).alias("term")
     ).distinct()
 
-    # One corpus pass: per-doc length rides through the explode so no
-    # doc-length join is needed later.
+    # One corpus explode pass: per-doc length rides through the explode
+    # so no doc-length join is needed later, and the broadcast
+    # distinct-term restriction lands BEFORE the tf aggregation.
     t = tokens("text")
     tok = docs.select(
         "doc_id", F.size(t).alias("dl"), F.explode(t).alias("term")
     )
-    matched = tok.join(F.broadcast(qterms), "term")
-    tf = matched.groupBy("query_id", "term", "doc_id").agg(
+    matched = tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+    tf0 = matched.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
     )
 
-    # Corpus totals: a second, narrow scan (tokenize + size, no explode).
+    # Corpus totals: a second, narrow pass (tokenize + size, no
+    # explode) — the honest minimum for exact N and L on a cold corpus;
+    # the persisted-index form (probe_text_index) reads them from the
+    # index and needs no corpus pass at all.
     totals = docs.select(F.size(tokens("text")).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
     )
-    return _score_topk(tf, totals, k)
+    return _score_topk(tf0, qterms, totals, k)
 
 
 # ----------------------------------------------------------------------
@@ -222,15 +234,16 @@ def probe_text_index(
         }
     )
     buckets = sorted({_term_bucket_py(t) for _, t in qterm_rows})
-    postings = spark.read.parquet(f"{index_dir}/postings").filter(
-        F.col("bucket").isin([int(b) for b in buckets])
-    )
+    terms = sorted({t for _, t in qterm_rows})
     qdf = spark.createDataFrame(qterm_rows, "query_id int, term string")
-    tf = postings.join(F.broadcast(qdf), "term").select(
-        "query_id", "term", "doc_id", "tf", "dl"
+    tf0 = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket").isin([int(b) for b in buckets]))
+        .filter(F.col("term").isin(terms))
+        .select("term", "doc_id", "tf", "dl")
     )
     totals = spark.read.parquet(f"{index_dir}/totals")
-    return _score_topk(tf, totals, k)
+    return _score_topk(tf0, qdf, totals, k)
 
 
 def bm25_topk_sql(
