@@ -339,7 +339,11 @@ def perceptron_train(
     """
     feats = _features(docs, dims)
     feats.cache()
+    # labels join into every epoch's misclassification filter — cached
+    # like feats, else each epoch re-runs the corpus tokenize +
+    # array_distinct pass that derives the weak label.
     labels = _labels(docs)
+    labels.cache()
     spark = docs.sparkSession
     w = spark.range(-1, dims).select(
         F.col("id").alias("d"), F.lit(0).cast("long").alias("w")
