@@ -182,19 +182,12 @@ def _term_bucket_py(term: str) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % TEXT_INDEX_BUCKETS
 
 
-def build_text_index(docs: DataFrame, index_dir: str) -> None:
-    """Persist the BM25 inverted index: posting lists
-    (term, doc_id, tf, dl) as parquet PARTITIONED BY the term's md5
-    bucket, plus the 1-row corpus totals. df(t) is intentionally not
-    stored — it's the posting-row count per term, recomputed exactly
-    from the pruned read at probe time (a probe touches every posting
-    of its terms anyway), keeping the index maintenance-free under
-    document appends to unrelated terms."""
+def _postings(docs: DataFrame) -> DataFrame:
     t = tokens("text")
     tok = docs.select(
         "doc_id", F.size(t).alias("dl"), F.explode(t).alias("term")
     )
-    postings = (
+    return (
         tok.groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
         .withColumn(
@@ -205,14 +198,46 @@ def build_text_index(docs: DataFrame, index_dir: str) -> None:
             ).cast("int"),
         )
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{index_dir}/postings"
-    )
-    totals = docs.select(F.size(tokens("text")).alias("dl")).agg(
+
+
+def _batch_totals(docs: DataFrame) -> DataFrame:
+    return docs.select(F.size(tokens("text")).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
     )
-    totals.write.mode("overwrite").parquet(f"{index_dir}/totals")
+
+
+def build_text_index(docs: DataFrame, index_dir: str) -> None:
+    """Persist the BM25 inverted index: posting lists
+    (term, doc_id, tf, dl) as parquet PARTITIONED BY the term's md5
+    bucket, plus per-batch corpus totals. df(t) is intentionally not
+    stored — it's the posting-row count per term, recomputed exactly
+    from the pruned read at probe time (a probe touches every posting
+    of its terms anyway), keeping the index maintenance-free under
+    document appends to unrelated terms.
+
+    Totals are APPEND-ONLY batch rows the probe sums, never a
+    read-modify-write: :func:`append_text_index` can then grow the
+    index with two pure parquet appends — crash-safe without any swap
+    machinery, since a torn append leaves at most a missing batch, not
+    a corrupted one."""
+    _postings(docs).write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/postings"
+    )
+    _batch_totals(docs).write.mode("overwrite").parquet(f"{index_dir}/totals")
+
+
+def append_text_index(new_docs: DataFrame, index_dir: str) -> None:
+    """Incrementally index NEW documents (disjoint doc_ids by contract,
+    the ``append_ivf_vectors`` analog): their postings append into the
+    touched bucket partitions only, and one totals batch row appends
+    alongside. Probes see the union — pytest pins append == monolithic
+    build bit-for-bit. O(increment) work; the existing corpus is never
+    re-read."""
+    _postings(new_docs).write.mode("append").partitionBy("bucket").parquet(
+        f"{index_dir}/postings"
+    )
+    _batch_totals(new_docs).write.mode("append").parquet(f"{index_dir}/totals")
 
 
 def probe_text_index(
@@ -242,7 +267,11 @@ def probe_text_index(
         .filter(F.col("term").isin(terms))
         .select("term", "doc_id", "tf", "dl")
     )
-    totals = spark.read.parquet(f"{index_dir}/totals")
+    # per-batch rows summed (append-only totals; see build_text_index)
+    totals = spark.read.parquet(f"{index_dir}/totals").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_len").cast("long").alias("total_len"),
+    )
     return _score_topk(tf0, qdf, totals, k)
 
 

@@ -69,6 +69,46 @@ def text_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.perceptron_train(docs, epochs=3)
 
 
+def ensure_text_index_appended(spark: SparkSession, sf_dir: str) -> str:
+    """An index built INCREMENTALLY — ~80% of documents in the initial
+    build, the rest via ``append_text_index`` (md5 doc_id split, the
+    ann_ivf_probe_appended recipe) — so the registered probe
+    value-verifies the whole incremental-maintenance path: its end
+    state must equal the monolithic index bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(
+        TEXT_INDEX_ROOT, f"{tag}-b{retrieval.TEXT_INDEX_BUCKETS}-appended"
+    )
+    success = os.path.join(index_dir, "totals", "_SUCCESS")
+    stale = os.path.exists(success) and os.path.getmtime(
+        success
+    ) < os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    if stale or not os.path.exists(success):
+        docs = _spread_scan(load_table(spark, sf_dir, "documents"))
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        retrieval.build_text_index(docs.filter(bucket < 80), index_dir)
+        retrieval.append_text_index(docs.filter(bucket >= 80), index_dir)
+    return index_dir
+
+
+def text_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 probe over the incrementally-built index (80% build +
+    20% append): bit-identical to the monolithic-index probe and the
+    direct scan, so it shares the same full-replay oracle — the
+    value-hash proves append_text_index's end-state equivalence."""
+    index_dir = ensure_text_index_appended(spark, sf_dir)
+    return retrieval.probe_text_index(spark, index_dir)
+
+
 def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same BM25 top-5 via the PERSISTED inverted index: bucket-
     pruned posting reads instead of a corpus scan. Bit-identical output
@@ -88,6 +128,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register_query("text_bm25_topk", text_bm25_topk, retrieval.bm25_topk_sql())
 register_query("text_bm25_indexed", text_bm25_indexed, retrieval.bm25_topk_sql())
+register_query("text_bm25_appended", text_bm25_appended, retrieval.bm25_topk_sql())
 register_query(
     "text_bpe_encode", text_bpe_encode, train.bpe_encode_stats_sql(n_merges=4)
 )

@@ -296,6 +296,34 @@ def test_bm25_index_probe_identical_to_direct_and_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan, plan
 
 
+def test_bm25_append_equals_monolithic_build(spark, tmp_path):
+    """build(all) and build(some)+append(rest) must be probe-identical
+    (the append_ivf_vectors identity, lexical edition) — including the
+    summed append-only totals."""
+    texts = [
+        "spark join slow window",
+        "window stream agg window stream",
+        "customer query big table customer spark",
+        "row scan line value part",
+        "spark spark spark join join slow fast",
+        "merge batch sort filter group",
+    ]
+    docs = _docs(spark, texts)
+    mono_dir = str(tmp_path / "mono")
+    incr_dir = str(tmp_path / "incr")
+    retrieval.build_text_index(docs, mono_dir)
+    retrieval.build_text_index(docs.filter("doc_id < 4"), incr_dir)
+    retrieval.append_text_index(docs.filter("doc_id >= 4"), incr_dir)
+    mono = [
+        tuple(r) for r in retrieval.probe_text_index(spark, mono_dir).collect()
+    ]
+    incr = [
+        tuple(r) for r in retrieval.probe_text_index(spark, incr_dir).collect()
+    ]
+    assert mono == incr
+    assert mono  # non-vacuous
+
+
 def test_bpe_encode_counts_match_hand_computation(spark):
     """Encode with 2 learned merges on the planted corpus: merges are
     (a,a) then (a,b) (see test_bpe_planted_merge_sequence), so
