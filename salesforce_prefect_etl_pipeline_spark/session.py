@@ -83,9 +83,24 @@ def get_spark(
         # JVM unified logging defaults to STDOUT; under memory pressure
         # the [gc,alloc] GCLocker warnings interleave with bench.py's
         # one-line JSON contract (observed at sf10) and can corrupt the
-        # driver's last-line capture. Logs belong on stderr.
+        # driver's last-line capture. Logs belong on stderr. Kept for
+        # cluster submit paths; in LOCAL mode this conf is inert (the
+        # gateway JVM is already running when the builder applies it) —
+        # the env hook below is what actually routes it.
         "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr",
     }
+    # The conf above cannot reach a local-mode driver JVM (r13: a
+    # shutdown-time GCLocker warning still landed on stdout AFTER the
+    # bench's final JSON line at sf10, stealing the driver's last-line
+    # capture). JAVA_TOOL_OPTIONS is read by the JVM itself at launch,
+    # so set it BEFORE the first py4j touch starts the gateway; the
+    # "Picked up JAVA_TOOL_OPTIONS" notice goes to stderr. No-op when
+    # the JVM is already up or the operator set their own value.
+    if "-Xlog" not in os.environ.get("JAVA_TOOL_OPTIONS", ""):
+        os.environ["JAVA_TOOL_OPTIONS"] = (
+            os.environ.get("JAVA_TOOL_OPTIONS", "")
+            + " -Xlog:all=warning:stderr"
+        ).strip()
     # Spread floors for the small-fixture compute spreads
     # (queries_llm._spread_scan, multimodal._spread_ids): pinned in ONE
     # place so cluster deployments tune via env without code edits. A

@@ -55,6 +55,27 @@ def test_oversized_registry_truncates_cheapest_first_never_overflows():
     assert kept_min >= dropped_max
 
 
+def test_jvm_log_routing_is_set_before_the_gateway_launches(spark):
+    """r13: the spark.driver.extraJavaOptions route (r12 fix) is inert
+    in local mode — the gateway JVM is already up when the builder
+    applies confs — and a shutdown-time GCLocker warning landed on
+    stdout AFTER bench's final JSON line at sf10, stealing the driver's
+    last-line capture. The working hook is JAVA_TOOL_OPTIONS set in
+    get_spark BEFORE any py4j touch; this pins both the env hook and
+    its -Xlog routing."""
+    import inspect
+    import os
+
+    from salesforce_prefect_etl_pipeline_spark import session
+
+    src = inspect.getsource(session.get_spark)
+    assert "JAVA_TOOL_OPTIONS" in src
+    assert "-Xlog:all=warning:stderr" in src
+    # the session fixture called get_spark: the hook must have landed
+    # in the live environment too
+    assert "-Xlog" in os.environ.get("JAVA_TOOL_OPTIONS", "")
+
+
 def test_designed_guards_are_bench_skips_not_crashes():
     """Both designed-refusal guards must be subclasses of the exception
     pair bench.main() catches per-row (r12: the sf10 ladder CRASHED on
