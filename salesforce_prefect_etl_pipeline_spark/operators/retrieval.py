@@ -64,6 +64,23 @@ BM25_QUERIES: tuple[tuple[int, str], ...] = (
 BM25_SCALE = 1_000_000
 
 
+def _bm25_term_score_expr():
+    """The per-(query, term, doc) integer score over columns
+    (tf, dl, df, n_docs, total_len) — shared by every probe tier."""
+    return F.expr(
+        # idf_scaled = SCALE * 2(N+1) DIV (2 df + 1); bounded by
+        # SCALE * 2(N+1) / 3 — decimal guards the product.
+        f"CAST(CAST({BM25_SCALE} AS DECIMAL(38,0)) * (2 * n_docs + 2)"
+        "     DIV (2 * df + 1) AS DECIMAL(38,0))"
+        # tf_part_scaled = SCALE * 44 L tf DIV (20 L tf + 6 L
+        #   + 18 dl N), bounded by SCALE * (k1+1) = 2.2e6.
+        f" * (CAST({BM25_SCALE} AS DECIMAL(38,0)) * 44 * total_len * tf"
+        "     DIV (CAST(20 AS DECIMAL(38,0)) * total_len * tf"
+        "          + 6 * total_len + 18 * dl * n_docs))"
+        f" DIV {BM25_SCALE}"
+    ).cast("long")
+
+
 def _score_topk(
     tf0: DataFrame, qterms: DataFrame, totals: DataFrame, k: int
 ) -> DataFrame:
@@ -90,20 +107,7 @@ def _score_topk(
         .select(
             "query_id",
             "doc_id",
-            F.expr(
-                # idf_scaled = SCALE * 2(N+1) DIV (2 df + 1); bounded by
-                # SCALE * 2(N+1) / 3 — decimal guards the product.
-                f"CAST(CAST({BM25_SCALE} AS DECIMAL(38,0)) * (2 * n_docs + 2)"
-                "     DIV (2 * df + 1) AS DECIMAL(38,0))"
-                # tf_part_scaled = SCALE * 44 L tf DIV (20 L tf + 6 L
-                #   + 18 dl N), bounded by SCALE * (k1+1) = 2.2e6.
-                f" * (CAST({BM25_SCALE} AS DECIMAL(38,0)) * 44 * total_len * tf"
-                "     DIV (CAST(20 AS DECIMAL(38,0)) * total_len * tf"
-                "          + 6 * total_len + 18 * dl * n_docs))"
-                f" DIV {BM25_SCALE}"
-            )
-            .cast("long")
-            .alias("term_score"),
+            _bm25_term_score_expr().alias("term_score"),
         )
     )
     per_doc = scored.groupBy("query_id", "doc_id").agg(
@@ -240,6 +244,97 @@ def append_text_index(new_docs: DataFrame, index_dir: str) -> None:
     _batch_totals(new_docs).write.mode("append").parquet(f"{index_dir}/totals")
 
 
+#: Champion-list size: per-term cap on postings kept in the pruned
+#: approximate tier (classic champion lists / top-docs, textbook IR).
+CHAMPION_M = 128
+
+
+def build_champion_lists(
+    index_dir: str, spark: SparkSession, m: int = CHAMPION_M
+) -> None:
+    """Derive the champion tier from the persisted postings: for every
+    term, the top ``CHAMPION_M`` postings by (tf desc, doc_id asc),
+    stamped with the term's TRUE df (so the approximate probe scores
+    with the exact idf). At 100 TB this bounds a probe's read to
+    m x |query terms| rows no matter how common the terms are — the
+    stop-word-query killer; the full tier stays authoritative.
+
+    One read of the postings, one term-keyed window, one partitioned
+    write — rebuild after appends (champions are a derived cache; the
+    probe's correctness contract is 'exact over the champion subset',
+    pinned by the oracle replaying the same restriction)."""
+    from pyspark.sql.window import Window as _W
+
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    w = _W.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    champs = (
+        postings.withColumn(
+            "df", F.count(F.lit(1)).over(_W.partitionBy("term"))
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= m)
+        .select("term", "doc_id", "tf", "dl", "df", "bucket")
+    )
+    champs.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/champions"
+    )
+
+
+def probe_champion_lists(
+    spark: SparkSession,
+    index_dir: str,
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate BM25 top-``k`` over the champion tier only: identical
+    scoring (true df travels on the champion rows), candidate set
+    restricted to each term's top-m postings. Exact whenever every
+    query term's df <= CHAMPION_M (pytest-pinned both ways); recall on
+    common-term queries is the documented trade for the bounded read."""
+    qterm_rows = sorted(
+        {
+            (qid, term)
+            for qid, text in queries
+            for term in text.split()
+            if term
+        }
+    )
+    buckets = sorted({_term_bucket_py(t) for _, t in qterm_rows})
+    terms = sorted({t for _, t in qterm_rows})
+    qdf = spark.createDataFrame(qterm_rows, "query_id int, term string")
+    champs = (
+        spark.read.parquet(f"{index_dir}/champions")
+        .filter(F.col("bucket").isin([int(b) for b in buckets]))
+        .filter(F.col("term").isin(terms))
+        .select("term", "doc_id", "tf", "dl", "df")
+    )
+    totals = spark.read.parquet(f"{index_dir}/totals").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_len").cast("long").alias("total_len"),
+    )
+    scored = (
+        champs.join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "doc_id",
+            _bm25_term_score_expr().alias("term_score"),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score_scaled")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "score_scaled")
+        .orderBy("query_id", "rnk")
+    )
+
+
 def probe_text_index(
     spark: SparkSession,
     index_dir: str,
@@ -319,6 +414,75 @@ scored AS (
            // {BM25_SCALE}
          AS BIGINT) AS term_score
   FROM tf JOIN dfreq d USING (term) CROSS JOIN totals t
+),
+per_doc AS (
+  SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_scaled
+  FROM scored GROUP BY 1, 2
+)
+SELECT query_id, rnk, doc_id, score_scaled FROM (
+  SELECT query_id, doc_id, score_scaled,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY score_scaled DESC, doc_id ASC) AS INT) AS rnk
+  FROM per_doc
+) WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
+
+
+def bm25_champion_sql(
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = 5,
+    m: int = CHAMPION_M,
+) -> str:
+    """DuckDB replay of :func:`probe_champion_lists`: the same full
+    posting derivation, then the champion restriction (per-term top-m
+    by tf desc, doc_id asc — true df stamped BEFORE the cut) and the
+    identical scoring. Value-hash over the approximate tier, exact."""
+    values = ", ".join(f"({qid}, '{text}')" for qid, text in queries)
+    return f"""
+WITH q(query_id, qtext) AS (VALUES {values}),
+qterms AS (
+  SELECT DISTINCT query_id, unnest(string_split_regex(trim(qtext), '\\s+')) AS term
+  FROM q
+),
+tok AS MATERIALIZED (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS dl,
+         unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT tok.term, tok.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS tf, MIN(tok.dl) AS dl
+  FROM tok JOIN (SELECT DISTINCT term FROM qterms) qt USING (term)
+  GROUP BY 1, 2
+),
+champs AS (
+  SELECT term, doc_id, tf, dl, df FROM (
+    SELECT term, doc_id, tf, dl,
+           CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+           ROW_NUMBER() OVER (
+             PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rk
+    FROM tf
+  ) WHERE rk <= {m}
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS total_len
+  FROM documents
+),
+scored AS (
+  SELECT qt.query_id, c.doc_id,
+         CAST(
+           (CAST({BM25_SCALE} AS HUGEINT) * (2 * t.n_docs + 2) // (2 * c.df + 1))
+           * (CAST({BM25_SCALE} AS HUGEINT) * 44 * t.total_len * c.tf
+              // (CAST(20 AS HUGEINT) * t.total_len * c.tf
+                  + 6 * t.total_len + 18 * c.dl * t.n_docs))
+           // {BM25_SCALE}
+         AS BIGINT) AS term_score
+  FROM champs c JOIN qterms qt USING (term) CROSS JOIN totals t
 ),
 per_doc AS (
   SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_scaled

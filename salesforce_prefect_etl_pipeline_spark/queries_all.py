@@ -55,6 +55,7 @@ _PRIORITY = [
     "emb_pq_codes_panel",  # new (r13)
     "emb_semdedup_prune_panel",  # new (r13)
     "text_bm25_appended",  # new (r13)
+    "text_bm25_champion",  # new (r13)
     "text_bm25_indexed",  # new (r13)
     "text_bm25_topk",  # new (r13)
     "text_bpe_encode",  # new (r13)
@@ -100,7 +101,6 @@ _PRIORITY = [
     "emb_cluster_sample",  # r10
     "emb_pq_codes",  # r10
     "events_zorder_layout",  # r10
-    "graph_nation_pagerank",  # r10
 ]
 
 

@@ -109,6 +109,29 @@ def text_bm25_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.probe_text_index(spark, index_dir)
 
 
+def ensure_champion_lists(spark: SparkSession, sf_dir: str) -> str:
+    """Champion tier derived from the full index (rebuilt whenever the
+    postings are newer — it's a derived cache, not a source of truth)."""
+    index_dir = ensure_text_index(spark, sf_dir)
+    success = os.path.join(index_dir, "champions", "_SUCCESS")
+    postings_success = os.path.join(index_dir, "postings", "_SUCCESS")
+    stale = os.path.exists(success) and os.path.getmtime(
+        success
+    ) < os.path.getmtime(postings_success)
+    if stale or not os.path.exists(success):
+        retrieval.build_champion_lists(index_dir, spark)
+    return index_dir
+
+
+def text_bm25_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate BM25 top-5 over the champion tier (per-term top-m
+    postings with true df stamped at build): the bounded-read scale
+    path for common-term queries. The oracle replays the SAME champion
+    restriction, so the approximate tier is value-verified exactly."""
+    index_dir = ensure_champion_lists(spark, sf_dir)
+    return retrieval.probe_champion_lists(spark, index_dir)
+
+
 def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same BM25 top-5 via the PERSISTED inverted index: bucket-
     pruned posting reads instead of a corpus scan. Bit-identical output
@@ -129,6 +152,9 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 register_query("text_bm25_topk", text_bm25_topk, retrieval.bm25_topk_sql())
 register_query("text_bm25_indexed", text_bm25_indexed, retrieval.bm25_topk_sql())
 register_query("text_bm25_appended", text_bm25_appended, retrieval.bm25_topk_sql())
+register_query(
+    "text_bm25_champion", text_bm25_champion, retrieval.bm25_champion_sql()
+)
 register_query(
     "text_bpe_encode", text_bpe_encode, train.bpe_encode_stats_sql(n_merges=4)
 )

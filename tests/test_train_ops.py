@@ -324,6 +324,60 @@ def test_bm25_append_equals_monolithic_build(spark, tmp_path):
     assert mono  # non-vacuous
 
 
+def test_champion_probe_exact_when_m_covers_df(spark, tmp_path):
+    """With m >= every query term's df the champion tier IS the full
+    tier: champion probe == full probe. With m=1 a single-term query
+    returns exactly the term's top-tf posting (tie: doc_id asc)."""
+    texts = [
+        "spark join slow window",
+        "window stream agg window stream",
+        "customer query big table customer spark",
+        "row scan line value part",
+        "spark spark spark join join slow fast",
+        "merge batch sort filter group",
+    ]
+    docs = _docs(spark, texts)
+    index_dir = str(tmp_path / "bm25")
+    retrieval.build_text_index(docs, index_dir)
+
+    retrieval.build_champion_lists(index_dir, spark)  # m=128 >> df
+    full = [
+        tuple(r) for r in retrieval.probe_text_index(spark, index_dir).collect()
+    ]
+    champ = [
+        tuple(r)
+        for r in retrieval.probe_champion_lists(spark, index_dir).collect()
+    ]
+    assert champ == full
+
+    retrieval.build_champion_lists(index_dir, spark, m=1)
+    out = retrieval.probe_champion_lists(
+        spark, index_dir, queries=((1, "spark"),), k=10
+    ).collect()
+    # doc 4 has tf=3 for "spark" — the unique m=1 champion
+    assert [(r.rnk, r.doc_id) for r in out] == [(1, 4)]
+
+
+def test_champion_oracle_matches_on_planted_corpus(spark, tmp_path):
+    texts = [
+        "spark join slow",
+        "window stream agg window stream",
+        "customer query big table customer",
+        "row scan line value part",
+        "spark spark spark join join slow fast",
+    ]
+    index_dir = str(tmp_path / "bm25")
+    retrieval.build_text_index(_docs(spark, texts), index_dir)
+    retrieval.build_champion_lists(index_dir, spark, m=2)
+    got = [
+        tuple(r)
+        for r in retrieval.probe_champion_lists(spark, index_dir).collect()
+    ]
+    con = _duck_docs(texts)
+    want = con.execute(retrieval.bm25_champion_sql(m=2)).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
 def test_bpe_encode_counts_match_hand_computation(spark):
     """Encode with 2 learned merges on the planted corpus: merges are
     (a,a) then (a,b) (see test_bpe_planted_merge_sequence), so
