@@ -497,3 +497,124 @@ SELECT query_id, rnk, doc_id, score_scaled FROM (
 ) WHERE rnk <= {k}
 ORDER BY query_id, rnk
 """
+
+
+# ----------------------------------------------------------------------
+# Exact-phrase search
+
+#: Fixed benchmark phrase set (query_id, phrase) — contiguous token
+#: sequences, matched exactly.
+PHRASE_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "spark join"),
+    (2, "window stream agg"),
+    (3, "big table"),
+)
+
+
+def phrase_search(
+    docs: DataFrame,
+    spark: SparkSession,
+    queries: tuple[tuple[int, str], ...] = PHRASE_QUERIES,
+    k: int = 5,
+) -> DataFrame:
+    """Exact contiguous-phrase matching: top-``k`` documents per phrase
+    by occurrence count (ties: doc_id asc), overlap-counted (the phrase
+    "a a" occurs twice in "a a a" — each anchor position counts).
+
+    The classic formulation is an (n-1)-way self-join of positional
+    posting lists; this is the SINGLE-SHUFFLE reformulation: explode
+    (position, token) once, join the tiny (query, slot, term) phrase
+    table (broadcast), and group by (query, doc, anchor = pos - slot) —
+    an anchor whose distinct-slot count equals the phrase length has
+    every slot matched at consecutive positions, i.e. one occurrence.
+    One corpus explode, one aggregation shuffle, any phrase length.
+
+    Returns (query_id, rnk, doc_id, n_hits) ordered by (query_id, rnk);
+    documents without the phrase never appear."""
+    rows = [
+        (qid, slot, term)
+        for qid, text in queries
+        for slot, term in enumerate(text.split())
+    ]
+    lens = {qid: len(text.split()) for qid, text in queries}
+    pterms = spark.createDataFrame(rows, "query_id int, slot int, term string")
+    plens = spark.createDataFrame(
+        sorted(lens.items()), "query_id int, phrase_len int"
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    )
+    anchors = (
+        tok.join(F.broadcast(pterms), "term")
+        .select(
+            "query_id", "doc_id", (F.col("pos") - F.col("slot")).alias("anchor"), "slot"
+        )
+        .groupBy("query_id", "doc_id", "anchor")
+        .agg(F.count_distinct("slot").alias("n_slots"))
+    )
+    hits = (
+        anchors.join(F.broadcast(plens), "query_id")
+        .filter(F.col("n_slots") == F.col("phrase_len"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_hits"), F.asc("doc_id")
+    )
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "n_hits")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def phrase_search_sql(
+    queries: tuple[tuple[int, str], ...] = PHRASE_QUERIES, k: int = 5
+) -> str:
+    """DuckDB replay of :func:`phrase_search` — the same anchor
+    counting over list_transform-enumerated positions (1-based there,
+    0-based in Spark's posexplode; anchors are differences, so the
+    offset cancels)."""
+    term_rows = ", ".join(
+        f"({qid}, {slot}, '{term}')"
+        for qid, text in queries
+        for slot, term in enumerate(text.split())
+    )
+    len_rows = ", ".join(
+        f"({qid}, {len(text.split())})" for qid, text in queries
+    )
+    return f"""
+WITH pterms(query_id, slot, term) AS (VALUES {term_rows}),
+plens(query_id, phrase_len) AS (VALUES {len_rows}),
+tok AS (
+  SELECT doc_id, pr.term AS term, pr.pos AS pos FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(string_split_regex(trim(text), '\\s+')) + 1),
+             i -> {{'term': string_split_regex(trim(text), '\\s+')[i],
+                    'pos': i}})) AS pr
+    FROM documents
+  )
+),
+anchors AS (
+  SELECT p.query_id, tok.doc_id, tok.pos - p.slot AS anchor,
+         COUNT(DISTINCT p.slot) AS n_slots
+  FROM tok JOIN pterms p USING (term)
+  GROUP BY 1, 2, 3
+),
+hits AS (
+  SELECT a.query_id, a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM anchors a JOIN plens l USING (query_id)
+  WHERE a.n_slots = l.phrase_len
+  GROUP BY 1, 2
+)
+SELECT query_id, rnk, doc_id, n_hits FROM (
+  SELECT query_id, doc_id, n_hits,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY n_hits DESC, doc_id ASC) AS INT) AS rnk
+  FROM hits
+) WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""

@@ -142,6 +142,13 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.probe_text_index(spark, index_dir)
 
 
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact contiguous-phrase top-5 per fixed phrase query — the
+    single-shuffle anchor-count formulation (operators/retrieval.py)."""
+    docs = _spread_scan(load_table(spark, sf_dir, "documents"))
+    return retrieval.phrase_search(docs, spark)
+
+
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fit->transform: per-document word/BPE-token counts
     after applying the 4 learned merges (operators/train.py)."""
@@ -154,6 +161,9 @@ register_query("text_bm25_indexed", text_bm25_indexed, retrieval.bm25_topk_sql()
 register_query("text_bm25_appended", text_bm25_appended, retrieval.bm25_topk_sql())
 register_query(
     "text_bm25_champion", text_bm25_champion, retrieval.bm25_champion_sql()
+)
+register_query(
+    "text_phrase_search", text_phrase_search, retrieval.phrase_search_sql()
 )
 register_query(
     "text_bpe_encode", text_bpe_encode, train.bpe_encode_stats_sql(n_merges=4)

@@ -378,6 +378,49 @@ def test_champion_oracle_matches_on_planted_corpus(spark, tmp_path):
     assert got == [tuple(r) for r in want]
 
 
+def test_phrase_search_overlap_counting_and_boundaries(spark):
+    """Overlaps count per anchor ("a a" twice in "a a a"); partial or
+    out-of-order term presence never matches; ties break on doc_id."""
+    texts = [
+        "a a a b",  # "a a" twice (overlap)
+        "a b a b",  # "a a" never (non-contiguous)
+        "b a a b",  # "a a" once
+        "a c a",  # terms present, phrase absent
+    ]
+    out = retrieval.phrase_search(
+        _docs(spark, texts), spark, queries=((1, "a a"),), k=10
+    ).collect()
+    assert [(r.rnk, r.doc_id, r.n_hits) for r in out] == [(1, 0, 2), (2, 2, 1)]
+
+
+def test_phrase_search_repeated_term_phrase(spark):
+    """A phrase with a repeated term ("a b a") must anchor correctly —
+    the slot index disambiguates the two 'a' slots."""
+    texts = ["a b a b a", "a b b a"]
+    out = retrieval.phrase_search(
+        _docs(spark, texts), spark, queries=((1, "a b a"),), k=10
+    ).collect()
+    # doc 0: anchors at pos 0 and 2 -> 2 hits; doc 1: none
+    assert [(r.doc_id, r.n_hits) for r in out] == [(0, 2)]
+
+
+def test_phrase_search_oracle_matches_on_planted_corpus(spark):
+    texts = [
+        "spark join slow spark join",
+        "window stream agg window stream agg agg",
+        "big table big table big",
+        "spark slow join window",
+    ]
+    con = _duck_docs(texts)
+    want = con.execute(retrieval.phrase_search_sql()).fetchall()
+    got = [
+        tuple(r)
+        for r in retrieval.phrase_search(_docs(spark, texts), spark).collect()
+    ]
+    assert got == [tuple(r) for r in want]
+    assert got  # non-vacuous
+
+
 def test_bpe_encode_counts_match_hand_computation(spark):
     """Encode with 2 learned merges on the planted corpus: merges are
     (a,a) then (a,b) (see test_bpe_planted_merge_sequence), so
