@@ -531,6 +531,13 @@ def phrase_search(
 
     Returns (query_id, rnk, doc_id, n_hits) ordered by (query_id, rnk);
     documents without the phrase never appear."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    )
+    return _phrase_anchor_topk(tok, spark, queries, k)
+
+
+def _phrase_frames(spark, queries):
     rows = [
         (qid, slot, term)
         for qid, text in queries
@@ -541,9 +548,19 @@ def phrase_search(
     plens = spark.createDataFrame(
         sorted(lens.items()), "query_id int, phrase_len int"
     )
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
-    )
+    return pterms, plens
+
+
+def _phrase_anchor_topk(
+    tok: DataFrame,
+    spark: SparkSession,
+    queries: tuple[tuple[int, str], ...],
+    k: int,
+) -> DataFrame:
+    """The shared anchor-count tail over any (doc_id, pos, term) frame
+    — fed by the corpus explode (direct) or the positional index
+    (probe)."""
+    pterms, plens = _phrase_frames(spark, queries)
     anchors = (
         tok.join(F.broadcast(pterms), "term")
         .select(
@@ -567,6 +584,55 @@ def phrase_search(
         .select("query_id", "rnk", "doc_id", "n_hits")
         .orderBy("query_id", "rnk")
     )
+
+
+def build_positional_index(docs: DataFrame, index_dir: str) -> None:
+    """Persist the positional tier: (term, doc_id, positions) with the
+    sorted 0-based position list, partitioned by the same md5 term
+    bucket as the BM25 postings — phrase probes then read only their
+    terms' buckets instead of re-tokenizing the corpus. Positions are
+    ``sort_array``-ed so the stored rows are deterministic at any
+    parallelism (collect_list order is not)."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    )
+    positional = (
+        tok.groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn(
+            "bucket",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+                % TEXT_INDEX_BUCKETS
+            ).cast("int"),
+        )
+    )
+    positional.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/positional"
+    )
+
+
+def probe_phrase_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: tuple[tuple[int, str], ...] = PHRASE_QUERIES,
+    k: int = 5,
+) -> DataFrame:
+    """Exact-phrase top-``k`` from the persisted positional tier —
+    bit-identical to :func:`phrase_search` over the same corpus
+    (pytest-pinned): the bucket-pruned, term-pushed posting read
+    re-explodes its position lists into the shared anchor-count tail."""
+    terms = sorted(
+        {t for _, text in queries for t in text.split() if t}
+    )
+    buckets = sorted({_term_bucket_py(t) for t in terms})
+    tok = (
+        spark.read.parquet(f"{index_dir}/positional")
+        .filter(F.col("bucket").isin([int(b) for b in buckets]))
+        .filter(F.col("term").isin(terms))
+        .select("term", "doc_id", F.explode("positions").alias("pos"))
+    )
+    return _phrase_anchor_topk(tok, spark, queries, k)
 
 
 def phrase_search_sql(

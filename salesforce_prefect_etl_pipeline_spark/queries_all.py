@@ -61,6 +61,7 @@ _PRIORITY = [
     "text_bpe_encode",  # new (r13)
     "text_bpe_train_merges",  # new (r13)
     "text_perceptron_quality",  # new (r13)
+    "text_phrase_indexed",  # new (r13)
     "text_phrase_search",  # new (r13)
     "spec_orders_missing_metric",  # r9
     "sql_correlated_exists",  # r9
@@ -100,7 +101,6 @@ _PRIORITY = [
     "dedup_minhash_lsh",  # r10
     "dedup_near_dup_clusters",  # r10
     "emb_cluster_sample",  # r10
-    "emb_pq_codes",  # r10
 ]
 
 

@@ -149,6 +149,30 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.phrase_search(docs, spark)
 
 
+def ensure_phrase_index(spark: SparkSession, sf_dir: str) -> str:
+    """Positional tier for the phrase probe, co-located with the BM25
+    index (same bucket scheme, same staleness rule)."""
+    index_dir = ensure_text_index(spark, sf_dir)
+    success = os.path.join(index_dir, "positional", "_SUCCESS")
+    stale = os.path.exists(success) and os.path.getmtime(
+        success
+    ) < os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    if stale or not os.path.exists(success):
+        retrieval.build_positional_index(
+            _spread_scan(load_table(spark, sf_dir, "documents")), index_dir
+        )
+    return index_dir
+
+
+def text_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phrase probe over the persisted positional tier — identical
+    output to text_phrase_search (lossless index), so it shares the
+    full-replay oracle; the value-hash proves the positional
+    build/prune/probe path."""
+    index_dir = ensure_phrase_index(spark, sf_dir)
+    return retrieval.probe_phrase_index(spark, index_dir)
+
+
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fit->transform: per-document word/BPE-token counts
     after applying the 4 learned merges (operators/train.py)."""
@@ -164,6 +188,9 @@ register_query(
 )
 register_query(
     "text_phrase_search", text_phrase_search, retrieval.phrase_search_sql()
+)
+register_query(
+    "text_phrase_indexed", text_phrase_indexed, retrieval.phrase_search_sql()
 )
 register_query(
     "text_bpe_encode", text_bpe_encode, train.bpe_encode_stats_sql(n_merges=4)

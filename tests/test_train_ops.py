@@ -421,6 +421,33 @@ def test_phrase_search_oracle_matches_on_planted_corpus(spark):
     assert got  # non-vacuous
 
 
+def test_phrase_index_probe_identical_to_direct(spark, tmp_path):
+    """The positional tier is lossless: probe == direct phrase search,
+    and the probed read carries the bucket PartitionFilters."""
+    import contextlib
+    import io
+
+    texts = [
+        "spark join slow spark join",
+        "window stream agg window stream agg agg",
+        "big table big table big",
+        "spark slow join window",
+    ]
+    docs = _docs(spark, texts)
+    index_dir = str(tmp_path / "pos")
+    retrieval.build_positional_index(docs, index_dir)
+    probe = retrieval.probe_phrase_index(spark, index_dir)
+    direct = retrieval.phrase_search(docs, spark)
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+
+
 def test_bpe_encode_counts_match_hand_computation(spark):
     """Encode with 2 learned merges on the planted corpus: merges are
     (a,a) then (a,b) (see test_bpe_planted_merge_sequence), so
