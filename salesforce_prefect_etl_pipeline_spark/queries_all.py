@@ -44,63 +44,63 @@ _PRUNE = {
 #: (tests/test_registry.py) fails if the list drifts from that output,
 #: so the rotation discipline is self-auditing.
 _PRIORITY = [
-    # --- round-13 window (tools/staleness.py suggested list, verbatim):
-    # the 15 remaining r9 rows (spec_orders_missing_metric, the sql_*
-    # five, the text_* seven, two window_*), then the 35 oldest r10
-    # rows. After this round no registered query's latest hard row is
-    # older than r10 (r12 verdict task 1). Never-driver-checked queries
-    # added this round sort first in the suggestion, displacing the
-    # newest tail.
-    "dedup_exact_substring",  # new (r13)
-    "emb_pq_codes_panel",  # new (r13)
-    "emb_semdedup_prune_panel",  # new (r13)
-    "text_bm25_appended",  # new (r13)
-    "text_bm25_champion",  # new (r13)
-    "text_bm25_indexed",  # new (r13)
-    "text_bm25_topk",  # new (r13)
-    "text_bpe_encode",  # new (r13)
-    "text_bpe_train_merges",  # new (r13)
-    "text_perceptron_quality",  # new (r13)
-    "text_phrase_indexed",  # new (r13)
-    "text_phrase_search",  # new (r13)
-    "spec_orders_missing_metric",  # r9
-    "sql_correlated_exists",  # r9
-    "sql_embedding_dim_stats",  # r9
-    "sql_in_subquery_having",  # r9
-    "sql_orders_above_avg",  # r9
-    "sql_q5_local_supplier",  # r9
-    "text_bigram_counts",  # r9
-    "text_bpe_token_estimate",  # r9
-    "text_chunk_fingerprints",  # r9
-    "text_cms_top_tokens",  # r9
-    "text_rolling_fingerprint",  # r9
-    "text_tfidf_top_terms",  # r9
-    "text_unigram_familiarity",  # r9
-    "window_order_gap_days",  # r9
-    "window_top3_orders_per_customer",  # r9
-    "agg_binned_percentiles",  # r10
-    "agg_distinct_suppliers_per_flag",  # r10
-    "agg_median_acctbal_by_nation",  # r10
-    "agg_stddev_acctbal_by_segment",  # r10
-    "ann_cosine_topk_np",  # r10
-    "corpus_contamination",  # r10
-    "corpus_dedup_survivor_stats",  # r10
-    "corpus_domain_mix",  # r10
-    "corpus_e2e_curation",  # r10
-    "corpus_length_filter_report",  # r10
-    "corpus_pack_stats",  # r10
-    "corpus_split_counts",  # r10
-    "corpus_token_length_histogram",  # r10
-    "corpus_url_scan",  # r10
-    "corpus_weighted_sample",  # r10
-    "cube_orders",  # r10
-    "dedup_containment_pairs",  # r10
-    "dedup_exact_groups",  # r10
-    "dedup_incremental_probe",  # r10
-    "dedup_jaccard_pairs",  # r10
-    "dedup_minhash_lsh",  # r10
-    "dedup_near_dup_clusters",  # r10
-    "emb_cluster_sample",  # r10
+    # --- round-14 window (tools/staleness.py suggested list, verbatim):
+    # the 27 remaining r10 rows (joins/sets/windows/pivots, the media
+    # trio, emb_pq_codes, graph/zorder), then the 23 oldest r11 rows
+    # (agg_*, ann_*, corpus_*, dedup_*, events_*). After this round no
+    # registered query's latest hard row is older than r11 (r13 verdict
+    # task 1). Never-driver-checked queries added this round sort first
+    # in the suggestion, displacing the newest tail.
+    "emb_pq_codes",  # r10
+    "events_zorder_layout",  # r10
+    "graph_nation_pagerank",  # r10
+    "grouping_sets_lineitem",  # r10
+    "join_anti_customers_without_orders",  # r10
+    "join_range_ship_within_30d",  # r10
+    "join_revenue_by_region",  # r10
+    "join_salted_revenue_by_priority",  # r10
+    "join_semi_customers_with_orders",  # r10
+    "lineitem_unpivot_stats",  # r10
+    "media_audio_families",  # r10
+    "media_frame_sample",  # r10
+    "media_video_families",  # r10
+    "orders_by_month",  # r10
+    "pivot_status_by_priority",  # r10
+    "q11_supply_value_share",  # r10
+    "q15_top_supplier",  # r10
+    "qa_profile_orders_topk",  # r10
+    "set_except_nationkeys",  # r10
+    "set_intersect_nationkeys",  # r10
+    "set_union_nationkeys",  # r10
+    "sql_pivot_counts",  # r10
+    "sql_union_all_counts",  # r10
+    "window_first_last_order",  # r10
+    "window_ntile_order_quartiles",  # r10
+    "window_rank_nations_by_acctbal",  # r10
+    "window_running_total",  # r10
+    "agg_approx_percentile_price",  # r11
+    "agg_chi2_type_by_daypart",  # r11
+    "ann_ivf_probe_appended",  # r11
+    "ann_pq_topk",  # r11
+    "corpus_mixture_plan",  # r11
+    "corpus_mixture_sample",  # r11
+    "corpus_multimodal_gate",  # r11
+    "corpus_shard_provenance",  # r11
+    "dedup_bloom_snapshot",  # r11
+    "dedup_cluster_size_histogram",  # r11
+    "dedup_containment_lsh",  # r11
+    "dedup_greedy_accept_distributed",  # r11
+    "emb_e2e_curation",  # r11
+    "emb_semdedup_prune",  # r11
+    "events_funnel",  # r11
+    "events_hourly_by_type",  # r11
+    "events_json_extract",  # r11
+    "events_mad_outliers",  # r11
+    "events_props_explode",  # r11
+    "events_props_variant",  # r11
+    "events_retention_cohorts",  # r11
+    "events_seasonal_anomalies",  # r11
+    "events_session_sequences",  # r11
 ]
 
 
