@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from salesforce_prefect_etl_pipeline_spark.operators.text import tokens
+from salesforce_prefect_etl_pipeline_spark.operators.text import tokens, tokens_py
 
 #: Fixed benchmark query set (query_id, text). Like the ANN query
 #: vectors, a small known set: real deployments pass their own.
@@ -175,6 +175,12 @@ def bm25_topk(
 #: |distinct query terms| of these partitions via static pruning.
 TEXT_INDEX_BUCKETS = 32
 
+#: On-disk layout version — goes into fingerprinted cache dir names
+#: (queries_train.ensure_text_index) so a layout change rebuilds caches
+#: instead of failing on missing columns. v2 (r14): batch_id stamps on
+#: postings/positional rows + the posbatches commit marker.
+TEXT_INDEX_LAYOUT = 2
+
 
 def _term_bucket_py(term: str) -> int:
     """Driver-side twin of the bucket expression (hashlib md5 == both
@@ -205,48 +211,93 @@ def _postings(docs: DataFrame) -> DataFrame:
 
 
 def _batch_totals(docs: DataFrame) -> DataFrame:
-    return docs.select(F.size(tokens("text")).alias("dl")).agg(
+    """Per-batch corpus totals, stamped with a content-derived batch id:
+    md5(min_doc_id:max_doc_id:count). Batches hold disjoint doc_ids by
+    contract, so no two batches share a min — the id is unique AND
+    deterministic (no wall clock), keeping rebuilt indexes
+    bit-reproducible."""
+    return docs.select("doc_id", F.size(tokens("text")).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
+        F.md5(
+            F.concat_ws(
+                ":", F.min("doc_id"), F.max("doc_id"), F.count(F.lit(1))
+            )
+        ).alias("batch_id"),
     )
+
+
+def _write_index_batch(docs: DataFrame, index_dir: str, mode: str) -> None:
+    """The shared stamped two-file write: postings first (every row
+    carrying the batch id), then the 1-row totals record — the commit
+    point. Ordering + stamps make the pair crash-safe (see
+    :func:`build_text_index`)."""
+    tot = _batch_totals(docs).collect()[0]
+    _postings(docs).withColumn("batch_id", F.lit(tot["batch_id"])).write.mode(
+        mode
+    ).partitionBy("bucket").parquet(f"{index_dir}/postings")
+    docs.sparkSession.createDataFrame(
+        [tot], "n_docs long, total_len long, batch_id string"
+    ).write.mode(mode).parquet(f"{index_dir}/totals")
+
+
+def _valid_batches(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{index_dir}/totals").select("batch_id")
 
 
 def build_text_index(docs: DataFrame, index_dir: str) -> None:
     """Persist the BM25 inverted index: posting lists
-    (term, doc_id, tf, dl) as parquet PARTITIONED BY the term's md5
-    bucket, plus per-batch corpus totals. df(t) is intentionally not
-    stored — it's the posting-row count per term, recomputed exactly
-    from the pruned read at probe time (a probe touches every posting
-    of its terms anyway), keeping the index maintenance-free under
-    document appends to unrelated terms.
+    (term, doc_id, tf, dl, batch_id) as parquet PARTITIONED BY the
+    term's md5 bucket, plus per-batch corpus totals. df(t) is
+    intentionally not stored — it's the posting-row count per term,
+    recomputed exactly from the pruned read at probe time (a probe
+    touches every posting of its terms anyway), keeping the index
+    maintenance-free under document appends to unrelated terms.
 
-    Totals are APPEND-ONLY batch rows the probe sums, never a
-    read-modify-write: :func:`append_text_index` can then grow the
-    index with two pure parquet appends — crash-safe without any swap
-    machinery, since a torn append leaves at most a missing batch, not
-    a corrupted one."""
-    _postings(docs).write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{index_dir}/postings"
-    )
-    _batch_totals(docs).write.mode("overwrite").parquet(f"{index_dir}/totals")
+    Crash-safety invariant (r14 advice — the two parquet writes are not
+    atomic together): postings are written FIRST, stamped with the
+    batch's content-derived id, and the totals row lands LAST as the
+    batch's commit record. A crash between the two leaves a postings
+    batch with no totals row; probes reconcile by semi-joining postings
+    against the totals batch ids, so an uncommitted batch is invisible
+    (its docs counted in neither tf/df nor N/total_len) rather than
+    skewing every idf. Totals stay APPEND-ONLY batch rows the probe
+    sums, never a read-modify-write."""
+    _write_index_batch(docs, index_dir, "overwrite")
 
 
 def append_text_index(new_docs: DataFrame, index_dir: str) -> None:
     """Incrementally index NEW documents (disjoint doc_ids by contract,
     the ``append_ivf_vectors`` analog): their postings append into the
-    touched bucket partitions only, and one totals batch row appends
-    alongside. Probes see the union — pytest pins append == monolithic
-    build bit-for-bit. O(increment) work; the existing corpus is never
+    touched bucket partitions only, and one totals batch row commits
+    the batch (see :func:`build_text_index` for the tear invariant).
+    Probes see the union — pytest pins append == monolithic build
+    bit-for-bit. O(increment) work; the existing corpus is never
     re-read."""
-    _postings(new_docs).write.mode("append").partitionBy("bucket").parquet(
-        f"{index_dir}/postings"
-    )
-    _batch_totals(new_docs).write.mode("append").parquet(f"{index_dir}/totals")
+    _write_index_batch(new_docs, index_dir, "append")
 
 
 #: Champion-list size: per-term cap on postings kept in the pruned
 #: approximate tier (classic champion lists / top-docs, textbook IR).
 CHAMPION_M = 128
+
+
+def _champion_recut(postings: DataFrame, m: int) -> DataFrame:
+    """Per-term champion cut over any (reconciled) posting frame: top
+    ``m`` postings by (tf desc, doc_id asc) with the term's TRUE df
+    stamped BEFORE the cut (so the approximate probe scores with the
+    exact idf)."""
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        postings.withColumn(
+            "df", F.count(F.lit(1)).over(_W.partitionBy("term"))
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= m)
+        .select("term", "doc_id", "tf", "dl", "df", "bucket")
+    )
 
 
 def build_champion_lists(
@@ -259,25 +310,76 @@ def build_champion_lists(
     m x |query terms| rows no matter how common the terms are — the
     stop-word-query killer; the full tier stays authoritative.
 
-    One read of the postings, one term-keyed window, one partitioned
-    write — rebuild after appends (champions are a derived cache; the
-    probe's correctness contract is 'exact over the champion subset',
-    pinned by the oracle replaying the same restriction)."""
-    from pyspark.sql.window import Window as _W
+    One read of the postings (committed batches only), one term-keyed
+    window, one partitioned write. After appends, prefer
+    :func:`append_champion_lists` (bucket-bounded recut) over this full
+    rebuild."""
+    postings = spark.read.parquet(f"{index_dir}/postings").join(
+        F.broadcast(_valid_batches(spark, index_dir)), "batch_id", "leftsemi"
+    )
+    _champion_recut(postings, m).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{index_dir}/champions")
 
-    postings = spark.read.parquet(f"{index_dir}/postings")
-    w = _W.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
-    champs = (
-        postings.withColumn(
-            "df", F.count(F.lit(1)).over(_W.partitionBy("term"))
+
+def append_champion_lists(
+    new_docs: DataFrame, index_dir: str, m: int = CHAMPION_M
+) -> None:
+    """Bounded champion maintenance after ``append_text_index(new_docs)``
+    (r13 verdict task 4 — the champion tier previously re-paid a full
+    rebuild per batch): recut ONLY the md5 buckets the increment's
+    terms touch, via dynamic partition overwrite of those buckets.
+
+    Granularity is the BUCKET, not the term: champion rows in a bucket
+    derive solely from that bucket's postings, so a whole-bucket recut
+    (a) needs no read of the existing champion files — no
+    self-overwrite conflict, no staging swap — and (b) is idempotent
+    and crash-tolerant: each bucket partition is replaced at job
+    commit, and a torn job is repaired by re-running the same call
+    (champions are a derived cache; the source postings are untouched).
+    The documented trade: terms co-located with touched terms are recut
+    too — window work over posting rows the probe-exact recut would
+    have to read anyway. End state == a monolithic
+    :func:`build_champion_lists`, pytest-pinned.
+
+    Work is O(postings of touched buckets): an append whose vocabulary
+    hits all ``TEXT_INDEX_BUCKETS`` buckets degenerates to the full
+    rebuild — raise the bucket count for append-heavy corpora."""
+    spark = new_docs.sparkSession
+    bucket_rows = (
+        new_docs.select(F.explode(tokens("text")).alias("term"))
+        .select(
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+                % TEXT_INDEX_BUCKETS
+            )
+            .cast("int")
+            .alias("bucket")
         )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= m)
-        .select("term", "doc_id", "tf", "dl", "df", "bucket")
+        .distinct()
+        .collect()  # bounded by TEXT_INDEX_BUCKETS rows
     )
-    champs.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{index_dir}/champions"
+    buckets = sorted(int(r["bucket"]) for r in bucket_rows)
+    if not buckets:
+        return
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .join(
+            F.broadcast(_valid_batches(spark, index_dir)),
+            "batch_id",
+            "leftsemi",
+        )
     )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        _champion_recut(postings, m).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{index_dir}/champions")
+    finally:
+        spark.conf.set(mode_key, prev)
 
 
 def probe_champion_lists(
@@ -295,8 +397,7 @@ def probe_champion_lists(
         {
             (qid, term)
             for qid, text in queries
-            for term in text.split()
-            if term
+            for term in tokens_py(text)
         }
     )
     buckets = sorted({_term_bucket_py(t) for _, t in qterm_rows})
@@ -344,13 +445,16 @@ def probe_text_index(
     """Top-``k`` per query from the persisted index — bit-identical to
     :func:`bm25_topk` over the same corpus (pytest-pinned), but reading
     only the query terms' bucket partitions instead of scanning and
-    tokenizing the corpus."""
+    tokenizing the corpus. Query text is tokenized with
+    :func:`text.tokens_py`, the driver-side twin of the corpus
+    tokenizer, so probe == direct holds for Unicode-whitespace and
+    empty query text too (r14 advice). Postings are reconciled against
+    the committed totals batches, so a torn append is invisible."""
     qterm_rows = sorted(
         {
             (qid, term)
             for qid, text in queries
-            for term in text.split()
-            if term
+            for term in tokens_py(text)
         }
     )
     buckets = sorted({_term_bucket_py(t) for _, t in qterm_rows})
@@ -360,6 +464,11 @@ def probe_text_index(
         spark.read.parquet(f"{index_dir}/postings")
         .filter(F.col("bucket").isin([int(b) for b in buckets]))
         .filter(F.col("term").isin(terms))
+        .join(
+            F.broadcast(_valid_batches(spark, index_dir)),
+            "batch_id",
+            "leftsemi",
+        )
         .select("term", "doc_id", "tf", "dl")
     )
     # per-batch rows summed (append-only totals; see build_text_index)
@@ -538,12 +647,14 @@ def phrase_search(
 
 
 def _phrase_frames(spark, queries):
+    # phrase slots come from the engine-twin tokenizer so caller-
+    # supplied phrases slot-align with the corpus tokens (r14 advice)
     rows = [
         (qid, slot, term)
         for qid, text in queries
-        for slot, term in enumerate(text.split())
+        for slot, term in enumerate(tokens_py(text))
     ]
-    lens = {qid: len(text.split()) for qid, text in queries}
+    lens = {qid: len(tokens_py(text)) for qid, text in queries}
     pterms = spark.createDataFrame(rows, "query_id int, slot int, term string")
     plens = spark.createDataFrame(
         sorted(lens.items()), "query_id int, phrase_len int"
@@ -586,19 +697,25 @@ def _phrase_anchor_topk(
     )
 
 
-def build_positional_index(docs: DataFrame, index_dir: str) -> None:
-    """Persist the positional tier: (term, doc_id, positions) with the
-    sorted 0-based position list, partitioned by the same md5 term
-    bucket as the BM25 postings — phrase probes then read only their
-    terms' buckets instead of re-tokenizing the corpus. Positions are
-    ``sort_array``-ed so the stored rows are deterministic at any
-    parallelism (collect_list order is not)."""
+def _write_positional_batch(docs: DataFrame, index_dir: str, mode: str) -> None:
+    """Stamped positional write + its commit marker — the
+    :func:`_write_index_batch` invariant for the positional tier:
+    position rows first (batch-stamped), then the 1-row ``posbatches``
+    record; probes ignore position batches with no marker."""
+    bid = docs.agg(
+        F.md5(
+            F.concat_ws(
+                ":", F.min("doc_id"), F.max("doc_id"), F.count(F.lit(1))
+            )
+        ).alias("batch_id")
+    ).collect()[0]["batch_id"]
     tok = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
     )
     positional = (
         tok.groupBy("term", "doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn("batch_id", F.lit(bid))
         .withColumn(
             "bucket",
             (
@@ -607,9 +724,36 @@ def build_positional_index(docs: DataFrame, index_dir: str) -> None:
             ).cast("int"),
         )
     )
-    positional.write.mode("overwrite").partitionBy("bucket").parquet(
+    positional.write.mode(mode).partitionBy("bucket").parquet(
         f"{index_dir}/positional"
     )
+    docs.sparkSession.createDataFrame(
+        [(bid,)], "batch_id string"
+    ).write.mode(mode).parquet(f"{index_dir}/posbatches")
+
+
+def build_positional_index(docs: DataFrame, index_dir: str) -> None:
+    """Persist the positional tier: (term, doc_id, positions) with the
+    sorted 0-based position list, partitioned by the same md5 term
+    bucket as the BM25 postings — phrase probes then read only their
+    terms' buckets instead of re-tokenizing the corpus. Positions are
+    ``sort_array``-ed so the stored rows are deterministic at any
+    parallelism (collect_list order is not). Batch-stamped with a
+    ``posbatches`` commit marker (same tear invariant as
+    :func:`build_text_index`)."""
+    _write_positional_batch(docs, index_dir, "overwrite")
+
+
+def append_positional_index(new_docs: DataFrame, index_dir: str) -> None:
+    """Incrementally extend the positional tier with NEW documents
+    (disjoint doc_ids by contract — r13 verdict task 4: the tier was a
+    full rebuild per batch): position rows append into the touched
+    bucket partitions only, the batch marker commits them. Since a
+    (term, doc_id) pair lives in exactly one batch under the contract,
+    the probe's union of batches IS the monolithic index —
+    pytest-pinned bit-for-bit. O(increment); the existing corpus is
+    never re-read."""
+    _write_positional_batch(new_docs, index_dir, "append")
 
 
 def probe_phrase_index(
@@ -621,15 +765,20 @@ def probe_phrase_index(
     """Exact-phrase top-``k`` from the persisted positional tier —
     bit-identical to :func:`phrase_search` over the same corpus
     (pytest-pinned): the bucket-pruned, term-pushed posting read
-    re-explodes its position lists into the shared anchor-count tail."""
+    re-explodes its position lists into the shared anchor-count tail.
+    Query phrases are tokenized with the engine-twin
+    :func:`text.tokens_py`; position batches reconcile against the
+    ``posbatches`` markers (torn appends invisible)."""
     terms = sorted(
-        {t for _, text in queries for t in text.split() if t}
+        {t for _, text in queries for t in tokens_py(text)}
     )
     buckets = sorted({_term_bucket_py(t) for t in terms})
+    valid = spark.read.parquet(f"{index_dir}/posbatches").select("batch_id")
     tok = (
         spark.read.parquet(f"{index_dir}/positional")
         .filter(F.col("bucket").isin([int(b) for b in buckets]))
         .filter(F.col("term").isin(terms))
+        .join(F.broadcast(valid), "batch_id", "leftsemi")
         .select("term", "doc_id", F.explode("positions").alias("pos"))
     )
     return _phrase_anchor_topk(tok, spark, queries, k)
@@ -645,10 +794,10 @@ def phrase_search_sql(
     term_rows = ", ".join(
         f"({qid}, {slot}, '{term}')"
         for qid, text in queries
-        for slot, term in enumerate(text.split())
+        for slot, term in enumerate(tokens_py(text))
     )
     len_rows = ", ".join(
-        f"({qid}, {len(text.split())})" for qid, text in queries
+        f"({qid}, {len(tokens_py(text))})" for qid, text in queries
     )
     return f"""
 WITH pterms(query_id, slot, term) AS (VALUES {term_rows}),

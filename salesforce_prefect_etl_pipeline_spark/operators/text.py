@@ -36,6 +36,21 @@ def tokens(col: str | Column) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def tokens_py(text: str) -> list[str]:
+    """Driver-side twin of :func:`tokens` (r14 advice): trim ASCII
+    spaces (Spark ``trim`` strips 0x20 only), then split on runs of the
+    Java-regex ``\\s`` class ``[ \\t\\n\\x0B\\f\\r]`` — NOT Python's
+    Unicode-aware ``\\s`` and NOT ``str.split()``, both of which
+    diverge from the engine on Unicode whitespace, leading whitespace
+    (engine yields a leading empty token) and the empty string (engine
+    yields ``['']``, ``str.split()`` yields ``[]``). Every probe that
+    tokenizes caller-supplied query text driver-side must use this so
+    probe == direct holds for arbitrary inputs."""
+    import re
+
+    return re.split(r"[ \t\n\x0b\f\r]+", text.strip(" "))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token statistics: count, distinct count, avg length."""
     t = tokens("text")

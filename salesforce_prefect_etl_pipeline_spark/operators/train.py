@@ -116,23 +116,34 @@ def _bpe_train(
                 "pair_cnt",
             )
         )
+        # Pair-exhaustion guard (r14 advice): the argmax frame is EMPTY
+        # once no word has two symbols left, and a cross join against an
+        # empty frame annihilates the vocabulary — every document would
+        # silently encode to zero rows. A global aggregate always yields
+        # exactly one row (NULL pair when exhausted), so the join is
+        # structurally 1:1 and the merge degrades to a no-op on NULL.
+        guard = best.groupBy().agg(
+            F.min("a").alias("_ba"), F.min("b").alias("_bb")
+        )
         cur = (
-            cur.crossJoin(
-                F.broadcast(
-                    best.select(
-                        F.col("a").alias("_ba"), F.col("b").alias("_bb")
-                    )
-                )
-            )
+            cur.crossJoin(F.broadcast(guard))
             .select(
                 "word",
-                F.replace(
-                    F.col("sym"),
-                    F.concat(
-                        F.lit(BPE_SEP), "_ba", F.lit(sep2), "_bb", F.lit(BPE_SEP)
-                    ),
-                    F.concat(F.lit(BPE_SEP), "_ba", "_bb", F.lit(BPE_SEP)),
-                ).alias("sym"),
+                F.when(F.col("_ba").isNull(), F.col("sym"))
+                .otherwise(
+                    F.replace(
+                        F.col("sym"),
+                        F.concat(
+                            F.lit(BPE_SEP),
+                            "_ba",
+                            F.lit(sep2),
+                            "_bb",
+                            F.lit(BPE_SEP),
+                        ),
+                        F.concat(F.lit(BPE_SEP), "_ba", "_bb", F.lit(BPE_SEP)),
+                    )
+                )
+                .alias("sym"),
                 "cnt",
             )
             # Materialize each merged vocabulary: every later step (and
@@ -236,9 +247,12 @@ p{i} AS (
 b{i} AS (SELECT a, b, pair_cnt FROM p{i}
          ORDER BY pair_cnt DESC, a ASC, b ASC LIMIT 1),
 w{i} AS MATERIALIZED (
-  SELECT word, replace(sym, chr(31) || bb.a || {_S2} || bb.b || chr(31),
-                            chr(31) || bb.a || bb.b || chr(31)) AS sym, cnt
-  FROM w{i - 1}, b{i} bb
+  SELECT word,
+         CASE WHEN bb.a IS NULL THEN sym
+              ELSE replace(sym, chr(31) || bb.a || {_S2} || bb.b || chr(31),
+                                chr(31) || bb.a || bb.b || chr(31)) END AS sym,
+         cnt
+  FROM w{i - 1}, (SELECT min(a) AS a, min(b) AS b FROM b{i}) bb
 )"""
         )
     return "".join(out)

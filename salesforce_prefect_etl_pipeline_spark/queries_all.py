@@ -51,6 +51,8 @@ _PRIORITY = [
     # registered query's latest hard row is older than r11 (r13 verdict
     # task 1). Never-driver-checked queries added this round sort first
     # in the suggestion, displacing the newest tail.
+    "text_bm25_champion_appended",  # new (r14)
+    "text_phrase_appended",  # new (r14)
     "emb_pq_codes",  # r10
     "events_zorder_layout",  # r10
     "graph_nation_pagerank",  # r10
@@ -99,8 +101,6 @@ _PRIORITY = [
     "events_props_explode",  # r11
     "events_props_variant",  # r11
     "events_retention_cohorts",  # r11
-    "events_seasonal_anomalies",  # r11
-    "events_session_sequences",  # r11
 ]
 
 

@@ -35,7 +35,8 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     deleted data, so it is rebuilt instead."""
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     index_dir = os.path.join(
-        TEXT_INDEX_ROOT, f"{tag}-b{retrieval.TEXT_INDEX_BUCKETS}"
+        TEXT_INDEX_ROOT,
+        f"{tag}-b{retrieval.TEXT_INDEX_BUCKETS}-L{retrieval.TEXT_INDEX_LAYOUT}",
     )
     success = os.path.join(index_dir, "totals", "_SUCCESS")
     stale = os.path.exists(success) and os.path.getmtime(
@@ -79,7 +80,9 @@ def ensure_text_index_appended(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     index_dir = os.path.join(
-        TEXT_INDEX_ROOT, f"{tag}-b{retrieval.TEXT_INDEX_BUCKETS}-appended"
+        TEXT_INDEX_ROOT,
+        f"{tag}-b{retrieval.TEXT_INDEX_BUCKETS}"
+        f"-L{retrieval.TEXT_INDEX_LAYOUT}-appended",
     )
     success = os.path.join(index_dir, "totals", "_SUCCESS")
     stale = os.path.exists(success) and os.path.getmtime(
@@ -151,9 +154,12 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ensure_phrase_index(spark: SparkSession, sf_dir: str) -> str:
     """Positional tier for the phrase probe, co-located with the BM25
-    index (same bucket scheme, same staleness rule)."""
+    index (same bucket scheme, same staleness rule). Gates on the
+    ``posbatches`` commit marker, not the position files — a build torn
+    between the two would otherwise look complete while the probe's
+    batch reconcile sees zero committed batches."""
     index_dir = ensure_text_index(spark, sf_dir)
-    success = os.path.join(index_dir, "positional", "_SUCCESS")
+    success = os.path.join(index_dir, "posbatches", "_SUCCESS")
     stale = os.path.exists(success) and os.path.getmtime(
         success
     ) < os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
@@ -164,6 +170,40 @@ def ensure_phrase_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+def ensure_phrase_index_appended(spark: SparkSession, sf_dir: str) -> str:
+    """A positional tier built INCREMENTALLY (~80% initial build, the
+    rest via ``append_positional_index`` — the md5 doc_id split the
+    other *_appended rows use), in its own dir so the monolithic row
+    stays independent. The registered probe over it value-verifies the
+    positional append path end-to-end: union of batches == monolithic
+    tier bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(
+        TEXT_INDEX_ROOT,
+        f"{tag}-b{retrieval.TEXT_INDEX_BUCKETS}"
+        f"-L{retrieval.TEXT_INDEX_LAYOUT}-pos-appended",
+    )
+    success = os.path.join(index_dir, "posbatches", "_SUCCESS")
+    stale = os.path.exists(success) and os.path.getmtime(
+        success
+    ) < os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    if stale or not os.path.exists(success):
+        docs = _spread_scan(load_table(spark, sf_dir, "documents"))
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        retrieval.build_positional_index(docs.filter(bucket < 80), index_dir)
+        retrieval.append_positional_index(docs.filter(bucket >= 80), index_dir)
+    return index_dir
+
+
 def text_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The phrase probe over the persisted positional tier — identical
     output to text_phrase_search (lossless index), so it shares the
@@ -171,6 +211,62 @@ def text_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     build/prune/probe path."""
     index_dir = ensure_phrase_index(spark, sf_dir)
     return retrieval.probe_phrase_index(spark, index_dir)
+
+
+def text_phrase_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phrase probe over the INCREMENTALLY built positional tier
+    (80% build + 20% append): bit-identical to the monolithic tier and
+    the direct scan, so it shares the full-replay oracle — the
+    value-hash proves ``append_positional_index``'s end-state
+    equivalence (r13 verdict task 4)."""
+    index_dir = ensure_phrase_index_appended(spark, sf_dir)
+    return retrieval.probe_phrase_index(spark, index_dir)
+
+
+def ensure_champion_appended(spark: SparkSession, sf_dir: str) -> str:
+    """Champion tier maintained INCREMENTALLY: champions are first cut
+    over the initial 80% index, then ``append_text_index`` lands the
+    remaining 20% and ``append_champion_lists`` recuts only the touched
+    buckets — the realistic append-heavy lifecycle (r13 verdict task 4:
+    previously each batch re-paid a full champion rebuild). End state
+    must equal the monolithic cut over the full corpus."""
+    from pyspark.sql import functions as F
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(
+        TEXT_INDEX_ROOT,
+        f"{tag}-b{retrieval.TEXT_INDEX_BUCKETS}"
+        f"-L{retrieval.TEXT_INDEX_LAYOUT}-champ-appended",
+    )
+    success = os.path.join(index_dir, "champions", "_SUCCESS")
+    stale = os.path.exists(success) and os.path.getmtime(
+        success
+    ) < os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    if stale or not os.path.exists(success):
+        docs = _spread_scan(load_table(spark, sf_dir, "documents"))
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        head, tail = docs.filter(bucket < 80), docs.filter(bucket >= 80)
+        retrieval.build_text_index(head, index_dir)
+        retrieval.build_champion_lists(index_dir, spark)
+        retrieval.append_text_index(tail, index_dir)
+        retrieval.append_champion_lists(tail, index_dir)
+    return index_dir
+
+
+def text_bm25_champion_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The champion probe over the incrementally maintained tier
+    (80% cut + 20% append + touched-bucket recut): equals the
+    monolithic champion cut, so it shares the champion-replay oracle —
+    the value-hash proves ``append_champion_lists``."""
+    index_dir = ensure_champion_appended(spark, sf_dir)
+    return retrieval.probe_champion_lists(spark, index_dir)
 
 
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,6 +287,14 @@ register_query(
 )
 register_query(
     "text_phrase_indexed", text_phrase_indexed, retrieval.phrase_search_sql()
+)
+register_query(
+    "text_phrase_appended", text_phrase_appended, retrieval.phrase_search_sql()
+)
+register_query(
+    "text_bm25_champion_appended",
+    text_bm25_champion_appended,
+    retrieval.bm25_champion_sql(),
 )
 register_query(
     "text_bpe_encode", text_bpe_encode, train.bpe_encode_stats_sql(n_merges=4)

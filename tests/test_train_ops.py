@@ -119,6 +119,47 @@ def test_bpe_exhausted_pairs_stop_early(spark):
     assert con.execute(train.bpe_train_merges_sql(3)).fetchall() == []
 
 
+def test_bpe_encode_survives_pair_exhaustion(spark):
+    """r14 advice regression: with fewer learnable merges than
+    n_merges, the empty argmax must degrade the remaining steps to
+    no-ops — NOT annihilate the vocabulary (which silently dropped
+    every document from the encode on both engines, so the value-hash
+    oracle couldn't see it). One learnable merge (a,b) in "ab"; steps
+    2-3 are exhausted."""
+    texts = ["a b c a b", "ab ab c"]
+    got = [
+        tuple(r)
+        for r in train.bpe_encode_stats(_docs(spark, texts), n_merges=3).collect()
+    ]
+    # doc0: 5 single-char words -> 5 tokens; doc1: ab merged to one
+    # symbol at step 1, so 3 words -> 3 tokens.
+    assert got == [(0, 5, 5), (1, 3, 3)]
+    con = _duck_docs(texts)
+    want = con.execute(train.bpe_encode_stats_sql(3)).fetchall()
+    assert got == [tuple(r) for r in want]
+    # the merge trajectory still reports only the learnable step
+    steps = [
+        tuple(r)
+        for r in train.bpe_train_merges(_docs(spark, texts), n_merges=3).collect()
+    ]
+    assert steps == [(1, "a", "b", 2)]
+
+
+def test_bpe_encode_fully_exhausted_corpus_keeps_all_docs(spark):
+    """The advisor's exact repro: zero learnable merges at all —
+    every document must still encode (1 symbol per 1-char word)."""
+    texts = ["a b c a b"]
+    got = [
+        tuple(r)
+        for r in train.bpe_encode_stats(_docs(spark, texts), n_merges=3).collect()
+    ]
+    assert got == [(0, 5, 5)]
+    con = _duck_docs(texts)
+    assert got == [
+        tuple(r) for r in con.execute(train.bpe_encode_stats_sql(3)).fetchall()
+    ]
+
+
 # ----------------------------------------------------------------------
 # Batch perceptron
 
@@ -419,6 +460,148 @@ def test_phrase_search_oracle_matches_on_planted_corpus(spark):
     ]
     assert got == [tuple(r) for r in want]
     assert got  # non-vacuous
+
+
+def test_probe_query_tokenizer_matches_engine(spark, tmp_path):
+    """r14 advice regression: probes tokenized query text with Python
+    ``str.split()`` (Unicode-aware, drops empties) while the direct
+    forms and the index builder use the engine tokenizer (ASCII \\s+,
+    empty text -> ['']). Unicode NBSP inside a query and an empty-text
+    document are exactly the divergent cases — probe must equal direct
+    on both."""
+    texts = [
+        "spark join slow",  # NBSP is ONE token to the engine
+        "spark join slow",
+        "",  # tokenizes to [''] — matches an empty query term
+    ]
+    docs = _docs(spark, texts)
+    index_dir = str(tmp_path / "bm25")
+    retrieval.build_text_index(docs, index_dir)
+    queries = ((1, "spark join"), (2, ""))
+    direct = [
+        tuple(r)
+        for r in retrieval.bm25_topk(docs, spark, queries=queries).collect()
+    ]
+    probe = [
+        tuple(r)
+        for r in retrieval.probe_text_index(
+            spark, index_dir, queries=queries
+        ).collect()
+    ]
+    assert probe == direct
+    # non-vacuous both ways: the NBSP term matches doc 0 only, and the
+    # empty-string term matches the empty document
+    assert (1, 1, 0) in {(q, rk, d) for q, rk, d, _ in direct}
+    assert any(q == 2 and d == 2 for q, _, d, _ in direct)
+
+
+def test_append_tear_is_invisible_to_probe(spark, tmp_path):
+    """r14 advice regression: a crash between the postings append and
+    the totals append must not skew idf — the probe reconciles against
+    committed totals batches, so the torn batch is invisible."""
+    texts = [
+        "spark join slow window",
+        "window stream agg window stream",
+        "customer query big table customer spark",
+        "row scan line value part",
+    ]
+    docs = _docs(spark, texts)
+    index_dir = str(tmp_path / "bm25")
+    retrieval.build_text_index(docs, index_dir)
+    before = [
+        tuple(r) for r in retrieval.probe_text_index(spark, index_dir).collect()
+    ]
+    # simulate the tear: postings land, the totals commit record doesn't
+    torn = _docs(spark, ["spark spark spark join"]).withColumn(
+        "doc_id", F.col("doc_id") + 100
+    )
+    retrieval._postings(torn).withColumn(
+        "batch_id", F.lit("torn-batch")
+    ).write.mode("append").partitionBy("bucket").parquet(
+        f"{index_dir}/postings"
+    )
+    after = [
+        tuple(r) for r in retrieval.probe_text_index(spark, index_dir).collect()
+    ]
+    assert after == before
+    # completing the batch properly makes it visible
+    retrieval.append_text_index(torn, index_dir)
+    completed = [
+        tuple(r) for r in retrieval.probe_text_index(spark, index_dir).collect()
+    ]
+    assert completed != before
+
+
+def test_positional_append_equals_monolithic(spark, tmp_path):
+    """build(all) vs build(some)+append(rest): probe-identical
+    positional tiers, and a torn positional append (rows without the
+    posbatches marker) is invisible."""
+    texts = [
+        "spark join slow spark join",
+        "window stream agg window stream agg agg",
+        "big table big table big",
+        "spark slow join window",
+        "spark join big table spark join",
+    ]
+    docs = _docs(spark, texts)
+    mono_dir = str(tmp_path / "mono")
+    incr_dir = str(tmp_path / "incr")
+    retrieval.build_positional_index(docs, mono_dir)
+    retrieval.build_positional_index(docs.filter("doc_id < 3"), incr_dir)
+    retrieval.append_positional_index(docs.filter("doc_id >= 3"), incr_dir)
+    mono = [
+        tuple(r)
+        for r in retrieval.probe_phrase_index(spark, mono_dir).collect()
+    ]
+    incr = [
+        tuple(r)
+        for r in retrieval.probe_phrase_index(spark, incr_dir).collect()
+    ]
+    assert mono == incr
+    assert mono  # non-vacuous
+
+
+def test_champion_append_recut_equals_full_rebuild(spark, tmp_path):
+    """Champion maintenance (r13 verdict task 4): cut over the initial
+    index, append a batch, recut touched buckets only — stored rows and
+    probe output must both equal the monolithic cut over everything."""
+    texts = [
+        "spark join slow",
+        "window stream agg window stream",
+        "customer query big table customer",
+        "row scan line value part",
+        "spark spark spark join join slow fast",
+        "spark window merge",
+    ]
+    docs = _docs(spark, texts)
+    mono_dir = str(tmp_path / "mono")
+    incr_dir = str(tmp_path / "incr")
+    retrieval.build_text_index(docs, mono_dir)
+    retrieval.build_champion_lists(mono_dir, spark, m=2)
+
+    head, tail = docs.filter("doc_id < 4"), docs.filter("doc_id >= 4")
+    retrieval.build_text_index(head, incr_dir)
+    retrieval.build_champion_lists(incr_dir, spark, m=2)
+    retrieval.append_text_index(tail, incr_dir)
+    retrieval.append_champion_lists(tail, incr_dir, m=2)
+
+    mono_rows = sorted(
+        (tuple(r) for r in spark.read.parquet(f"{mono_dir}/champions").collect()),
+    )
+    incr_rows = sorted(
+        (tuple(r) for r in spark.read.parquet(f"{incr_dir}/champions").collect()),
+    )
+    assert mono_rows == incr_rows
+    mono_probe = [
+        tuple(r)
+        for r in retrieval.probe_champion_lists(spark, mono_dir).collect()
+    ]
+    incr_probe = [
+        tuple(r)
+        for r in retrieval.probe_champion_lists(spark, incr_dir).collect()
+    ]
+    assert mono_probe == incr_probe
+    assert mono_probe  # non-vacuous
 
 
 def test_phrase_index_probe_identical_to_direct(spark, tmp_path):
