@@ -50,7 +50,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from salesforce_prefect_etl_pipeline_spark.operators.text import tokens, tokens_py
+from salesforce_prefect_etl_pipeline_spark.operators.text import (
+    analyzed_tokens,
+    analyzed_tokens_py,
+    tokens,
+    tokens_py,
+)
+
+#: Analyzer chains for lexical search (r13 verdict task 5): name ->
+#: (engine Column tokenizer, driver-side Python twin). "raw" is the
+#: historical whitespace split every pre-r14 oracle pins; "simple"
+#: adds lowercase + ASCII-punctuation folding so "Spark," == "spark".
+_ANALYZERS = {
+    "raw": (tokens, tokens_py),
+    "simple": (analyzed_tokens, analyzed_tokens_py),
+}
+
+
+def _sql_tokens(expr: str, analyzer: str = "raw") -> str:
+    """The DuckDB token-array twin of the chosen analyzer chain."""
+    if analyzer == "simple":
+        expr = f"regexp_replace(lower({expr}), '[^a-z0-9\\s]+', ' ', 'g')"
+    return f"string_split_regex(trim({expr}), '\\s+')"
+
 
 #: Fixed benchmark query set (query_id, text). Like the ANN query
 #: vectors, a small known set: real deployments pass their own.
@@ -58,6 +80,16 @@ BM25_QUERIES: tuple[tuple[int, str], ...] = (
     (1, "spark join slow"),
     (2, "window stream agg"),
     (3, "customer query big table"),
+)
+
+#: The analyzed benchmark set: the same information needs as
+#: BM25_QUERIES but cased and punctuated the way real query text
+#: arrives — the "simple" analyzer normalizes them to the same terms,
+#: which is the point of the registered analyzed row.
+BM25_ANALYZED_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "Spark, JOIN... slow!"),
+    (2, "Window; STREAM (agg)"),
+    (3, "CUSTOMER query: big/table"),
 )
 
 #: Fixed-point scale for the two floor divisions (1e-6 score quantum).
@@ -129,23 +161,28 @@ def bm25_topk(
     spark: SparkSession,
     queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
     k: int = 5,
+    analyzer: str = "raw",
 ) -> DataFrame:
     """Top-``k`` documents per query under integer-exact BM25.
 
     Returns (query_id, rnk, doc_id, score_scaled) ordered by
     (query_id, rnk); ties within a query break on doc_id ascending.
     Documents sharing no term with a query never appear (score 0 rows
-    are not emitted — standard inverted-index behavior).
+    are not emitted — standard inverted-index behavior). ``analyzer``
+    picks the tokenizer chain (corpus AND query side together — the
+    two must always agree): "raw" whitespace split, or "simple"
+    lowercase + punctuation folding (r13 verdict task 5).
     """
+    tok_col, _ = _ANALYZERS[analyzer]
     qdf = spark.createDataFrame(list(queries), "query_id int, qtext string")
     qterms = qdf.select(
-        "query_id", F.explode(tokens("qtext")).alias("term")
+        "query_id", F.explode(tok_col("qtext")).alias("term")
     ).distinct()
 
     # One corpus explode pass: per-doc length rides through the explode
     # so no doc-length join is needed later, and the broadcast
     # distinct-term restriction lands BEFORE the tf aggregation.
-    t = tokens("text")
+    t = tok_col("text")
     tok = docs.select(
         "doc_id", F.size(t).alias("dl"), F.explode(t).alias("term")
     )
@@ -158,7 +195,7 @@ def bm25_topk(
     # explode) — the honest minimum for exact N and L on a cold corpus;
     # the persisted-index form (probe_text_index) reads them from the
     # index and needs no corpus pass at all.
-    totals = docs.select(F.size(tokens("text")).alias("dl")).agg(
+    totals = docs.select(F.size(tok_col("text")).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
     )
@@ -192,8 +229,8 @@ def _term_bucket_py(term: str) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % TEXT_INDEX_BUCKETS
 
 
-def _postings(docs: DataFrame) -> DataFrame:
-    t = tokens("text")
+def _postings(docs: DataFrame, analyzer: str = "raw") -> DataFrame:
+    t = _ANALYZERS[analyzer][0]("text")
     tok = docs.select(
         "doc_id", F.size(t).alias("dl"), F.explode(t).alias("term")
     )
@@ -210,13 +247,15 @@ def _postings(docs: DataFrame) -> DataFrame:
     )
 
 
-def _batch_totals(docs: DataFrame) -> DataFrame:
+def _batch_totals(docs: DataFrame, analyzer: str = "raw") -> DataFrame:
     """Per-batch corpus totals, stamped with a content-derived batch id:
     md5(min_doc_id:max_doc_id:count). Batches hold disjoint doc_ids by
     contract, so no two batches share a min — the id is unique AND
     deterministic (no wall clock), keeping rebuilt indexes
     bit-reproducible."""
-    return docs.select("doc_id", F.size(tokens("text")).alias("dl")).agg(
+    return docs.select(
+        "doc_id", F.size(_ANALYZERS[analyzer][0]("text")).alias("dl")
+    ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
         F.md5(
@@ -227,15 +266,17 @@ def _batch_totals(docs: DataFrame) -> DataFrame:
     )
 
 
-def _write_index_batch(docs: DataFrame, index_dir: str, mode: str) -> None:
+def _write_index_batch(
+    docs: DataFrame, index_dir: str, mode: str, analyzer: str = "raw"
+) -> None:
     """The shared stamped two-file write: postings first (every row
     carrying the batch id), then the 1-row totals record — the commit
     point. Ordering + stamps make the pair crash-safe (see
     :func:`build_text_index`)."""
-    tot = _batch_totals(docs).collect()[0]
-    _postings(docs).withColumn("batch_id", F.lit(tot["batch_id"])).write.mode(
-        mode
-    ).partitionBy("bucket").parquet(f"{index_dir}/postings")
+    tot = _batch_totals(docs, analyzer).collect()[0]
+    _postings(docs, analyzer).withColumn(
+        "batch_id", F.lit(tot["batch_id"])
+    ).write.mode(mode).partitionBy("bucket").parquet(f"{index_dir}/postings")
     docs.sparkSession.createDataFrame(
         [tot], "n_docs long, total_len long, batch_id string"
     ).write.mode(mode).parquet(f"{index_dir}/totals")
@@ -245,7 +286,9 @@ def _valid_batches(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(f"{index_dir}/totals").select("batch_id")
 
 
-def build_text_index(docs: DataFrame, index_dir: str) -> None:
+def build_text_index(
+    docs: DataFrame, index_dir: str, analyzer: str = "raw"
+) -> None:
     """Persist the BM25 inverted index: posting lists
     (term, doc_id, tf, dl, batch_id) as parquet PARTITIONED BY the
     term's md5 bucket, plus per-batch corpus totals. df(t) is
@@ -262,11 +305,15 @@ def build_text_index(docs: DataFrame, index_dir: str) -> None:
     against the totals batch ids, so an uncommitted batch is invisible
     (its docs counted in neither tf/df nor N/total_len) rather than
     skewing every idf. Totals stay APPEND-ONLY batch rows the probe
-    sums, never a read-modify-write."""
-    _write_index_batch(docs, index_dir, "overwrite")
+    sums, never a read-modify-write. ``analyzer`` fixes the index's
+    tokenizer chain — probes must use the same one (the caller's
+    contract; an index dir holds exactly one analyzer's terms)."""
+    _write_index_batch(docs, index_dir, "overwrite", analyzer)
 
 
-def append_text_index(new_docs: DataFrame, index_dir: str) -> None:
+def append_text_index(
+    new_docs: DataFrame, index_dir: str, analyzer: str = "raw"
+) -> None:
     """Incrementally index NEW documents (disjoint doc_ids by contract,
     the ``append_ivf_vectors`` analog): their postings append into the
     touched bucket partitions only, and one totals batch row commits
@@ -274,7 +321,7 @@ def append_text_index(new_docs: DataFrame, index_dir: str) -> None:
     Probes see the union — pytest pins append == monolithic build
     bit-for-bit. O(increment) work; the existing corpus is never
     re-read."""
-    _write_index_batch(new_docs, index_dir, "append")
+    _write_index_batch(new_docs, index_dir, "append", analyzer)
 
 
 #: Champion-list size: per-term cap on postings kept in the pruned
@@ -323,7 +370,10 @@ def build_champion_lists(
 
 
 def append_champion_lists(
-    new_docs: DataFrame, index_dir: str, m: int = CHAMPION_M
+    new_docs: DataFrame,
+    index_dir: str,
+    m: int = CHAMPION_M,
+    analyzer: str = "raw",
 ) -> None:
     """Bounded champion maintenance after ``append_text_index(new_docs)``
     (r13 verdict task 4 — the champion tier previously re-paid a full
@@ -347,7 +397,9 @@ def append_champion_lists(
     rebuild — raise the bucket count for append-heavy corpora."""
     spark = new_docs.sparkSession
     bucket_rows = (
-        new_docs.select(F.explode(tokens("text")).alias("term"))
+        new_docs.select(
+            F.explode(_ANALYZERS[analyzer][0]("text")).alias("term")
+        )
         .select(
             (
                 F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
@@ -387,17 +439,19 @@ def probe_champion_lists(
     index_dir: str,
     queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
     k: int = 5,
+    analyzer: str = "raw",
 ) -> DataFrame:
     """Approximate BM25 top-``k`` over the champion tier only: identical
     scoring (true df travels on the champion rows), candidate set
     restricted to each term's top-m postings. Exact whenever every
     query term's df <= CHAMPION_M (pytest-pinned both ways); recall on
     common-term queries is the documented trade for the bounded read."""
+    tok_py = _ANALYZERS[analyzer][1]
     qterm_rows = sorted(
         {
             (qid, term)
             for qid, text in queries
-            for term in tokens_py(text)
+            for term in tok_py(text)
         }
     )
     buckets = sorted({_term_bucket_py(t) for _, t in qterm_rows})
@@ -441,6 +495,7 @@ def probe_text_index(
     index_dir: str,
     queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
     k: int = 5,
+    analyzer: str = "raw",
 ) -> DataFrame:
     """Top-``k`` per query from the persisted index — bit-identical to
     :func:`bm25_topk` over the same corpus (pytest-pinned), but reading
@@ -449,12 +504,14 @@ def probe_text_index(
     :func:`text.tokens_py`, the driver-side twin of the corpus
     tokenizer, so probe == direct holds for Unicode-whitespace and
     empty query text too (r14 advice). Postings are reconciled against
-    the committed totals batches, so a torn append is invisible."""
+    the committed totals batches, so a torn append is invisible.
+    ``analyzer`` must match the one the index was built with."""
+    tok_py = _ANALYZERS[analyzer][1]
     qterm_rows = sorted(
         {
             (qid, term)
             for qid, text in queries
-            for term in tokens_py(text)
+            for term in tok_py(text)
         }
     )
     buckets = sorted({_term_bucket_py(t) for _, t in qterm_rows})
@@ -480,21 +537,26 @@ def probe_text_index(
 
 
 def bm25_topk_sql(
-    queries: tuple[tuple[int, str], ...] = BM25_QUERIES, k: int = 5
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = 5,
+    analyzer: str = "raw",
 ) -> str:
     """DuckDB replay of :func:`bm25_topk` — identical integer arithmetic
-    (HUGEINT stands in for DECIMAL(38,0), ``//`` for ``DIV``)."""
+    (HUGEINT stands in for DECIMAL(38,0), ``//`` for ``DIV``); the
+    ``analyzer`` token chain replays via :func:`_sql_tokens`."""
     values = ", ".join(f"({qid}, '{text}')" for qid, text in queries)
+    qtok = _sql_tokens("qtext", analyzer)
+    dtok = _sql_tokens("text", analyzer)
     return f"""
 WITH q(query_id, qtext) AS (VALUES {values}),
 qterms AS (
-  SELECT DISTINCT query_id, unnest(string_split_regex(trim(qtext), '\\s+')) AS term
+  SELECT DISTINCT query_id, unnest({qtok}) AS term
   FROM q
 ),
 tok AS MATERIALIZED (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS dl,
-         unnest(string_split_regex(trim(text), '\\s+')) AS term
+         len({dtok}) AS dl,
+         unnest({dtok}) AS term
   FROM documents
 ),
 tf AS MATERIALIZED (
@@ -509,7 +571,7 @@ dfreq AS (
 ),
 totals AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         CAST(SUM(len({dtok})) AS BIGINT)
            AS total_len
   FROM documents
 ),
@@ -543,22 +605,25 @@ def bm25_champion_sql(
     queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
     k: int = 5,
     m: int = CHAMPION_M,
+    analyzer: str = "raw",
 ) -> str:
     """DuckDB replay of :func:`probe_champion_lists`: the same full
     posting derivation, then the champion restriction (per-term top-m
     by tf desc, doc_id asc — true df stamped BEFORE the cut) and the
     identical scoring. Value-hash over the approximate tier, exact."""
     values = ", ".join(f"({qid}, '{text}')" for qid, text in queries)
+    qtok = _sql_tokens("qtext", analyzer)
+    dtok = _sql_tokens("text", analyzer)
     return f"""
 WITH q(query_id, qtext) AS (VALUES {values}),
 qterms AS (
-  SELECT DISTINCT query_id, unnest(string_split_regex(trim(qtext), '\\s+')) AS term
+  SELECT DISTINCT query_id, unnest({qtok}) AS term
   FROM q
 ),
 tok AS MATERIALIZED (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS dl,
-         unnest(string_split_regex(trim(text), '\\s+')) AS term
+         len({dtok}) AS dl,
+         unnest({dtok}) AS term
   FROM documents
 ),
 tf AS MATERIALIZED (
@@ -578,7 +643,7 @@ champs AS (
 ),
 totals AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         CAST(SUM(len({dtok})) AS BIGINT)
            AS total_len
   FROM documents
 ),
@@ -625,6 +690,7 @@ def phrase_search(
     spark: SparkSession,
     queries: tuple[tuple[int, str], ...] = PHRASE_QUERIES,
     k: int = 5,
+    analyzer: str = "raw",
 ) -> DataFrame:
     """Exact contiguous-phrase matching: top-``k`` documents per phrase
     by occurrence count (ties: doc_id asc), overlap-counted (the phrase
@@ -641,20 +707,22 @@ def phrase_search(
     Returns (query_id, rnk, doc_id, n_hits) ordered by (query_id, rnk);
     documents without the phrase never appear."""
     tok = docs.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+        "doc_id",
+        F.posexplode(_ANALYZERS[analyzer][0]("text")).alias("pos", "term"),
     )
-    return _phrase_anchor_topk(tok, spark, queries, k)
+    return _phrase_anchor_topk(tok, spark, queries, k, analyzer)
 
 
-def _phrase_frames(spark, queries):
+def _phrase_frames(spark, queries, analyzer="raw"):
     # phrase slots come from the engine-twin tokenizer so caller-
     # supplied phrases slot-align with the corpus tokens (r14 advice)
+    tok_py = _ANALYZERS[analyzer][1]
     rows = [
         (qid, slot, term)
         for qid, text in queries
-        for slot, term in enumerate(tokens_py(text))
+        for slot, term in enumerate(tok_py(text))
     ]
-    lens = {qid: len(tokens_py(text)) for qid, text in queries}
+    lens = {qid: len(tok_py(text)) for qid, text in queries}
     pterms = spark.createDataFrame(rows, "query_id int, slot int, term string")
     plens = spark.createDataFrame(
         sorted(lens.items()), "query_id int, phrase_len int"
@@ -667,11 +735,12 @@ def _phrase_anchor_topk(
     spark: SparkSession,
     queries: tuple[tuple[int, str], ...],
     k: int,
+    analyzer: str = "raw",
 ) -> DataFrame:
     """The shared anchor-count tail over any (doc_id, pos, term) frame
     — fed by the corpus explode (direct) or the positional index
     (probe)."""
-    pterms, plens = _phrase_frames(spark, queries)
+    pterms, plens = _phrase_frames(spark, queries, analyzer)
     anchors = (
         tok.join(F.broadcast(pterms), "term")
         .select(
@@ -697,7 +766,9 @@ def _phrase_anchor_topk(
     )
 
 
-def _write_positional_batch(docs: DataFrame, index_dir: str, mode: str) -> None:
+def _write_positional_batch(
+    docs: DataFrame, index_dir: str, mode: str, analyzer: str = "raw"
+) -> None:
     """Stamped positional write + its commit marker — the
     :func:`_write_index_batch` invariant for the positional tier:
     position rows first (batch-stamped), then the 1-row ``posbatches``
@@ -710,7 +781,8 @@ def _write_positional_batch(docs: DataFrame, index_dir: str, mode: str) -> None:
         ).alias("batch_id")
     ).collect()[0]["batch_id"]
     tok = docs.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+        "doc_id",
+        F.posexplode(_ANALYZERS[analyzer][0]("text")).alias("pos", "term"),
     )
     positional = (
         tok.groupBy("term", "doc_id")
@@ -732,7 +804,9 @@ def _write_positional_batch(docs: DataFrame, index_dir: str, mode: str) -> None:
     ).write.mode(mode).parquet(f"{index_dir}/posbatches")
 
 
-def build_positional_index(docs: DataFrame, index_dir: str) -> None:
+def build_positional_index(
+    docs: DataFrame, index_dir: str, analyzer: str = "raw"
+) -> None:
     """Persist the positional tier: (term, doc_id, positions) with the
     sorted 0-based position list, partitioned by the same md5 term
     bucket as the BM25 postings — phrase probes then read only their
@@ -741,10 +815,12 @@ def build_positional_index(docs: DataFrame, index_dir: str) -> None:
     parallelism (collect_list order is not). Batch-stamped with a
     ``posbatches`` commit marker (same tear invariant as
     :func:`build_text_index`)."""
-    _write_positional_batch(docs, index_dir, "overwrite")
+    _write_positional_batch(docs, index_dir, "overwrite", analyzer)
 
 
-def append_positional_index(new_docs: DataFrame, index_dir: str) -> None:
+def append_positional_index(
+    new_docs: DataFrame, index_dir: str, analyzer: str = "raw"
+) -> None:
     """Incrementally extend the positional tier with NEW documents
     (disjoint doc_ids by contract — r13 verdict task 4: the tier was a
     full rebuild per batch): position rows append into the touched
@@ -753,7 +829,7 @@ def append_positional_index(new_docs: DataFrame, index_dir: str) -> None:
     the probe's union of batches IS the monolithic index —
     pytest-pinned bit-for-bit. O(increment); the existing corpus is
     never re-read."""
-    _write_positional_batch(new_docs, index_dir, "append")
+    _write_positional_batch(new_docs, index_dir, "append", analyzer)
 
 
 def probe_phrase_index(
@@ -761,6 +837,7 @@ def probe_phrase_index(
     index_dir: str,
     queries: tuple[tuple[int, str], ...] = PHRASE_QUERIES,
     k: int = 5,
+    analyzer: str = "raw",
 ) -> DataFrame:
     """Exact-phrase top-``k`` from the persisted positional tier —
     bit-identical to :func:`phrase_search` over the same corpus
@@ -770,7 +847,7 @@ def probe_phrase_index(
     :func:`text.tokens_py`; position batches reconcile against the
     ``posbatches`` markers (torn appends invisible)."""
     terms = sorted(
-        {t for _, text in queries for t in tokens_py(text)}
+        {t for _, text in queries for t in _ANALYZERS[analyzer][1](text)}
     )
     buckets = sorted({_term_bucket_py(t) for t in terms})
     valid = spark.read.parquet(f"{index_dir}/posbatches").select("batch_id")
@@ -781,7 +858,7 @@ def probe_phrase_index(
         .join(F.broadcast(valid), "batch_id", "leftsemi")
         .select("term", "doc_id", F.explode("positions").alias("pos"))
     )
-    return _phrase_anchor_topk(tok, spark, queries, k)
+    return _phrase_anchor_topk(tok, spark, queries, k, analyzer)
 
 
 #: RRF constant (Cormack, Clarke & Buettcher 2009, SIGIR: k=60 is the
@@ -908,20 +985,24 @@ ORDER BY query_id, rnk
 
 
 def phrase_search_sql(
-    queries: tuple[tuple[int, str], ...] = PHRASE_QUERIES, k: int = 5
+    queries: tuple[tuple[int, str], ...] = PHRASE_QUERIES,
+    k: int = 5,
+    analyzer: str = "raw",
 ) -> str:
     """DuckDB replay of :func:`phrase_search` — the same anchor
     counting over list_transform-enumerated positions (1-based there,
     0-based in Spark's posexplode; anchors are differences, so the
     offset cancels)."""
+    tok_py = _ANALYZERS[analyzer][1]
     term_rows = ", ".join(
         f"({qid}, {slot}, '{term}')"
         for qid, text in queries
-        for slot, term in enumerate(tokens_py(text))
+        for slot, term in enumerate(tok_py(text))
     )
     len_rows = ", ".join(
-        f"({qid}, {len(tokens_py(text))})" for qid, text in queries
+        f"({qid}, {len(tok_py(text))})" for qid, text in queries
     )
+    dtok = _sql_tokens("text", analyzer)
     return f"""
 WITH pterms(query_id, slot, term) AS (VALUES {term_rows}),
 plens(query_id, phrase_len) AS (VALUES {len_rows}),
@@ -929,8 +1010,8 @@ tok AS (
   SELECT doc_id, pr.term AS term, pr.pos AS pos FROM (
     SELECT doc_id,
            unnest(list_transform(
-             range(1, len(string_split_regex(trim(text), '\\s+')) + 1),
-             i -> {{'term': string_split_regex(trim(text), '\\s+')[i],
+             range(1, len({dtok}) + 1),
+             i -> {{'term': {dtok}[i],
                     'pos': i}})) AS pr
     FROM documents
   )

@@ -36,6 +36,23 @@ def tokens(col: str | Column) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def analyzed_tokens(col: str | Column) -> Column:
+    """The ``simple`` analyzer chain for lexical search (r13 verdict
+    task 5): lowercase, fold runs of ASCII non-alphanumerics to a
+    space, then the same whitespace split as :func:`tokens` — so
+    "Spark," and "spark" produce the same term. ASCII-only by design
+    (the keep-class is ``[a-z0-9]``): non-ASCII letters fold to
+    separators identically on both engines, which keeps the chain
+    exactly SQL-replayable (``lower`` + ``regexp_replace`` + split in
+    DuckDB) without depending on any engine's Unicode case tables.
+    Every pre-r14 oracle stays pinned to the raw tokenizer; the
+    analyzer is an explicit opt-in threaded through BM25 / phrase /
+    index builds."""
+    c = F.col(col) if isinstance(col, str) else col
+    folded = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]+", " ")
+    return F.split(F.trim(folded), r"\s+")
+
+
 def tokens_py(text: str) -> list[str]:
     """Driver-side twin of :func:`tokens` (r14 advice): trim ASCII
     spaces (Spark ``trim`` strips 0x20 only), then split on runs of the
@@ -49,6 +66,18 @@ def tokens_py(text: str) -> list[str]:
     import re
 
     return re.split(r"[ \t\n\x0b\f\r]+", text.strip(" "))
+
+
+def analyzed_tokens_py(text: str) -> list[str]:
+    """Driver-side twin of :func:`analyzed_tokens` — lowercase, fold
+    ASCII non-alphanumerics to spaces, split like :func:`tokens_py`.
+    The keep-class is ASCII, so the twin agrees with both engines on
+    any input whose case-folding is ASCII (the documented analyzer
+    contract)."""
+    import re
+
+    folded = re.sub(r"[^a-z0-9 \t\n\x0b\f\r]+", " ", text.lower())
+    return re.split(r"[ \t\n\x0b\f\r]+", folded.strip(" "))
 
 
 def token_stats(docs: DataFrame) -> DataFrame:

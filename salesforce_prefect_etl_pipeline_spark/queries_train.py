@@ -269,6 +269,21 @@ def text_bm25_champion_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.probe_champion_lists(spark, index_dir)
 
 
+def text_bm25_analyzed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 under the "simple" analyzer chain (lowercase +
+    ASCII-punctuation folding, r13 verdict task 5) over cased and
+    punctuated query text — "Spark," finds the docs "spark" does. The
+    oracle replays the identical chain (lower + regexp_replace) on the
+    DuckDB side; every pre-r14 row stays pinned to the raw tokenizer."""
+    docs = _spread_scan(load_table(spark, sf_dir, "documents"))
+    return retrieval.bm25_topk(
+        docs,
+        spark,
+        queries=retrieval.BM25_ANALYZED_QUERIES,
+        analyzer="simple",
+    )
+
+
 def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic top-5 by reciprocal-rank fusion of the
     BM25 leg and the exact-cosine leg (operators/retrieval.py,
@@ -308,6 +323,13 @@ register_query(
 )
 register_query(
     "text_hybrid_rrf_topk", text_hybrid_rrf_topk, retrieval.hybrid_rrf_sql()
+)
+register_query(
+    "text_bm25_analyzed_topk",
+    text_bm25_analyzed_topk,
+    retrieval.bm25_topk_sql(
+        queries=retrieval.BM25_ANALYZED_QUERIES, analyzer="simple"
+    ),
 )
 register_query(
     "text_bpe_encode", text_bpe_encode, train.bpe_encode_stats_sql(n_merges=4)
