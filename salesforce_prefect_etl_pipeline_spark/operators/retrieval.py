@@ -361,8 +361,14 @@ def build_champion_lists(
     window, one partitioned write. After appends, prefer
     :func:`append_champion_lists` (bucket-bounded recut) over this full
     rebuild."""
-    postings = spark.read.parquet(f"{index_dir}/postings").join(
-        F.broadcast(_valid_batches(spark, index_dir)), "batch_id", "leftsemi"
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .join(
+            F.broadcast(_valid_batches(spark, index_dir)),
+            "batch_id",
+            "leftsemi",
+        )
+        .dropDuplicates()
     )
     _champion_recut(postings, m).write.mode("overwrite").partitionBy(
         "bucket"
@@ -422,6 +428,7 @@ def append_champion_lists(
             "batch_id",
             "leftsemi",
         )
+        .dropDuplicates()
     )
     mode_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(mode_key, "static")
@@ -463,9 +470,13 @@ def probe_champion_lists(
         .filter(F.col("term").isin(terms))
         .select("term", "doc_id", "tf", "dl", "df")
     )
-    totals = spark.read.parquet(f"{index_dir}/totals").agg(
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("total_len").cast("long").alias("total_len"),
+    totals = (
+        spark.read.parquet(f"{index_dir}/totals")
+        .dropDuplicates(["batch_id"])
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
     )
     scored = (
         champs.join(F.broadcast(qdf), "term")
@@ -526,12 +537,22 @@ def probe_text_index(
             "batch_id",
             "leftsemi",
         )
+        # a batch torn after its postings write and then REPLAYED (the
+        # streaming sink's recovery path) leaves byte-identical posting
+        # rows twice under one committed batch id — full-row dedup
+        # restores exactly-once without any writer-side coordination
+        .dropDuplicates()
         .select("term", "doc_id", "tf", "dl")
     )
-    # per-batch rows summed (append-only totals; see build_text_index)
-    totals = spark.read.parquet(f"{index_dir}/totals").agg(
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("total_len").cast("long").alias("total_len"),
+    # per-batch rows summed (append-only totals; see build_text_index);
+    # batch_id dedup makes a replayed totals row harmless too
+    totals = (
+        spark.read.parquet(f"{index_dir}/totals")
+        .dropDuplicates(["batch_id"])
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
     )
     return _score_topk(tf0, qdf, totals, k)
 
@@ -856,6 +877,7 @@ def probe_phrase_index(
         .filter(F.col("bucket").isin([int(b) for b in buckets]))
         .filter(F.col("term").isin(terms))
         .join(F.broadcast(valid), "batch_id", "leftsemi")
+        .dropDuplicates(["term", "doc_id", "batch_id"])
         .select("term", "doc_id", F.explode("positions").alias("pos"))
     )
     return _phrase_anchor_topk(tok, spark, queries, k, analyzer)

@@ -51,6 +51,7 @@ _PRIORITY = [
     # registered query's latest hard row is older than r11 (r13 verdict
     # task 1). Never-driver-checked queries added this round sort first
     # in the suggestion, displacing the newest tail.
+    "streaming_bm25_index_ingest",  # new (r14)
     "text_bm25_analyzed_topk",  # new (r14)
     "text_bm25_champion_appended",  # new (r14)
     "text_hybrid_rrf_topk",  # new (r14)
@@ -100,7 +101,6 @@ _PRIORITY = [
     "events_hourly_by_type",  # r11
     "events_json_extract",  # r11
     "events_mad_outliers",  # r11
-    "events_props_explode",  # r11
 ]
 
 

@@ -285,6 +285,85 @@ def stream_dedup_on_ingest(
     return accepted_dir
 
 
+def stream_text_index_ingest(
+    stream_docs: DataFrame,
+    index_dir: str,
+    name: str = "text_index_ingest",
+    checkpoint_dir: str | None = None,
+    analyzer: str = "raw",
+) -> str:
+    """Streaming maintenance of the BM25 inverted index (r13 verdict
+    task 6 — the retrieval<->streaming loop): per micro-batch, one
+    ``append_text_index``-shaped stamped append into the persisted
+    index, so the lexical tier keeps up with the crawl instead of
+    re-paying offline builds. Returns ``index_dir``; probes see exactly
+    the union of committed batches.
+
+    Exactly-once story, composed from the index's own invariants
+    (operators/retrieval.py): each batch's id is CONTENT-derived
+    (md5 of min/max doc_id + count), postings land before the totals
+    commit record, and probes reconcile against committed ids — so
+
+    - a crash BEFORE the totals write leaves an invisible orphan batch;
+    - the replayed batch is detected as uncommitted (its id is absent
+      from totals), re-appends its byte-identical postings, and
+      commits — probes collapse the doubled rows by full-row dedup;
+    - a replayed ALREADY-COMMITTED batch (crash after totals, before
+      the checkpoint advanced) is skipped by the committed-id guard
+      here, with batch-count-bounded driver state.
+
+    At-least-once delivery + content-addressed idempotent writes =
+    exactly-once reads, the same composition as
+    ``stream_dedup_on_ingest`` — but here the torn-batch repair is
+    pinned bit-for-bit (probe == monolithic build, pytest)."""
+    from salesforce_prefect_etl_pipeline_spark.operators import retrieval
+
+    spark = stream_docs.sparkSession
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.select("doc_id", "text")
+        tot = retrieval._batch_totals(b, analyzer).collect()[0]
+        tpath = os.path.join(index_dir, "totals")
+        if os.path.exists(os.path.join(tpath, "_SUCCESS")):
+            committed = {
+                r["batch_id"]
+                for r in spark.read.parquet(tpath).select("batch_id").collect()
+            }  # one row per batch — control-plane sized
+            if tot["batch_id"] in committed:
+                return
+        retrieval._postings(b, analyzer).withColumn(
+            "batch_id", F.lit(tot["batch_id"])
+        ).write.mode("append").partitionBy("bucket").parquet(
+            os.path.join(index_dir, "postings")
+        )
+        spark.createDataFrame(
+            [tot], "n_docs long, total_len long, batch_id string"
+        ).write.mode("append").parquet(tpath)
+
+    ctx = (
+        tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_")
+        if checkpoint_dir is None
+        else None
+    )
+    ckpt = checkpoint_dir if checkpoint_dir is not None else ctx.name
+    try:
+        with pinned_stream_shuffle(spark):
+            q = (
+                stream_docs.writeStream.foreachBatch(_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if ctx is not None:
+            ctx.cleanup()
+    return index_dir
+
+
 def stream_documents_dir(
     spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
