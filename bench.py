@@ -147,7 +147,45 @@ HEADLINE = [
     # the single-shuffle exact-phrase search.
     "text_bm25_champion",
     "text_phrase_search",
+    # Round-14 rows: hybrid RRF (both retrieval legs + integer fusion —
+    # the flagship hybrid pipeline) and the 16-merge BPE run (4x the
+    # iteration count of the 4-merge row, benched beside it so the
+    # per-merge cost gets its own measured exponent). The other r14
+    # rows recompose benched shapes: analyzed BM25 is bm25_topk plus a
+    # per-scan regexp, the *_appended probes are the indexed probes
+    # over differently-built indexes, and streaming_bm25_index_ingest
+    # is append_text_index plus micro-batch overhead (the
+    # streaming_dedup_ingest exclusion rationale).
+    "text_hybrid_rrf_topk",
+    "text_bpe_train_merges16",
 ]
+
+
+def _calibration_probe(spark) -> float:
+    """Box-speed calibration (r13 verdict task 7): a fixed synthetic
+    shuffle+agg over spark.range whose code NEVER changes round to
+    round, timed with the same protocol as the suite. Because the probe
+    is code-version-invariant by construction, its round-over-round
+    ratio measures the BOX (thermal/VM/scheduling decay — r13 measured
+    identical code drifting 37.5 -> 49.7 s), not the repo: dividing
+    suite walls by the calibration ratio separates code regressions
+    from environment drift without re-running old commits. Recorded
+    pre- and post-suite so within-run decay is visible too."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    n = (
+        spark.range(0, 20_000_000, 1, 32)
+        .select(
+            (F.col("id") % 9973).alias("k"),
+            (F.col("id") * 2654435761 % 104729).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .count()
+    )
+    assert n == 9973
+    return time.time() - t0
 
 
 #: The driver records the LAST stdout line of a bench run with a
@@ -158,7 +196,7 @@ HEADLINE = [
 MAX_FINAL_LINE_BYTES = 4096
 
 
-def compact_line(timings: dict[str, float], sf: str) -> str:
+def compact_line(timings: dict[str, float], sf: str, calib: float | None = None) -> str:
     """The ONE stdout JSON line: metric/value/queries medians/sf only.
     Spreads and run counts belong in the sidecar, never here.
 
@@ -180,6 +218,8 @@ def compact_line(timings: dict[str, float], sf: str) -> str:
             "queries": kept,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
+        if calib is not None:
+            rec["calib_sec"] = calib
         if dropped:
             rec["queries_dropped"] = dropped
         return json.dumps(rec, separators=(",", ":"))
@@ -249,6 +289,13 @@ def main() -> None:
     )
 
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # pre-suite calibration: median-of-3 of the fixed box-speed probe
+    # (first run discarded as codegen warmup)
+    _calibration_probe(spark)
+    calib_pre = round(
+        statistics.median(sorted(_calibration_probe(spark) for _ in range(3))), 3
+    )
+    print(f"# calibration probe (pre): {calib_pre}s", file=sys.stderr)
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -283,10 +330,15 @@ def main() -> None:
     # NOT the final stdout line (see MAX_FINAL_LINE_BYTES);
     # tools/bench_compare.py reads the sidecar for spread-aware noise
     # separation.
+    calib_post = round(
+        statistics.median(sorted(_calibration_probe(spark) for _ in range(3))), 3
+    )
+    print(f"# calibration probe (post): {calib_post}s", file=sys.stderr)
     sidecar = {
         "spread": spread,
         "runs_per_query": runs_per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib_sec": {"pre": calib_pre, "post": calib_post},
     }
     repo = os.path.dirname(os.path.abspath(__file__))
     sidecar_path = os.path.join(repo, "BENCH_SPREAD.json")
@@ -327,7 +379,7 @@ def main() -> None:
     # compact_line fits the cap by construction (cheapest entries drop
     # to the sidecar if the registry outgrows it, flagged in-record via
     # queries_dropped).
-    line = compact_line(timings, sf)
+    line = compact_line(timings, sf, calib=calib_pre)
     if '"queries_dropped"' in line:
         print(
             f"# final line truncated to fit {MAX_FINAL_LINE_BYTES}B cap; "

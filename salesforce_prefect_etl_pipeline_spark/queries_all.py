@@ -54,6 +54,7 @@ _PRIORITY = [
     "streaming_bm25_index_ingest",  # new (r14)
     "text_bm25_analyzed_topk",  # new (r14)
     "text_bm25_champion_appended",  # new (r14)
+    "text_bpe_train_merges16",  # new (r14)
     "text_hybrid_rrf_topk",  # new (r14)
     "text_phrase_appended",  # new (r14)
     "emb_pq_codes",  # r10
@@ -100,7 +101,6 @@ _PRIORITY = [
     "events_funnel",  # r11
     "events_hourly_by_type",  # r11
     "events_json_extract",  # r11
-    "events_mad_outliers",  # r11
 ]
 
 

@@ -63,6 +63,17 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.bpe_train_merges(docs, n_merges=4)
 
 
+def text_bpe_train_merges16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 16-merge BPE training run (r13 verdict task 8 — n_merges=4
+    is demonstration scale): same fixed-count distributed loop, 4x the
+    iterations, still ONE corpus scan + 16 vocabulary-sized explode/agg
+    steps; the unrolled-CTE oracle is linear in the merge count, so the
+    replay stays tractable. The 4-merge row stays registered as the
+    cheap pin."""
+    docs = _spread_scan(load_table(spark, sf_dir, "documents"))
+    return train.bpe_train_merges(docs, n_merges=16)
+
+
 def text_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-epoch batch-perceptron weight trajectory for the hashed
     bag-of-words quality classifier (operators/train.py)."""
@@ -338,6 +349,11 @@ register_query(
     "text_bpe_train_merges",
     text_bpe_train_merges,
     train.bpe_train_merges_sql(n_merges=4),
+)
+register_query(
+    "text_bpe_train_merges16",
+    text_bpe_train_merges16,
+    train.bpe_train_merges_sql(n_merges=16),
 )
 register_query(
     "text_perceptron_quality",
