@@ -1281,3 +1281,209 @@ SELECT doc_id, n_tokens, split, pack_group, pack_seq
 FROM pk
 ORDER BY doc_id
 """
+
+
+# ----------------------------------------------------------------------
+# DSIR-style importance resampling
+
+#: Hashed-bigram feature dimensionality (DSIR uses 10k hashed n-grams;
+#: 4096 keeps the log-ratio table broadcast-trivial while the mechanism
+#: is identical).
+DSIR_FEATURES = 4096
+
+#: Quantum for the per-feature log-ratio (1e-6 nats) — the same
+#: quantize-the-transcendental discipline as qcos / weighted_sample.
+DSIR_SCALE = 1_000_000
+
+DSIR_SAMPLE_K = 100
+
+
+def _dsir_feats(docs: DataFrame, d: int) -> DataFrame:
+    """Per-occurrence hashed-bigram features with the weak target
+    label: (doc_id, is_target, f). The label is the repetition
+    heuristic the perceptron trains on (2 * distinct >= total tokens
+    == "clean"), so the target distribution is the corpus' own
+    high-quality slice — no external data needed, exactly DSIR's
+    'target = trusted corpus' role played by an internal signal."""
+    t = tokens("text")
+    staged = docs.select(
+        "doc_id",
+        (2 * F.size(F.array_distinct(t)) >= F.size(t)).alias("is_target"),
+        t.alias("__toks"),
+    )
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    f = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+        % d
+    )
+    return staged.select(
+        "doc_id", "is_target", F.explode(grams).alias("gram")
+    ).select("doc_id", "is_target", f.alias("f"))
+
+
+def _dsir_qlr(feats: DataFrame, d: int) -> DataFrame:
+    """The d-row quantized log-importance table: for every observed
+    feature, floor(1e6 * ln(p_target(f) / p_source(f))) under add-one
+    smoothing — integer rows both engines reproduce (the ln of a ratio
+    of exactly-representable doubles, quantized at 1e-6 nats, the
+    boundary-flip odds qcos documents)."""
+    cnt = feats.groupBy("f").agg(
+        F.count(F.lit(1)).alias("src_n"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("tgt_n"),
+    )
+    tot = cnt.agg(
+        F.sum("src_n").cast("long").alias("src_tot"),
+        F.sum("tgt_n").cast("long").alias("tgt_tot"),
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.expr(
+            f"CAST(FLOOR({DSIR_SCALE} * ln("
+            f"CAST(tgt_n + 1 AS DOUBLE) * (src_tot + {d})"
+            f" / (CAST(src_n + 1 AS DOUBLE) * (tgt_tot + {d}))"
+            ")) AS BIGINT)"
+        ).alias("qlr"),
+    )
+
+
+def dsir_weights(docs: DataFrame, d: int = DSIR_FEATURES) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, NeurIPS — "Data
+    Selection for Language Models via Importance Resampling", public):
+    score(doc) = sum over the doc's hashed-bigram occurrences of the
+    quantized log-ratio ln(p_target(f)/p_source(f)), i.e. 1e6x the
+    log importance weight of the doc under bag-of-hashed-bigram models
+    of the target (the weak-label clean slice) vs the source (the
+    whole corpus). Returns (doc_id, n_feats, dsir_score) ordered by
+    doc_id; docs with <2 tokens have no features and no row.
+
+    Scale shape (100 TB): two corpus tokenize+explode passes — one
+    aggregated to the d-row count table (the model "training"; d is
+    constant), one joined against the broadcast d-row log-ratio table
+    and summed per doc (one doc_id shuffle). The per-feature log is
+    computed ONCE in the tiny table, never per token — the integer sum
+    over occurrences is exact at any parallelism."""
+    qlr = _dsir_qlr(_dsir_feats(docs, d), d)
+    return (
+        _dsir_feats(docs, d)
+        .join(F.broadcast(qlr), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("qlr").cast("long").alias("dsir_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dsir_sample(
+    docs: DataFrame, k: int = DSIR_SAMPLE_K, d: int = DSIR_FEATURES
+) -> DataFrame:
+    """DSIR's resampling step: draw ``k`` docs without replacement with
+    probability proportional to the importance weight, via the Gumbel
+    top-k trick (key = log w + Gumbel noise, take the k largest) — the
+    paper's sampler, determinized exactly like ``weighted_sample``:
+    the uniform is md5-derived (salted ':dsir', independent of every
+    other draw in the engine) and the Gumbel is quantized to the same
+    1e-6 grid as the score, so the draw is stable across runs, engines
+    and partitionings. Plans as scan + TakeOrderedAndProject on top of
+    the weights frame."""
+    from salesforce_prefect_etl_pipeline_spark.operators.dedup import hash60
+
+    w = dsir_weights(docs, d)
+    u = (
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir")))
+        + F.lit(1)
+    ).cast("double") / F.lit(float((1 << 60) + 2))
+    gkey = (
+        F.col("dsir_score")
+        + F.floor(F.lit(float(DSIR_SCALE)) * -F.log(-F.log(u))).cast("long")
+    ).alias("gkey")
+    return (
+        w.select("doc_id", "dsir_score", gkey)
+        .orderBy(F.desc("gkey"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _dsir_ctes(d: int) -> str:
+    tok = r"string_split_regex(trim(text), '\s+')"
+    return f"""t AS (
+  SELECT doc_id, {tok} AS toks,
+         (2 * len(list_distinct({tok})) >= len({tok})) AS is_target
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, is_target,
+         CAST(CAST(concat('0x', substr(md5(concat(bg.w1, ' ', bg.w2)), 1, 8))
+              AS UBIGINT) % {d} AS BIGINT) AS f
+  FROM (
+    SELECT doc_id, is_target,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+    FROM t WHERE len(toks) >= 2
+  )
+),
+cnt AS (
+  SELECT f, CAST(COUNT(*) AS BIGINT) AS src_n,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n
+  FROM feats GROUP BY f
+),
+tot AS (
+  SELECT CAST(SUM(src_n) AS BIGINT) AS src_tot,
+         CAST(SUM(tgt_n) AS BIGINT) AS tgt_tot
+  FROM cnt
+),
+qlr AS (
+  SELECT f, CAST(FLOOR({DSIR_SCALE} * ln(
+           CAST(tgt_n + 1 AS DOUBLE) * (src_tot + {d})
+           / (CAST(src_n + 1 AS DOUBLE) * (tgt_tot + {d}))
+         )) AS BIGINT) AS qlr
+  FROM cnt CROSS JOIN tot
+),
+scores AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(qlr) AS BIGINT) AS dsir_score
+  FROM feats JOIN qlr USING (f) GROUP BY doc_id
+)"""
+
+
+def dsir_weights_sql(d: int = DSIR_FEATURES) -> str:
+    """DuckDB replay of :func:`dsir_weights` — identical counts,
+    identical double expression inside the quantized ln."""
+    return f"""
+WITH {_dsir_ctes(d)}
+SELECT doc_id, n_feats, dsir_score FROM scores ORDER BY doc_id
+"""
+
+
+def dsir_sample_sql(k: int = DSIR_SAMPLE_K, d: int = DSIR_FEATURES) -> str:
+    """DuckDB replay of :func:`dsir_sample` — the same md5 uniform and
+    quantized Gumbel."""
+    from salesforce_prefect_etl_pipeline_spark.operators.dedup import hash60_sql
+
+    salted = "concat(CAST(doc_id AS VARCHAR), ':dsir')"
+    u = (
+        f"(CAST({hash60_sql(salted)} + 1 AS DOUBLE)"
+        f" / {float((1 << 60) + 2)!r})"
+    )
+    return f"""
+WITH {_dsir_ctes(d)}
+SELECT doc_id, dsir_score,
+       CAST(dsir_score
+            + CAST(FLOOR({DSIR_SCALE} * -ln(-ln({u}))) AS BIGINT)
+         AS BIGINT) AS gkey
+FROM scores
+ORDER BY gkey DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -51,6 +51,8 @@ _PRIORITY = [
     # registered query's latest hard row is older than r11 (r13 verdict
     # task 1). Never-driver-checked queries added this round sort first
     # in the suggestion, displacing the newest tail.
+    "corpus_dsir_sample",  # new (r14)
+    "corpus_dsir_weights",  # new (r14)
     "streaming_bm25_index_ingest",  # new (r14)
     "text_bm25_analyzed_topk",  # new (r14)
     "text_bm25_champion_appended",  # new (r14)
@@ -99,8 +101,6 @@ _PRIORITY = [
     "emb_e2e_curation",  # r11
     "emb_semdedup_prune",  # r11
     "events_funnel",  # r11
-    "events_hourly_by_type",  # r11
-    "events_json_extract",  # r11
 ]
 
 

@@ -1609,6 +1609,32 @@ register_query(
 )
 # Efraimidis–Spirakis weighted sample (token-count weights) with
 # md5-derived uniforms and quantized keys — deterministic, shuffle-free.
+def _corpus_dsir_weights(spark, sf_dir):
+    """DSIR importance weights over the corpus (Xie et al. 2023): each
+    document's quantized log importance under hashed-bigram models of
+    the weak-label clean slice (target) vs the whole corpus (source) —
+    the data-selection signal behind importance resampling
+    (operators/corpus.py:dsir_weights)."""
+    return corpus.dsir_weights(_docs(spark, sf_dir))
+
+
+register_query(
+    "corpus_dsir_weights", _corpus_dsir_weights, corpus.dsir_weights_sql()
+)
+
+
+def _corpus_dsir_sample(spark, sf_dir):
+    """DSIR's Gumbel-top-k resample (k=100) over those weights — the
+    deterministic md5-uniform / quantized-Gumbel draw, stable across
+    engines and partitionings."""
+    return corpus.dsir_sample(_docs(spark, sf_dir))
+
+
+register_query(
+    "corpus_dsir_sample", _corpus_dsir_sample, corpus.dsir_sample_sql()
+)
+
+
 register_query(
     "corpus_weighted_sample",
     lambda spark, sf_dir: corpus.weighted_sample(_docs(spark, sf_dir)),

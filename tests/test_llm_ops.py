@@ -1666,3 +1666,43 @@ def test_containment_strategy_sidecar_persists_across_sessions(
     open(path, "w").write("{not json")
     assert fresh() == s1
     assert _json.load(open(path))["strategy"] == s1
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR semantics pin (Xie et al. 2023, determinized): documents
+    built from the target slice's bigrams must outscore documents
+    built from source-only bigrams — the importance weight is the
+    whole point. Target = the weak-label clean slice (2*distinct >=
+    total); the dirty docs' repeated bigrams appear only in the
+    source model, so their log-ratios go negative."""
+    import duckdb
+
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    texts = [
+        "alpha beta gamma delta epsilon",  # clean (all distinct)
+        "alpha beta gamma delta zeta",
+        "alpha beta theta iota kappa",
+        "zz ww zz ww zz ww zz",  # dirty: 2 distinct / 7 tokens
+        "zz ww zz ww zz ww zz ww",
+        "ww zz ww zz ww zz ww",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.dsir_score for r in corpus.dsir_weights(docs).collect()}
+    assert min(rows[i] for i in (0, 1, 2)) > max(rows[i] for i in (3, 4, 5))
+
+    con = duckdb.connect()
+    values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {values}) t(doc_id, text)"
+    )
+    want = con.execute(corpus.dsir_weights_sql()).fetchall()
+    got = [tuple(r) for r in corpus.dsir_weights(docs).collect()]
+    assert got == [tuple(r) for r in want] and got
+
+    sample = [tuple(r) for r in corpus.dsir_sample(docs, k=4).collect()]
+    want_s = con.execute(corpus.dsir_sample_sql(k=4)).fetchall()
+    assert sample == [tuple(r) for r in want_s]
+    assert len(sample) == 4
