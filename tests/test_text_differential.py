@@ -267,3 +267,34 @@ def test_chunk_fingerprints_differential(spark, docs_list):
     got = got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
     want = want.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
     _assert_frames_equal(got, want)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=8))
+def test_tokens_py_twin_matches_engine(spark, docs_list):
+    """The driver-side tokenizer twins (tokens_py / analyzed_tokens_py,
+    r14 advice) must agree with the engine Column tokenizers on
+    adversarial input — Unicode whitespace lookalikes, multibyte
+    chars, leading/trailing runs, empty strings. NBSP (\\u00a0) is
+    added explicitly: it's the exact divergence the twins fixed
+    (Python str.split treats it as whitespace, Java \\s does not)."""
+    docs_list = docs_list + ["a b", "  x ", "", "\t", "A, B! c"]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_list)], "doc_id long, text string"
+    )
+    import pyspark.sql.functions as F
+
+    raw = [
+        r.t
+        for r in sdf.orderBy("doc_id")
+        .select(text.tokens("text").alias("t"))
+        .collect()
+    ]
+    assert raw == [text.tokens_py(t) for t in docs_list]
+    simple = [
+        r.t
+        for r in sdf.orderBy("doc_id")
+        .select(text.analyzed_tokens("text").alias("t"))
+        .collect()
+    ]
+    assert simple == [text.analyzed_tokens_py(t) for t in docs_list]
