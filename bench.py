@@ -361,9 +361,12 @@ def main() -> None:
         for p in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
     ]
     env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
-    if (rounds or env_round) and sf == "0.1":
-        # only the driver-shaped sf0.1 run is archived — builder runs at
-        # other scale factors must not clobber the round's record
+    # Only the driver-shaped run is archived: sf0.1 AND the full
+    # median-of-N protocol. A RUNS=1 ladder point at sf0.1 must not
+    # clobber the round's stamped record (it did in r14) unless the
+    # round is named explicitly.
+    driver_shaped = runs_per_query > 1 or env_round
+    if (rounds or env_round) and sf == "0.1" and driver_shaped:
         if env_round:
             n = int(env_round)
         else:
