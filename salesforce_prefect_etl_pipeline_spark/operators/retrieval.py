@@ -935,6 +935,25 @@ def hybrid_rrf_topk(
         docs, spark, queries=tuple((q, t) for q, t, _ in queries), k=leg_k
     )
     ann = similarity.cosine_topk(emb, [v for _, _, v in queries], k=leg_k)
+    return hybrid_rrf_from_legs(bm, ann, spark, queries, k)
+
+
+def hybrid_rrf_from_legs(
+    bm: DataFrame,
+    ann: DataFrame,
+    spark: SparkSession,
+    queries: tuple[tuple[int, str, int], ...] = HYBRID_QUERIES,
+    k: int = 5,
+) -> DataFrame:
+    """The fusion tail over ANY pair of leg rankings — a lexical frame
+    with (query_id, doc_id, rnk) and a semantic frame with (query_id =
+    anchor vec_id, neighbor_id, rnk). This is the point of rank-only
+    fusion: the legs are swappable (direct scans at bench scale, the
+    bucket-pruned BM25 probe + the partition-pruned IVF probe at
+    100 TB) without touching a line of the fusion — and with the IVF
+    leg at nprobe = nlist the index-backed composition is bit-identical
+    to the direct one (pytest-pinned), so both forms share one
+    oracle."""
     vmap = spark.createDataFrame(
         [(q, v) for q, _, v in queries], "hq int, anchor_id long"
     )

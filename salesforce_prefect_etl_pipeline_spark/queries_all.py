@@ -57,6 +57,7 @@ _PRIORITY = [
     "text_bm25_analyzed_topk",  # new (r14)
     "text_bm25_champion_appended",  # new (r14)
     "text_bpe_train_merges16",  # new (r14)
+    "text_hybrid_rrf_indexed",  # new (r14)
     "text_hybrid_rrf_topk",  # new (r14)
     "text_phrase_appended",  # new (r14)
     "emb_pq_codes",  # r10
@@ -100,7 +101,6 @@ _PRIORITY = [
     "dedup_greedy_accept_distributed",  # r11
     "emb_e2e_curation",  # r11
     "emb_semdedup_prune",  # r11
-    "events_funnel",  # r11
 ]
 
 

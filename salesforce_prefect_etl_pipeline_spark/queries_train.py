@@ -305,6 +305,48 @@ def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.hybrid_rrf_topk(docs, emb, spark)
 
 
+def text_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``text_hybrid_rrf_topk``: BOTH legs come from
+    persisted indexes — the bucket-pruned BM25 probe and the
+    partition-pruned IVF probe. With nprobe = nlist the IVF leg scans
+    every inverted list and is EXACTLY the brute-force cosine ranking
+    (quantized keys, same ties), so the fusion is bit-identical to the
+    direct form and shares its oracle — the value-hash proves the
+    leg-swap claim, not just asserts it. At nprobe < nlist the same
+    composition is the documented approximate tier (IVF recall
+    pytests)."""
+    from salesforce_prefect_etl_pipeline_spark.queries_llm import (
+        _SEED_NLIST,
+        _ivf_centroids,
+        ensure_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    bm = retrieval.probe_text_index(
+        spark,
+        ensure_text_index(spark, sf_dir),
+        queries=tuple((q, t) for q, t, _ in retrieval.HYBRID_QUERIES),
+        k=20,
+    )
+    ivf_dir = ensure_ivf_index(spark, sf_dir, iters=0)
+    cents = _ivf_centroids(spark, ivf_dir)
+    anchors = [v for _, _, v in retrieval.HYBRID_QUERIES]
+    from salesforce_prefect_etl_pipeline_spark.operators import similarity
+
+    qvecs = [
+        (r.vec_id, list(r.embedding))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(anchors))
+        .collect()
+    ]
+    ann = similarity.probe_ivf(
+        spark, ivf_dir, qvecs, k=20, nprobe=_SEED_NLIST, centroids=cents
+    )
+    return retrieval.hybrid_rrf_from_legs(
+        bm, ann, spark, retrieval.HYBRID_QUERIES, k=5
+    )
+
+
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fit->transform: per-document word/BPE-token counts
     after applying the 4 learned merges (operators/train.py)."""
@@ -334,6 +376,9 @@ register_query(
 )
 register_query(
     "text_hybrid_rrf_topk", text_hybrid_rrf_topk, retrieval.hybrid_rrf_sql()
+)
+register_query(
+    "text_hybrid_rrf_indexed", text_hybrid_rrf_indexed, retrieval.hybrid_rrf_sql()
 )
 register_query(
     "text_bm25_analyzed_topk",

@@ -870,3 +870,60 @@ def test_bm25_oracle_matches_on_planted_corpus(spark):
         for r in retrieval.bm25_topk(_docs(spark, texts), spark).collect()
     ]
     assert got == [tuple(r) for r in want]
+
+
+def test_hybrid_rrf_indexed_equals_direct(spark, tmp_path):
+    """The leg-swap identity behind text_hybrid_rrf_indexed: fusing the
+    bucket-pruned BM25 probe with the nprobe=nlist IVF probe must be
+    bit-identical to fusing the direct scans (IVF over every list IS
+    the exact cosine ranking on quantized keys)."""
+    import numpy as np
+
+    texts = [
+        "query anchor text",
+        "spark spark spark spark",
+        "row scan line value",
+        "spark join merge",
+        "table group sort",
+        "spark window value table",
+    ]
+    rng_free = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.99, 0.1, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+        [0.6, 0.6, 0.2, 0.1],
+    ]
+    docs = _docs(spark, texts)
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng_free)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = ((1, "spark", 0), (2, "row scan", 2))
+
+    direct = [
+        tuple(r)
+        for r in retrieval.hybrid_rrf_topk(
+            docs, emb, spark, queries=queries, k=5, leg_k=3
+        ).collect()
+    ]
+
+    index_dir = str(tmp_path / "bm25")
+    retrieval.build_text_index(docs, index_dir)
+    bm = retrieval.probe_text_index(
+        spark, index_dir, queries=tuple((q, t) for q, t, _ in queries), k=3
+    )
+    ivf_dir = str(tmp_path / "ivf")
+    cents = similarity.build_ivf_index(emb, ivf_dir, nlist=2, iters=0)
+    qvecs = [(i, rng_free[i]) for i in (0, 2)]
+    ann = similarity.probe_ivf(
+        spark, ivf_dir, qvecs, k=3, nprobe=2, centroids=np.asarray(cents)
+    )
+    indexed = [
+        tuple(r)
+        for r in retrieval.hybrid_rrf_from_legs(
+            bm, ann, spark, queries, k=5
+        ).collect()
+    ]
+    assert indexed == direct and indexed
