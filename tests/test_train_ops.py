@@ -927,3 +927,53 @@ def test_hybrid_rrf_indexed_equals_direct(spark, tmp_path):
         ).collect()
     ]
     assert indexed == direct and indexed
+
+
+def test_analyzed_champion_append_equals_full_rebuild(spark, tmp_path):
+    """The analyzer threads through the INCREMENTAL tiers too: an index
+    built+maintained under "simple" (build 4 docs, champion cut, append
+    2, touched-bucket recut with the analyzed tokenizer) must equal the
+    monolithic analyzed cut — the analyzer x incremental matrix cell."""
+    texts = [
+        "Spark, join! slow",
+        "WINDOW stream agg window stream",
+        "customer QUERY big table customer",
+        "row scan line value part",
+        "spark SPARK spark join join slow fast",
+        "spark window merge",
+    ]
+    docs = _docs(spark, texts)
+    mono_dir = str(tmp_path / "mono")
+    incr_dir = str(tmp_path / "incr")
+    retrieval.build_text_index(docs, mono_dir, analyzer="simple")
+    retrieval.build_champion_lists(mono_dir, spark, m=2)
+
+    head, tail = docs.filter("doc_id < 4"), docs.filter("doc_id >= 4")
+    retrieval.build_text_index(head, incr_dir, analyzer="simple")
+    retrieval.build_champion_lists(incr_dir, spark, m=2)
+    retrieval.append_text_index(tail, incr_dir, analyzer="simple")
+    retrieval.append_champion_lists(tail, incr_dir, m=2, analyzer="simple")
+
+    mono_rows = sorted(
+        tuple(r) for r in spark.read.parquet(f"{mono_dir}/champions").collect()
+    )
+    incr_rows = sorted(
+        tuple(r) for r in spark.read.parquet(f"{incr_dir}/champions").collect()
+    )
+    assert mono_rows == incr_rows and mono_rows
+    # ... and the analyzed probe over the maintained tier equals the
+    # probe over the monolithic one on a cased query
+    q = ((1, "Spark!"),)
+    mono_p = [
+        tuple(r)
+        for r in retrieval.probe_champion_lists(
+            spark, mono_dir, queries=q, analyzer="simple"
+        ).collect()
+    ]
+    incr_p = [
+        tuple(r)
+        for r in retrieval.probe_champion_lists(
+            spark, incr_dir, queries=q, analyzer="simple"
+        ).collect()
+    ]
+    assert mono_p == incr_p and mono_p
