@@ -467,7 +467,11 @@ def _swap_probe_broadcast(b) -> None:
         while _PROBE_BCAST_SLOT:
             try:
                 _PROBE_BCAST_SLOT.pop().unpersist(False)
-            except Exception:
+            except Exception:  # noqa: S110 - best-effort release
+                # unpersist of a stale broadcast can race the JVM-side
+                # context teardown; the slot swap must still complete
+                # (leaking one already-dereferenced broadcast is the
+                # lesser evil vs failing the query that owns the lock)
                 pass
         _PROBE_BCAST_SLOT.append(b)
 
