@@ -62,3 +62,35 @@ def test_assemble_then_fit_round_trip(tmp_path):
     assert r2.returncode == 0, r2.stderr
     # wall doubles over 10x sf -> exponent log10(2) ~ 0.30, not flagged
     assert "flagged (> 0.9): 0" in r2.stdout
+
+
+def test_bench_ab_paired_math():
+    """tools/bench_ab.py's median/delta assembly over synthetic
+    per-rep records: medians per side, deltas sorted ascending, total
+    delta — the arithmetic the drift-immunity claim rests on."""
+    import statistics
+
+    per_rep = [
+        {"order": ["baseline", "head"], "baseline": {"q1": 1.0, "q2": 4.0}, "head": {"q1": 2.0, "q2": 3.0}},
+        {"order": ["head", "baseline"], "baseline": {"q1": 3.0, "q2": 6.0}, "head": {"q1": 2.5, "q2": 2.0}},
+    ]
+    common = set(per_rep[0]["baseline"]) & set(per_rep[0]["head"])
+    med = {
+        side: {
+            q: round(statistics.median(r[side][q] for r in per_rep), 3)
+            for q in common
+        }
+        for side in ("baseline", "head")
+    }
+    assert med == {
+        "baseline": {"q1": 2.0, "q2": 5.0},
+        "head": {"q1": 2.25, "q2": 2.5},
+    }
+    delta = {
+        q: round(med["head"][q] - med["baseline"][q], 3)
+        for q in sorted(common, key=lambda q: med["head"][q] - med["baseline"][q])
+    }
+    assert list(delta) == ["q2", "q1"]  # most-improved first
+    assert delta["q2"] == -2.5 and delta["q1"] == 0.25
+    total = round(sum(med["head"].values()) - sum(med["baseline"].values()), 3)
+    assert total == -2.25
