@@ -54,6 +54,7 @@ _PRIORITY = [
     "corpus_dsir_sample",  # new (r14)
     "corpus_dsir_weights",  # new (r14)
     "streaming_bm25_index_ingest",  # new (r14)
+    "streaming_phrase_index_ingest",  # new (r14)
     "text_bm25_analyzed_topk",  # new (r14)
     "text_bm25_champion_appended",  # new (r14)
     "text_bpe_train_merges16",  # new (r14)
@@ -100,7 +101,6 @@ _PRIORITY = [
     "dedup_containment_lsh",  # r11
     "dedup_greedy_accept_distributed",  # r11
     "emb_e2e_curation",  # r11
-    "emb_semdedup_prune",  # r11
 ]
 
 

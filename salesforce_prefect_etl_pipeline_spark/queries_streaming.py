@@ -23,7 +23,10 @@ from salesforce_prefect_etl_pipeline_spark.operators.quality import (
 from salesforce_prefect_etl_pipeline_spark.plans import load_table
 from salesforce_prefect_etl_pipeline_spark.plans.compiler import TESTDATA_COLUMNS
 from salesforce_prefect_etl_pipeline_spark.queries_ext import EVENTS_HOURLY_SQL
-from salesforce_prefect_etl_pipeline_spark.operators.retrieval import bm25_topk_sql
+from salesforce_prefect_etl_pipeline_spark.operators.retrieval import (
+    bm25_topk_sql,
+    phrase_search_sql,
+)
 from salesforce_prefect_etl_pipeline_spark.queries_registry import register_query
 from salesforce_prefect_etl_pipeline_spark.streaming.ingest import greedy_accept_sql
 from salesforce_prefect_etl_pipeline_spark.streaming.windows import (
@@ -307,6 +310,39 @@ register_query(
     "streaming_bm25_index_ingest",
     _streaming_bm25_index_ingest,
     bm25_topk_sql(),
+)
+
+
+def _streaming_phrase_index_ingest(spark, sf_dir):
+    """The POSITIONAL tier maintained by the same streaming sink
+    (positional=True): each micro-batch appends its stamped position
+    rows under its own posbatches commit record, and the phrase probe
+    over the streamed tier must equal the direct corpus scan — the
+    full phrase replay value-verifies the stream-maintained phrase
+    surface, completing the lexical tier's streaming story."""
+    import tempfile as _tf
+
+    from salesforce_prefect_etl_pipeline_spark.operators import retrieval
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        stream_documents,
+        stream_text_index_ingest,
+    )
+
+    with _tf.TemporaryDirectory(prefix="phrase_ingest_") as tmp:
+        index_dir = stream_text_index_ingest(
+            stream_documents(spark, sf_dir),
+            index_dir=f"{tmp}/index",
+            positional=True,
+        )
+        return retrieval.probe_phrase_index(spark, index_dir).localCheckpoint(
+            eager=True  # outlive the temp dir
+        )
+
+
+register_query(
+    "streaming_phrase_index_ingest",
+    _streaming_phrase_index_ingest,
+    phrase_search_sql(),
 )
 
 # Join-key skew diagnostic over the biggest fact's join key: heavy

@@ -291,6 +291,7 @@ def stream_text_index_ingest(
     name: str = "text_index_ingest",
     checkpoint_dir: str | None = None,
     analyzer: str = "raw",
+    positional: bool = False,
 ) -> str:
     """Streaming maintenance of the BM25 inverted index (r13 verdict
     task 6 — the retrieval<->streaming loop): per micro-batch, one
@@ -315,10 +316,23 @@ def stream_text_index_ingest(
     At-least-once delivery + content-addressed idempotent writes =
     exactly-once reads, the same composition as
     ``stream_dedup_on_ingest`` — but here the torn-batch repair is
-    pinned bit-for-bit (probe == monolithic build, pytest)."""
+    pinned bit-for-bit (probe == monolithic build, pytest).
+
+    ``positional=True`` additionally maintains the phrase tier per
+    batch (``append_positional_index``'s write shape, its own
+    ``posbatches`` commit record and committed-id guard) — the whole
+    lexical surface stays stream-fresh, not just BM25."""
     from salesforce_prefect_etl_pipeline_spark.operators import retrieval
 
     spark = stream_docs.sparkSession
+
+    def _committed(record_path: str) -> set[str]:
+        if not os.path.exists(os.path.join(record_path, "_SUCCESS")):
+            return set()
+        return {
+            r["batch_id"]
+            for r in spark.read.parquet(record_path).select("batch_id").collect()
+        }  # one row per batch — control-plane sized
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -326,21 +340,22 @@ def stream_text_index_ingest(
         b = batch_df.select("doc_id", "text")
         tot = retrieval._batch_totals(b, analyzer).collect()[0]
         tpath = os.path.join(index_dir, "totals")
-        if os.path.exists(os.path.join(tpath, "_SUCCESS")):
-            committed = {
-                r["batch_id"]
-                for r in spark.read.parquet(tpath).select("batch_id").collect()
-            }  # one row per batch — control-plane sized
-            if tot["batch_id"] in committed:
-                return
-        retrieval._postings(b, analyzer).withColumn(
-            "batch_id", F.lit(tot["batch_id"])
-        ).write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(index_dir, "postings")
-        )
-        spark.createDataFrame(
-            [tot], "n_docs long, total_len long, batch_id string"
-        ).write.mode("append").parquet(tpath)
+        if tot["batch_id"] not in _committed(tpath):
+            retrieval._postings(b, analyzer).withColumn(
+                "batch_id", F.lit(tot["batch_id"])
+            ).write.mode("append").partitionBy("bucket").parquet(
+                os.path.join(index_dir, "postings")
+            )
+            spark.createDataFrame(
+                [tot], "n_docs long, total_len long, batch_id string"
+            ).write.mode("append").parquet(tpath)
+        if positional and tot["batch_id"] not in _committed(
+            os.path.join(index_dir, "posbatches")
+        ):
+            # the positional tier's own stamped write + commit record;
+            # guarded separately so a crash between the two tiers'
+            # appends replays only the missing one
+            retrieval._write_positional_batch(b, index_dir, "append", analyzer)
 
     ctx = (
         tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_")

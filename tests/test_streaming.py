@@ -533,3 +533,70 @@ def test_stream_text_index_torn_batch_replay_is_exactly_once(spark, tmp_path):
         .count()
     )
     assert n == 2
+
+
+def test_stream_positional_ingest_multi_batch_equals_monolithic(spark, tmp_path):
+    """positional=True: the phrase tier maintained across 3 real
+    micro-batches must probe bit-identically to the monolithic
+    positional build — and each tier carries its own commit records
+    (3 in totals, 3 in posbatches)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators import retrieval
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        stream_documents_dir,
+        stream_text_index_ingest,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(
+        [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    ):
+        part = docs
+        if lo is not None:
+            part = part.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") < hi)
+        part.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+    for i in range(3):
+        f = next((src / f"b{i}").glob("*.parquet"))
+        shutil.move(str(f), str(src / f"part-{i}.parquet"))
+        shutil.rmtree(src / f"b{i}")
+
+    streamed = stream_text_index_ingest(
+        stream_documents_dir(spark, str(src), max_files_per_trigger=1),
+        index_dir=str(tmp_path / "stream_index"),
+        positional=True,
+    )
+    for record in ("totals", "posbatches"):
+        n = (
+            spark.read.parquet(f"{streamed}/{record}")
+            .select("batch_id")
+            .distinct()
+            .count()
+        )
+        assert n == 3, record
+
+    mono_dir = str(tmp_path / "mono")
+    retrieval.build_positional_index(docs, mono_dir)
+    got = [
+        tuple(r) for r in retrieval.probe_phrase_index(spark, streamed).collect()
+    ]
+    want = [
+        tuple(r) for r in retrieval.probe_phrase_index(spark, mono_dir).collect()
+    ]
+    assert got == want and got
+    # ... and the BM25 tier was maintained alongside by the same sink
+    bm_mono = str(tmp_path / "bm_mono")
+    retrieval.build_text_index(docs, bm_mono)
+    assert [
+        tuple(r) for r in retrieval.probe_text_index(spark, streamed).collect()
+    ] == [tuple(r) for r in retrieval.probe_text_index(spark, bm_mono).collect()]
