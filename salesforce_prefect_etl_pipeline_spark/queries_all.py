@@ -44,63 +44,62 @@ _PRUNE = {
 #: (tests/test_registry.py) fails if the list drifts from that output,
 #: so the rotation discipline is self-auditing.
 _PRIORITY = [
-    # --- round-14 window (tools/staleness.py suggested list, verbatim):
-    # the 27 remaining r10 rows (joins/sets/windows/pivots, the media
-    # trio, emb_pq_codes, graph/zorder), then the 23 oldest r11 rows
-    # (agg_*, ann_*, corpus_*, dedup_*, events_*). After this round no
-    # registered query's latest hard row is older than r11 (r13 verdict
-    # task 1). Never-driver-checked queries added this round sort first
-    # in the suggestion, displacing the newest tail.
-    "corpus_dsir_sample",  # new (r14)
-    "corpus_dsir_weights",  # new (r14)
-    "streaming_bm25_index_ingest",  # new (r14)
-    "streaming_phrase_index_ingest",  # new (r14)
-    "text_bm25_analyzed_topk",  # new (r14)
-    "text_bm25_champion_appended",  # new (r14)
-    "text_bpe_train_merges16",  # new (r14)
-    "text_hybrid_rrf_indexed",  # new (r14)
-    "text_hybrid_rrf_topk",  # new (r14)
-    "text_phrase_appended",  # new (r14)
-    "emb_pq_codes",  # r10
-    "events_zorder_layout",  # r10
-    "graph_nation_pagerank",  # r10
-    "grouping_sets_lineitem",  # r10
-    "join_anti_customers_without_orders",  # r10
-    "join_range_ship_within_30d",  # r10
-    "join_revenue_by_region",  # r10
-    "join_salted_revenue_by_priority",  # r10
-    "join_semi_customers_with_orders",  # r10
-    "lineitem_unpivot_stats",  # r10
-    "media_audio_families",  # r10
-    "media_frame_sample",  # r10
-    "media_video_families",  # r10
-    "orders_by_month",  # r10
-    "pivot_status_by_priority",  # r10
-    "q11_supply_value_share",  # r10
-    "q15_top_supplier",  # r10
-    "qa_profile_orders_topk",  # r10
-    "set_except_nationkeys",  # r10
-    "set_intersect_nationkeys",  # r10
-    "set_union_nationkeys",  # r10
-    "sql_pivot_counts",  # r10
-    "sql_union_all_counts",  # r10
-    "window_first_last_order",  # r10
-    "window_ntile_order_quartiles",  # r10
-    "window_rank_nations_by_acctbal",  # r10
-    "window_running_total",  # r10
-    "agg_approx_percentile_price",  # r11
-    "agg_chi2_type_by_daypart",  # r11
-    "ann_ivf_probe_appended",  # r11
-    "ann_pq_topk",  # r11
-    "corpus_mixture_plan",  # r11
-    "corpus_mixture_sample",  # r11
-    "corpus_multimodal_gate",  # r11
-    "corpus_shard_provenance",  # r11
-    "dedup_bloom_snapshot",  # r11
-    "dedup_cluster_size_histogram",  # r11
-    "dedup_containment_lsh",  # r11
-    "dedup_greedy_accept_distributed",  # r11
-    "emb_e2e_curation",  # r11
+    # --- round-15 window (tools/staleness.py suggested list, verbatim):
+    # the 37 remaining r11 rows (events_*, asof joins, media near-dup,
+    # TPC-H stragglers, text analysis, graph triangles, streaming dedup)
+    # then the 13 oldest r12 rows (agg_*, ann_*, corpus_*). New r15
+    # queries sort first in the suggestion and are fronted above as
+    # they land, displacing this window's tail.
+    "emb_semdedup_prune",  # r11
+    "events_funnel",  # r11
+    "events_hourly_by_type",  # r11
+    "events_json_extract",  # r11
+    "events_mad_outliers",  # r11
+    "events_props_explode",  # r11
+    "events_props_variant",  # r11
+    "events_retention_cohorts",  # r11
+    "events_seasonal_anomalies",  # r11
+    "events_session_sequences",  # r11
+    "events_sessionization",  # r11
+    "events_sliding_counts",  # r11
+    "events_transition_counts",  # r11
+    "graph_nation_triangles",  # r11
+    "join_asof_clicks_to_purchases",  # r11
+    "join_asof_forward",  # r11
+    "join_asof_nearest",  # r11
+    "media_audio_near_dup",  # r11
+    "media_phash_families",  # r11
+    "media_phash_near_dup",  # r11
+    "media_video_near_dup",  # r11
+    "q12_ship_latency",  # r11
+    "q16_supplier_part_counts",  # r11
+    "q3_shipping_priority",  # r11
+    "q6_forecast_revenue",  # r11
+    "qa_key_skew_suppkey",  # r11
+    "rollup_lineitem",  # r11
+    "streaming_dedup_ingest",  # r11
+    "text_bpe_merge_candidates",  # r11
+    "text_common_ngrams",  # r11
+    "text_fingerprints",  # r11
+    "text_lang_id",  # r11
+    "text_quality_score",  # r11
+    "text_repetition_stats",  # r11
+    "text_token_stats",  # r11
+    "text_top_tokens",  # r11
+    "udtf_sentence_stats",  # r11
+    "agg_approx_distinct_suppliers",  # r12
+    "agg_corr_price_qty",  # r12
+    "agg_mad_value_by_type",  # r12
+    "agg_mode_priority_by_segment",  # r12
+    "ann_cosine_topk",  # r12
+    "ann_ivf_probe",  # r12
+    "ann_ivf_probe_exact",  # r12
+    "ann_srp_topk",  # r12
+    "corpus_canonical_by_quality",  # r12
+    "corpus_pack_documents",  # r12
+    "corpus_pii_scan",  # r12
+    "corpus_shard_assignment",  # r12
+    "corpus_stratified_sample",  # r12
 ]
 
 
