@@ -46,10 +46,15 @@ scores. No all-pairs anything.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
+    index_component_path,
+)
 from salesforce_prefect_etl_pipeline_spark.operators.text import (
     analyzed_tokens,
     analyzed_tokens_py,
@@ -215,8 +220,19 @@ TEXT_INDEX_BUCKETS = 32
 #: On-disk layout version — goes into fingerprinted cache dir names
 #: (queries_train.ensure_text_index) so a layout change rebuilds caches
 #: instead of failing on missing columns. v2 (r14): batch_id stamps on
-#: postings/positional rows + the posbatches commit marker.
-TEXT_INDEX_LAYOUT = 2
+#: postings/positional rows + the posbatches commit marker. v3 (r15):
+#: tombstone retraction batches + versioned compaction snapshots
+#: resolved through the CURRENT pointer (the MinHash index's layout,
+#: dedup.index_component_path).
+TEXT_INDEX_LAYOUT = 3
+
+
+def _comp(index_dir: str, name: str) -> str:
+    """Resolve a text-index component (postings / totals / champions /
+    positional / posbatches / tombstones) through the version pointer —
+    shared with the MinHash index (dedup.index_component_path): flat
+    layout until the first compaction publishes ``versions/v<N>/``."""
+    return index_component_path(index_dir, name)
 
 
 def _term_bucket_py(term: str) -> int:
@@ -272,18 +288,150 @@ def _write_index_batch(
     """The shared stamped two-file write: postings first (every row
     carrying the batch id), then the 1-row totals record — the commit
     point. Ordering + stamps make the pair crash-safe (see
-    :func:`build_text_index`)."""
+    :func:`build_text_index`).
+
+    The REBUILD (overwrite) path deletes the old totals before touching
+    the postings (r14 advice): the append invariant — postings without
+    a totals row are invisible — inverts on overwrite, where new
+    postings reconciled against STALE totals ids are all 'uncommitted'
+    and probes would silently return empty. Deleting totals first makes
+    a torn rebuild fail LOUDLY (missing totals path) instead; it also
+    de-commits any tombstone batches of the superseded index, so a
+    rebuild never inherits retractions aimed at the old corpus."""
+    import shutil
+
     tot = _batch_totals(docs, analyzer).collect()[0]
+    if mode == "overwrite":
+        shutil.rmtree(_comp(index_dir, "totals"), ignore_errors=True)
     _postings(docs, analyzer).withColumn(
         "batch_id", F.lit(tot["batch_id"])
-    ).write.mode(mode).partitionBy("bucket").parquet(f"{index_dir}/postings")
+    ).write.mode(mode).partitionBy("bucket").parquet(_comp(index_dir, "postings"))
     docs.sparkSession.createDataFrame(
         [tot], "n_docs long, total_len long, batch_id string"
-    ).write.mode(mode).parquet(f"{index_dir}/totals")
+    ).write.mode(mode).parquet(_comp(index_dir, "totals"))
 
 
 def _valid_batches(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{index_dir}/totals").select("batch_id")
+    return spark.read.parquet(_comp(index_dir, "totals")).select("batch_id")
+
+
+def _committed_tombstones(
+    spark: SparkSession, index_dir: str, marker: str
+) -> DataFrame | None:
+    """doc_ids retracted from a tier, restricted to COMMITTED retraction
+    batches — committed meaning the batch id appears in the tier's own
+    commit record (``totals`` for the BM25/champion tiers, ``posbatches``
+    for the positional tier), the same tear invariant ingest batches
+    carry. Returns None when the index has no tombstone component (the
+    overwhelmingly common case: zero read cost, zero plan change)."""
+    path = _comp(index_dir, "tombstones")
+    if not os.path.isdir(path):
+        return None
+    committed = (
+        spark.read.parquet(_comp(index_dir, marker))
+        .select("batch_id")
+        .dropDuplicates(["batch_id"])
+    )
+    return (
+        spark.read.parquet(path)
+        .join(F.broadcast(committed), "batch_id", "leftsemi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _apply_tombstones(
+    df: DataFrame, spark: SparkSession, index_dir: str, marker: str
+) -> DataFrame:
+    """Anti-join a posting-shaped frame against the tier's committed
+    tombstones (no-op without a tombstone component). Deliberately NOT
+    a forced broadcast: retraction sets can grow unboundedly at crawl
+    scale; AQE promotes the anti-join to broadcast while they're small."""
+    tomb = _committed_tombstones(spark, index_dir, marker)
+    return df if tomb is None else df.join(tomb, "doc_id", "anti")
+
+
+def retract_text_index(
+    docs: DataFrame, index_dir: str, analyzer: str = "raw"
+) -> None:
+    """Retract documents from the BM25 tier (takedowns / robots /
+    licensing — the crawl-pipeline delete path; r14 verdict task 2):
+    a RETRACTION BATCH, the exact dual of :func:`append_text_index`.
+
+    ``docs`` carries the retracted documents' (doc_id, text) — the
+    curation pipeline holds the corpus snapshot it ingested from, and
+    the text is needed to subtract the documents' token lengths from
+    the corpus totals without scanning the term-partitioned postings.
+    Two writes, same tear invariant as ingest: tombstone rows
+    (doc_id, batch_id) first, then a NEGATIVE totals row
+    (-n_docs, -total_len) as the batch's commit record. Probes
+    anti-join postings against committed tombstones and keep summing
+    the append-only totals, so df (recomputed from the pruned read), N
+    and total_len are all exactly the never-ingested corpus's — the
+    retract == never-ingested identity is pytest-pinned at all three
+    tiers. A torn retraction (tombstones, no totals row) is invisible;
+    a REPLAYED one is exactly-once for free — the content-derived
+    batch id collides with the original's, and the probe's batch_id
+    dedup drops the double-subtract.
+
+    Contract (mirror of the append disjointness contract): retract only
+    currently-live doc_ids, each at most once across retraction
+    batches. Postings stay on disk until :func:`compact_text_index`
+    physically drops them. The champion tier stores df at cut time —
+    run :func:`retract_champion_lists` after this to recut the touched
+    buckets (the probe's tombstone filter hides dead doc_ids
+    meanwhile, but stored df goes stale until the recut)."""
+    t = _ANALYZERS[analyzer][0]("text")
+    tot = (
+        docs.select("doc_id", F.size(t).alias("dl"))
+        .agg(
+            (-F.count(F.lit(1))).cast("long").alias("n_docs"),
+            (-F.sum("dl")).cast("long").alias("total_len"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("retract"),
+                    F.min("doc_id"),
+                    F.max("doc_id"),
+                    F.count(F.lit(1)),
+                )
+            ).alias("batch_id"),
+        )
+        .collect()[0]
+    )
+    docs.select("doc_id").distinct().withColumn(
+        "batch_id", F.lit(tot["batch_id"])
+    ).write.mode("append").parquet(_comp(index_dir, "tombstones"))
+    docs.sparkSession.createDataFrame(
+        [tot], "n_docs long, total_len long, batch_id string"
+    ).write.mode("append").parquet(_comp(index_dir, "totals"))
+
+
+def retract_positional_index(docs: DataFrame, index_dir: str) -> None:
+    """Retract documents from the positional tier: tombstone rows first,
+    then the ``posbatches`` marker row commits them (the positional
+    probe carries no corpus totals, so only doc_ids are needed — the
+    'retractpos' prefix keeps the batch id disjoint from the BM25
+    tier's, each tier committing its own tombstones independently)."""
+    bid = (
+        docs.agg(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("retractpos"),
+                    F.min("doc_id"),
+                    F.max("doc_id"),
+                    F.count(F.lit(1)),
+                )
+            ).alias("batch_id")
+        ).collect()[0]["batch_id"]
+    )
+    docs.select("doc_id").distinct().withColumn(
+        "batch_id", F.lit(bid)
+    ).write.mode("append").parquet(_comp(index_dir, "tombstones"))
+    docs.sparkSession.createDataFrame(
+        [(bid,)], "batch_id string"
+    ).write.mode("append").parquet(_comp(index_dir, "posbatches"))
 
 
 def build_text_index(
@@ -347,6 +495,37 @@ def _champion_recut(postings: DataFrame, m: int) -> DataFrame:
     )
 
 
+def _reconciled_postings(
+    spark: SparkSession,
+    index_dir: str,
+    buckets: list[int] | None = None,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """The one true posting read every consumer shares: bucket/term
+    pruning pushed BEFORE the scan, committed batches only (semi-join
+    against the totals ids), full-row dedup of at-least-once replays,
+    and committed tombstones anti-joined out — so probes, champion cuts
+    and compaction all see the identical reconciled corpus."""
+    p = spark.read.parquet(_comp(index_dir, "postings"))
+    if buckets is not None:
+        p = p.filter(F.col("bucket").isin([int(b) for b in buckets]))
+    if terms is not None:
+        p = p.filter(F.col("term").isin(terms))
+    p = (
+        p.join(
+            F.broadcast(_valid_batches(spark, index_dir)),
+            "batch_id",
+            "leftsemi",
+        )
+        # a batch torn after its postings write and then REPLAYED (the
+        # streaming sink's recovery path) leaves byte-identical posting
+        # rows twice under one committed batch id — full-row dedup
+        # restores exactly-once without any writer-side coordination
+        .dropDuplicates()
+    )
+    return _apply_tombstones(p, spark, index_dir, "totals")
+
+
 def build_champion_lists(
     index_dir: str, spark: SparkSession, m: int = CHAMPION_M
 ) -> None:
@@ -357,22 +536,14 @@ def build_champion_lists(
     m x |query terms| rows no matter how common the terms are — the
     stop-word-query killer; the full tier stays authoritative.
 
-    One read of the postings (committed batches only), one term-keyed
-    window, one partitioned write. After appends, prefer
-    :func:`append_champion_lists` (bucket-bounded recut) over this full
-    rebuild."""
-    postings = (
-        spark.read.parquet(f"{index_dir}/postings")
-        .join(
-            F.broadcast(_valid_batches(spark, index_dir)),
-            "batch_id",
-            "leftsemi",
-        )
-        .dropDuplicates()
-    )
+    One read of the postings (committed batches only, tombstones
+    dropped), one term-keyed window, one partitioned write. After
+    appends, prefer :func:`append_champion_lists` (bucket-bounded
+    recut) over this full rebuild."""
+    postings = _reconciled_postings(spark, index_dir)
     _champion_recut(postings, m).write.mode("overwrite").partitionBy(
         "bucket"
-    ).parquet(f"{index_dir}/champions")
+    ).parquet(_comp(index_dir, "champions"))
 
 
 def append_champion_lists(
@@ -420,25 +591,33 @@ def append_champion_lists(
     buckets = sorted(int(r["bucket"]) for r in bucket_rows)
     if not buckets:
         return
-    postings = (
-        spark.read.parquet(f"{index_dir}/postings")
-        .filter(F.col("bucket").isin(buckets))
-        .join(
-            F.broadcast(_valid_batches(spark, index_dir)),
-            "batch_id",
-            "leftsemi",
-        )
-        .dropDuplicates()
-    )
+    postings = _reconciled_postings(spark, index_dir, buckets=buckets)
     mode_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(mode_key, "static")
     spark.conf.set(mode_key, "dynamic")
     try:
         _champion_recut(postings, m).write.mode("overwrite").partitionBy(
             "bucket"
-        ).parquet(f"{index_dir}/champions")
+        ).parquet(_comp(index_dir, "champions"))
     finally:
         spark.conf.set(mode_key, prev)
+
+
+def retract_champion_lists(
+    retracted_docs: DataFrame,
+    index_dir: str,
+    m: int = CHAMPION_M,
+    analyzer: str = "raw",
+) -> None:
+    """Champion maintenance after :func:`retract_text_index`: the
+    retraction's dual of :func:`append_champion_lists` — recut ONLY the
+    md5 buckets the retracted documents' terms touch, from the
+    reconciled postings (which now exclude the tombstoned docs), so the
+    stored per-term df drops back to the live corpus's exactly. Same
+    bucket-granularity idempotent dynamic-partition overwrite; end
+    state == a monolithic cut over the never-ingested corpus
+    (pytest-pinned)."""
+    append_champion_lists(retracted_docs, index_dir, m, analyzer)
 
 
 def probe_champion_lists(
@@ -464,14 +643,17 @@ def probe_champion_lists(
     buckets = sorted({_term_bucket_py(t) for _, t in qterm_rows})
     terms = sorted({t for _, t in qterm_rows})
     qdf = spark.createDataFrame(qterm_rows, "query_id int, term string")
-    champs = (
-        spark.read.parquet(f"{index_dir}/champions")
+    champs = _apply_tombstones(
+        spark.read.parquet(_comp(index_dir, "champions"))
         .filter(F.col("bucket").isin([int(b) for b in buckets]))
         .filter(F.col("term").isin(terms))
-        .select("term", "doc_id", "tf", "dl", "df")
+        .select("term", "doc_id", "tf", "dl", "df"),
+        spark,
+        index_dir,
+        "totals",
     )
     totals = (
-        spark.read.parquet(f"{index_dir}/totals")
+        spark.read.parquet(_comp(index_dir, "totals"))
         .dropDuplicates(["batch_id"])
         .agg(
             F.sum("n_docs").alias("n_docs"),
@@ -515,8 +697,11 @@ def probe_text_index(
     :func:`text.tokens_py`, the driver-side twin of the corpus
     tokenizer, so probe == direct holds for Unicode-whitespace and
     empty query text too (r14 advice). Postings are reconciled against
-    the committed totals batches, so a torn append is invisible.
-    ``analyzer`` must match the one the index was built with."""
+    the committed totals batches (torn append invisible) and committed
+    tombstones (retracted docs gone — df recomputes from the filtered
+    read, N/total_len sum the negative retraction rows, so the result
+    is exactly the never-ingested corpus's). ``analyzer`` must match
+    the one the index was built with."""
     tok_py = _ANALYZERS[analyzer][1]
     qterm_rows = sorted(
         {
@@ -528,26 +713,13 @@ def probe_text_index(
     buckets = sorted({_term_bucket_py(t) for _, t in qterm_rows})
     terms = sorted({t for _, t in qterm_rows})
     qdf = spark.createDataFrame(qterm_rows, "query_id int, term string")
-    tf0 = (
-        spark.read.parquet(f"{index_dir}/postings")
-        .filter(F.col("bucket").isin([int(b) for b in buckets]))
-        .filter(F.col("term").isin(terms))
-        .join(
-            F.broadcast(_valid_batches(spark, index_dir)),
-            "batch_id",
-            "leftsemi",
-        )
-        # a batch torn after its postings write and then REPLAYED (the
-        # streaming sink's recovery path) leaves byte-identical posting
-        # rows twice under one committed batch id — full-row dedup
-        # restores exactly-once without any writer-side coordination
-        .dropDuplicates()
-        .select("term", "doc_id", "tf", "dl")
-    )
+    tf0 = _reconciled_postings(
+        spark, index_dir, buckets=buckets, terms=terms
+    ).select("term", "doc_id", "tf", "dl")
     # per-batch rows summed (append-only totals; see build_text_index);
     # batch_id dedup makes a replayed totals row harmless too
     totals = (
-        spark.read.parquet(f"{index_dir}/totals")
+        spark.read.parquet(_comp(index_dir, "totals"))
         .dropDuplicates(["batch_id"])
         .agg(
             F.sum("n_docs").alias("n_docs"),
@@ -561,15 +733,20 @@ def bm25_topk_sql(
     queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
     k: int = 5,
     analyzer: str = "raw",
+    doc_pred: str = "TRUE",
 ) -> str:
     """DuckDB replay of :func:`bm25_topk` — identical integer arithmetic
     (HUGEINT stands in for DECIMAL(38,0), ``//`` for ``DIV``); the
-    ``analyzer`` token chain replays via :func:`_sql_tokens`."""
+    ``analyzer`` token chain replays via :func:`_sql_tokens`.
+    ``doc_pred`` restricts the replayed corpus — the retracted-index
+    oracle passes the complement of the retraction split, replaying the
+    never-ingested corpus the tombstoned index must equal."""
     values = ", ".join(f"({qid}, '{text}')" for qid, text in queries)
     qtok = _sql_tokens("qtext", analyzer)
     dtok = _sql_tokens("text", analyzer)
     return f"""
 WITH q(query_id, qtext) AS (VALUES {values}),
+documents_live AS (SELECT * FROM documents WHERE {doc_pred}),
 qterms AS (
   SELECT DISTINCT query_id, unnest({qtok}) AS term
   FROM q
@@ -578,7 +755,7 @@ tok AS MATERIALIZED (
   SELECT doc_id,
          len({dtok}) AS dl,
          unnest({dtok}) AS term
-  FROM documents
+  FROM documents_live
 ),
 tf AS MATERIALIZED (
   SELECT qt.query_id, qt.term, tok.doc_id,
@@ -594,7 +771,7 @@ totals AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(len({dtok})) AS BIGINT)
            AS total_len
-  FROM documents
+  FROM documents_live
 ),
 scored AS (
   SELECT tf.query_id, tf.doc_id,
@@ -627,16 +804,21 @@ def bm25_champion_sql(
     k: int = 5,
     m: int = CHAMPION_M,
     analyzer: str = "raw",
+    doc_pred: str = "TRUE",
 ) -> str:
     """DuckDB replay of :func:`probe_champion_lists`: the same full
     posting derivation, then the champion restriction (per-term top-m
     by tf desc, doc_id asc — true df stamped BEFORE the cut) and the
-    identical scoring. Value-hash over the approximate tier, exact."""
+    identical scoring. Value-hash over the approximate tier, exact.
+    ``doc_pred`` replays a retracted corpus (see :func:`bm25_topk_sql`)
+    — the cut and its stored df re-derive over the live docs only,
+    which is exactly what :func:`retract_champion_lists` restores."""
     values = ", ".join(f"({qid}, '{text}')" for qid, text in queries)
     qtok = _sql_tokens("qtext", analyzer)
     dtok = _sql_tokens("text", analyzer)
     return f"""
 WITH q(query_id, qtext) AS (VALUES {values}),
+documents_live AS (SELECT * FROM documents WHERE {doc_pred}),
 qterms AS (
   SELECT DISTINCT query_id, unnest({qtok}) AS term
   FROM q
@@ -645,7 +827,7 @@ tok AS MATERIALIZED (
   SELECT doc_id,
          len({dtok}) AS dl,
          unnest({dtok}) AS term
-  FROM documents
+  FROM documents_live
 ),
 tf AS MATERIALIZED (
   SELECT tok.term, tok.doc_id,
@@ -666,7 +848,7 @@ totals AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(len({dtok})) AS BIGINT)
            AS total_len
-  FROM documents
+  FROM documents_live
 ),
 scored AS (
   SELECT qt.query_id, c.doc_id,
@@ -793,7 +975,14 @@ def _write_positional_batch(
     """Stamped positional write + its commit marker — the
     :func:`_write_index_batch` invariant for the positional tier:
     position rows first (batch-stamped), then the 1-row ``posbatches``
-    record; probes ignore position batches with no marker."""
+    record; probes ignore position batches with no marker. The rebuild
+    path deletes the old marker dir first (same loud-tear inversion fix
+    as the BM25 tier — see :func:`_write_index_batch`), which also
+    de-commits the superseded index's tombstone batches."""
+    import shutil
+
+    if mode == "overwrite":
+        shutil.rmtree(_comp(index_dir, "posbatches"), ignore_errors=True)
     bid = docs.agg(
         F.md5(
             F.concat_ws(
@@ -818,11 +1007,11 @@ def _write_positional_batch(
         )
     )
     positional.write.mode(mode).partitionBy("bucket").parquet(
-        f"{index_dir}/positional"
+        _comp(index_dir, "positional")
     )
     docs.sparkSession.createDataFrame(
         [(bid,)], "batch_id string"
-    ).write.mode(mode).parquet(f"{index_dir}/posbatches")
+    ).write.mode(mode).parquet(_comp(index_dir, "posbatches"))
 
 
 def build_positional_index(
@@ -866,21 +1055,205 @@ def probe_phrase_index(
     re-explodes its position lists into the shared anchor-count tail.
     Query phrases are tokenized with the engine-twin
     :func:`text.tokens_py`; position batches reconcile against the
-    ``posbatches`` markers (torn appends invisible)."""
+    ``posbatches`` markers (torn appends invisible) and committed
+    tombstones (retracted docs never match)."""
     terms = sorted(
         {t for _, text in queries for t in _ANALYZERS[analyzer][1](text)}
     )
     buckets = sorted({_term_bucket_py(t) for t in terms})
-    valid = spark.read.parquet(f"{index_dir}/posbatches").select("batch_id")
-    tok = (
-        spark.read.parquet(f"{index_dir}/positional")
+    valid = spark.read.parquet(_comp(index_dir, "posbatches")).select(
+        "batch_id"
+    )
+    tok = _apply_tombstones(
+        spark.read.parquet(_comp(index_dir, "positional"))
         .filter(F.col("bucket").isin([int(b) for b in buckets]))
         .filter(F.col("term").isin(terms))
         .join(F.broadcast(valid), "batch_id", "leftsemi")
-        .dropDuplicates(["term", "doc_id", "batch_id"])
-        .select("term", "doc_id", F.explode("positions").alias("pos"))
-    )
+        .dropDuplicates(["term", "doc_id", "batch_id"]),
+        spark,
+        index_dir,
+        "posbatches",
+    ).select("term", "doc_id", F.explode("positions").alias("pos"))
     return _phrase_anchor_topk(tok, spark, queries, k, analyzer)
+
+
+def _parquet_file_count(path: str) -> int:
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_text_index(
+    spark: SparkSession, index_dir: str, m: int = CHAMPION_M
+) -> dict:
+    """Index maintenance for the batch-appended / streamed text tiers
+    (r14 verdict task 3): every ``append_text_index`` /
+    ``stream_text_index_ingest`` micro-batch lands one stamped parquet
+    batch per tier, and probes full-row-dedup across ALL committed
+    batches on every read — after thousands of micro-batches a probe
+    reads thousands of small files per touched bucket. This merges each
+    tier's committed batches into ONE canonical batch per bucket (one
+    file per bucket partition), drops uncommitted (torn) batches and
+    replay duplicates physically, applies tombstones (retracted
+    postings/positions deleted, negative totals folded into a single
+    row), and recuts the champion tier when present. Probe results over
+    a compacted index are IDENTICAL (pytest-pinned): compaction changes
+    bytes, not rankings.
+
+    Publication is the MinHash compactor's snapshot-isolation shape
+    (dedup.compact_minhash_index): every component is rewritten into
+    ``versions/v<N+1>/`` and becomes live via ONE atomic ``os.replace``
+    of the CURRENT pointer — no window where a live component is
+    missing; a crash anywhere leaves CURRENT on intact data, and an
+    interrupted compaction's orphan dir is simply superseded by the
+    re-run (replay converges). Retention keeps the published and
+    previous versions; the flat build dirs are removed once superseded.
+    Same caveat as the MinHash side: ONE maintenance writer, no
+    concurrent appends during the rewrite (the ingest job and the
+    compactor are the same owner — the reference's operating model).
+
+    Returns per-component {before, after} row and parquet-file counts —
+    the maintenance job's log line. The new batch ids are
+    content-derived ("compact:" + corpus aggregates), so recompacting
+    an unchanged index is bit-reproducible."""
+    import shutil
+
+    stats: dict = {}
+    versions_root = os.path.join(index_dir, "versions")
+    cur_pointer = os.path.join(index_dir, "CURRENT")
+    prev_version = ""
+    if os.path.exists(cur_pointer):
+        prev_version = open(cur_pointer).read().strip()
+    existing = (
+        sorted(
+            int(v[1:])
+            for v in os.listdir(versions_root)
+            if v.startswith("v") and v[1:].isdigit()
+        )
+        if os.path.isdir(versions_root)
+        else []
+    )
+    next_v = f"v{(existing[-1] + 1) if existing else 1}"
+    new_root = os.path.join(versions_root, next_v)
+    shutil.rmtree(new_root, ignore_errors=True)
+
+    # --- BM25 tier: committed, replay-deduped, tombstone-free postings
+    # restamped as one batch; totals folded to a single row (negative
+    # retraction rows summed in — the live corpus's exact N/total_len).
+    old_postings = _comp(index_dir, "postings")
+    postings = _reconciled_postings(spark, index_dir)
+    tot = (
+        spark.read.parquet(_comp(index_dir, "totals"))
+        .dropDuplicates(["batch_id"])
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
+        .collect()[0]
+    )
+    n_postings = postings.count()
+    import hashlib
+
+    bid = hashlib.md5(
+        f"compact:{tot['n_docs']}:{tot['total_len']}:{n_postings}".encode()
+    ).hexdigest()
+    stats["postings"] = {
+        "before": spark.read.parquet(old_postings).count(),
+        "after": n_postings,
+        "files_before": _parquet_file_count(old_postings),
+    }
+    (
+        postings.withColumn("batch_id", F.lit(bid))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(new_root, "postings"))
+    )
+    stats["postings"]["files_after"] = _parquet_file_count(
+        os.path.join(new_root, "postings")
+    )
+    spark.createDataFrame(
+        [(int(tot["n_docs"]), int(tot["total_len"]), bid)],
+        "n_docs long, total_len long, batch_id string",
+    ).write.mode("overwrite").parquet(os.path.join(new_root, "totals"))
+
+    # --- champion tier: recut from the compacted corpus when present
+    if os.path.isdir(_comp(index_dir, "champions")):
+        champs = _champion_recut(postings, m)
+        (
+            champs.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(new_root, "champions"))
+        )
+        stats["champions"] = {
+            "after": spark.read.parquet(
+                os.path.join(new_root, "champions")
+            ).count()
+        }
+
+    # --- positional tier: same reconcile (posbatches commit ids,
+    # (term, doc_id, batch) replay dedup, tombstones) into one batch
+    if os.path.isdir(_comp(index_dir, "positional")):
+        old_pos = _comp(index_dir, "positional")
+        valid = (
+            spark.read.parquet(_comp(index_dir, "posbatches"))
+            .select("batch_id")
+            .dropDuplicates(["batch_id"])
+        )
+        posi = _apply_tombstones(
+            spark.read.parquet(old_pos)
+            .join(F.broadcast(valid), "batch_id", "leftsemi")
+            .dropDuplicates(["term", "doc_id", "batch_id"]),
+            spark,
+            index_dir,
+            "posbatches",
+        ).drop("batch_id")
+        n_pos = posi.count()
+        pbid = hashlib.md5(f"compactpos:{n_pos}".encode()).hexdigest()
+        stats["positional"] = {
+            "before": spark.read.parquet(old_pos).count(),
+            "after": n_pos,
+            "files_before": _parquet_file_count(old_pos),
+        }
+        (
+            posi.withColumn("batch_id", F.lit(pbid))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(new_root, "positional"))
+        )
+        stats["positional"]["files_after"] = _parquet_file_count(
+            os.path.join(new_root, "positional")
+        )
+        spark.createDataFrame(
+            [(pbid,)], "batch_id string"
+        ).write.mode("overwrite").parquet(os.path.join(new_root, "posbatches"))
+
+    # tombstones are APPLIED, not copied: the new version has none.
+    # atomic publish — the pointer replace is the commit point
+    tmp_pointer = os.path.join(index_dir, ".CURRENT.tmp")
+    with open(tmp_pointer, "w") as f:
+        f.write(next_v)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_pointer, cur_pointer)
+    keep = {next_v, prev_version}
+    for v in os.listdir(versions_root):
+        if v not in keep:
+            shutil.rmtree(os.path.join(versions_root, v), ignore_errors=True)
+    if prev_version:  # flat layout superseded at least one publish ago
+        for comp in (
+            "postings",
+            "totals",
+            "champions",
+            "positional",
+            "posbatches",
+            "tombstones",
+        ):
+            shutil.rmtree(os.path.join(index_dir, comp), ignore_errors=True)
+    return stats
 
 
 #: RRF constant (Cormack, Clarke & Buettcher 2009, SIGIR: k=60 is the
@@ -1029,11 +1402,13 @@ def phrase_search_sql(
     queries: tuple[tuple[int, str], ...] = PHRASE_QUERIES,
     k: int = 5,
     analyzer: str = "raw",
+    doc_pred: str = "TRUE",
 ) -> str:
     """DuckDB replay of :func:`phrase_search` — the same anchor
     counting over list_transform-enumerated positions (1-based there,
     0-based in Spark's posexplode; anchors are differences, so the
-    offset cancels)."""
+    offset cancels). ``doc_pred`` replays a retracted corpus (see
+    :func:`bm25_topk_sql`)."""
     tok_py = _ANALYZERS[analyzer][1]
     term_rows = ", ".join(
         f"({qid}, {slot}, '{term}')"
@@ -1047,6 +1422,7 @@ def phrase_search_sql(
     return f"""
 WITH pterms(query_id, slot, term) AS (VALUES {term_rows}),
 plens(query_id, phrase_len) AS (VALUES {len_rows}),
+documents_live AS (SELECT * FROM documents WHERE {doc_pred}),
 tok AS (
   SELECT doc_id, pr.term AS term, pr.pos AS pos FROM (
     SELECT doc_id,
@@ -1054,7 +1430,7 @@ tok AS (
              range(1, len({dtok}) + 1),
              i -> {{'term': {dtok}[i],
                     'pos': i}})) AS pr
-    FROM documents
+    FROM documents_live
   )
 ),
 anchors AS (

@@ -44,6 +44,12 @@ _PRUNE = {
 #: (tests/test_registry.py) fails if the list drifts from that output,
 #: so the rotation discipline is self-auditing.
 _PRIORITY = [
+    # --- new r15 rows (never driver-checked; sort first in the
+    # staleness suggestion, displacing the window's tail):
+    "text_bm25_retracted",  # new (r15)
+    "text_phrase_retracted",  # new (r15)
+    "text_bm25_champion_retracted",  # new (r15)
+    "text_bm25_compacted",  # new (r15)
     # --- round-15 window (tools/staleness.py suggested list, verbatim):
     # the 37 remaining r11 rows (events_*, asof joins, media near-dup,
     # TPC-H stragglers, text analysis, graph triangles, streaming dedup)

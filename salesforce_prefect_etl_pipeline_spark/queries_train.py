@@ -181,13 +181,41 @@ def ensure_phrase_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+def _ensure_sequence(index_dir: str, sf_dir: str, build) -> str:
+    """Marker-gated multi-step index build (r14 advice): gating on a
+    component's ``_SUCCESS`` detects only the step that WROTE it — a
+    crash later in the sequence leaves a complete-looking cache that
+    mtime never flags. So every multi-step ensure gates on ONE explicit
+    end-of-sequence marker (the ``_APPENDED`` pattern
+    ``_ivf_probe_appended_query`` uses), written after the last step;
+    a stale or missing marker wipes the dir and replays the whole
+    sequence."""
+    import shutil
+
+    marker = os.path.join(index_dir, "_COMPLETE")
+    src = os.path.join(sf_dir, "documents.parquet")
+    stale = os.path.exists(marker) and os.path.getmtime(
+        marker
+    ) < os.path.getmtime(src)
+    if stale or not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        build()
+        os.makedirs(index_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return index_dir
+
+
 def ensure_phrase_index_appended(spark: SparkSession, sf_dir: str) -> str:
     """A positional tier built INCREMENTALLY (~80% initial build, the
     rest via ``append_positional_index`` — the md5 doc_id split the
     other *_appended rows use), in its own dir so the monolithic row
     stays independent. The registered probe over it value-verifies the
     positional append path end-to-end: union of batches == monolithic
-    tier bit-for-bit."""
+    tier bit-for-bit. Gated on the end-of-sequence marker, not the
+    mid-sequence ``posbatches/_SUCCESS`` (r14 advice: that file is
+    written by the initial build, so a crash before the append left a
+    complete-looking stale cache)."""
     from pyspark.sql import functions as F
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
@@ -196,11 +224,8 @@ def ensure_phrase_index_appended(spark: SparkSession, sf_dir: str) -> str:
         f"{tag}-b{retrieval.TEXT_INDEX_BUCKETS}"
         f"-L{retrieval.TEXT_INDEX_LAYOUT}-pos-appended",
     )
-    success = os.path.join(index_dir, "posbatches", "_SUCCESS")
-    stale = os.path.exists(success) and os.path.getmtime(
-        success
-    ) < os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
-    if stale or not os.path.exists(success):
+
+    def _build() -> None:
         docs = _spread_scan(load_table(spark, sf_dir, "documents"))
         bucket = (
             F.conv(
@@ -212,7 +237,8 @@ def ensure_phrase_index_appended(spark: SparkSession, sf_dir: str) -> str:
         )
         retrieval.build_positional_index(docs.filter(bucket < 80), index_dir)
         retrieval.append_positional_index(docs.filter(bucket >= 80), index_dir)
-    return index_dir
+
+    return _ensure_sequence(index_dir, sf_dir, _build)
 
 
 def text_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,11 +275,8 @@ def ensure_champion_appended(spark: SparkSession, sf_dir: str) -> str:
         f"{tag}-b{retrieval.TEXT_INDEX_BUCKETS}"
         f"-L{retrieval.TEXT_INDEX_LAYOUT}-champ-appended",
     )
-    success = os.path.join(index_dir, "champions", "_SUCCESS")
-    stale = os.path.exists(success) and os.path.getmtime(
-        success
-    ) < os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
-    if stale or not os.path.exists(success):
+
+    def _build() -> None:
         docs = _spread_scan(load_table(spark, sf_dir, "documents"))
         bucket = (
             F.conv(
@@ -268,7 +291,10 @@ def ensure_champion_appended(spark: SparkSession, sf_dir: str) -> str:
         retrieval.build_champion_lists(index_dir, spark)
         retrieval.append_text_index(tail, index_dir)
         retrieval.append_champion_lists(tail, index_dir)
-    return index_dir
+
+    # end-of-sequence marker gate (r14 advice): champions/_SUCCESS is
+    # written by the MID-sequence build_champion_lists call
+    return _ensure_sequence(index_dir, sf_dir, _build)
 
 
 def text_bm25_champion_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,6 +373,119 @@ def text_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The retraction split: documents with md5 bucket >= 90 (10% of the
+#: corpus) are ingested and then RETRACTED — the takedown/robots/
+#: licensing delete path (r14 verdict task 2). The oracle replays the
+#: complement (the never-ingested corpus).
+_RETRACT_PCT = 90
+
+
+def ensure_text_index_retracted(spark: SparkSession, sf_dir: str) -> str:
+    """All three lexical tiers built over the FULL corpus, then 10% of
+    documents retracted (tombstone batches + negative totals + the
+    champion recut) — the registered probes over it value-verify the
+    whole delete path: retract == never-ingested, at every tier."""
+    from pyspark.sql import functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(
+        TEXT_INDEX_ROOT,
+        f"{tag}-b{retrieval.TEXT_INDEX_BUCKETS}"
+        f"-L{retrieval.TEXT_INDEX_LAYOUT}-retracted",
+    )
+
+    def _build() -> None:
+        docs = _spread_scan(load_table(spark, sf_dir, "documents"))
+        dead = docs.filter(
+            corpus.split_bucket(F.col("doc_id")) >= _RETRACT_PCT
+        )
+        retrieval.build_text_index(docs, index_dir)
+        retrieval.build_champion_lists(index_dir, spark)
+        retrieval.build_positional_index(docs, index_dir)
+        retrieval.retract_text_index(dead, index_dir)
+        retrieval.retract_positional_index(dead, index_dir)
+        retrieval.retract_champion_lists(dead, index_dir)
+
+    return _ensure_sequence(index_dir, sf_dir, _build)
+
+
+def text_bm25_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 probe over the index with 10% of the corpus RETRACTED
+    (tombstones + negative totals): bit-identical to an index that
+    never ingested those documents — df recomputes from the filtered
+    read, N/total_len sum the negative retraction rows — so the oracle
+    is the full replay over the complement corpus."""
+    index_dir = ensure_text_index_retracted(spark, sf_dir)
+    return retrieval.probe_text_index(spark, index_dir)
+
+
+def text_phrase_retracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phrase probe over the retracted positional tier — tombstoned
+    documents never match; the oracle replays the complement corpus."""
+    index_dir = ensure_text_index_retracted(spark, sf_dir)
+    return retrieval.probe_phrase_index(spark, index_dir)
+
+
+def text_bm25_champion_retracted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The champion probe after retraction + touched-bucket recut
+    (``retract_champion_lists``): the stored per-term df drops back to
+    the live corpus's, so the result equals a monolithic champion cut
+    over the never-ingested corpus — that is the oracle."""
+    index_dir = ensure_text_index_retracted(spark, sf_dir)
+    return retrieval.probe_champion_lists(spark, index_dir)
+
+
+def ensure_text_index_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """The full maintenance lifecycle in one dir: incremental build
+    (80% + 20% append at both tiers), 10% retraction, then
+    ``compact_text_index`` merges every tier's committed batches into
+    one canonical batch per bucket, physically dropping tombstoned
+    rows and replay duplicates, published by atomic version-pointer
+    swap. The registered probe's value-hash proves the compaction
+    changes bytes, not rankings."""
+    from pyspark.sql import functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(
+        TEXT_INDEX_ROOT,
+        f"{tag}-b{retrieval.TEXT_INDEX_BUCKETS}"
+        f"-L{retrieval.TEXT_INDEX_LAYOUT}-compacted",
+    )
+
+    def _build() -> None:
+        docs = _spread_scan(load_table(spark, sf_dir, "documents"))
+        b = corpus.split_bucket(F.col("doc_id"))
+        head, tail = docs.filter(b < 80), docs.filter(b >= 80)
+        dead = docs.filter(b >= _RETRACT_PCT)
+        retrieval.build_text_index(head, index_dir)
+        retrieval.build_champion_lists(index_dir, spark)
+        retrieval.build_positional_index(head, index_dir)
+        retrieval.append_text_index(tail, index_dir)
+        retrieval.append_champion_lists(tail, index_dir)
+        retrieval.append_positional_index(tail, index_dir)
+        retrieval.retract_text_index(dead, index_dir)
+        retrieval.retract_positional_index(dead, index_dir)
+        retrieval.compact_text_index(spark, index_dir)
+
+    return _ensure_sequence(index_dir, sf_dir, _build)
+
+
+def text_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 probe after build -> append -> retract -> COMPACT:
+    equals the never-ingested complement corpus exactly (shared oracle
+    with ``text_bm25_retracted``), value-proving the whole maintenance
+    lifecycle including the physical tombstone drop and the one-batch-
+    per-bucket rewrite."""
+    index_dir = ensure_text_index_compacted(spark, sf_dir)
+    return retrieval.probe_text_index(spark, index_dir)
+
+
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fit->transform: per-document word/BPE-token counts
     after applying the 4 learned merges (operators/train.py)."""
@@ -379,6 +518,32 @@ register_query(
 )
 register_query(
     "text_hybrid_rrf_indexed", text_hybrid_rrf_indexed, retrieval.hybrid_rrf_sql()
+)
+def _live_pred_sql() -> str:
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    return f"({corpus.split_bucket_sql('doc_id')}) < {_RETRACT_PCT}"
+
+
+register_query(
+    "text_bm25_retracted",
+    text_bm25_retracted,
+    retrieval.bm25_topk_sql(doc_pred=_live_pred_sql()),
+)
+register_query(
+    "text_phrase_retracted",
+    text_phrase_retracted,
+    retrieval.phrase_search_sql(doc_pred=_live_pred_sql()),
+)
+register_query(
+    "text_bm25_champion_retracted",
+    text_bm25_champion_retracted,
+    retrieval.bm25_champion_sql(doc_pred=_live_pred_sql()),
+)
+register_query(
+    "text_bm25_compacted",
+    text_bm25_compacted,
+    retrieval.bm25_topk_sql(doc_pred=_live_pred_sql()),
 )
 register_query(
     "text_bm25_analyzed_topk",

@@ -977,3 +977,166 @@ def test_analyzed_champion_append_equals_full_rebuild(spark, tmp_path):
         ).collect()
     ]
     assert mono_p == incr_p and mono_p
+
+
+# ----------------------------------------------------------------------
+# Retraction (tombstones) + compaction lifecycle (r14 verdict tasks 2-3)
+
+_LIFECYCLE_TEXTS = [
+    "spark join slow window",
+    "window stream agg window stream",
+    "customer query big table customer spark",
+    "row scan line value part",
+    "spark spark spark join join slow fast",
+    "merge batch sort filter group",
+    "spark table query slow join",
+    "big table window stream",
+]
+
+
+def _all_tier_probes(spark, index_dir):
+    return (
+        [tuple(r) for r in retrieval.probe_text_index(spark, index_dir).collect()],
+        [
+            tuple(r)
+            for r in retrieval.probe_champion_lists(spark, index_dir).collect()
+        ],
+        [
+            tuple(r)
+            for r in retrieval.probe_phrase_index(spark, index_dir).collect()
+        ],
+    )
+
+
+def _build_all_tiers(spark, docs, index_dir):
+    retrieval.build_text_index(docs, index_dir)
+    retrieval.build_champion_lists(index_dir, spark)
+    retrieval.build_positional_index(docs, index_dir)
+
+
+def test_retract_equals_never_ingested_at_all_tiers(spark, tmp_path):
+    """The retract == never-ingested identity: after retract_* +
+    the champion recut, every tier's probe is bit-identical to probes
+    over an index that never saw the retracted documents — df, N and
+    total_len all back to the live corpus's exactly."""
+    docs = _docs(spark, _LIFECYCLE_TEXTS)
+    live, dead = docs.filter("doc_id NOT IN (1, 4)"), docs.filter(
+        "doc_id IN (1, 4)"
+    )
+    idx, ref = str(tmp_path / "idx"), str(tmp_path / "ref")
+    _build_all_tiers(spark, docs, idx)
+    retrieval.retract_text_index(dead, idx)
+    retrieval.retract_positional_index(dead, idx)
+    retrieval.retract_champion_lists(dead, idx)
+    _build_all_tiers(spark, live, ref)
+    assert _all_tier_probes(spark, idx) == _all_tier_probes(spark, ref)
+    # and the direct scan over the live corpus agrees
+    direct = [tuple(r) for r in retrieval.bm25_topk(live, spark).collect()]
+    assert _all_tier_probes(spark, idx)[0] == direct
+
+
+def test_torn_retraction_is_invisible(spark, tmp_path):
+    """Tombstone rows whose batch never committed (crash before the
+    negative-totals / posbatches record) must not change any probe —
+    the same tear invariant ingest batches carry."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, _LIFECYCLE_TEXTS)
+    idx = str(tmp_path / "idx")
+    _build_all_tiers(spark, docs, idx)
+    before = _all_tier_probes(spark, idx)
+    # write tombstones WITHOUT their commit records (the torn prefix
+    # of retract_text_index / retract_positional_index)
+    docs.filter("doc_id IN (1, 4)").select("doc_id").withColumn(
+        "batch_id", F.lit("deadbeef-uncommitted")
+    ).write.mode("append").parquet(f"{idx}/tombstones")
+    assert _all_tier_probes(spark, idx) == before
+
+
+def test_replayed_retraction_is_exactly_once(spark, tmp_path):
+    """Retracting the same batch twice (at-least-once replay) must not
+    double-subtract: the content-derived batch id collides with the
+    original's and the probe's batch_id dedup drops the second totals
+    row."""
+    docs = _docs(spark, _LIFECYCLE_TEXTS)
+    dead = docs.filter("doc_id IN (1, 4)")
+    idx = str(tmp_path / "idx")
+    _build_all_tiers(spark, docs, idx)
+    retrieval.retract_text_index(dead, idx)
+    retrieval.retract_positional_index(dead, idx)
+    once = _all_tier_probes(spark, idx)
+    retrieval.retract_text_index(dead, idx)
+    retrieval.retract_positional_index(dead, idx)
+    assert _all_tier_probes(spark, idx) == once
+
+
+def test_rebuild_decommits_old_tombstones(spark, tmp_path):
+    """A full REBUILD over a retracted index must not inherit the old
+    corpus's retractions: the overwrite deletes the commit records, so
+    stale tombstone batches become uncommitted and invisible."""
+    docs = _docs(spark, _LIFECYCLE_TEXTS)
+    idx = str(tmp_path / "idx")
+    _build_all_tiers(spark, docs, idx)
+    retrieval.retract_text_index(docs.filter("doc_id IN (1, 4)"), idx)
+    retrieval.retract_positional_index(docs.filter("doc_id IN (1, 4)"), idx)
+    _build_all_tiers(spark, docs, idx)  # rebuild over the full corpus
+    direct = [tuple(r) for r in retrieval.bm25_topk(docs, spark).collect()]
+    got = _all_tier_probes(spark, idx)
+    assert got[0] == direct
+    ref = str(tmp_path / "ref")
+    _build_all_tiers(spark, docs, ref)
+    assert got == _all_tier_probes(spark, ref)
+
+
+def test_compaction_is_probe_identical_and_merges_files(spark, tmp_path):
+    """50 appended micro-batches -> compact: probes identical at every
+    tier, each bucket partition back to ONE parquet file, tombstoned
+    rows physically gone, and an interrupted compaction's re-run
+    converges (versioned publish, atomic pointer swap)."""
+    import os as _os
+
+    texts = _LIFECYCLE_TEXTS * 7  # 56 docs
+    docs = _docs(spark, texts)
+    idx = str(tmp_path / "idx")
+    # 50 micro-batches: first builds, the rest append at both tiers
+    retrieval.build_text_index(docs.filter("doc_id < 7"), idx)
+    retrieval.build_positional_index(docs.filter("doc_id < 7"), idx)
+    for i in range(7, 56):
+        b = docs.filter(f"doc_id = {i}")
+        retrieval.append_text_index(b, idx)
+        retrieval.append_positional_index(b, idx)
+    retrieval.build_champion_lists(idx, spark)
+    dead = docs.filter("doc_id IN (3, 11)")
+    retrieval.retract_text_index(dead, idx)
+    retrieval.retract_positional_index(dead, idx)
+    retrieval.retract_champion_lists(dead, idx)
+    before = _all_tier_probes(spark, idx)
+    assert retrieval._parquet_file_count(f"{idx}/postings") > 50
+
+    stats = retrieval.compact_text_index(spark, idx)
+    assert _all_tier_probes(spark, idx) == before
+    # one file per bucket partition at both heavy tiers
+    for comp in ("postings", "positional"):
+        root = retrieval._comp(idx, comp)
+        for bucket_dir in _os.listdir(root):
+            if not bucket_dir.startswith("bucket="):
+                continue
+            files = [
+                f
+                for f in _os.listdir(_os.path.join(root, bucket_dir))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (comp, bucket_dir, files)
+        assert stats[comp]["files_after"] < stats[comp]["files_before"]
+    # tombstones applied, not carried into the new version
+    assert not _os.path.isdir(retrieval._comp(idx, "tombstones"))
+    # physical drop: the retracted doc's postings are gone from disk
+    raw = spark.read.parquet(retrieval._comp(idx, "postings"))
+    assert raw.filter("doc_id IN (3, 11)").count() == 0
+
+    # interrupted compaction: an orphan version dir (crash before the
+    # pointer swap) is superseded by the re-run and probes still agree
+    _os.makedirs(_os.path.join(idx, "versions", "v99", "postings"))
+    retrieval.compact_text_index(spark, idx)
+    assert _all_tier_probes(spark, idx) == before
+    assert not _os.path.isdir(_os.path.join(idx, "versions", "v99"))
