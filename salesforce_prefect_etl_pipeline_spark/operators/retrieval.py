@@ -60,15 +60,21 @@ from salesforce_prefect_etl_pipeline_spark.operators.text import (
     analyzed_tokens_py,
     tokens,
     tokens_py,
+    unicode_tokens,
+    unicode_tokens_py,
 )
 
 #: Analyzer chains for lexical search (r13 verdict task 5): name ->
 #: (engine Column tokenizer, driver-side Python twin). "raw" is the
 #: historical whitespace split every pre-r14 oracle pins; "simple"
-#: adds lowercase + ASCII-punctuation folding so "Spark," == "spark".
+#: adds lowercase + ASCII-punctuation folding so "Spark," == "spark";
+#: "unicode" (r15) extends the fold to Unicode categories
+#: (``[^\p{L}\p{N}\s]``) so "Café," == "café" and CJK terms survive —
+#: see text.unicode_tokens for the pinned cross-engine contract.
 _ANALYZERS = {
     "raw": (tokens, tokens_py),
     "simple": (analyzed_tokens, analyzed_tokens_py),
+    "unicode": (unicode_tokens, unicode_tokens_py),
 }
 
 
@@ -76,6 +82,11 @@ def _sql_tokens(expr: str, analyzer: str = "raw") -> str:
     """The DuckDB token-array twin of the chosen analyzer chain."""
     if analyzer == "simple":
         expr = f"regexp_replace(lower({expr}), '[^a-z0-9\\s]+', ' ', 'g')"
+    elif analyzer == "unicode":
+        expr = (
+            f"regexp_replace(lower({expr}),"
+            " '[^\\p{L}\\p{N}\\s]+', ' ', 'g')"
+        )
     return f"string_split_regex(trim({expr}), '\\s+')"
 
 
@@ -95,6 +106,19 @@ BM25_ANALYZED_QUERIES: tuple[tuple[int, str], ...] = (
     (1, "Spark, JOIN... slow!"),
     (2, "Window; STREAM (agg)"),
     (3, "CUSTOMER query: big/table"),
+)
+
+#: The unicode-analyzer benchmark set: the same information needs
+#: expressed with non-ASCII typography real query text carries —
+#: em-dashes, ellipsis, curly quotes, middle dots, fullwidth
+#: punctuation. The "unicode" chain folds all of it to separators
+#: identically in Spark (Java \\p classes) and DuckDB (RE2), which the
+#: registered row value-proves; the ASCII chains would glue
+#: "stream agg" into one garbage term.
+BM25_UNICODE_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "Spark—JOIN… slow¿"),
+    (2, "Window·STREAM (agg)"),
+    (3, "“CUSTOMER” query： big／table"),
 )
 
 #: Fixed-point scale for the two floor divisions (1e-6 score quantum).

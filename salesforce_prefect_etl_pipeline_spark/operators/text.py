@@ -80,6 +80,54 @@ def analyzed_tokens_py(text: str) -> list[str]:
     return re.split(r"[ \t\n\x0b\f\r]+", folded.strip(" "))
 
 
+def unicode_tokens(col: str | Column) -> Column:
+    """The ``unicode`` analyzer chain (r14 verdict task 5 — the
+    ``simple`` chain stops at ASCII, which multilingual corpora hit
+    immediately): lowercase, fold runs of anything OUTSIDE Unicode
+    letters/numbers/whitespace (``[^\\p{L}\\p{N}\\s]+``) to a space,
+    then the same whitespace split as :func:`tokens`. "Café," and
+    "café" produce the same term; CJK text survives (Han characters
+    are ``\\p{L}``); em-dashes, curly quotes and NBSP (category Zs,
+    outside the keep class) fold to separators.
+
+    Cross-engine contract, pinned in pytest and documented honestly:
+    Java regex and DuckDB's RE2 agree on ``\\p{L}\\p{N}`` membership
+    (both track Unicode general categories), and lowercase agrees on
+    the overwhelming common subset — but NOT everywhere. Known
+    divergences: U+0130 İ (Java/Python full-lowercase to ``i`` + a
+    combining dot, which then folds to a separator; DuckDB's utf8proc
+    uses the simple mapping to plain ``i``), and there is no FULL case
+    folding anywhere ("Straße" != "STRASSE" in every engine — ß is
+    already lowercase, SS folds to ss). Deployments needing exact
+    multilingual case folding bring an ICU tokenizer via mapInPandas
+    and trade away the SQL value-hash — the same tradeoff
+    ``unigram_familiarity`` documents."""
+    c = F.col(col) if isinstance(col, str) else col
+    folded = F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}\s]+", " ")
+    return F.split(F.trim(folded), r"\s+")
+
+
+def unicode_tokens_py(text: str) -> list[str]:
+    """Driver-side twin of :func:`unicode_tokens`: Python ``str.lower``
+    (the same full Unicode lowercase mapping Java uses), then a
+    character-class fold via ``unicodedata.category`` — category L*/N*
+    and the Java ``\\s`` set survive, everything else becomes a
+    space — then the :func:`tokens_py` split. Agrees with both engines
+    on the common subset the chain contract pins (see
+    :func:`unicode_tokens` for the documented İ divergence)."""
+    import re
+    import unicodedata
+
+    ws = " \t\n\x0b\f\r"
+    folded = "".join(
+        ch
+        if ch in ws or unicodedata.category(ch)[0] in ("L", "N")
+        else " "
+        for ch in text.lower()
+    )
+    return re.split(r"[ \t\n\x0b\f\r]+", folded.strip(" "))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token statistics: count, distinct count, avg length."""
     t = tokens("text")

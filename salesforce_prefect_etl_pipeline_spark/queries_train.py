@@ -321,6 +321,24 @@ def text_bm25_analyzed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bm25_unicode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 under the "unicode" analyzer chain (r14 verdict task
+    5): full-corpus lowercase + Unicode-category punctuation folding
+    (``[^\\p{L}\\p{N}\\s]+`` -> space), over query text carrying the
+    non-ASCII typography real queries arrive with (em-dashes, ellipsis,
+    curly quotes, fullwidth punctuation). The oracle replays the
+    identical chain via RE2's \\p classes; the planted-corpus pytest
+    pins the engine/DuckDB/Python triple twin on CJK + accented text
+    and documents the İ divergence honestly."""
+    docs = _spread_scan(load_table(spark, sf_dir, "documents"))
+    return retrieval.bm25_topk(
+        docs,
+        spark,
+        queries=retrieval.BM25_UNICODE_QUERIES,
+        analyzer="unicode",
+    )
+
+
 def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic top-5 by reciprocal-rank fusion of the
     BM25 leg and the exact-cosine leg (operators/retrieval.py,
@@ -550,6 +568,13 @@ register_query(
     text_bm25_analyzed_topk,
     retrieval.bm25_topk_sql(
         queries=retrieval.BM25_ANALYZED_QUERIES, analyzer="simple"
+    ),
+)
+register_query(
+    "text_bm25_unicode_topk",
+    text_bm25_unicode_topk,
+    retrieval.bm25_topk_sql(
+        queries=retrieval.BM25_UNICODE_QUERIES, analyzer="unicode"
     ),
 )
 register_query(

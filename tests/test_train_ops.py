@@ -1140,3 +1140,96 @@ def test_compaction_is_probe_identical_and_merges_files(spark, tmp_path):
     retrieval.compact_text_index(spark, idx)
     assert _all_tier_probes(spark, idx) == before
     assert not _os.path.isdir(_os.path.join(idx, "versions", "v99"))
+
+
+# ----------------------------------------------------------------------
+# Unicode analyzer chain (r14 verdict task 5)
+
+_UNICODE_TEXTS = [
+    "Le café—naïve… “touché” 東京 データ 42",
+    "spark join slow café window",
+    "Straße STRASSE strasse",
+    "中文 分词 测试 join",
+    "naïve NAÏVE touché, 東京!",
+]
+
+
+def test_unicode_chain_triple_twin_on_planted_corpus(spark):
+    """Engine (Java \\p classes), DuckDB (RE2) and the Python driver
+    twin produce identical token arrays on the pinned common subset:
+    accented Latin (café/naïve/touché fold case, keep letters), CJK
+    (\\p{L} keeps Han/Kana terms whole), ß (already lowercase — no
+    engine full-case-folds, so Straße != STRASSE everywhere, equally),
+    and non-ASCII punctuation folding (em-dash, ellipsis, curly
+    quotes)."""
+    from salesforce_prefect_etl_pipeline_spark.operators.text import (
+        unicode_tokens,
+        unicode_tokens_py,
+    )
+
+    docs = _docs(spark, _UNICODE_TEXTS)
+    eng = [
+        r[0]
+        for r in docs.orderBy("doc_id").select(unicode_tokens("text")).collect()
+    ]
+    con = _duck_docs(_UNICODE_TEXTS)
+    sql_tok = retrieval._sql_tokens("text", "unicode")
+    duck = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {sql_tok} FROM documents ORDER BY doc_id"
+        ).fetchall()
+    ]
+    py = [unicode_tokens_py(t) for t in _UNICODE_TEXTS]
+    assert eng == duck == py
+    # the folds actually happened: case, punctuation, CJK survival
+    assert eng[0] == ["le", "café", "naïve", "touché", "東京", "データ", "42"]
+    assert eng[2] == ["straße", "strasse", "strasse"]
+    assert eng[3] == ["中文", "分词", "测试", "join"]
+
+
+def test_unicode_chain_documented_i_dot_divergence(spark):
+    """The HONEST pin of the known divergence (see text.unicode_tokens):
+    U+0130 İ full-lowercases to i + combining dot in Java and Python
+    (the dot, category Mn, then folds to a separator -> two tokens),
+    while DuckDB's utf8proc takes the simple mapping to plain 'i' (one
+    token). Registered unicode rows must therefore avoid İ in query
+    text; if an engine upgrade ever closes the gap this test fails and
+    the contract doc gets updated."""
+    from salesforce_prefect_etl_pipeline_spark.operators.text import (
+        unicode_tokens,
+        unicode_tokens_py,
+    )
+
+    texts = ["İstanbul"]
+    eng = _docs(spark, texts).select(unicode_tokens("text")).collect()[0][0]
+    py = unicode_tokens_py(texts[0])
+    assert eng == py == ["i", "stanbul"]
+    con = _duck_docs(texts)
+    sql_tok = retrieval._sql_tokens("text", "unicode")
+    duck = con.sql(f"SELECT {sql_tok} FROM documents").fetchone()[0]
+    assert duck == ["istanbul"]
+
+
+def test_unicode_bm25_folds_typography_to_matches(spark):
+    """Under the unicode chain, a query carrying em-dash/ellipsis/curly
+    quotes ranks the plain-ASCII documents the raw chain would miss
+    entirely — and probe == direct holds over an index built with the
+    chain."""
+    texts = [
+        "spark join slow window",
+        "spark spark join slow",
+        "merge batch sort",
+    ]
+    docs = _docs(spark, texts)
+    q = ((1, "Spark—JOIN… slow¿"),)
+    direct = [
+        tuple(r)
+        for r in retrieval.bm25_topk(
+            docs, spark, queries=q, analyzer="unicode"
+        ).collect()
+    ]
+    assert [r[2] for r in direct] == [1, 0]  # both matching docs, tf order
+    # raw chain: the glued term matches nothing
+    raw = retrieval.bm25_topk(docs, spark, queries=q, analyzer="raw")
+    assert raw.count() == 0
