@@ -1341,31 +1341,72 @@ def hybrid_rrf_from_legs(
     spark: SparkSession,
     queries: tuple[tuple[int, str, int], ...] = HYBRID_QUERIES,
     k: int = 5,
+    phrase: DataFrame | None = None,
+    weights: tuple[int, int, int] = (1, 1, 1),
 ) -> DataFrame:
-    """The fusion tail over ANY pair of leg rankings — a lexical frame
-    with (query_id, doc_id, rnk) and a semantic frame with (query_id =
-    anchor vec_id, neighbor_id, rnk). This is the point of rank-only
-    fusion: the legs are swappable (direct scans at bench scale, the
-    bucket-pruned BM25 probe + the partition-pruned IVF probe at
+    """The fusion tail over ANY leg rankings — a lexical frame with
+    (query_id, doc_id, rnk), a semantic frame with (query_id = anchor
+    vec_id, neighbor_id, rnk), and optionally the exact-phrase frame
+    (query_id, doc_id, rnk) as a third leg (r14 verdict task 6). This
+    is the point of rank-only fusion: the legs are swappable (direct
+    scans at bench scale, the bucket-pruned BM25 probe + the
+    partition-pruned IVF probe + the positional-index phrase probe at
     100 TB) without touching a line of the fusion — and with the IVF
     leg at nprobe = nlist the index-backed composition is bit-identical
-    to the direct one (pytest-pinned), so both forms share one
-    oracle."""
+    to the direct one (pytest-pinned), so both forms share one oracle.
+
+    ``weights`` are INTEGER per-leg multipliers (bm, ann, phrase):
+    each vote contributes ``w * RRF_SCALE DIV (RRF_K + rank)`` — the
+    weighted-RRF generalization, still pure integer floor division. A
+    weight of 0 drops its leg bit-identically (the leg is filtered out
+    BEFORE the union, so a document surfaced only by a zero-weight leg
+    never appears with score 0 — pytest-pinned)."""
     vmap = spark.createDataFrame(
         [(q, v) for q, _, v in queries], "hq int, anchor_id long"
     )
-    legs = bm.select("query_id", "doc_id", F.col("rnk").alias("leg_rnk")).unionAll(
-        ann.select(
-            F.col("query_id").alias("anchor_id"),
-            F.col("neighbor_id").alias("doc_id"),
-            F.col("rnk").alias("leg_rnk"),
+    w_bm, w_ann, w_phrase = (int(w) for w in weights)
+    parts = []
+    if w_bm:
+        parts.append(
+            bm.select(
+                "query_id",
+                "doc_id",
+                F.col("rnk").alias("leg_rnk"),
+                F.lit(w_bm).alias("w"),
+            )
         )
-        .join(F.broadcast(vmap), "anchor_id")
-        .select(F.col("hq").alias("query_id"), "doc_id", "leg_rnk")
-    )
+    if w_ann:
+        parts.append(
+            ann.select(
+                F.col("query_id").alias("anchor_id"),
+                F.col("neighbor_id").alias("doc_id"),
+                F.col("rnk").alias("leg_rnk"),
+            )
+            .join(F.broadcast(vmap), "anchor_id")
+            .select(
+                F.col("hq").alias("query_id"),
+                "doc_id",
+                "leg_rnk",
+                F.lit(w_ann).alias("w"),
+            )
+        )
+    if phrase is not None and w_phrase:
+        parts.append(
+            phrase.select(
+                "query_id",
+                "doc_id",
+                F.col("rnk").alias("leg_rnk"),
+                F.lit(w_phrase).alias("w"),
+            )
+        )
+    legs = parts[0]
+    for p in parts[1:]:
+        legs = legs.unionAll(p)
     scored = legs.groupBy("query_id", "doc_id").agg(
         F.sum(
-            F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + leg_rnk) AS BIGINT)")
+            F.expr(
+                f"CAST((w * {RRF_SCALE}) DIV ({RRF_K} + leg_rnk) AS BIGINT)"
+            )
         ).alias("rrf_score")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1377,6 +1418,108 @@ def hybrid_rrf_from_legs(
         .select("query_id", "rnk", "doc_id", "rrf_score")
         .orderBy("query_id", "rnk")
     )
+
+
+#: Integer leg weights for the registered weighted-fusion row:
+#: lexical evidence counts double, the semantic and exact-phrase legs
+#: vote once each — the classic "BM25-anchored" hybrid configuration.
+HYBRID_WEIGHTS: tuple[int, int, int] = (2, 1, 1)
+
+
+def hybrid_rrf_weighted(
+    docs: DataFrame,
+    emb: DataFrame,
+    spark: SparkSession,
+    queries: tuple[tuple[int, str, int], ...] = HYBRID_QUERIES,
+    k: int = 5,
+    leg_k: int = 20,
+    weights: tuple[int, int, int] = HYBRID_WEIGHTS,
+) -> DataFrame:
+    """Three-leg weighted reciprocal-rank fusion (r14 verdict task 6):
+    BM25 + exact cosine + exact-phrase (the query text doubles as the
+    phrase), fused as Σ_legs w_leg * RRF_SCALE DIV (RRF_K + rank) —
+    still rank-only integer arithmetic, so the whole hybrid keeps the
+    value-hash discipline across all three already-verified legs. The
+    phrase leg is the precision vote: documents containing the query
+    as a contiguous phrase get boosted past bag-of-words matches."""
+    from salesforce_prefect_etl_pipeline_spark.operators import similarity
+
+    bm = bm25_topk(
+        docs, spark, queries=tuple((q, t) for q, t, _ in queries), k=leg_k
+    )
+    ann = similarity.cosine_topk(emb, [v for _, _, v in queries], k=leg_k)
+    ph = phrase_search(
+        docs, spark, queries=tuple((q, t) for q, t, _ in queries), k=leg_k
+    )
+    return hybrid_rrf_from_legs(
+        bm, ann, spark, queries, k, phrase=ph, weights=weights
+    )
+
+
+def hybrid_rrf_weighted_sql(
+    queries: tuple[tuple[int, str, int], ...] = HYBRID_QUERIES,
+    k: int = 5,
+    leg_k: int = 20,
+    weights: tuple[int, int, int] = HYBRID_WEIGHTS,
+) -> str:
+    """DuckDB replay of :func:`hybrid_rrf_weighted`: the three leg
+    replays nested as CTEs (zero-weight legs omitted, matching the
+    engine's pre-union filter), fused by the identical weighted integer
+    floor-division sum."""
+    from salesforce_prefect_etl_pipeline_spark.operators import similarity
+
+    w_bm, w_ann, w_phrase = (int(w) for w in weights)
+    vmap_rows = ", ".join(f"({q}, {v})" for q, _, v in queries)
+    leg_selects = []
+    ctes = [f"vmap(hq, anchor_id) AS (VALUES {vmap_rows})"]
+    if w_bm:
+        bm_sql = bm25_topk_sql(
+            queries=tuple((q, t) for q, t, _ in queries), k=leg_k
+        )
+        ctes.append(f"bm AS ({bm_sql})")
+        leg_selects.append(
+            f"SELECT query_id, doc_id, rnk AS leg_rnk, {w_bm} AS w FROM bm"
+        )
+    if w_ann:
+        ann_sql = similarity.cosine_topk_sql(
+            [v for _, _, v in queries], k=leg_k
+        )
+        ctes.append(f"ann AS ({ann_sql})")
+        leg_selects.append(
+            "SELECT v.hq AS query_id, a.neighbor_id AS doc_id,"
+            f" a.rnk AS leg_rnk, {w_ann} AS w"
+            " FROM ann a JOIN vmap v ON a.query_id = v.anchor_id"
+        )
+    if w_phrase:
+        ph_sql = phrase_search_sql(
+            queries=tuple((q, t) for q, t, _ in queries), k=leg_k
+        )
+        ctes.append(f"ph AS ({ph_sql})")
+        leg_selects.append(
+            f"SELECT query_id, doc_id, rnk AS leg_rnk, {w_phrase} AS w"
+            " FROM ph"
+        )
+    legs_union = "\n  UNION ALL\n  ".join(leg_selects)
+    return f"""
+WITH {", ".join(ctes)},
+legs AS (
+  {legs_union}
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(SUM((w * {RRF_SCALE}) // ({RRF_K} + leg_rnk)) AS BIGINT)
+           AS rrf_score
+  FROM legs GROUP BY 1, 2
+)
+SELECT query_id, rnk, doc_id, rrf_score FROM (
+  SELECT query_id, doc_id, rrf_score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
 
 
 def hybrid_rrf_sql(

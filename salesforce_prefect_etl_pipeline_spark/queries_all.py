@@ -51,6 +51,7 @@ _PRIORITY = [
     "text_bm25_champion_retracted",  # new (r15)
     "text_bm25_compacted",  # new (r15)
     "text_bm25_unicode_topk",  # new (r15)
+    "text_hybrid_rrf_weighted",  # new (r15)
     # --- round-15 window (tools/staleness.py suggested list, verbatim):
     # the 37 remaining r11 rows (events_*, asof joins, media near-dup,
     # TPC-H stragglers, text analysis, graph triangles, streaming dedup)

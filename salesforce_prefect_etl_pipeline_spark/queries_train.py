@@ -504,6 +504,17 @@ def text_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.probe_text_index(spark, index_dir)
 
 
+def text_hybrid_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-leg WEIGHTED reciprocal-rank fusion (r14 verdict task 6):
+    BM25 (weight 2) + exact cosine (1) + exact-phrase (1, the query
+    text as a contiguous phrase) — Σ w·SCALE DIV (60 + rank), still
+    rank-only integer arithmetic over three already-value-verified
+    legs; weight 0 drops a leg bit-identically (pytest-pinned)."""
+    docs = _spread_scan(load_table(spark, sf_dir, "documents"))
+    emb = _emb(spark, sf_dir)
+    return retrieval.hybrid_rrf_weighted(docs, emb, spark)
+
+
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fit->transform: per-document word/BPE-token counts
     after applying the 4 learned merges (operators/train.py)."""
@@ -533,6 +544,11 @@ register_query(
 )
 register_query(
     "text_hybrid_rrf_topk", text_hybrid_rrf_topk, retrieval.hybrid_rrf_sql()
+)
+register_query(
+    "text_hybrid_rrf_weighted",
+    text_hybrid_rrf_weighted,
+    retrieval.hybrid_rrf_weighted_sql(),
 )
 register_query(
     "text_hybrid_rrf_indexed", text_hybrid_rrf_indexed, retrieval.hybrid_rrf_sql()

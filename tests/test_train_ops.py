@@ -1233,3 +1233,99 @@ def test_unicode_bm25_folds_typography_to_matches(spark):
     # raw chain: the glued term matches nothing
     raw = retrieval.bm25_topk(docs, spark, queries=q, analyzer="raw")
     assert raw.count() == 0
+
+
+# ----------------------------------------------------------------------
+# Weighted 3-leg RRF (r14 verdict task 6)
+
+
+def test_weighted_rrf_zero_weight_drops_leg_bit_identically(spark):
+    """weights=(w,0,0)... legs with weight 0 must vanish ENTIRELY —
+    a doc surfaced only by the dropped leg never appears with score 0,
+    and the surviving composition equals the fusion called without the
+    dropped legs at all."""
+    texts, vecs, docs, emb = _hybrid_fixture(spark)
+    q = retrieval.HYBRID_QUERIES[:1]
+    ph = retrieval.phrase_search(
+        docs, spark, queries=tuple((qq, t) for qq, t, _ in q), k=20
+    )
+    bm = retrieval.bm25_topk(
+        docs, spark, queries=tuple((qq, t) for qq, t, _ in q), k=20
+    )
+    from salesforce_prefect_etl_pipeline_spark.operators import similarity
+
+    ann = similarity.cosine_topk(emb, [v for _, _, v in q], k=20)
+
+    # ann weight 0 == two-leg fusion without ann
+    with_zero = [
+        tuple(r)
+        for r in retrieval.hybrid_rrf_from_legs(
+            bm, ann, spark, q, k=5, phrase=ph, weights=(1, 0, 1)
+        ).collect()
+    ]
+    without = [
+        tuple(r)
+        for r in retrieval.hybrid_rrf_from_legs(
+            bm, ann.limit(0), spark, q, k=5, phrase=ph, weights=(1, 1, 1)
+        ).collect()
+    ]
+    assert with_zero == without and with_zero
+    # weights (1,1,0-phrase) == the historical 2-leg fusion exactly
+    two_leg = [
+        tuple(r)
+        for r in retrieval.hybrid_rrf_from_legs(
+            bm, ann, spark, q, k=5
+        ).collect()
+    ]
+    three_no_phrase = [
+        tuple(r)
+        for r in retrieval.hybrid_rrf_from_legs(
+            bm, ann, spark, q, k=5, phrase=ph, weights=(1, 1, 0)
+        ).collect()
+    ]
+    assert three_no_phrase == two_leg
+
+
+def test_weighted_rrf_oracle_matches_on_planted_corpus(spark):
+    """Engine vs DuckDB replay of the full 3-leg weighted fusion over
+    the planted hybrid fixture."""
+    texts, vecs, docs, emb = _hybrid_fixture(spark)
+    got = [
+        tuple(r)
+        for r in retrieval.hybrid_rrf_weighted(docs, emb, spark).collect()
+    ]
+    con = _duck_docs(texts)
+    emb_values = ", ".join(
+        f"({i}, {list(v)})" for i, v in enumerate(vecs)
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM (VALUES {emb_values})"
+        " t(vec_id, embedding)"
+    )
+    want = [tuple(r) for r in con.sql(retrieval.hybrid_rrf_weighted_sql()).fetchall()]
+    assert got == want and got
+
+
+def test_weighted_rrf_phrase_leg_boosts_contiguous_match(spark):
+    """Two docs with identical BM25 bag-of-words evidence: the one
+    containing the query as a contiguous phrase must outrank the
+    scrambled one once the phrase leg votes."""
+    texts = [
+        "slow join spark batch",   # scrambled — bag-of-words equal
+        "spark join slow batch",   # contiguous phrase
+        "merge sort filter scan",
+    ]
+    docs = _docs(spark, texts)
+    q = ((1, "spark join slow", 1),)
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    out = [
+        tuple(r)
+        for r in retrieval.hybrid_rrf_weighted(
+            docs, emb, spark, queries=q, weights=(1, 0, 1)
+        ).collect()
+    ]
+    ranked = [r[2] for r in out]
+    assert ranked.index(1) < ranked.index(0)
