@@ -517,6 +517,50 @@ def build_ivf_index(
     return _write_ivf_snapshot(emb, index_dir, nlist, iters, seed_emb)
 
 
+def _ivf_batch_id(emb: DataFrame) -> str:
+    """Content-derived batch id for a vector batch (the text tiers'
+    md5(min:max:count) convention, 'ivf'-prefixed): deterministic, no
+    wall clock, identical on replay — the idempotence anchor for
+    streamed appends."""
+    return emb.agg(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("ivf"),
+                F.min("vec_id"),
+                F.max("vec_id"),
+                F.count(F.lit(1)),
+            )
+        ).alias("batch_id")
+    ).collect()[0]["batch_id"]
+
+
+def _reconciled_lists(spark, index_dir: str, list_ids=None) -> DataFrame:
+    """The one true inverted-list read: optional list pruning pushed
+    BEFORE the scan, then — when the index carries the stamped layout
+    (a ``vecbatches`` commit-record component) — committed batches
+    only, full-row dedup of at-least-once replays, batch stamp
+    dropped. Unstamped legacy layouts (lists written directly by
+    ``ivf_assign``) pass through untouched, so every pre-r15 index
+    keeps probing identically."""
+    import os
+
+    df = spark.read.parquet(ivf_component_path(index_dir, "lists"))
+    if list_ids is not None:
+        df = df.filter(F.col("list_id").isin(list_ids))
+    vb = ivf_component_path(index_dir, "vecbatches")
+    if not os.path.isdir(vb):
+        return df
+    committed = (
+        spark.read.parquet(vb).select("batch_id").dropDuplicates(["batch_id"])
+    )
+    return (
+        df.join(F.broadcast(committed), "batch_id", "leftsemi")
+        .dropDuplicates()
+        .drop("batch_id")
+    )
+
+
 def _write_ivf_snapshot(
     emb: DataFrame, root: str, nlist: int, iters: int,
     seed_emb: DataFrame | None = None,
@@ -529,8 +573,17 @@ def _write_ivf_snapshot(
         emb if seed_emb is None else seed_emb, nlist=nlist, iters=iters
     )
     assigned = ivf_assign(emb, cents)
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{root}/lists")
     spark = emb.sparkSession
+    # r15: every write is batch-stamped with a vecbatches commit record
+    # (the text tiers' invariant) so streamed appends get exactly-once
+    # reads; centroids land LAST — they carry the ensure gates.
+    bid = _ivf_batch_id(emb)
+    assigned.withColumn("batch_id", F.lit(bid)).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(f"{root}/lists")
+    spark.createDataFrame([(bid,)], "batch_id string").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/vecbatches")
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         schema="list_id int, centroid array<double>",
@@ -591,6 +644,7 @@ def rebuild_ivf_index(
     if prev_version:
         shutil.rmtree(os.path.join(index_dir, "lists"), ignore_errors=True)
         shutil.rmtree(os.path.join(index_dir, "centroids"), ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "vecbatches"), ignore_errors=True)
     return cents
 
 
@@ -623,9 +677,19 @@ def append_ivf_vectors(
         centroids if centroids is not None else load_ivf_centroids(spark, index_dir)
     )
     assigned = ivf_assign(new_emb, cents)
-    assigned.write.mode("append").partitionBy("list_id").parquet(
-        ivf_component_path(index_dir, "lists")
-    )
+    # stamped append + commit record, lists FIRST (r15, the text tiers'
+    # tear invariant): a crash before the vecbatches row leaves an
+    # uncommitted batch probes never see; the replay re-appends
+    # byte-identical rows under the same content-derived id and probes
+    # collapse them by full-row dedup — exactly-once without writer
+    # coordination (what stream_ivf_index_ingest composes on).
+    bid = _ivf_batch_id(new_emb)
+    assigned.withColumn("batch_id", F.lit(bid)).write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(ivf_component_path(index_dir, "lists"))
+    spark.createDataFrame([(bid,)], "batch_id string").write.mode(
+        "append"
+    ).parquet(ivf_component_path(index_dir, "vecbatches"))
     return cents
 
 
@@ -642,7 +706,7 @@ def ivf_list_stats(spark, index_dir: str) -> DataFrame:
     fully SQL-replayable for the iters=0 quantizer. A maintenance
     policy triggers :func:`rebalance_ivf_index` when max(skew_pm)
     crosses its threshold."""
-    lists = spark.read.parquet(ivf_component_path(index_dir, "lists"))
+    lists = _reconciled_lists(spark, index_dir)
     cents = spark.read.parquet(
         ivf_component_path(index_dir, "centroids")
     ).select("list_id")
@@ -682,9 +746,7 @@ def rebalance_ivf_index(
     monolithic build over the union corpus with the same seeds
     (pytest-pinned), so recall@nprobe recovers to build-time level by
     construction, not statistically."""
-    emb = spark.read.parquet(ivf_component_path(index_dir, "lists")).select(
-        "vec_id", "embedding"
-    )
+    emb = _reconciled_lists(spark, index_dir).select("vec_id", "embedding")
     return rebuild_ivf_index(
         emb, index_dir, nlist=nlist, iters=iters, seed_emb=seed_emb
     )
@@ -738,9 +800,7 @@ def probe_ivf(
     probes = spark.createDataFrame(probe_rows, probe_schema)
     probe_lists = sorted({r[2] for r in probe_rows})
 
-    lists = spark.read.parquet(ivf_component_path(index_dir, "lists")).filter(
-        F.col("list_id").isin(probe_lists)
-    )
+    lists = _reconciled_lists(spark, index_dir, probe_lists)
     cand = lists.join(F.broadcast(probes), "list_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -795,10 +855,8 @@ def probe_ivf_exact_within_lists(
     probes = spark.createDataFrame(probe_rows, probe_schema)
     probe_lists = sorted({r[2] for r in probe_rows})
 
-    members = (
-        spark.read.parquet(ivf_component_path(index_dir, "lists"))
-        .filter(F.col("list_id").isin(probe_lists))
-        .select("list_id", "vec_id")
+    members = _reconciled_lists(spark, index_dir, probe_lists).select(
+        "list_id", "vec_id"
     )
     cand = members.join(F.broadcast(probes), "list_id").filter(
         F.col("vec_id") != F.col("query_id")

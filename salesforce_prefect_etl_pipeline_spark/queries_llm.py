@@ -122,9 +122,10 @@ def ensure_ivf_index(spark, sf_dir: str, nlist: int = 16, iters: int = 10) -> st
     regenerate between rounds, and probing a stale index silently
     returns assignments of data that no longer exists."""
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    # det3 (r14): iters=0 indexes seed from the content-addressed panel
+    # det4 (r15): batch-stamped lists + vecbatches commit records
+    # (det3/r14: panel-seeded iters=0 quantizer)
     index_dir = os.path.join(
-        IVF_INDEX_ROOT, f"{tag}-nlist{nlist}-iters{iters}-det3"
+        IVF_INDEX_ROOT, f"{tag}-nlist{nlist}-iters{iters}-det4"
     )
     success = os.path.join(
         similarity.ivf_component_path(index_dir, "centroids"), "_SUCCESS"
@@ -871,7 +872,7 @@ def _ivf_probe_appended_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
     import shutil
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-appended-iters0-det3")
+    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-appended-iters0-det4")
     marker = os.path.join(index_dir, "_APPENDED")
     src = os.path.join(sf_dir, "embeddings.parquet")
     stale = os.path.exists(marker) and os.path.getmtime(marker) < os.path.getmtime(src)
@@ -1002,7 +1003,7 @@ def _ivf_rebalanced_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
     import shutil
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-rebalanced-iters0-det3")
+    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-rebalanced-iters0-det4")
     marker = os.path.join(index_dir, "_REBALANCED")
     src = os.path.join(sf_dir, "embeddings.parquet")
     stale = os.path.exists(marker) and os.path.getmtime(marker) < os.path.getmtime(src)

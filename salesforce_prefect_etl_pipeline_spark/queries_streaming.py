@@ -345,6 +345,69 @@ register_query(
     phrase_search_sql(),
 )
 
+
+def _streaming_ivf_index_ingest(spark, sf_dir):
+    """The IVF ANN index maintained by the STREAMING sink (r14 verdict
+    task 7, streaming/ingest.stream_ivf_index_ingest): the index is
+    "opened" with panel-seeded iteration-0 centroids (the quantizer is
+    fixed before the feed starts — the frozen-centroid contract of
+    append_ivf_vectors), the embeddings table arrives as a file-source
+    stream, each micro-batch lands as one stamped append under a
+    vecbatches commit record, and the pruned probe over the result must
+    be bit-identical to the monolithic panel-seeded build — so this row
+    shares ann_ivf_probe_exact's full quantizer-replay oracle.
+    Multi-batch and torn/replayed-batch semantics are pytest-pinned
+    separately."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators import similarity
+    from salesforce_prefect_etl_pipeline_spark.queries_llm import (
+        ANN_QUERY_IDS,
+        _panel_seed_cents,
+    )
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        stream_embeddings,
+        stream_ivf_index_ingest,
+    )
+
+    cents = _panel_seed_cents(spark, sf_dir)
+    qvecs = [
+        (r.vec_id, list(r.embedding))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .collect()
+    ]
+    with _tf.TemporaryDirectory(prefix="ivf_ingest_") as tmp:
+        index_dir = f"{tmp}/index"
+        # index open: persist the frozen quantizer; lists arrive by stream
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            schema="list_id int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+        stream_ivf_index_ingest(
+            stream_embeddings(spark, sf_dir), index_dir, centroids=cents
+        )
+        return similarity.probe_ivf(
+            spark, index_dir, qvecs, k=10, nprobe=4, centroids=cents
+        ).localCheckpoint(eager=True)  # outlive the temp dir
+
+
+def _streaming_ivf_oracle_sql() -> str:
+    from salesforce_prefect_etl_pipeline_spark.queries_llm import (
+        _ivf_probe_exact_sql,
+    )
+
+    return _ivf_probe_exact_sql()
+
+
+register_query(
+    "streaming_ivf_index_ingest",
+    _streaming_ivf_index_ingest,
+    _streaming_ivf_oracle_sql(),
+)
+
 # Join-key skew diagnostic over the biggest fact's join key: heavy
 # hitters + skew ratio — the pre-join check that decides plain shuffle
 # vs AQE skew-split vs salted_join.

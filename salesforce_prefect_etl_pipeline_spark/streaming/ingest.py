@@ -339,18 +339,20 @@ def stream_text_index_ingest(
             return
         b = batch_df.select("doc_id", "text")
         tot = retrieval._batch_totals(b, analyzer).collect()[0]
-        tpath = os.path.join(index_dir, "totals")
+        # resolve through the version pointer (r15 layout): a compacted
+        # index keeps ingesting into its live snapshot
+        tpath = retrieval._comp(index_dir, "totals")
         if tot["batch_id"] not in _committed(tpath):
             retrieval._postings(b, analyzer).withColumn(
                 "batch_id", F.lit(tot["batch_id"])
             ).write.mode("append").partitionBy("bucket").parquet(
-                os.path.join(index_dir, "postings")
+                retrieval._comp(index_dir, "postings")
             )
             spark.createDataFrame(
                 [tot], "n_docs long, total_len long, batch_id string"
             ).write.mode("append").parquet(tpath)
         if positional and tot["batch_id"] not in _committed(
-            os.path.join(index_dir, "posbatches")
+            retrieval._comp(index_dir, "posbatches")
         ):
             # the positional tier's own stamped write + commit record;
             # guarded separately so a crash between the two tiers'
@@ -367,6 +369,83 @@ def stream_text_index_ingest(
         with pinned_stream_shuffle(spark):
             q = (
                 stream_docs.writeStream.foreachBatch(_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if ctx is not None:
+            ctx.cleanup()
+    return index_dir
+
+
+def stream_ivf_index_ingest(
+    stream_emb: DataFrame,
+    index_dir: str,
+    name: str = "ivf_index_ingest",
+    checkpoint_dir: str | None = None,
+    centroids=None,
+) -> str:
+    """Streaming maintenance of the IVF ANN index (r14 verdict task 7 —
+    the embedding-side twin of :func:`stream_text_index_ingest`): per
+    micro-batch, one ``append_ivf_vectors``-shaped stamped append into
+    the persisted inverted lists — assignment with the index's FROZEN
+    centroids (loaded once, driver-side, before the stream starts), so
+    the ANN tier keeps up with the embedding feed without retrains.
+    Returns ``index_dir``; probes see exactly the union of committed
+    batches; list skew accumulates exactly as documented on
+    ``append_ivf_vectors`` — ``ivf_list_stats`` +
+    ``rebalance_ivf_index`` are the maintenance loop.
+
+    Exactly-once story, composed from the same three invariants as the
+    text sink: content-derived batch ids (md5 of the batch's vec_id
+    min/max/count), lists-then-commit-record write order (a crash
+    before the ``vecbatches`` row leaves an invisible orphan), and the
+    committed-id guard here (a replayed ALREADY-committed batch is
+    skipped with batch-count-bounded driver state); a replayed torn
+    batch re-appends byte-identical rows under the same id, which
+    probe-side full-row dedup collapses. N micro-batches == one
+    monolithic build with the same centroids, pytest-pinned
+    bit-for-bit."""
+    from salesforce_prefect_etl_pipeline_spark.operators import similarity
+
+    spark = stream_emb.sparkSession
+    cents = (
+        centroids
+        if centroids is not None
+        else similarity.load_ivf_centroids(spark, index_dir)
+    )
+
+    def _committed(record_path: str) -> set[str]:
+        if not os.path.exists(os.path.join(record_path, "_SUCCESS")):
+            return set()
+        return {
+            r["batch_id"]
+            for r in spark.read.parquet(record_path).select("batch_id").collect()
+        }  # one row per batch — control-plane sized
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.select("vec_id", "embedding")
+        bid = similarity._ivf_batch_id(b)
+        vb = similarity.ivf_component_path(index_dir, "vecbatches")
+        if bid in _committed(vb):
+            return
+        similarity.append_ivf_vectors(spark, index_dir, b, centroids=cents)
+
+    ctx = (
+        tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_")
+        if checkpoint_dir is None
+        else None
+    )
+    ckpt = checkpoint_dir if checkpoint_dir is not None else ctx.name
+    try:
+        with pinned_stream_shuffle(spark):
+            q = (
+                stream_emb.writeStream.foreachBatch(_batch)
                 .outputMode("update")
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
@@ -404,6 +483,21 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(link_dir, "documents.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
+    return stream_documents_dir(spark, link_dir)
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the testdata embeddings table through a one-file symlink
+    directory — :func:`stream_documents` for the vector feed."""
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_streams",
+        sf_dir.strip("/").replace("/", "_") + "_emb",
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "embeddings.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/embeddings.parquet"), link)
     return stream_documents_dir(spark, link_dir)
 
 

@@ -600,3 +600,108 @@ def test_stream_positional_ingest_multi_batch_equals_monolithic(spark, tmp_path)
     assert [
         tuple(r) for r in retrieval.probe_text_index(spark, streamed).collect()
     ] == [tuple(r) for r in retrieval.probe_text_index(spark, bm_mono).collect()]
+
+
+def test_stream_ivf_index_ingest_multi_batch_equals_monolithic(spark, tmp_path):
+    """r14 verdict task 7: the IVF index maintained by the streaming
+    sink across 3 REAL micro-batches (maxFilesPerTrigger=1, frozen
+    centroids fixed at index open) must probe bit-identically to a
+    monolithic build with the same centroids — the embedding-side
+    streaming loop closed and value-pinned. Also pins the torn/replay
+    matrix: an appended-but-uncommitted batch is invisible; replaying
+    it converges; a replayed committed batch is a no-op."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators import similarity
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        stream_documents_dir,
+        stream_ivf_index_ingest,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    cents = similarity.train_ivf_centroids(emb, nlist=16, iters=0)
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(
+        [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    ):
+        part = emb
+        if lo is not None:
+            part = part.filter(F.col("vec_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("vec_id") < hi)
+        part.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+    for i in range(3):
+        f = next((src / f"b{i}").glob("*.parquet"))
+        shutil.move(str(f), str(src / f"part-{i}.parquet"))
+        shutil.rmtree(src / f"b{i}")
+
+    index_dir = str(tmp_path / "stream_index")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        schema="list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    stream_ivf_index_ingest(
+        stream_documents_dir(spark, str(src), max_files_per_trigger=1),
+        index_dir,
+        centroids=cents,
+    )
+    n_batches = (
+        spark.read.parquet(f"{index_dir}/vecbatches")
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert n_batches == 3
+
+    mono_dir = str(tmp_path / "mono")
+    similarity.build_ivf_index(emb, mono_dir, nlist=16, iters=0)
+    qvecs = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin([1, 7, 42])).collect()
+    ]
+    got = similarity.probe_ivf(
+        spark, index_dir, qvecs, k=10, nprobe=4, centroids=cents
+    ).collect()
+    want = similarity.probe_ivf(
+        spark, mono_dir, qvecs, k=10, nprobe=4, centroids=cents
+    ).collect()
+    assert got == want and len(got) == 30
+
+    # torn batch: stamped list rows land, no vecbatches record -> the
+    # probe is unchanged
+    tear = emb.filter(F.col("vec_id").isin([1, 7]))
+    bid = similarity._ivf_batch_id(tear)
+    similarity.ivf_assign(tear, cents).withColumn(
+        "batch_id", F.lit("torn-" + bid)
+    ).write.mode("append").partitionBy("list_id").parquet(f"{index_dir}/lists")
+    still = similarity.probe_ivf(
+        spark, index_dir, qvecs, k=10, nprobe=4, centroids=cents
+    ).collect()
+    assert still == want
+
+    # replayed committed batch through the sink guard: no-op (still 3)
+    stream_ivf_index_ingest(
+        stream_documents_dir(spark, str(src), max_files_per_trigger=1),
+        index_dir,
+        centroids=cents,
+    )
+    n_after = (
+        spark.read.parquet(f"{index_dir}/vecbatches")
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert n_after == 3
+    assert (
+        similarity.probe_ivf(
+            spark, index_dir, qvecs, k=10, nprobe=4, centroids=cents
+        ).collect()
+        == want
+    )
