@@ -158,6 +158,18 @@ HEADLINE = [
     # streaming_dedup_ingest exclusion rationale).
     "text_hybrid_rrf_topk",
     "text_bpe_train_merges16",
+    # Round-15 rows: the tombstone-reconciled BM25 probe (the indexed
+    # probe plus the committed-tombstone anti-join — the delete path's
+    # marginal read cost) and the IVF per-list skew report (a new
+    # column-pruned full-lists aggregation). The other r15 rows
+    # recompose benched shapes: *_compacted/champion_retracted/
+    # phrase_retracted are the same probes over differently-maintained
+    # indexes, unicode BM25 is bm25_topk plus a per-scan regexp,
+    # weighted RRF re-runs three benched legs, ann_ivf_rebalanced is
+    # build+assign, and streaming_ivf_index_ingest is
+    # append_ivf_vectors plus micro-batch overhead.
+    "text_bm25_retracted",
+    "ann_ivf_list_stats",
 ]
 
 
@@ -261,6 +273,8 @@ def main() -> None:
     )
 
     ensure_ivf_index(spark, sf_dir)
+    # the iters=0 index too: ann_ivf_list_stats reports over it
+    ensure_ivf_index(spark, sf_dir, iters=0)
     # Same offline/online split for the LSH index: the probe row
     # measures PROBE cost, the one-time corpus signing is not timed.
     ensure_minhash_index(spark, sf_dir)
@@ -268,9 +282,13 @@ def main() -> None:
     # plus its derived champion tier (text_bm25_champion).
     from salesforce_prefect_etl_pipeline_spark.queries_train import (
         ensure_champion_lists,
+        ensure_text_index_retracted,
     )
 
     ensure_champion_lists(spark, sf_dir)
+    # ... and the retracted index (text_bm25_retracted measures the
+    # tombstone-reconciled PROBE, not the build+retract maintenance)
+    ensure_text_index_retracted(spark, sf_dir)
 
     from salesforce_prefect_etl_pipeline_spark.queries_llm import _minhash_pairs_cached
 
@@ -341,7 +359,19 @@ def main() -> None:
         "calib_sec": {"pre": calib_pre, "post": calib_post},
     }
     repo = os.path.dirname(os.path.abspath(__file__))
-    sidecar_path = os.path.join(repo, "BENCH_SPREAD.json")
+    # The unstamped repo-root sidecar is the ROUND RECORD too (r15
+    # advice: a RUNS=1 ladder point or an A/B rep at another sf was
+    # silently clobbering it) — only driver-shaped sf0.1 runs may write
+    # it; everything else writes the .local suffix, which is
+    # gitignored scratch.
+    driver_shaped_sidecar = (
+        sf == "0.1"
+        and (runs_per_query > 1 or os.environ.get("SPARK_GRAFT_BENCH_ROUND"))
+    )
+    sidecar_path = os.path.join(
+        repo,
+        "BENCH_SPREAD.json" if driver_shaped_sidecar else "BENCH_SPREAD.local.json",
+    )
     with open(sidecar_path, "w") as f:
         json.dump(sidecar, f, indent=1)
     # ... and a round-stamped archive copy (r11 verdict task 5): the

@@ -80,12 +80,37 @@ def main() -> int:
         elif a == "--reps":
             reps = int(next(it))
 
+    # Resolve the ref to a SHA up front and verify any reused worktree
+    # is actually AT it (r15 advice: a moved branch or a prior run's
+    # leftover checkout silently benched stale code as the "baseline").
+    sha = subprocess.run(
+        ["git", "rev-parse", f"{ref}^{{commit}}"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
     wt = os.path.join(
         tempfile.gettempdir(), f"bench_ab_{ref.replace('/', '_')}"
     )
-    if not os.path.exists(wt):
+    if os.path.exists(wt):
+        at = subprocess.run(
+            ["git", "-C", wt, "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        if at != sha:
+            print(
+                f"# worktree {wt} at {at[:12]}, want {sha[:12]} —"
+                " re-checking out",
+                file=sys.stderr,
+            )
+            subprocess.run(
+                ["git", "-C", wt, "checkout", "--detach", sha], check=True
+            )
+    else:
         subprocess.run(
-            ["git", "worktree", "add", "--detach", wt, ref],
+            ["git", "worktree", "add", "--detach", wt, sha],
             cwd=REPO,
             check=True,
         )
