@@ -554,11 +554,24 @@ def _reconciled_lists(spark, index_dir: str, list_ids=None) -> DataFrame:
     committed = (
         spark.read.parquet(vb).select("batch_id").dropDuplicates(["batch_id"])
     )
-    return (
+    df = (
         df.join(F.broadcast(committed), "batch_id", "leftsemi")
         .dropDuplicates()
         .drop("batch_id")
     )
+    tomb = ivf_component_path(index_dir, "tombstones")
+    if os.path.isdir(tomb):
+        # committed retraction batches only (same tear invariant);
+        # not a forced broadcast — retraction sets grow unboundedly at
+        # crawl scale, AQE promotes while they're small
+        dead = (
+            spark.read.parquet(tomb)
+            .join(F.broadcast(committed), "batch_id", "leftsemi")
+            .select("vec_id")
+            .distinct()
+        )
+        df = df.join(dead, "vec_id", "anti")
+    return df
 
 
 def _write_ivf_snapshot(
@@ -750,6 +763,52 @@ def rebalance_ivf_index(
     return rebuild_ivf_index(
         emb, index_dir, nlist=nlist, iters=iters, seed_emb=seed_emb
     )
+
+
+def retract_ivf_vectors(spark, index_dir: str, vec_ids: DataFrame) -> None:
+    """Retract vectors from the IVF index (the delete path the text
+    tiers got in r15, vector edition): a tombstone batch (vec_id,
+    batch_id) lands first, then one ``vecbatches`` row commits it —
+    torn retractions invisible, replays exactly-once via the
+    content-derived 'retractivf'-prefixed id. Probes, the skew report
+    and rebalance all read through :func:`_reconciled_lists`, which
+    anti-joins committed tombstones, so a retracted vector disappears
+    from every surface immediately; :func:`rebalance_ivf_index` is the
+    compaction — its versioned republish rewrites the lists from the
+    reconciled read, physically dropping tombstoned rows (the new
+    snapshot carries no tombstone component). Only on the STAMPED
+    layout (vecbatches present): an unstamped legacy index has no
+    commit surface to make retraction crash-safe, so this raises
+    rather than leaving a silently half-applied delete."""
+    import os
+
+    vb = ivf_component_path(index_dir, "vecbatches")
+    if not os.path.isdir(vb):
+        raise ValueError(
+            f"{index_dir} has no vecbatches commit records (pre-r15 "
+            "unstamped layout) — rebuild_ivf_index it first; tombstones "
+            "need a commit surface to be crash-safe"
+        )
+    ids = vec_ids.select(
+        F.col(vec_ids.columns[0]).cast("long").alias("vec_id")
+    ).distinct()
+    bid = ids.agg(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("retractivf"),
+                F.min("vec_id"),
+                F.max("vec_id"),
+                F.count(F.lit(1)),
+            )
+        ).alias("batch_id")
+    ).collect()[0]["batch_id"]
+    ids.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(
+        ivf_component_path(index_dir, "tombstones")
+    )
+    spark.createDataFrame([(bid,)], "batch_id string").write.mode(
+        "append"
+    ).parquet(vb)
 
 
 def load_ivf_centroids(spark, index_dir: str) -> np.ndarray:

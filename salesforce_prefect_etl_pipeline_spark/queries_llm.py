@@ -818,7 +818,14 @@ def _ivf_probe_exact_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
     )
 
 
-def _ivf_probe_exact_sql(k: int = 10, nprobe: int = 4) -> str:
+def _ivf_probe_exact_sql(
+    k: int = 10, nprobe: int = 4, live_pred: str = "TRUE"
+) -> str:
+    """``live_pred`` restricts the CANDIDATE set (the retracted-index
+    oracle passes the complement of the retraction split) — the seeds
+    and assignment still replay the BUILD-time quantizer over the full
+    corpus, exactly the frozen-centroid semantics of a tombstoned
+    index."""
     ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     return f"""
 WITH {_SEED_QUANTIZER_CTES},
@@ -837,9 +844,12 @@ probe AS (
     FROM q CROSS JOIN cents c
   ) WHERE r <= {nprobe}
 ),
+live AS (SELECT vec_id FROM embeddings WHERE {live_pred}),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
-  FROM probe p JOIN assigned a USING (list_id)
+  FROM probe p
+  JOIN assigned a USING (list_id)
+  JOIN live l ON l.vec_id = a.vec_id
   WHERE a.vec_id <> p.query_id
 ),
 scored AS (
@@ -1043,6 +1053,67 @@ def _ivf_rebalanced_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
 
 register_query(
     "ann_ivf_rebalanced", _ivf_rebalanced_query, _ivf_probe_exact_sql()
+)
+
+#: The vector-retraction split: vec_ids with md5 bucket >= 90 (10%)
+#: are ingested and then retracted — the text tiers' takedown path,
+#: vector edition (r15).
+_IVF_RETRACT_PCT = 90
+
+
+def _ivf_retracted_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
+    """IVF vector retraction, probed: build the panel-seeded iters=0
+    index over the FULL corpus, then retract 10% of vec_ids
+    (similarity.retract_ivf_vectors — tombstone batch + vecbatches
+    commit record). The probe reconciles through the committed
+    tombstones, so retracted vectors vanish from candidates while the
+    BUILD-time quantizer stays frozen (the tombstone semantics) — the
+    oracle replays exactly that: full-corpus seeds and assignment,
+    candidates restricted to the live complement."""
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-retracted-iters0-det4")
+    marker = os.path.join(index_dir, "_RETRACTED")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stale = os.path.exists(marker) and os.path.getmtime(marker) < os.path.getmtime(src)
+    if stale or not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        emb = _emb(spark, sf_dir)
+        cents = similarity.build_ivf_index(
+            emb, index_dir, nlist=_SEED_NLIST, iters=0,
+            seed_emb=_emb_panel(spark, sf_dir),
+        )
+        dead = emb.filter(
+            corpus.split_bucket(F.col("vec_id")) >= _IVF_RETRACT_PCT
+        ).select("vec_id")
+        similarity.retract_ivf_vectors(spark, index_dir, dead)
+        open(marker, "w").close()
+        _CENTROID_CACHE[
+            (spark.sparkContext.applicationId, index_dir, "")
+        ] = cents
+    cents = _ivf_centroids(spark, index_dir)
+    qkey = (spark.sparkContext.applicationId, sf_dir)
+    qvecs = _QVEC_CACHE.get(qkey)
+    if qvecs is None:
+        qvecs = [
+            (r.vec_id, list(r.embedding))
+            for r in load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+            .collect()
+        ]
+        _QVEC_CACHE[qkey] = qvecs
+    return similarity.probe_ivf(
+        spark, index_dir, qvecs, k=k, nprobe=nprobe, centroids=cents
+    )
+
+
+register_query(
+    "ann_ivf_retracted",
+    _ivf_retracted_query,
+    _ivf_probe_exact_sql(
+        live_pred=f"({corpus.split_bucket_sql('vec_id')}) < {_IVF_RETRACT_PCT}"
+    ),
 )
 # Vectorized numpy brute-force. The kernel ranks on floor(cos*1e6)
 # BIGINT keys — the same qcos quantization as the JVM twin — which

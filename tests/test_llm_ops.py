@@ -1769,3 +1769,84 @@ def test_ivf_list_stats_reports_skew_and_rebalance_restores(
     import os as _os
 
     assert _os.path.exists(_os.path.join(idx, "CURRENT"))
+
+
+def test_ivf_retraction_equals_never_ingested_and_compacts(spark, emb, tmp_path):
+    """retract_ivf_vectors contract: (1) retract == never-ingested —
+    the probe over the tombstoned index equals a frozen-centroid index
+    assigning only the live vectors; (2) a TORN retraction (tombstones
+    without the vecbatches record) is invisible; (3) a replayed
+    retraction is exactly-once; (4) rebalance_ivf_index physically
+    drops tombstoned rows (the compaction) and the new snapshot carries
+    no tombstone component; (5) the unstamped legacy layout refuses
+    retraction loudly."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    dead_ids = [1, 7]
+    live = emb.filter(~F.col("vec_id").isin(dead_ids))
+    idx = str(tmp_path / "idx")
+    cents = similarity.build_ivf_index(emb, idx, nlist=16, iters=0)
+    qvecs = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin([3, 42])).collect()
+    ]
+
+    # (2) torn: tombstone rows with an uncommitted batch id change nothing
+    before = similarity.probe_ivf(
+        spark, idx, qvecs, k=10, nprobe=16, centroids=cents
+    ).collect()
+    spark.createDataFrame(
+        [(i, "deadbeef-uncommitted") for i in dead_ids],
+        "vec_id long, batch_id string",
+    ).write.mode("append").parquet(f"{idx}/tombstones")
+    assert (
+        similarity.probe_ivf(
+            spark, idx, qvecs, k=10, nprobe=16, centroids=cents
+        ).collect()
+        == before
+    )
+
+    # (1) committed retraction == frozen-centroid index over live only
+    similarity.retract_ivf_vectors(
+        spark, idx, spark.createDataFrame([(i,) for i in dead_ids], "vec_id long")
+    )
+    ref = str(tmp_path / "ref")
+    similarity.ivf_assign(live, cents).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{ref}/lists")
+    got = similarity.probe_ivf(
+        spark, idx, qvecs, k=10, nprobe=16, centroids=cents
+    ).collect()
+    want = similarity.probe_ivf(
+        spark, ref, qvecs, k=10, nprobe=16, centroids=cents
+    ).collect()
+    assert got == want and got
+    assert not any(r.neighbor_id in dead_ids for r in got)
+
+    # (3) replay: same batch id, no double effects
+    similarity.retract_ivf_vectors(
+        spark, idx, spark.createDataFrame([(i,) for i in dead_ids], "vec_id long")
+    )
+    assert (
+        similarity.probe_ivf(
+            spark, idx, qvecs, k=10, nprobe=16, centroids=cents
+        ).collect()
+        == want
+    )
+
+    # (4) rebalance = compaction: physical drop, no tombstone component
+    similarity.rebalance_ivf_index(spark, idx, nlist=16, iters=0, seed_emb=emb)
+    raw = spark.read.parquet(similarity.ivf_component_path(idx, "lists"))
+    assert raw.filter(F.col("vec_id").isin(dead_ids)).count() == 0
+    assert not _os.path.isdir(similarity.ivf_component_path(idx, "tombstones"))
+    assert raw.count() == live.count()
+
+    # (5) unstamped legacy layout refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vecbatches"):
+        similarity.retract_ivf_vectors(
+            spark, ref, spark.createDataFrame([(1,)], "vec_id long")
+        )
