@@ -519,6 +519,12 @@ def _champion_recut(postings: DataFrame, m: int) -> DataFrame:
     )
 
 
+#: Committed-id sets small enough to push as a plan-time ``isin``
+#: literal instead of a broadcast semi-join (the similarity-module
+#: constant, lexical edition).
+_BATCH_ISIN_CAP = 128
+
+
 def _reconciled_postings(
     spark: SparkSession,
     index_dir: str,
@@ -526,27 +532,43 @@ def _reconciled_postings(
     terms: list[str] | None = None,
 ) -> DataFrame:
     """The one true posting read every consumer shares: bucket/term
-    pruning pushed BEFORE the scan, committed batches only (semi-join
-    against the totals ids), full-row dedup of at-least-once replays,
-    and committed tombstones anti-joined out — so probes, champion cuts
-    and compaction all see the identical reconciled corpus."""
+    pruning pushed BEFORE the scan, committed batches only, replay
+    dedup, and committed tombstones anti-joined out — so probes,
+    champion cuts and compaction all see the identical reconciled
+    corpus.
+
+    Probe hot path kept shuffle-free in the common cases (the r15
+    paired A/B lesson from the vector tier): totals rows are
+    control-plane sized, so the committed ids are collected once and
+    pushed as a plan-time ``isin`` filter when few (falling back to
+    the broadcast semi-join past ``_BATCH_ISIN_CAP``), and the replay
+    dedup — a replayed batch duplicates exactly its
+    (term, doc_id, batch_id) rows — runs only when MORE THAN ONE
+    ingest batch committed (retraction batches are commit records
+    only, no posting rows; their negative n_docs sign identifies
+    them), keyed on the precise triple instead of whole rows."""
     p = spark.read.parquet(_comp(index_dir, "postings"))
     if buckets is not None:
         p = p.filter(F.col("bucket").isin([int(b) for b in buckets]))
     if terms is not None:
         p = p.filter(F.col("term").isin(terms))
-    p = (
-        p.join(
+    tot_rows = (
+        spark.read.parquet(_comp(index_dir, "totals"))
+        .select("batch_id", "n_docs")
+        .collect()
+    )  # one row per batch — control-plane sized
+    committed_ids = sorted({r["batch_id"] for r in tot_rows})
+    n_ingest = len({r["batch_id"] for r in tot_rows if r["n_docs"] >= 0})
+    if len(committed_ids) <= _BATCH_ISIN_CAP:
+        p = p.filter(F.col("batch_id").isin(committed_ids))
+    else:
+        p = p.join(
             F.broadcast(_valid_batches(spark, index_dir)),
             "batch_id",
             "leftsemi",
         )
-        # a batch torn after its postings write and then REPLAYED (the
-        # streaming sink's recovery path) leaves byte-identical posting
-        # rows twice under one committed batch id — full-row dedup
-        # restores exactly-once without any writer-side coordination
-        .dropDuplicates()
-    )
+    if n_ingest > 1:
+        p = p.dropDuplicates(["term", "doc_id", "batch_id"])
     return _apply_tombstones(p, spark, index_dir, "totals")
 
 
@@ -1085,19 +1107,35 @@ def probe_phrase_index(
         {t for _, text in queries for t in _ANALYZERS[analyzer][1](text)}
     )
     buckets = sorted({_term_bucket_py(t) for t in terms})
-    valid = spark.read.parquet(_comp(index_dir, "posbatches")).select(
-        "batch_id"
+    # same shuffle-free fast path as _reconciled_postings: literal
+    # committed-id filter when few, replay dedup only when more than
+    # one batch committed (posbatches carries no ingest/retraction
+    # distinction, so this is conservatively the total id count)
+    committed_ids = sorted(
+        {
+            r["batch_id"]
+            for r in spark.read.parquet(_comp(index_dir, "posbatches"))
+            .select("batch_id")
+            .collect()
+        }
     )
-    tok = _apply_tombstones(
+    tok = (
         spark.read.parquet(_comp(index_dir, "positional"))
         .filter(F.col("bucket").isin([int(b) for b in buckets]))
         .filter(F.col("term").isin(terms))
-        .join(F.broadcast(valid), "batch_id", "leftsemi")
-        .dropDuplicates(["term", "doc_id", "batch_id"]),
-        spark,
-        index_dir,
-        "posbatches",
-    ).select("term", "doc_id", F.explode("positions").alias("pos"))
+    )
+    if len(committed_ids) <= _BATCH_ISIN_CAP:
+        tok = tok.filter(F.col("batch_id").isin(committed_ids))
+    else:
+        valid = spark.read.parquet(_comp(index_dir, "posbatches")).select(
+            "batch_id"
+        )
+        tok = tok.join(F.broadcast(valid), "batch_id", "leftsemi")
+    if len(committed_ids) > 1:
+        tok = tok.dropDuplicates(["term", "doc_id", "batch_id"])
+    tok = _apply_tombstones(tok, spark, index_dir, "posbatches").select(
+        "term", "doc_id", F.explode("positions").alias("pos")
+    )
     return _phrase_anchor_topk(tok, spark, queries, k, analyzer)
 
 
