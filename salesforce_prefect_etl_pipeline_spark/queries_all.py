@@ -56,6 +56,7 @@ _PRIORITY = [
     "ann_ivf_rebalanced",  # new (r15)
     "streaming_ivf_index_ingest",  # new (r15)
     "ann_ivf_retracted",  # new (r15)
+    "text_hybrid_rrf_weighted_indexed",  # new (r15)
     # --- round-15 window (tools/staleness.py suggested list, verbatim):
     # the 37 remaining r11 rows (events_*, asof joins, media near-dup,
     # TPC-H stragglers, text analysis, graph triangles, streaming dedup)

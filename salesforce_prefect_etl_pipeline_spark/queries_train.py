@@ -515,6 +515,52 @@ def text_hybrid_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.hybrid_rrf_weighted(docs, emb, spark)
 
 
+def text_hybrid_rrf_weighted_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB form of ``text_hybrid_rrf_weighted``: ALL THREE legs
+    come from persisted indexes — the bucket-pruned BM25 probe, the
+    partition-pruned IVF probe (nprobe = nlist, exactly the brute-force
+    ranking), and the positional-index phrase probe — fused by the same
+    weighted integer RRF. Each leg is bit-identical to its direct-scan
+    twin (probe == direct pytest identities), so the composition shares
+    ``hybrid_rrf_weighted_sql``'s oracle: the three-way leg-swap claim
+    is value-proven, completing the weighted fusion's index story the
+    way ``text_hybrid_rrf_indexed`` did for the 2-leg form."""
+    from pyspark.sql import functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators import similarity
+    from salesforce_prefect_etl_pipeline_spark.queries_llm import (
+        _SEED_NLIST,
+        _ivf_centroids,
+        ensure_ivf_index,
+    )
+
+    q = retrieval.HYBRID_QUERIES
+    text_qs = tuple((qid, t) for qid, t, _ in q)
+    bm = retrieval.probe_text_index(
+        spark, ensure_text_index(spark, sf_dir), queries=text_qs, k=20
+    )
+    ivf_dir = ensure_ivf_index(spark, sf_dir, iters=0)
+    cents = _ivf_centroids(spark, ivf_dir)
+    anchors = [v for _, _, v in q]
+    qvecs = [
+        (r.vec_id, list(r.embedding))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(anchors))
+        .collect()
+    ]
+    ann = similarity.probe_ivf(
+        spark, ivf_dir, qvecs, k=20, nprobe=_SEED_NLIST, centroids=cents
+    )
+    ph = retrieval.probe_phrase_index(
+        spark, ensure_phrase_index(spark, sf_dir), queries=text_qs, k=20
+    )
+    return retrieval.hybrid_rrf_from_legs(
+        bm, ann, spark, q, k=5, phrase=ph, weights=retrieval.HYBRID_WEIGHTS
+    )
+
+
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fit->transform: per-document word/BPE-token counts
     after applying the 4 learned merges (operators/train.py)."""
@@ -548,6 +594,11 @@ register_query(
 register_query(
     "text_hybrid_rrf_weighted",
     text_hybrid_rrf_weighted,
+    retrieval.hybrid_rrf_weighted_sql(),
+)
+register_query(
+    "text_hybrid_rrf_weighted_indexed",
+    text_hybrid_rrf_weighted_indexed,
     retrieval.hybrid_rrf_weighted_sql(),
 )
 register_query(
