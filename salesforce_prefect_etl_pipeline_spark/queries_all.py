@@ -44,64 +44,11 @@ _PRUNE = {
 #: (tests/test_registry.py) fails if the list drifts from that output,
 #: so the rotation discipline is self-auditing.
 _PRIORITY = [
-    # --- new r15 rows (never driver-checked; sort first in the
-    # staleness suggestion, displacing the window's tail):
-    "text_bm25_retracted",  # new (r15)
-    "text_phrase_retracted",  # new (r15)
-    "text_bm25_champion_retracted",  # new (r15)
-    "text_bm25_compacted",  # new (r15)
-    "text_bm25_unicode_topk",  # new (r15)
-    "text_hybrid_rrf_weighted",  # new (r15)
-    "ann_ivf_list_stats",  # new (r15)
-    "ann_ivf_rebalanced",  # new (r15)
-    "streaming_ivf_index_ingest",  # new (r15)
-    "ann_ivf_retracted",  # new (r15)
-    "text_hybrid_rrf_weighted_indexed",  # new (r15)
-    # --- round-15 window (tools/staleness.py suggested list, verbatim):
-    # the 37 remaining r11 rows (events_*, asof joins, media near-dup,
-    # TPC-H stragglers, text analysis, graph triangles, streaming dedup)
-    # then the 13 oldest r12 rows (agg_*, ann_*, corpus_*). New r15
-    # queries sort first in the suggestion and are fronted above as
-    # they land, displacing this window's tail.
-    "emb_semdedup_prune",  # r11
-    "events_funnel",  # r11
-    "events_hourly_by_type",  # r11
-    "events_json_extract",  # r11
-    "events_mad_outliers",  # r11
-    "events_props_explode",  # r11
-    "events_props_variant",  # r11
-    "events_retention_cohorts",  # r11
-    "events_seasonal_anomalies",  # r11
-    "events_session_sequences",  # r11
-    "events_sessionization",  # r11
-    "events_sliding_counts",  # r11
-    "events_transition_counts",  # r11
-    "graph_nation_triangles",  # r11
-    "join_asof_clicks_to_purchases",  # r11
-    "join_asof_forward",  # r11
-    "join_asof_nearest",  # r11
-    "media_audio_near_dup",  # r11
-    "media_phash_families",  # r11
-    "media_phash_near_dup",  # r11
-    "media_video_near_dup",  # r11
-    "q12_ship_latency",  # r11
-    "q16_supplier_part_counts",  # r11
-    "q3_shipping_priority",  # r11
-    "q6_forecast_revenue",  # r11
-    "qa_key_skew_suppkey",  # r11
-    "rollup_lineitem",  # r11
-    "streaming_dedup_ingest",  # r11
-    "text_bpe_merge_candidates",  # r11
-    "text_common_ngrams",  # r11
-    "text_fingerprints",  # r11
-    "text_lang_id",  # r11
-    "text_quality_score",  # r11
-    "text_repetition_stats",  # r11
-    "text_token_stats",  # r11
-    "text_top_tokens",  # r11
-    "udtf_sentence_stats",  # r11
-    "agg_approx_distinct_suppliers",  # r12
-    "agg_corr_price_qty",  # r12
+    # --- round-16 window (tools/staleness.py suggested list, verbatim):
+    # the 48 oldest rows (r12 TPC-H/ann/corpus/media/streaming stragglers)
+    # then the 2 oldest r13 rows. New r16 queries sort first in the
+    # suggestion and are fronted here as they land, displacing this
+    # window's tail.
     "agg_mad_value_by_type",  # r12
     "agg_mode_priority_by_segment",  # r12
     "ann_cosine_topk",  # r12
@@ -113,6 +60,45 @@ _PRIORITY = [
     "corpus_pii_scan",  # r12
     "corpus_shard_assignment",  # r12
     "corpus_stratified_sample",  # r12
+    "corpus_training_manifest",  # r12
+    "dedup_chunk_overlap",  # r12
+    "dedup_containment_lsh_panel",  # r12
+    "dedup_simhash_pairs",  # r12
+    "emb_cluster_mix",  # r12
+    "emb_near_dup_banded",  # r12
+    "emb_near_dup_pairs",  # r12
+    "media_audio_stats",  # r12
+    "media_decode_stats",  # r12
+    "media_feature_stats",  # r12
+    "q10_returned_items",  # r12
+    "q13_customer_distribution",  # r12
+    "q14_promo_revenue",  # r12
+    "q17_small_qty_revenue",  # r12
+    "q18_large_orders",  # r12
+    "q19_disjunctive",  # r12
+    "q1_pricing_summary",  # r12
+    "q20_dominant_suppliers",  # r12
+    "q21_suppliers_kept_waiting",  # r12
+    "q22_idle_balance",  # r12
+    "q2_min_cost_supplier",  # r12
+    "q4_order_priority",  # r12
+    "q7_volume_shipping",  # r12
+    "q8_market_share",  # r12
+    "q9_product_profit",  # r12
+    "qa_profile_orders",  # r12
+    "spec_lineitem_global",  # r12
+    "spec_orders_by_missing_channel",  # r12
+    "spec_orders_by_status",  # r12
+    "sql_recursive_month_spine",  # r12
+    "streaming_click_attribution",  # r12
+    "streaming_click_attribution_outer",  # r12
+    "streaming_dedup_user_counts",  # r12
+    "streaming_enriched_segment_counts",  # r12
+    "streaming_events_hourly",  # r12
+    "streaming_sessionization",  # r12
+    "window_percentile_ranks",  # r12
+    "agg_binned_percentiles",  # r13
+    "agg_distinct_suppliers_per_flag",  # r13
 ]
 
 
