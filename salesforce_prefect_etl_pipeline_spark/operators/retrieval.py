@@ -83,8 +83,11 @@ def _sql_tokens(expr: str, analyzer: str = "raw") -> str:
     if analyzer == "simple":
         expr = f"regexp_replace(lower({expr}), '[^a-z0-9\\s]+', ' ', 'g')"
     elif analyzer == "unicode":
+        # ς→σ after lower: closes the Greek final-sigma divergence
+        # (Java/Python contextual lowercase vs utf8proc's simple
+        # mapping — see text.unicode_tokens; r15 advice)
         expr = (
-            f"regexp_replace(lower({expr}),"
+            f"regexp_replace(replace(lower({expr}), 'ς', 'σ'),"
             " '[^\\p{L}\\p{N}\\s]+', ' ', 'g')"
         )
     return f"string_split_regex(trim({expr}), '\\s+')"
@@ -1398,7 +1401,14 @@ def hybrid_rrf_from_legs(
     weighted-RRF generalization, still pure integer floor division. A
     weight of 0 drops its leg bit-identically (the leg is filtered out
     BEFORE the union, so a document surfaced only by a zero-weight leg
-    never appears with score 0 — pytest-pinned)."""
+    never appears with score 0 — pytest-pinned). All-zero weights are
+    a caller error (no legs to fuse), rejected up front (r15 advice —
+    previously an IndexError on the empty union)."""
+    if not any(int(w) for w in weights):
+        raise ValueError(
+            f"hybrid_rrf_from_legs: all leg weights are 0 ({weights!r}) — "
+            "at least one leg must carry a non-zero weight"
+        )
     vmap = spark.createDataFrame(
         [(q, v) for q, _, v in queries], "hq int, anchor_id long"
     )
@@ -1503,9 +1513,15 @@ def hybrid_rrf_weighted_sql(
     """DuckDB replay of :func:`hybrid_rrf_weighted`: the three leg
     replays nested as CTEs (zero-weight legs omitted, matching the
     engine's pre-union filter), fused by the identical weighted integer
-    floor-division sum."""
+    floor-division sum. All-zero weights are rejected like the engine
+    function (r15 advice — previously emitted a malformed empty
+    ``legs AS ()`` CTE)."""
     from salesforce_prefect_etl_pipeline_spark.operators import similarity
 
+    if not any(int(w) for w in weights):
+        raise ValueError(
+            f"hybrid_rrf_weighted_sql: all leg weights are 0 ({weights!r})"
+        )
     w_bm, w_ann, w_phrase = (int(w) for w in weights)
     vmap_rows = ", ".join(f"({q}, {v})" for q, _, v in queries)
     leg_selects = []

@@ -96,14 +96,19 @@ def unicode_tokens(col: str | Column) -> Column:
     the overwhelming common subset — but NOT everywhere. Known
     divergences: U+0130 İ (Java/Python full-lowercase to ``i`` + a
     combining dot, which then folds to a separator; DuckDB's utf8proc
-    uses the simple mapping to plain ``i``), and there is no FULL case
-    folding anywhere ("Straße" != "STRASSE" in every engine — ß is
-    already lowercase, SS folds to ss). Deployments needing exact
-    multilingual case folding bring an ICU tokenizer via mapInPandas
-    and trade away the SQL value-hash — the same tradeoff
+    uses the simple mapping to plain ``i``); Greek capital sigma WAS
+    one too — Java/Python contextual lowercase maps word-final Σ to ς
+    (U+03C2) while utf8proc's simple mapping gives σ (U+03C3) — and is
+    CLOSED (r15 advice) by normalizing ς→σ after the lowercase in all
+    three twins, the standard Greek search normalization. There is no
+    FULL case folding anywhere ("Straße" != "STRASSE" in every
+    engine — ß is already lowercase, SS folds to ss). Deployments
+    needing exact multilingual case folding bring an ICU tokenizer via
+    mapInPandas and trade away the SQL value-hash — the same tradeoff
     ``unigram_familiarity`` documents."""
     c = F.col(col) if isinstance(col, str) else col
-    folded = F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}\s]+", " ")
+    lowered = F.translate(F.lower(c), "ς", "σ")
+    folded = F.regexp_replace(lowered, r"[^\p{L}\p{N}\s]+", " ")
     return F.split(F.trim(folded), r"\s+")
 
 
@@ -123,7 +128,7 @@ def unicode_tokens_py(text: str) -> list[str]:
         ch
         if ch in ws or unicodedata.category(ch)[0] in ("L", "N")
         else " "
-        for ch in text.lower()
+        for ch in text.lower().replace("ς", "σ")
     )
     return re.split(r"[ \t\n\x0b\f\r]+", folded.strip(" "))
 

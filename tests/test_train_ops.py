@@ -1211,6 +1211,38 @@ def test_unicode_chain_documented_i_dot_divergence(spark):
     assert duck == ["istanbul"]
 
 
+def test_unicode_chain_final_sigma_normalized(spark):
+    """Greek capital sigma no longer diverges (r15 advice): Java and
+    Python contextual lowercase map word-final Σ to ς while DuckDB's
+    utf8proc simple mapping gives σ — the chain now folds ς→σ after
+    the lowercase in all three twins (standard Greek search
+    normalization), so ΟΔΥΣΣΕΥΣ, Οδυσσευς and οδυσσευσ all produce
+    the identical token on every engine."""
+    from salesforce_prefect_etl_pipeline_spark.operators.text import (
+        unicode_tokens,
+        unicode_tokens_py,
+    )
+
+    texts = ["ΟΔΥΣΣΕΥΣ Οδυσσευς οδυσσευσ", "ΣΟΦΙΑ τελος ΤΕΛΟΣ"]
+    docs = _docs(spark, texts)
+    eng = [
+        r[0]
+        for r in docs.orderBy("doc_id").select(unicode_tokens("text")).collect()
+    ]
+    con = _duck_docs(texts)
+    sql_tok = retrieval._sql_tokens("text", "unicode")
+    duck = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {sql_tok} FROM documents ORDER BY doc_id"
+        ).fetchall()
+    ]
+    py = [unicode_tokens_py(t) for t in texts]
+    assert eng == duck == py
+    assert eng[0] == ["οδυσσευσ"] * 3
+    assert eng[1] == ["σοφια", "τελοσ", "τελοσ"]
+
+
 def test_unicode_bm25_folds_typography_to_matches(spark):
     """Under the unicode chain, a query carrying em-dash/ellipsis/curly
     quotes ranks the plain-ASCII documents the raw chain would miss
