@@ -1247,6 +1247,58 @@ def current_index_version(index_dir: str) -> str:
     return ""
 
 
+def gc_index_versions(index_dir: str, keep_n: int = 2) -> list[str]:
+    """Garbage-collect superseded ``versions/v<N>/`` snapshots under a
+    versioned index (r15 verdict task 4) — the retention policy that
+    bounds a periodically-compacted streamed index's storage. Every
+    compactor/rebuilder (``compact_text_index``,
+    ``compact_minhash_index``, ``rebuild_ivf_index``) already drops
+    non-retained versions at publish time; this is the standalone,
+    explicitly-schedulable GC for indexes whose maintenance cadence
+    leaves snapshots behind (e.g. a crashed publish's orphan dir, or a
+    raised keep-N later dialed back down).
+
+    Safety contract:
+
+    - NEVER deletes the CURRENT target, and keeps at least the
+      previous published version too (``keep_n`` is clamped to >= 2):
+      a concurrent reader that resolved the pointer one publish ago is
+      still reading data that exists — deletion only touches versions
+      superseded >= 2 publishes ago.
+    - Versions NEWER than CURRENT are left alone (an in-flight
+      publish's staging dir under the one-maintenance-writer model).
+    - Idempotent and interruption-tolerant: each victim is removed
+      independently (``ignore_errors``); a killed GC leaves a strict
+      subset removed and the re-run converges to the same end state.
+    - Flat (never-versioned) layouts are a no-op.
+
+    Returns the removed version names (e.g. ``["v1", "v2"]``)."""
+    import shutil
+
+    keep_n = max(2, int(keep_n))
+    cur = current_index_version(index_dir)
+    versions_root = os.path.join(index_dir, "versions")
+    if not cur or not os.path.isdir(versions_root):
+        return []
+    cur_n = int(cur[1:])
+    numbered = sorted(
+        int(v[1:])
+        for v in os.listdir(versions_root)
+        if v.startswith("v") and v[1:].isdigit()
+    )
+    retained = set(
+        sorted((n for n in numbered if n <= cur_n), reverse=True)[:keep_n]
+    )
+    removed = []
+    for n in numbered:
+        if n < cur_n and n not in retained:
+            shutil.rmtree(
+                os.path.join(versions_root, f"v{n}"), ignore_errors=True
+            )
+            removed.append(f"v{n}")
+    return removed
+
+
 def build_minhash_index(docs: DataFrame, index_dir: str, k: int = 8) -> None:
     """Persist the corpus near-dup index: ``bands/`` (doc_id, band, key
     — partitioned by band, sorted by key within each partition for

@@ -58,6 +58,8 @@ from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
 from salesforce_prefect_etl_pipeline_spark.operators.text import (
     analyzed_tokens,
     analyzed_tokens_py,
+    english_light_tokens,
+    english_light_tokens_py,
     tokens,
     tokens_py,
     unicode_tokens,
@@ -75,6 +77,9 @@ _ANALYZERS = {
     "raw": (tokens, tokens_py),
     "simple": (analyzed_tokens, analyzed_tokens_py),
     "unicode": (unicode_tokens, unicode_tokens_py),
+    # unicode fold + deterministic Porter-subset suffix stripping
+    # (r15 verdict task 6) — see text.english_light_tokens
+    "english_light": (english_light_tokens, english_light_tokens_py),
 }
 
 
@@ -82,6 +87,18 @@ def _sql_tokens(expr: str, analyzer: str = "raw") -> str:
     """The DuckDB token-array twin of the chosen analyzer chain."""
     if analyzer == "simple":
         expr = f"regexp_replace(lower({expr}), '[^a-z0-9\\s]+', ' ', 'g')"
+    elif analyzer == "english_light":
+        from salesforce_prefect_etl_pipeline_spark.operators.text import (
+            STEM_RULES,
+        )
+
+        inner = _sql_tokens(expr, "unicode")
+        stem = "t"
+        # DuckDB standard string literals keep backslashes verbatim, so
+        # the r"\1" group reference embeds as-is
+        for pat, _, re2_rep in STEM_RULES:
+            stem = f"regexp_replace({stem}, '{pat}', '{re2_rep}')"
+        return f"list_transform({inner}, t -> {stem})"
     elif analyzer == "unicode":
         # ς→σ after lower: closes the Greek final-sigma divergence
         # (Java/Python contextual lowercase vs utf8proc's simple
@@ -122,6 +139,17 @@ BM25_UNICODE_QUERIES: tuple[tuple[int, str], ...] = (
     (1, "Spark—JOIN… slow¿"),
     (2, "Window·STREAM (agg)"),
     (3, "“CUSTOMER” query： big／table"),
+)
+
+#: The stemmed benchmark set: the same information needs expressed
+#: with the INFLECTIONS real query text carries — plurals, -ed, -ing.
+#: The "english_light" chain folds them onto the corpus's base terms
+#: (sparks/joining/slowed -> spark/join/slow), which the registered
+#: row value-proves; the unstemmed chains would match nothing.
+BM25_STEMMED_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "Sparks, joining slowed!"),
+    (2, "Windows streamed (aggs)"),
+    (3, "customers query big tables"),
 )
 
 #: Fixed-point scale for the two floor divisions (1e-6 score quantum).
@@ -250,8 +278,13 @@ TEXT_INDEX_BUCKETS = 32
 #: postings/positional rows + the posbatches commit marker. v3 (r15):
 #: tombstone retraction batches + versioned compaction snapshots
 #: resolved through the CURRENT pointer (the MinHash index's layout,
-#: dedup.index_component_path).
-TEXT_INDEX_LAYOUT = 3
+#: dedup.index_component_path). v4 (r16): commit records carry build
+#: provenance (``origin`` = build/append/retract — the replay-dedup
+#: skip is only safe for overwrite-built single-batch indexes, r15
+#: advice), and the positional tier's tombstones split into their own
+#: ``postombstones`` component so a single-tier rebuild can reset its
+#: tombstones without touching the other tier's.
+TEXT_INDEX_LAYOUT = 4
 
 
 def _comp(index_dir: str, name: str) -> str:
@@ -290,12 +323,29 @@ def _postings(docs: DataFrame, analyzer: str = "raw") -> DataFrame:
     )
 
 
+def _batch_id_agg(docs: DataFrame, prefix: str = "") -> DataFrame:
+    """1-row frame with the batch's content-derived id:
+    md5([prefix:]min_doc_id:max_doc_id:count). Batches hold disjoint
+    doc_ids by contract, so no two batches share a min — the id is
+    unique AND deterministic (no wall clock), keeping rebuilt indexes
+    bit-reproducible. The aggregate touches ONLY ``doc_id``, so
+    Catalyst prunes the scan to that column (no text read, no
+    tokenize — pytest-asserted on the optimized plan)."""
+    parts = ([F.lit(prefix)] if prefix else []) + [
+        F.min("doc_id"),
+        F.max("doc_id"),
+        F.count(F.lit(1)),
+    ]
+    return docs.agg(F.md5(F.concat_ws(":", *parts)).alias("batch_id"))
+
+
 def _batch_totals(docs: DataFrame, analyzer: str = "raw") -> DataFrame:
-    """Per-batch corpus totals, stamped with a content-derived batch id:
-    md5(min_doc_id:max_doc_id:count). Batches hold disjoint doc_ids by
-    contract, so no two batches share a min — the id is unique AND
-    deterministic (no wall clock), keeping rebuilt indexes
-    bit-reproducible."""
+    """Per-batch corpus totals + the :func:`_batch_id_agg` id in one
+    frame. No longer on the write path (r15 verdict task 7 —
+    :func:`_write_index_batch` now derives totals from the postings it
+    just wrote instead of tokenizing the corpus a second time); kept
+    as the reference aggregate the single-scan derivation is
+    pytest-pinned against."""
     return docs.select(
         "doc_id", F.size(_ANALYZERS[analyzer][0]("text")).alias("dl")
     ).agg(
@@ -310,12 +360,26 @@ def _batch_totals(docs: DataFrame, analyzer: str = "raw") -> DataFrame:
 
 
 def _write_index_batch(
-    docs: DataFrame, index_dir: str, mode: str, analyzer: str = "raw"
+    docs: DataFrame,
+    index_dir: str,
+    mode: str,
+    analyzer: str = "raw",
+    bid: str | None = None,
 ) -> None:
     """The shared stamped two-file write: postings first (every row
     carrying the batch id), then the 1-row totals record — the commit
     point. Ordering + stamps make the pair crash-safe (see
     :func:`build_text_index`).
+
+    Single corpus scan (r15 verdict task 7 — the old shape tokenized
+    the corpus twice, once for totals and once for postings): the
+    batch id comes from a doc_id-only aggregate (column-pruned — no
+    text read), the postings write is the ONE tokenizing pass, and the
+    totals (n_docs, total_len) are derived by reading back the
+    just-written batch's (doc_id, dl) pairs — a 2-column scan of data
+    this job just produced, keyed per-doc so the derivation is also
+    immune to replay-duplicated rows. Values are bit-identical to the
+    old double-scan :func:`_batch_totals` (pytest-pinned).
 
     The REBUILD (overwrite) path deletes the old totals before touching
     the postings (r14 advice): the append invariant — postings without
@@ -324,17 +388,43 @@ def _write_index_batch(
     and probes would silently return empty. Deleting totals first makes
     a torn rebuild fail LOUDLY (missing totals path) instead; it also
     de-commits any tombstone batches of the superseded index, so a
-    rebuild never inherits retractions aimed at the old corpus."""
+    rebuild never inherits retractions aimed at the old corpus — and
+    (r15 advice) the tombstone component itself is removed, so a later
+    retraction whose content-derived id collides with a stale tombstone
+    batch's cannot resurrect rows that kill live doc_ids.
+
+    The totals row carries build provenance (``origin`` —
+    build/append/retract, r15 advice): probes may skip the replay
+    dedup only for OVERWRITE-built single-batch indexes; an
+    append-created single-batch index (a streamed first micro-batch,
+    torn and replayed) has duplicate rows under one committed id and
+    must still dedup."""
     import shutil
 
-    tot = _batch_totals(docs, analyzer).collect()[0]
+    spark = docs.sparkSession
+    if bid is None:
+        bid = _batch_id_agg(docs).collect()[0]["batch_id"]
     if mode == "overwrite":
         shutil.rmtree(_comp(index_dir, "totals"), ignore_errors=True)
+        shutil.rmtree(_comp(index_dir, "tombstones"), ignore_errors=True)
     _postings(docs, analyzer).withColumn(
-        "batch_id", F.lit(tot["batch_id"])
+        "batch_id", F.lit(bid)
     ).write.mode(mode).partitionBy("bucket").parquet(_comp(index_dir, "postings"))
-    docs.sparkSession.createDataFrame(
-        [tot], "n_docs long, total_len long, batch_id string"
+    tot = (
+        spark.read.parquet(_comp(index_dir, "postings"))
+        .filter(F.col("batch_id") == bid)
+        .select("doc_id", "dl")
+        .dropDuplicates(["doc_id"])
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_len"),
+        )
+        .collect()[0]
+    )
+    origin = "build" if mode == "overwrite" else "append"
+    spark.createDataFrame(
+        [(tot["n_docs"], tot["total_len"], bid, origin)],
+        "n_docs long, total_len long, batch_id string, origin string",
     ).write.mode(mode).parquet(_comp(index_dir, "totals"))
 
 
@@ -349,9 +439,14 @@ def _committed_tombstones(
     batches — committed meaning the batch id appears in the tier's own
     commit record (``totals`` for the BM25/champion tiers, ``posbatches``
     for the positional tier), the same tear invariant ingest batches
-    carry. Returns None when the index has no tombstone component (the
+    carry. Each tier owns its tombstone component (``tombstones`` vs
+    ``postombstones``, r16 layout v4) so an overwrite rebuild of one
+    tier resets its tombstones without de-committing the other's.
+    Returns None when the index has no tombstone component (the
     overwhelmingly common case: zero read cost, zero plan change)."""
-    path = _comp(index_dir, "tombstones")
+    path = _comp(
+        index_dir, "postombstones" if marker == "posbatches" else "tombstones"
+    )
     if not os.path.isdir(path):
         return None
     committed = (
@@ -430,7 +525,8 @@ def retract_text_index(
         "batch_id", F.lit(tot["batch_id"])
     ).write.mode("append").parquet(_comp(index_dir, "tombstones"))
     docs.sparkSession.createDataFrame(
-        [tot], "n_docs long, total_len long, batch_id string"
+        [(tot["n_docs"], tot["total_len"], tot["batch_id"], "retract")],
+        "n_docs long, total_len long, batch_id string, origin string",
     ).write.mode("append").parquet(_comp(index_dir, "totals"))
 
 
@@ -455,9 +551,9 @@ def retract_positional_index(docs: DataFrame, index_dir: str) -> None:
     )
     docs.select("doc_id").distinct().withColumn(
         "batch_id", F.lit(bid)
-    ).write.mode("append").parquet(_comp(index_dir, "tombstones"))
+    ).write.mode("append").parquet(_comp(index_dir, "postombstones"))
     docs.sparkSession.createDataFrame(
-        [(bid,)], "batch_id string"
+        [(bid, "retract")], "batch_id string, origin string"
     ).write.mode("append").parquet(_comp(index_dir, "posbatches"))
 
 
@@ -546,22 +642,32 @@ def _reconciled_postings(
     pushed as a plan-time ``isin`` filter when few (falling back to
     the broadcast semi-join past ``_BATCH_ISIN_CAP``), and the replay
     dedup — a replayed batch duplicates exactly its
-    (term, doc_id, batch_id) rows — runs only when MORE THAN ONE
-    ingest batch committed (retraction batches are commit records
-    only, no posting rows; their negative n_docs sign identifies
-    them), keyed on the precise triple instead of whole rows."""
+    (term, doc_id, batch_id) rows — is skipped ONLY for a
+    single-batch index whose one ingest batch is an OVERWRITE build
+    (``origin`` provenance on the totals row, r15 advice: an
+    append-created single-batch index — a streamed first micro-batch,
+    torn and replayed — carries duplicates under one committed id and
+    must still dedup; an overwrite build replaces the directory, so
+    nothing to replay against). Retraction batches are commit records
+    only, no posting rows; dedup keys on the precise triple instead
+    of whole rows."""
     p = spark.read.parquet(_comp(index_dir, "postings"))
     if buckets is not None:
         p = p.filter(F.col("bucket").isin([int(b) for b in buckets]))
     if terms is not None:
         p = p.filter(F.col("term").isin(terms))
-    tot_rows = (
-        spark.read.parquet(_comp(index_dir, "totals"))
-        .select("batch_id", "n_docs")
-        .collect()
-    )  # one row per batch — control-plane sized
+    tdf = spark.read.parquet(_comp(index_dir, "totals"))
+    has_origin = "origin" in tdf.columns
+    tot_rows = tdf.select(
+        "batch_id", "n_docs", *(["origin"] if has_origin else [])
+    ).collect()  # one row per batch — control-plane sized
     committed_ids = sorted({r["batch_id"] for r in tot_rows})
-    n_ingest = len({r["batch_id"] for r in tot_rows if r["n_docs"] >= 0})
+    ingest = {
+        r["batch_id"]: (r["origin"] if has_origin else None)
+        for r in tot_rows
+        if r["n_docs"] >= 0
+    }
+    single_build = len(ingest) == 1 and set(ingest.values()) == {"build"}
     if len(committed_ids) <= _BATCH_ISIN_CAP:
         p = p.filter(F.col("batch_id").isin(committed_ids))
     else:
@@ -570,7 +676,7 @@ def _reconciled_postings(
             "batch_id",
             "leftsemi",
         )
-    if n_ingest > 1:
+    if not single_build:
         p = p.dropDuplicates(["term", "doc_id", "batch_id"])
     return _apply_tombstones(p, spark, index_dir, "totals")
 
@@ -1027,18 +1133,18 @@ def _write_positional_batch(
     record; probes ignore position batches with no marker. The rebuild
     path deletes the old marker dir first (same loud-tear inversion fix
     as the BM25 tier — see :func:`_write_index_batch`), which also
-    de-commits the superseded index's tombstone batches."""
+    de-commits the superseded index's tombstone batches — and removes
+    the tier's tombstone component itself (r15 advice: stale tombstone
+    rows must not be resurrectable by a content-derived id collision).
+    The marker row carries ``origin`` provenance like the totals row
+    (the probe's replay-dedup skip is only safe for overwrite-built
+    single-batch tiers)."""
     import shutil
 
     if mode == "overwrite":
         shutil.rmtree(_comp(index_dir, "posbatches"), ignore_errors=True)
-    bid = docs.agg(
-        F.md5(
-            F.concat_ws(
-                ":", F.min("doc_id"), F.max("doc_id"), F.count(F.lit(1))
-            )
-        ).alias("batch_id")
-    ).collect()[0]["batch_id"]
+        shutil.rmtree(_comp(index_dir, "postombstones"), ignore_errors=True)
+    bid = _batch_id_agg(docs).collect()[0]["batch_id"]
     tok = docs.select(
         "doc_id",
         F.posexplode(_ANALYZERS[analyzer][0]("text")).alias("pos", "term"),
@@ -1058,8 +1164,9 @@ def _write_positional_batch(
     positional.write.mode(mode).partitionBy("bucket").parquet(
         _comp(index_dir, "positional")
     )
+    origin = "build" if mode == "overwrite" else "append"
     docs.sparkSession.createDataFrame(
-        [(bid,)], "batch_id string"
+        [(bid, origin)], "batch_id string, origin string"
     ).write.mode(mode).parquet(_comp(index_dir, "posbatches"))
 
 
@@ -1111,17 +1218,22 @@ def probe_phrase_index(
     )
     buckets = sorted({_term_bucket_py(t) for t in terms})
     # same shuffle-free fast path as _reconciled_postings: literal
-    # committed-id filter when few, replay dedup only when more than
-    # one batch committed (posbatches carries no ingest/retraction
-    # distinction, so this is conservatively the total id count)
-    committed_ids = sorted(
-        {
-            r["batch_id"]
-            for r in spark.read.parquet(_comp(index_dir, "posbatches"))
-            .select("batch_id")
-            .collect()
-        }
-    )
+    # committed-id filter when few; the replay dedup is skipped only
+    # for a single-batch OVERWRITE-built tier (origin provenance on
+    # the posbatches rows, r15 advice — an append-created single batch
+    # can carry torn-replay duplicates)
+    pbdf = spark.read.parquet(_comp(index_dir, "posbatches"))
+    has_origin = "origin" in pbdf.columns
+    pb_rows = pbdf.select(
+        "batch_id", *(["origin"] if has_origin else [])
+    ).collect()
+    committed_ids = sorted({r["batch_id"] for r in pb_rows})
+    ingest = {
+        r["batch_id"]: (r["origin"] if has_origin else None)
+        for r in pb_rows
+        if not has_origin or r["origin"] != "retract"
+    }
+    single_build = len(ingest) == 1 and set(ingest.values()) == {"build"}
     tok = (
         spark.read.parquet(_comp(index_dir, "positional"))
         .filter(F.col("bucket").isin([int(b) for b in buckets]))
@@ -1134,7 +1246,7 @@ def probe_phrase_index(
             "batch_id"
         )
         tok = tok.join(F.broadcast(valid), "batch_id", "leftsemi")
-    if len(committed_ids) > 1:
+    if not single_build:
         tok = tok.dropDuplicates(["term", "doc_id", "batch_id"])
     tok = _apply_tombstones(tok, spark, index_dir, "posbatches").select(
         "term", "doc_id", F.explode("positions").alias("pos")
@@ -1238,9 +1350,11 @@ def compact_text_index(
     stats["postings"]["files_after"] = _parquet_file_count(
         os.path.join(new_root, "postings")
     )
+    # origin "build": the compacted snapshot is one canonical
+    # overwrite-equivalent batch, so probes skip the replay dedup
     spark.createDataFrame(
-        [(int(tot["n_docs"]), int(tot["total_len"]), bid)],
-        "n_docs long, total_len long, batch_id string",
+        [(int(tot["n_docs"]), int(tot["total_len"]), bid, "build")],
+        "n_docs long, total_len long, batch_id string, origin string",
     ).write.mode("overwrite").parquet(os.path.join(new_root, "totals"))
 
     # --- champion tier: recut from the compacted corpus when present
@@ -1293,7 +1407,7 @@ def compact_text_index(
             os.path.join(new_root, "positional")
         )
         spark.createDataFrame(
-            [(pbid,)], "batch_id string"
+            [(pbid, "build")], "batch_id string, origin string"
         ).write.mode("overwrite").parquet(os.path.join(new_root, "posbatches"))
 
     # tombstones are APPLIED, not copied: the new version has none.
@@ -1316,9 +1430,197 @@ def compact_text_index(
             "positional",
             "posbatches",
             "tombstones",
+            "postombstones",
         ):
             shutil.rmtree(os.path.join(index_dir, comp), ignore_errors=True)
     return stats
+
+
+def text_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-bucket maintenance report over the text tiers — the OBSERVE
+    half of the observe→decide loop whose ACT is
+    :func:`compact_text_index` (r15 verdict task 3; the vector side's
+    ``ivf_list_stats`` → ``rebalance_ivf_index`` pattern, lexical
+    edition). A production operator watches this to decide WHEN to
+    compact a streamed index: ``n_files`` and ``n_replay_dups`` grow
+    with every micro-batch (compact_text_index's own motivation:
+    "thousands of small files per bucket"), ``n_tombstoned`` grows
+    with every retraction — and all three drop to ~0 after a compact
+    (pytest-pinned on the 50-micro-batch streamed fixture).
+
+    One row per (tier, bucket) for every tier present (``postings``,
+    ``positional``, ``champions``):
+
+    - ``n_files``: parquet files in the bucket partition — pure
+      driver-side FS metadata, no data read;
+    - ``n_batches``: distinct batch ids stored in the bucket
+      (committed or not);
+    - ``n_rows``: physical rows on disk (uncommitted + replay
+      duplicates + tombstoned included);
+    - ``n_postings``: committed DISTINCT (term, doc_id) entries —
+      the logical index size;
+    - ``n_live``: n_postings surviving the committed tombstones;
+    - ``n_replay_dups``: committed physical rows minus n_postings
+      (torn-batch replays awaiting physical drop);
+    - ``n_tombstoned``: n_postings minus n_live (retracted entries
+      awaiting physical drop);
+    - ``n_terms`` / ``n_docs``: distinct live terms / doc_ids — the
+      champion-recut and probe-cost sizing inputs.
+
+    Scale shape: the scan is column-pruned to (bucket, term, doc_id,
+    batch_id) — no tf/dl/positions/embedding bytes — one shuffle keyed
+    on the posting identity, then a ≤TEXT_INDEX_BUCKETS-row rollup;
+    file counts come from directory listings only. The LIVE columns
+    (n_postings, n_live, n_terms, n_docs) are pure functions of the
+    reconciled corpus — independent of write history — so the
+    registered row value-hashes against a tokenize-and-count replay;
+    the physical columns (files, dups) are the pytest-covered
+    maintenance signals."""
+    import glob as _glob
+
+    def _bucket_file_counts(comp: str) -> dict[int, int]:
+        out: dict[int, int] = {}
+        root = _comp(index_dir, comp)
+        for d in _glob.glob(os.path.join(root, "bucket=*")):
+            b = int(os.path.basename(d).split("=")[1])
+            out[b] = sum(
+                1 for f in os.listdir(d) if f.endswith(".parquet")
+            )
+        return out
+
+    def _tier_stats(
+        comp: str, marker: str, committed_ids: list[str]
+    ) -> list[tuple]:
+        raw = spark.read.parquet(_comp(index_dir, comp)).select(
+            "bucket", "term", "doc_id", "batch_id"
+        )
+        tomb = _committed_tombstones(spark, index_dir, marker)
+        grouped = raw.groupBy("bucket", "term", "doc_id", "batch_id").agg(
+            F.count(F.lit(1)).alias("copies")
+        )
+        committed = F.col("batch_id").isin(committed_ids)
+        if tomb is None:
+            dead = F.lit(False)
+        else:
+            grouped = grouped.join(
+                tomb.withColumn("_dead", F.lit(True)), "doc_id", "left"
+            )
+            dead = F.coalesce(F.col("_dead"), F.lit(False))
+        per = (
+            grouped.groupBy("bucket")
+            .agg(
+                F.sum("copies").cast("long").alias("n_rows"),
+                F.countDistinct("batch_id").cast("long").alias("n_batches"),
+                F.sum(F.when(committed, F.col("copies")).otherwise(0))
+                .cast("long")
+                .alias("n_committed_rows"),
+                F.sum(F.when(committed, 1).otherwise(0))
+                .cast("long")
+                .alias("n_postings"),
+                F.sum(F.when(committed & ~dead, 1).otherwise(0))
+                .cast("long")
+                .alias("n_live"),
+                F.count_distinct(
+                    F.when(committed & ~dead, F.col("term"))
+                ).cast("long").alias("n_terms"),
+                F.count_distinct(
+                    F.when(committed & ~dead, F.col("doc_id"))
+                ).cast("long").alias("n_docs"),
+            )
+            .orderBy("bucket")
+            .collect()  # ≤ TEXT_INDEX_BUCKETS rows
+        )
+        files = _bucket_file_counts(comp)
+        return [
+            (
+                comp,
+                int(r["bucket"]),
+                files.get(int(r["bucket"]), 0),
+                r["n_batches"],
+                r["n_rows"],
+                r["n_postings"],
+                r["n_live"],
+                r["n_committed_rows"] - r["n_postings"],
+                r["n_postings"] - r["n_live"],
+                r["n_terms"],
+                r["n_docs"],
+            )
+            for r in per
+        ]
+
+    rows: list[tuple] = []
+    tot_ids = sorted(
+        {
+            r["batch_id"]
+            for r in spark.read.parquet(_comp(index_dir, "totals"))
+            .select("batch_id")
+            .collect()
+        }
+    )
+    rows += _tier_stats("postings", "totals", tot_ids)
+    if os.path.isdir(_comp(index_dir, "positional")):
+        pos_ids = sorted(
+            {
+                r["batch_id"]
+                for r in spark.read.parquet(_comp(index_dir, "posbatches"))
+                .select("batch_id")
+                .collect()
+            }
+        )
+        rows += _tier_stats("positional", "posbatches", pos_ids)
+    if os.path.isdir(_comp(index_dir, "champions")):
+        # champions are a derived cache: no batch stamps; live = rows
+        # minus committed BM25-tier tombstones
+        raw = spark.read.parquet(_comp(index_dir, "champions")).select(
+            "bucket", "term", "doc_id"
+        )
+        tomb = _committed_tombstones(spark, index_dir, "totals")
+        if tomb is None:
+            flagged = raw.withColumn("_dead", F.lit(False))
+        else:
+            flagged = raw.join(
+                tomb.withColumn("_dead", F.lit(True)), "doc_id", "left"
+            ).withColumn("_dead", F.coalesce(F.col("_dead"), F.lit(False)))
+        per = (
+            flagged.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(~F.col("_dead"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_live"),
+                F.count_distinct(
+                    F.when(~F.col("_dead"), F.col("term"))
+                ).cast("long").alias("n_terms"),
+                F.count_distinct(
+                    F.when(~F.col("_dead"), F.col("doc_id"))
+                ).cast("long").alias("n_docs"),
+            )
+            .orderBy("bucket")
+            .collect()
+        )
+        files = _bucket_file_counts("champions")
+        rows += [
+            (
+                "champions",
+                int(r["bucket"]),
+                files.get(int(r["bucket"]), 0),
+                1,
+                r["n_rows"],
+                r["n_rows"],
+                r["n_live"],
+                0,
+                r["n_rows"] - r["n_live"],
+                r["n_terms"],
+                r["n_docs"],
+            )
+            for r in per
+        ]
+    return spark.createDataFrame(
+        rows,
+        "tier string, bucket int, n_files int, n_batches long, "
+        "n_rows long, n_postings long, n_live long, n_replay_dups long, "
+        "n_tombstoned long, n_terms long, n_docs long",
+    ).orderBy("tier", "bucket")
 
 
 #: RRF constant (Cormack, Clarke & Buettcher 2009, SIGIR: k=60 is the

@@ -507,13 +507,19 @@ def build_ivf_index(
 
     A full build SUPERSEDES any versioned history at this path: the
     CURRENT pointer and versions/ are removed first, else the fresh
-    flat layout would be shadowed by a stale versioned snapshot."""
+    flat layout would be shadowed by a stale versioned snapshot. The
+    flat tombstone component is removed too (r15 advice): retractions
+    were aimed at the superseded corpus, and a later retraction whose
+    content-derived batch id collides with a stale tombstone batch's
+    must not resurrect rows that kill vectors live in the rebuilt
+    index."""
     import os
     import shutil
 
     if os.path.exists(os.path.join(index_dir, "CURRENT")):
         os.remove(os.path.join(index_dir, "CURRENT"))
         shutil.rmtree(os.path.join(index_dir, "versions"), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
     return _write_ivf_snapshot(emb, index_dir, nlist, iters, seed_emb)
 
 
@@ -557,10 +563,14 @@ def _reconciled_lists(spark, index_dir: str, list_ids=None) -> DataFrame:
     they are collected once and pushed as a PLAN-TIME ``isin`` filter
     (parquet-scannable) when few; and the replay dedup — only
     REPLAYED batches can duplicate a (vec_id, batch_id) — is skipped
-    entirely when exactly one batch is committed (an overwrite build:
-    nothing to replay against). Multi-batch indexes dedup on the
-    precise (vec_id, batch_id) key rather than whole rows, sparing
-    the embedding-array comparisons."""
+    ONLY for a single-batch index whose one ingest batch is an
+    OVERWRITE build (``origin`` provenance on the vecbatches row, r15
+    advice: an append-created single-batch index — a streamed first
+    micro-batch, torn and replayed — carries duplicates under one
+    committed id and must still dedup; an overwrite build replaces the
+    directory, nothing to replay against). Multi-batch indexes dedup
+    on the precise (vec_id, batch_id) key rather than whole rows,
+    sparing the embedding-array comparisons."""
     import os
 
     df = spark.read.parquet(ivf_component_path(index_dir, "lists"))
@@ -569,12 +579,18 @@ def _reconciled_lists(spark, index_dir: str, list_ids=None) -> DataFrame:
     vb = ivf_component_path(index_dir, "vecbatches")
     if not os.path.isdir(vb):
         return df
-    committed_ids = sorted(
-        {
-            r["batch_id"]
-            for r in spark.read.parquet(vb).select("batch_id").collect()
-        }
-    )  # one row per batch — control-plane sized
+    vbdf = spark.read.parquet(vb)
+    has_origin = "origin" in vbdf.columns
+    vb_rows = vbdf.select(
+        "batch_id", *(["origin"] if has_origin else [])
+    ).collect()  # one row per batch — control-plane sized
+    committed_ids = sorted({r["batch_id"] for r in vb_rows})
+    ingest = {
+        r["batch_id"]: (r["origin"] if has_origin else None)
+        for r in vb_rows
+        if not has_origin or r["origin"] != "retract"
+    }
+    single_build = len(ingest) == 1 and set(ingest.values()) == {"build"}
     tomb = ivf_component_path(index_dir, "tombstones")
     # lists carry only ingest-batch stamps; retraction ids exist solely
     # as commit records, so the literal filter is exact either way
@@ -587,10 +603,7 @@ def _reconciled_lists(spark, index_dir: str, list_ids=None) -> DataFrame:
             .dropDuplicates(["batch_id"])
         )
         df = df.join(F.broadcast(committed), "batch_id", "leftsemi")
-    if len(committed_ids) > 1:
-        # replays duplicate exactly the (vec_id, batch_id) pair; a
-        # single committed batch (overwrite build) has nothing to
-        # replay against — skip the exchange
+    if not single_build:
         df = df.dropDuplicates(["vec_id", "batch_id"])
     df = df.drop("batch_id")
     if os.path.isdir(tomb):
@@ -630,9 +643,9 @@ def _write_ivf_snapshot(
     assigned.withColumn("batch_id", F.lit(bid)).write.mode(
         "overwrite"
     ).partitionBy("list_id").parquet(f"{root}/lists")
-    spark.createDataFrame([(bid,)], "batch_id string").write.mode(
-        "overwrite"
-    ).parquet(f"{root}/vecbatches")
+    spark.createDataFrame(
+        [(bid, "build")], "batch_id string, origin string"
+    ).write.mode("overwrite").parquet(f"{root}/vecbatches")
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         schema="list_id int, centroid array<double>",
@@ -694,6 +707,7 @@ def rebuild_ivf_index(
         shutil.rmtree(os.path.join(index_dir, "lists"), ignore_errors=True)
         shutil.rmtree(os.path.join(index_dir, "centroids"), ignore_errors=True)
         shutil.rmtree(os.path.join(index_dir, "vecbatches"), ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
     return cents
 
 
@@ -736,9 +750,9 @@ def append_ivf_vectors(
     assigned.withColumn("batch_id", F.lit(bid)).write.mode(
         "append"
     ).partitionBy("list_id").parquet(ivf_component_path(index_dir, "lists"))
-    spark.createDataFrame([(bid,)], "batch_id string").write.mode(
-        "append"
-    ).parquet(ivf_component_path(index_dir, "vecbatches"))
+    spark.createDataFrame(
+        [(bid, "append")], "batch_id string, origin string"
+    ).write.mode("append").parquet(ivf_component_path(index_dir, "vecbatches"))
     return cents
 
 
@@ -842,9 +856,9 @@ def retract_ivf_vectors(spark, index_dir: str, vec_ids: DataFrame) -> None:
     ids.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(
         ivf_component_path(index_dir, "tombstones")
     )
-    spark.createDataFrame([(bid,)], "batch_id string").write.mode(
-        "append"
-    ).parquet(vb)
+    spark.createDataFrame(
+        [(bid, "retract")], "batch_id string, origin string"
+    ).write.mode("append").parquet(vb)
 
 
 def load_ivf_centroids(spark, index_dir: str) -> np.ndarray:
@@ -967,6 +981,206 @@ def probe_ivf_exact_within_lists(
     w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "qcos")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def build_ivfpq_codes(
+    spark, index_dir: str, codebooks: np.ndarray
+) -> None:
+    """Add the IVFADC layout to a persisted IVF index (r15 verdict task
+    2 — the canonical billion-vector shape, Jégou et al. TPAMI 2011):
+    PQ-encode the index's OWN stored vectors, keeping their list
+    assignment, and persist the codes parquet PARTITIONED BY list_id
+    beside the inverted lists (``pqcodes``), plus the codebooks
+    themselves (``pqbooks``). A probe then reads CODES ONLY from the
+    probed list partitions — m ints + qerr per vector instead of the
+    float array, the ~512x byte reduction that makes 100 TB of vectors
+    probe-able — and re-ranks a bounded shortlist from the source
+    table (:func:`probe_ivfpq`).
+
+    Derived-cache contract (the champion tier's): codes are a pure
+    function of (stored vectors, codebooks), rebuilt at index publish
+    cadence — after ``build_ivf_index`` / ``rebuild_ivf_index`` /
+    ``rebalance_ivf_index``, or after appends when the serving path is
+    ADC (one Arrow-batched encode pass over the lists, no shuffle).
+    Reads go through :func:`_reconciled_lists`, so uncommitted batches,
+    replay duplicates and committed tombstones never reach the codes;
+    probes additionally re-apply LIVE tombstones at read time, so a
+    retraction AFTER the codes build disappears immediately (same
+    semantics as the lists probe)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    lists = _reconciled_lists(spark, index_dir).select(
+        "vec_id", "list_id", "embedding"
+    )
+    enc = pq_encode(lists, books, passthrough=("list_id",))
+    enc.write.mode("overwrite").partitionBy("list_id").parquet(
+        ivf_component_path(index_dir, "pqcodes")
+    )
+    m, codes, dsub = books.shape
+    rows = [
+        (s, c, [float(x) for x in books[s, c]])
+        for s in range(m)
+        for c in range(codes)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, c array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        ivf_component_path(index_dir, "pqbooks")
+    )
+
+
+def load_pq_codebooks(spark, index_dir: str) -> np.ndarray:
+    rows = (
+        spark.read.parquet(ivf_component_path(index_dir, "pqbooks"))
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    m = max(r["subspace"] for r in rows) + 1
+    codes = max(r["code"] for r in rows) + 1
+    return np.array([r["c"] for r in rows], dtype=np.float64).reshape(
+        m, codes, -1
+    )
+
+
+def probe_ivfpq(
+    spark,
+    index_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 30,
+    rerank_emb: DataFrame | None = None,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVFADC probe (r15 verdict task 2): per query pick the nprobe
+    nearest centroids driver-side (``probe_ivf``'s quantized stable
+    selection), scan ONLY those lists' partitions of the CODES
+    component — integer table lookups on (code_0..code_{m-1}), never a
+    float array — shortlist the ADC top-``shortlist`` per query, then
+    (when ``rerank_emb`` is given) exact-qcos re-rank just the
+    shortlist against the SOURCE table. Raw embeddings are read for at
+    most ``shortlist`` rows per query; everything else in the probe
+    path is partition-pruned integer code data (plan-asserted in
+    PLANS.md/pytest).
+
+    Output matches ``probe_ivf``: (query_id, neighbor_id, rnk, qcos)
+    re-ranked, or (query_id, neighbor_id, rnk, qdist) ADC-ranked when
+    ``rerank_emb`` is None. With panel-seeded iters=0 quantizers both
+    stages are deterministic integer arithmetic, so the whole pipeline
+    SQL-replays (``ann_ivfpq_topk``); recall vs the exact scan is the
+    pytest contract, and with nprobe=nlist + an uncapped shortlist the
+    re-ranked result EQUALS the exact top-k (pinned)."""
+    import os
+
+    cents = (
+        centroids if centroids is not None else load_ivf_centroids(spark, index_dir)
+    )
+    books = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else load_pq_codebooks(spark, index_dir)
+    )
+    m, codes, dsub = books.shape
+    probe_rows = []
+    for qid, vec in queries:
+        qv = np.array(vec, dtype=np.float64)
+        qsims = np.floor(
+            ((qv / np.linalg.norm(qv)) @ cents.T) * 1e6
+        ).astype(np.int64)
+        for lid in np.argsort(-qsims, kind="stable")[:nprobe]:
+            probe_rows.append((qid, int(lid)))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, list_id int"
+    )
+    probe_lists = sorted({r[1] for r in probe_rows})
+    # per-query ADC lookup tables + the query vector, one broadcast
+    # relation (pq_topk's plan-size discipline: rows, not literals)
+    lut_rows = []
+    for qid, vec in queries:
+        qe = np.asarray(vec, dtype=np.float64)
+        tables = []
+        for s in range(m):
+            sub = qe[s * dsub : (s + 1) * dsub]
+            d2 = ((books[s] - sub[None, :]) ** 2).sum(axis=1)
+            tables.append(
+                [int(x) for x in np.floor(d2 * 1e6).astype(np.int64)]
+            )
+        lut_rows.append((int(qid), [float(v) for v in vec], tables))
+    lut = spark.createDataFrame(
+        lut_rows,
+        "query_id long, qvec array<float>, tables array<array<long>>",
+    )
+    code_cols = [f"code_{s}" for s in range(m)]
+    cand = (
+        spark.read.parquet(ivf_component_path(index_dir, "pqcodes"))
+        .filter(F.col("list_id").isin(probe_lists))
+        .select("vec_id", "list_id", *code_cols)
+        .join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    # retractions AFTER the codes build: drop committed tombstones at
+    # read time (same live view as _reconciled_lists)
+    tomb = ivf_component_path(index_dir, "tombstones")
+    if os.path.isdir(tomb):
+        vb = ivf_component_path(index_dir, "vecbatches")
+        committed = (
+            spark.read.parquet(vb)
+            .select("batch_id")
+            .dropDuplicates(["batch_id"])
+        )
+        dead = (
+            spark.read.parquet(tomb)
+            .join(F.broadcast(committed), "batch_id", "leftsemi")
+            .select("vec_id")
+            .distinct()
+        )
+        cand = cand.join(dead, "vec_id", "anti")
+    scored = cand.join(F.broadcast(lut), "query_id")
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("tables").getItem(s), F.col(f"code_{s}") + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = scored.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adc.cast("long").alias("qdist"),
+        "qvec",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("qdist"), F.asc("neighbor_id")
+    )
+    short = scored.withColumn("srk", F.row_number().over(w)).filter(
+        F.col("srk") <= shortlist
+    )
+    if rerank_emb is None:
+        return (
+            short.withColumnRenamed("srk", "rnk")
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk", "qdist")
+            .orderBy("query_id", "rnk")
+        )
+    rer = short.join(
+        rerank_emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("src_embedding"),
+        ),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        qcos(F.col("qvec"), F.col("src_embedding")).alias("qcos"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "qcos")
         .orderBy("query_id", "rnk")
@@ -1396,7 +1610,11 @@ def train_pq_codebooks(
     return books
 
 
-def pq_encode(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """(vec_id, code_0..code_{m-1}, qerr): each vector's per-subspace
     nearest-codebook-entry assignment by QUANTIZED squared L2 distance
     (floor(d2 * 1e6) bigint; argmin ties to the lowest code — numpy
@@ -1407,13 +1625,18 @@ def pq_encode(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
     One Arrow-batched map over the corpus, no shuffle: (batch x codes)
     distance matrices per subspace via one broadcasted numpy subtract.
     At scale the codes column REPLACES the float vectors in the serving
-    index; qerr is the monitoring signal for codebook staleness."""
+    index; qerr is the monitoring signal for codebook staleness.
+    ``passthrough`` columns (e.g. the IVF ``list_id`` for the IVFADC
+    layout) ride through the map unchanged, so composing layouts costs
+    no extra join."""
     from collections.abc import Iterator
 
     books = np.asarray(codebooks, dtype=np.float64)
     m, codes, dsub = books.shape
+    in_fields = {f.name: f for f in emb.schema.fields}
     out_schema = T.StructType(
         [T.StructField("vec_id", T.LongType())]
+        + [in_fields[c] for c in passthrough]
         + [T.StructField(f"code_{s}", T.IntegerType()) for s in range(m)]
         + [T.StructField("qerr", T.LongType())]
     )
@@ -1423,7 +1646,7 @@ def pq_encode(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
             if pdf.empty:
                 continue
             x = np.array(list(pdf["embedding"]), dtype=np.float64)
-            out = pdf[["vec_id"]].copy()
+            out = pdf[["vec_id", *passthrough]].copy()
             qerr = np.zeros(len(pdf), dtype=np.int64)
             for s in range(m):
                 sub = x[:, s * dsub : (s + 1) * dsub]
@@ -1435,7 +1658,9 @@ def pq_encode(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
             out["qerr"] = qerr
             yield out
 
-    return emb.select("vec_id", "embedding").mapInPandas(_encode, out_schema)
+    return emb.select("vec_id", *passthrough, "embedding").mapInPandas(
+        _encode, out_schema
+    )
 
 
 def _pq_ctes(

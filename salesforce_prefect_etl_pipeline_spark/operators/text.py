@@ -133,6 +133,58 @@ def unicode_tokens_py(text: str) -> list[str]:
     return re.split(r"[ \t\n\x0b\f\r]+", folded.strip(" "))
 
 
+#: The "english_light" stemmer's rewrite rules, applied per token IN
+#: ORDER after the ``unicode`` fold — a deterministic Porter subset
+#: restricted to what Java regex, RE2 (DuckDB) and Python ``re``
+#: execute identically (r15 verdict task 6): no backreferences in
+#: patterns (RE2 has none), every pattern ``$``-anchored so the
+#: replace-first vs replace-all default difference between engines
+#: cannot matter. Rules: Porter step 1a plurals (sses→ss, ies→i,
+#: trailing s dropped unless the word ends ss/us), then the step-1b-ish
+#: -ed/-ing strip gated on a vowel in the remaining stem. Deliberately
+#: LIGHT — no measure(m) conditions, no double-consonant cleanup
+#: (running→runn, not run), no y→i — those need stateful logic the
+#: triple-twin regex discipline can't express; the recall lever is the
+#: inflection fold (joins/joined/joining → join), which these give.
+STEM_RULES: tuple[tuple[str, str, str], ...] = (
+    # (pattern, java_replacement, re2/python_replacement)
+    (r"sses$", "ss", "ss"),
+    (r"ies$", "i", "i"),
+    (r"([^su])s$", "$1", r"\1"),
+    (r"([a-z]*[aeiou][a-z]*)(ed|ing)$", "$1", r"\1"),
+)
+
+
+def _stem_column(t: Column) -> Column:
+    for pat, java_rep, _ in STEM_RULES:
+        t = F.regexp_replace(t, pat, java_rep)
+    return t
+
+
+def english_light_tokens(col: str | Column) -> Column:
+    """The ``english_light`` analyzer chain (r15 verdict task 6): the
+    ``unicode`` fold (lowercase + ς→σ + ``\\p{L}\\p{N}`` keep-class),
+    then the :data:`STEM_RULES` suffix stripper per token — so
+    "joins", "joined", "joining" and "join" all index and query as the
+    same term, the classic IR recall lever. Same triple-twin
+    discipline as the unicode chain (engine / DuckDB / Python produce
+    identical arrays, pytest-pinned on planted inflection pairs)."""
+    return F.transform(unicode_tokens(col), _stem_column)
+
+
+def _stem_py(t: str) -> str:
+    import re
+
+    for pat, _, py_rep in STEM_RULES:
+        t = re.sub(pat, py_rep, t)
+    return t
+
+
+def english_light_tokens_py(text: str) -> list[str]:
+    """Driver-side twin of :func:`english_light_tokens`."""
+    return [_stem_py(t) for t in unicode_tokens_py(text)]
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token statistics: count, distinct count, avg length."""
     t = tokens("text")

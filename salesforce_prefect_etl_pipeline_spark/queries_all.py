@@ -45,10 +45,13 @@ _PRUNE = {
 #: so the rotation discipline is self-auditing.
 _PRIORITY = [
     # --- round-16 window (tools/staleness.py suggested list, verbatim):
-    # the 48 oldest rows (r12 TPC-H/ann/corpus/media/streaming stragglers)
-    # then the 2 oldest r13 rows. New r16 queries sort first in the
-    # suggestion and are fronted here as they land, displacing this
-    # window's tail.
+    # the 5 new r16 rows (never driver-checked; sort first), then the
+    # oldest 45 (r12 TPC-H/ann/corpus/media/streaming stragglers).
+    "ann_ivfpq_topk",  # new (r16)
+    "streaming_ivf_retraction",  # new (r16)
+    "streaming_text_retraction",  # new (r16)
+    "text_bm25_stemmed_topk",  # new (r16)
+    "text_index_stats",  # new (r16)
     "agg_mad_value_by_type",  # r12
     "agg_mode_priority_by_segment",  # r12
     "ann_cosine_topk",  # r12
@@ -94,11 +97,6 @@ _PRIORITY = [
     "streaming_click_attribution_outer",  # r12
     "streaming_dedup_user_counts",  # r12
     "streaming_enriched_segment_counts",  # r12
-    "streaming_events_hourly",  # r12
-    "streaming_sessionization",  # r12
-    "window_percentile_ranks",  # r12
-    "agg_binned_percentiles",  # r13
-    "agg_distinct_suppliers_per_flag",  # r13
 ]
 
 

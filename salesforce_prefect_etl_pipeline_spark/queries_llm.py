@@ -122,10 +122,11 @@ def ensure_ivf_index(spark, sf_dir: str, nlist: int = 16, iters: int = 10) -> st
     regenerate between rounds, and probing a stale index silently
     returns assignments of data that no longer exists."""
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    # det4 (r15): batch-stamped lists + vecbatches commit records
+    # det5 (r16): origin-stamped commit records (build/append/retract)
+    # (det4/r15: batch-stamped lists + vecbatches commit records)
     # (det3/r14: panel-seeded iters=0 quantizer)
     index_dir = os.path.join(
-        IVF_INDEX_ROOT, f"{tag}-nlist{nlist}-iters{iters}-det4"
+        IVF_INDEX_ROOT, f"{tag}-nlist{nlist}-iters{iters}-det5"
     )
     success = os.path.join(
         similarity.ivf_component_path(index_dir, "centroids"), "_SUCCESS"
@@ -882,7 +883,7 @@ def _ivf_probe_appended_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
     import shutil
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-appended-iters0-det4")
+    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-appended-iters0-det5")
     marker = os.path.join(index_dir, "_APPENDED")
     src = os.path.join(sf_dir, "embeddings.parquet")
     stale = os.path.exists(marker) and os.path.getmtime(marker) < os.path.getmtime(src)
@@ -999,6 +1000,179 @@ ORDER BY c.list_id
 register_query("ann_ivf_list_stats", _ivf_list_stats_query, _ivf_list_stats_sql())
 
 
+def _ensure_ivfpq_codes(spark, sf_dir: str, index_dir: str):
+    """Ensure the IVFADC codes component beside the iters=0 index:
+    rebuilt whenever the index itself was (codes derive from the
+    stored lists + panel-seeded codebooks — the champion-tier staleness
+    rule, vector edition)."""
+    books = _panel_pq_books(spark, sf_dir)
+    success = os.path.join(
+        similarity.ivf_component_path(index_dir, "pqcodes"), "_SUCCESS"
+    )
+    cent_success = os.path.join(
+        similarity.ivf_component_path(index_dir, "centroids"), "_SUCCESS"
+    )
+    if not os.path.exists(success) or os.path.getmtime(
+        success
+    ) < os.path.getmtime(cent_success):
+        similarity.build_ivfpq_codes(spark, index_dir, books)
+    return books
+
+
+def _ivfpq_topk_query(
+    spark, sf_dir: str, k: int = 10, nprobe: int = 4, shortlist: int = 30
+):
+    """IVFADC top-k (r15 verdict task 2 — the canonical billion-vector
+    serving shape): partition-pruned probe over the persisted PQ CODES
+    (integer table lookups, no float arrays read in the scan), ADC
+    shortlist, exact-qcos re-rank of just the shortlist from the raw
+    source table. Both quantizers panel-seeded iters=0, so the whole
+    pipeline — coarse assignment, code assignment, per-query lookup
+    tables, shortlist cut, re-rank — replays as one SQL value-hash."""
+    index_dir = ensure_ivf_index(spark, sf_dir, iters=0)
+    books = _ensure_ivfpq_codes(spark, sf_dir, index_dir)
+    cents = _ivf_centroids(spark, index_dir)
+    qkey = (spark.sparkContext.applicationId, sf_dir)
+    qvecs = _QVEC_CACHE.get(qkey)
+    if qvecs is None:
+        qvecs = [
+            (r.vec_id, list(r.embedding))
+            for r in load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+            .collect()
+        ]
+        _QVEC_CACHE[qkey] = qvecs
+    return similarity.probe_ivfpq(
+        spark,
+        index_dir,
+        qvecs,
+        k=k,
+        nprobe=nprobe,
+        shortlist=shortlist,
+        rerank_emb=_emb(spark, sf_dir),
+        centroids=cents,
+        codebooks=books,
+    )
+
+
+def _ivfpq_topk_sql(
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 30,
+    m: int = 4,
+    codes: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the full IVFADC pipeline: the PQ CTEs (panel
+    seeds, codebook, per-subspace code assignments) with the IVF
+    coarse quantizer derived from the SAME seed CTE (_SEED_NLIST ==
+    codes == 16, both md5-ordered panel picks, so the two quantizers
+    share one seeds relation), the probe's quantized nprobe selection,
+    ADC scoring via per-query lookup tables, the deterministic
+    shortlist cut, then the exact-qcos re-rank over the shortlist."""
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    dsub = dim // m
+    qd = (
+        "CAST(FLOOR(list_sum(list_transform(range(1, {n}), "
+        "i -> (q.qe[{off} + i] - cb.c[{off} + i]) ^ 2"
+        ")) * 1e6) AS BIGINT)"
+    )
+    tables = ",\n".join(
+        f"""t{s} AS MATERIALIZED (
+  SELECT q.query_id, cb.code, {qd.format(n=dsub + 1, off=s * dsub)} AS qd
+  FROM qv q CROSS JOIN cb
+)"""
+        for s in range(m)
+    )
+    code_joins = " ".join(f"JOIN a{s} USING (vec_id)" for s in range(1, m))
+    t_joins = " ".join(
+        f"JOIN t{s} ON t{s}.query_id = cand.query_id"
+        f" AND t{s}.code = co.code_{s}"
+        for s in range(m)
+    )
+    dist_sum = " + ".join(f"t{s}.qd" for s in range(m))
+    return f"""
+WITH {similarity._pq_ctes(m, codes, dim, seed_source=_EMB_PANEL_SQL)},
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+           AS list_id,
+         c
+  FROM seeds
+),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY CAST(FLOOR(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), c.c) * 1000000.0)
+                        AS BIGINT) DESC,
+                      c.list_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+probe AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, c.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY CAST(FLOOR(list_cosine_similarity(q.qvec, c.c)
+                        * 1000000.0) AS BIGINT) DESC,
+                      c.list_id ASC) AS r
+    FROM q CROSS JOIN cents c
+  ) WHERE r <= {nprobe}
+),
+qv AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+{tables},
+co AS MATERIALIZED (
+  SELECT vec_id, {", ".join(f"code_{s}" for s in range(m))}
+  FROM a0 {code_joins}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assigned a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         CAST({dist_sum} AS BIGINT) AS qdist
+  FROM cand JOIN co ON co.vec_id = cand.neighbor_id
+  {t_joins}
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY qdist ASC, neighbor_id ASC)
+              AS srk
+    FROM adc
+  ) WHERE srk <= {shortlist}
+),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         {similarity.qcos_sql('q.qvec', 'e.embedding')} AS qcos
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN embeddings e ON e.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, rnk, qcos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qcos DESC, neighbor_id ASC) AS rnk
+  FROM rr
+) WHERE rnk <= {k} ORDER BY query_id, rnk
+"""
+
+
+register_query("ann_ivfpq_topk", _ivfpq_topk_query, _ivfpq_topk_sql())
+
+
 def _ivf_rebalanced_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
     """IVF rebalance, probed (r14 verdict task 4): build the iters=0
     index over the 80% split (seeds drawn from that split only — a
@@ -1013,7 +1187,7 @@ def _ivf_rebalanced_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
     import shutil
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-rebalanced-iters0-det4")
+    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-rebalanced-iters0-det5")
     marker = os.path.join(index_dir, "_REBALANCED")
     src = os.path.join(sf_dir, "embeddings.parquet")
     stale = os.path.exists(marker) and os.path.getmtime(marker) < os.path.getmtime(src)
@@ -1073,7 +1247,7 @@ def _ivf_retracted_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
     import shutil
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-retracted-iters0-det4")
+    index_dir = os.path.join(IVF_INDEX_ROOT, f"{tag}-retracted-iters0-det5")
     marker = os.path.join(index_dir, "_RETRACTED")
     src = os.path.join(sf_dir, "embeddings.parquet")
     stale = os.path.exists(marker) and os.path.getmtime(marker) < os.path.getmtime(src)

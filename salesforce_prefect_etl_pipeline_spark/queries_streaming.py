@@ -408,6 +408,137 @@ register_query(
     _streaming_ivf_oracle_sql(),
 )
 
+#: Takedown split for the streaming retraction rows: documents /
+#: vectors with md5 bucket >= this arrive as the takedown stream (the
+#: batch retraction rows' convention — queries_train._RETRACT_PCT,
+#: queries_llm._IVF_RETRACT_PCT).
+_STREAM_RETRACT_PCT = 90
+
+
+def _streaming_text_retraction(spark, sf_dir):
+    """Streaming TAKEDOWNS against the BM25 tier (r15 verdict task 5,
+    streaming/ingest.stream_retract_ingest): a fresh monolithic index
+    over the full corpus, then the takedown split (10% of doc_ids)
+    arrives as a stream — each micro-batch lands one content-addressed
+    retraction batch (tombstones, then the negative-totals commit
+    record) — and the probe over the result must equal the
+    never-ingested-complement corpus exactly, sharing
+    ``text_bm25_retracted``'s oracle. Multi-batch == monolithic and
+    the torn/replayed matrix are pytest-pinned separately."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators import (
+        corpus,
+        retrieval,
+    )
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        stream_documents,
+        stream_retract_ingest,
+    )
+
+    with _tf.TemporaryDirectory(prefix="bm25_retract_") as tmp:
+        index_dir = f"{tmp}/index"
+        docs = load_table(spark, sf_dir, "documents")
+        retrieval.build_text_index(docs, index_dir)
+        takedowns = stream_documents(spark, sf_dir).filter(
+            corpus.split_bucket(F.col("doc_id")) >= _STREAM_RETRACT_PCT
+        )
+        stream_retract_ingest(takedowns, index_dir)
+        return retrieval.probe_text_index(spark, index_dir).localCheckpoint(
+            eager=True  # outlive the temp dir
+        )
+
+
+def _streaming_text_retraction_sql() -> str:
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+
+    return bm25_topk_sql(
+        doc_pred=(
+            f"({corpus.split_bucket_sql('doc_id')}) < {_STREAM_RETRACT_PCT}"
+        )
+    )
+
+
+register_query(
+    "streaming_text_retraction",
+    _streaming_text_retraction,
+    _streaming_text_retraction_sql(),
+)
+
+
+def _streaming_ivf_retraction(spark, sf_dir):
+    """Streaming vector takedowns against the IVF tier
+    (streaming/ingest.stream_ivf_retract_ingest): a fresh panel-seeded
+    iters=0 index over the full corpus, the takedown split's vec_ids
+    arrive as a stream — each micro-batch lands one tombstone batch +
+    vecbatches commit record — and the pruned probe must equal the
+    frozen-quantizer probe over the live complement, sharing
+    ``ann_ivf_retracted``'s oracle."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators import (
+        corpus,
+        similarity,
+    )
+    from salesforce_prefect_etl_pipeline_spark.queries_llm import (
+        ANN_QUERY_IDS,
+        _SEED_NLIST,
+        _emb,
+        _emb_panel,
+    )
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        stream_embeddings,
+        stream_ivf_retract_ingest,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qvecs = [
+        (r.vec_id, list(r.embedding))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .collect()
+    ]
+    with _tf.TemporaryDirectory(prefix="ivf_retract_") as tmp:
+        index_dir = f"{tmp}/index"
+        cents = similarity.build_ivf_index(
+            emb,
+            index_dir,
+            nlist=_SEED_NLIST,
+            iters=0,
+            seed_emb=_emb_panel(spark, sf_dir),
+        )
+        takedowns = stream_embeddings(spark, sf_dir).filter(
+            corpus.split_bucket(F.col("vec_id")) >= _STREAM_RETRACT_PCT
+        ).select("vec_id")
+        stream_ivf_retract_ingest(takedowns, index_dir)
+        return similarity.probe_ivf(
+            spark, index_dir, qvecs, k=10, nprobe=4, centroids=cents
+        ).localCheckpoint(eager=True)  # outlive the temp dir
+
+
+def _streaming_ivf_retraction_sql() -> str:
+    from salesforce_prefect_etl_pipeline_spark.operators import corpus
+    from salesforce_prefect_etl_pipeline_spark.queries_llm import (
+        _ivf_probe_exact_sql,
+    )
+
+    return _ivf_probe_exact_sql(
+        live_pred=(
+            f"({corpus.split_bucket_sql('vec_id')}) < {_STREAM_RETRACT_PCT}"
+        )
+    )
+
+
+register_query(
+    "streaming_ivf_retraction",
+    _streaming_ivf_retraction,
+    _streaming_ivf_retraction_sql(),
+)
+
 # Join-key skew diagnostic over the biggest fact's join key: heavy
 # hitters + skew ratio — the pre-join check that decides plain shuffle
 # vs AQE skew-split vs salted_join.

@@ -339,6 +339,24 @@ def text_bm25_unicode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bm25_stemmed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 under the "english_light" analyzer chain (r15 verdict
+    task 6): the unicode fold + the deterministic Porter-subset suffix
+    stripper (text.STEM_RULES), over query text carrying the
+    inflections real queries arrive with (sparks/joining/slowed) — the
+    classic IR recall lever, value-proven by the full replay (DuckDB
+    runs the identical rule chain via RE2 list_transform); the
+    planted-corpus pytest pins the triple twin and the probe == direct
+    identity over an index built with the chain."""
+    docs = _spread_scan(load_table(spark, sf_dir, "documents"))
+    return retrieval.bm25_topk(
+        docs,
+        spark,
+        queries=retrieval.BM25_STEMMED_QUERIES,
+        analyzer="english_light",
+    )
+
+
 def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic top-5 by reciprocal-rank fusion of the
     BM25 leg and the exact-cosine leg (operators/retrieval.py,
@@ -504,6 +522,48 @@ def text_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.probe_text_index(spark, index_dir)
 
 
+def text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket occupancy of the persisted BM25 tier
+    (retrieval.text_index_stats — the observe instrument whose act is
+    ``compact_text_index``, r15 verdict task 3): the deterministic
+    LIVE columns per md5 bucket — distinct (term, doc_id) postings,
+    distinct terms, distinct doc_ids — which are pure functions of the
+    reconciled corpus, so a tokenize-and-count replay value-hashes
+    them at any scale. The physical maintenance signals (file counts,
+    replay-dup counts) are write-history-dependent and pytest-covered
+    instead."""
+    index_dir = ensure_text_index(spark, sf_dir)
+    return (
+        retrieval.text_index_stats(spark, index_dir)
+        .filter("tier = 'postings'")
+        .select("bucket", "n_live", "n_terms", "n_docs")
+        .orderBy("bucket")
+    )
+
+
+def _text_index_stats_sql() -> str:
+    tok = retrieval._sql_tokens("text", "raw")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({tok}) AS term FROM documents
+),
+postings AS (SELECT DISTINCT term, doc_id FROM tok),
+bucketed AS (
+  SELECT CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT)
+              % {retrieval.TEXT_INDEX_BUCKETS} AS INT) AS bucket,
+         term, doc_id
+  FROM postings
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 def text_hybrid_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-leg WEIGHTED reciprocal-rank fusion (r14 verdict task 6):
     BM25 (weight 2) + exact cosine (1) + exact-phrase (1, the query
@@ -630,6 +690,7 @@ register_query(
     text_bm25_compacted,
     retrieval.bm25_topk_sql(doc_pred=_live_pred_sql()),
 )
+register_query("text_index_stats", text_index_stats, _text_index_stats_sql())
 register_query(
     "text_bm25_analyzed_topk",
     text_bm25_analyzed_topk,
@@ -642,6 +703,13 @@ register_query(
     text_bm25_unicode_topk,
     retrieval.bm25_topk_sql(
         queries=retrieval.BM25_UNICODE_QUERIES, analyzer="unicode"
+    ),
+)
+register_query(
+    "text_bm25_stemmed_topk",
+    text_bm25_stemmed_topk,
+    retrieval.bm25_topk_sql(
+        queries=retrieval.BM25_STEMMED_QUERIES, analyzer="english_light"
     ),
 )
 register_query(

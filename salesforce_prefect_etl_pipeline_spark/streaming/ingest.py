@@ -338,20 +338,16 @@ def stream_text_index_ingest(
         if batch_df.isEmpty():
             return
         b = batch_df.select("doc_id", "text")
-        tot = retrieval._batch_totals(b, analyzer).collect()[0]
-        # resolve through the version pointer (r15 layout): a compacted
-        # index keeps ingesting into its live snapshot
+        # content-derived id from a doc_id-only aggregate (no tokenize);
+        # the stamped append itself is _write_index_batch's single
+        # tokenizing scan (r15 verdict task 7). Resolve through the
+        # version pointer (r15 layout): a compacted index keeps
+        # ingesting into its live snapshot.
+        bid = retrieval._batch_id_agg(b).collect()[0]["batch_id"]
         tpath = retrieval._comp(index_dir, "totals")
-        if tot["batch_id"] not in _committed(tpath):
-            retrieval._postings(b, analyzer).withColumn(
-                "batch_id", F.lit(tot["batch_id"])
-            ).write.mode("append").partitionBy("bucket").parquet(
-                retrieval._comp(index_dir, "postings")
-            )
-            spark.createDataFrame(
-                [tot], "n_docs long, total_len long, batch_id string"
-            ).write.mode("append").parquet(tpath)
-        if positional and tot["batch_id"] not in _committed(
+        if bid not in _committed(tpath):
+            retrieval._write_index_batch(b, index_dir, "append", analyzer, bid=bid)
+        if positional and bid not in _committed(
             retrieval._comp(index_dir, "posbatches")
         ):
             # the positional tier's own stamped write + commit record;
@@ -530,3 +526,165 @@ SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM {source}
 WHERE doc_id NOT IN (SELECT doc_id FROM walk WHERE NOT ok)
 ORDER BY doc_id
 """
+
+
+def stream_retract_ingest(
+    stream_docs: DataFrame,
+    index_dir: str,
+    name: str = "text_retract_ingest",
+    checkpoint_dir: str | None = None,
+    analyzer: str = "raw",
+    positional: bool = False,
+) -> str:
+    """Streaming TAKEDOWNS for the text tiers (r15 verdict task 5 —
+    appends streamed since r13/r14 but deletes were batch-only, while
+    real crawl pipelines receive takedown/robots/licensing feeds as a
+    stream): per micro-batch, one ``retract_text_index``-shaped
+    retraction batch lands against the persisted index — tombstone
+    rows first, the negative totals row as the commit record — and
+    probes stop returning the retracted documents immediately.
+
+    Exactly-once story, the ingest sinks' composition run in reverse:
+
+    - retraction batch ids are CONTENT-derived ('retract'-prefixed
+      md5 of the batch's doc_id min/max/count), so a replayed batch
+      collides with its own id;
+    - a crash between tombstones and the totals row leaves the batch
+      uncommitted — invisible to probes — and the replay re-appends
+      byte-identical tombstone rows, then commits;
+    - a replayed ALREADY-COMMITTED batch is skipped by the
+      committed-id guard here (batch-count-bounded driver state), and
+      even without the guard it is harmless: probes dedup totals rows
+      by batch id and read tombstone doc_ids through a distinct.
+
+    N micro-batches == one monolithic ``retract_text_index`` over the
+    union (pytest-pinned; the registered ``streaming_text_retraction``
+    row value-proves the result against the never-ingested-complement
+    oracle). ``positional=True`` also retracts from the positional
+    tier per batch under its own 'retractpos' ids + ``posbatches``
+    commit records. The champion tier's stored df goes stale until
+    :func:`operators.retrieval.retract_champion_lists` recuts the
+    touched buckets — at streaming cadence run the recut (or
+    ``compact_text_index``) on the maintenance schedule, not per
+    micro-batch; probes hide dead doc_ids meanwhile."""
+    from salesforce_prefect_etl_pipeline_spark.operators import retrieval
+
+    spark = stream_docs.sparkSession
+
+    def _committed(record_path: str) -> set[str]:
+        if not os.path.exists(os.path.join(record_path, "_SUCCESS")):
+            return set()
+        return {
+            r["batch_id"]
+            for r in spark.read.parquet(record_path).select("batch_id").collect()
+        }  # one row per batch — control-plane sized
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.select("doc_id", "text")
+        bid = retrieval._batch_id_agg(b, prefix="retract").collect()[0][
+            "batch_id"
+        ]
+        if bid not in _committed(retrieval._comp(index_dir, "totals")):
+            retrieval.retract_text_index(b, index_dir, analyzer)
+        if positional:
+            pbid = retrieval._batch_id_agg(b, prefix="retractpos").collect()[
+                0
+            ]["batch_id"]
+            if pbid not in _committed(
+                retrieval._comp(index_dir, "posbatches")
+            ):
+                retrieval.retract_positional_index(b, index_dir)
+
+    ctx = (
+        tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_")
+        if checkpoint_dir is None
+        else None
+    )
+    ckpt = checkpoint_dir if checkpoint_dir is not None else ctx.name
+    try:
+        with pinned_stream_shuffle(spark):
+            q = (
+                stream_docs.writeStream.foreachBatch(_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if ctx is not None:
+            ctx.cleanup()
+    return index_dir
+
+
+def stream_ivf_retract_ingest(
+    stream_ids: DataFrame,
+    index_dir: str,
+    name: str = "ivf_retract_ingest",
+    checkpoint_dir: str | None = None,
+) -> str:
+    """Streaming vector takedowns — :func:`stream_retract_ingest` for
+    the IVF tier: per micro-batch of vec_ids, one
+    ``retract_ivf_vectors`` tombstone batch + ``vecbatches`` commit
+    record. Same exactly-once composition ('retractivf'-prefixed
+    content ids, tombstones-then-commit write order, committed-id
+    guard here; probes distinct tombstoned vec_ids so even an
+    unguarded replay is harmless). N micro-batches == one monolithic
+    retraction (pytest-pinned); ``rebalance_ivf_index`` remains the
+    compaction that physically drops the tombstoned vectors."""
+    from salesforce_prefect_etl_pipeline_spark.operators import similarity
+
+    spark = stream_ids.sparkSession
+
+    def _committed(record_path: str) -> set[str]:
+        if not os.path.exists(os.path.join(record_path, "_SUCCESS")):
+            return set()
+        return {
+            r["batch_id"]
+            for r in spark.read.parquet(record_path).select("batch_id").collect()
+        }
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ids = batch_df.select(
+            F.col(batch_df.columns[0]).cast("long").alias("vec_id")
+        ).distinct()
+        bid = ids.agg(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("retractivf"),
+                    F.min("vec_id"),
+                    F.max("vec_id"),
+                    F.count(F.lit(1)),
+                )
+            ).alias("batch_id")
+        ).collect()[0]["batch_id"]
+        vb = similarity.ivf_component_path(index_dir, "vecbatches")
+        if bid in _committed(vb):
+            return
+        similarity.retract_ivf_vectors(spark, index_dir, ids)
+
+    ctx = (
+        tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_")
+        if checkpoint_dir is None
+        else None
+    )
+    ckpt = checkpoint_dir if checkpoint_dir is not None else ctx.name
+    try:
+        with pinned_stream_shuffle(spark):
+            q = (
+                stream_ids.writeStream.foreachBatch(_batch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if ctx is not None:
+            ctx.cleanup()
+    return index_dir

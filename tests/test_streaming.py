@@ -705,3 +705,193 @@ def test_stream_ivf_index_ingest_multi_batch_equals_monolithic(spark, tmp_path):
         ).collect()
         == want
     )
+
+
+def test_stream_retract_ingest_multi_batch_equals_monolithic(spark, tmp_path):
+    """r15 verdict task 5: takedowns arriving as 3 REAL micro-batches
+    (maxFilesPerTrigger=1) through stream_retract_ingest must leave the
+    index probing bit-identically to one monolithic retract_text_index
+    over the union — at both the BM25 and positional tiers — and land
+    3 committed retraction batches per tier."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators import retrieval
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        stream_documents_dir,
+        stream_retract_ingest,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    dead = docs.filter(F.col("doc_id") % 5 == 0)
+    dead_ids = sorted(r.doc_id for r in dead.select("doc_id").collect())
+    cuts = [dead_ids[len(dead_ids) // 3], dead_ids[2 * len(dead_ids) // 3]]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(
+        [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    ):
+        part = dead
+        if lo is not None:
+            part = part.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("doc_id") < hi)
+        part.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+    for i in range(3):
+        f = next((src / f"b{i}").glob("*.parquet"))
+        shutil.move(str(f), str(src / f"part-{i}.parquet"))
+        shutil.rmtree(src / f"b{i}")
+
+    streamed = str(tmp_path / "stream_idx")
+    retrieval.build_text_index(docs, streamed)
+    retrieval.build_positional_index(docs, streamed)
+    stream_retract_ingest(
+        stream_documents_dir(spark, str(src), max_files_per_trigger=1),
+        streamed,
+        positional=True,
+    )
+    # 3 committed retraction batches per tier (plus the build batch)
+    assert (
+        spark.read.parquet(f"{streamed}/totals")
+        .filter("origin = 'retract'")
+        .count()
+        == 3
+    )
+    assert (
+        spark.read.parquet(f"{streamed}/posbatches")
+        .filter("origin = 'retract'")
+        .count()
+        == 3
+    )
+
+    mono = str(tmp_path / "mono_idx")
+    retrieval.build_text_index(docs, mono)
+    retrieval.build_positional_index(docs, mono)
+    retrieval.retract_text_index(dead, mono)
+    retrieval.retract_positional_index(dead, mono)
+    for probe in (retrieval.probe_text_index, retrieval.probe_phrase_index):
+        got = [tuple(r) for r in probe(spark, streamed).collect()]
+        want = [tuple(r) for r in probe(spark, mono).collect()]
+        assert got == want
+
+
+def test_stream_retract_torn_and_replayed_batches_are_exactly_once(
+    spark, tmp_path
+):
+    """The retraction sinks' crash matrix: (a) a retraction torn after
+    its tombstone write is invisible; (b) the replay re-appends
+    byte-identical tombstones and commits — probes read tombstoned ids
+    through a distinct, so the double rows are harmless; (c) replaying
+    an ALREADY-committed retraction (the sink guard skips it, and even
+    a forced re-run only adds a duplicate totals row probes dedup by
+    batch id)."""
+    from pyspark.sql import functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators import retrieval
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    dead = docs.filter(F.col("doc_id") % 7 == 0)
+    idx = str(tmp_path / "idx")
+    retrieval.build_text_index(docs, idx)
+    full = [tuple(r) for r in retrieval.probe_text_index(spark, idx).collect()]
+
+    # (a) tear: tombstones land, the negative totals row does not
+    bid = retrieval._batch_id_agg(dead, prefix="retract").collect()[0][
+        "batch_id"
+    ]
+    dead.select("doc_id").distinct().withColumn(
+        "batch_id", F.lit(bid)
+    ).write.mode("append").parquet(f"{idx}/tombstones")
+    assert [
+        tuple(r) for r in retrieval.probe_text_index(spark, idx).collect()
+    ] == full
+
+    # (b) replay: the full retraction runs again (tombstones doubled
+    # under the same content-derived id, then the commit record lands)
+    retrieval.retract_text_index(dead, idx)
+    mono = str(tmp_path / "mono")
+    retrieval.build_text_index(docs, mono)
+    retrieval.retract_text_index(dead, mono)
+    got = [tuple(r) for r in retrieval.probe_text_index(spark, idx).collect()]
+    want = [tuple(r) for r in retrieval.probe_text_index(spark, mono).collect()]
+    assert got == want
+
+    # (c) a forced second commit of the same batch id: probes dedup
+    # totals rows by batch id, so N/total_len are not double-subtracted
+    retrieval.retract_text_index(dead, idx)
+    assert [
+        tuple(r) for r in retrieval.probe_text_index(spark, idx).collect()
+    ] == want
+
+
+def test_stream_ivf_retract_multi_batch_equals_monolithic(spark, tmp_path):
+    """Vector takedowns across 3 real micro-batches == one monolithic
+    retract_ivf_vectors: same probe results, tombstoned vectors gone
+    from candidates, frozen quantizer untouched."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators import similarity
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        stream_documents_dir,
+        stream_ivf_retract_ingest,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dead = emb.filter(F.col("vec_id") % 6 == 0).select("vec_id")
+    dead_ids = sorted(r.vec_id for r in dead.collect())
+    cuts = [dead_ids[len(dead_ids) // 3], dead_ids[2 * len(dead_ids) // 3]]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(
+        [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    ):
+        part = dead
+        if lo is not None:
+            part = part.filter(F.col("vec_id") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("vec_id") < hi)
+        part.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+    for i in range(3):
+        f = next((src / f"b{i}").glob("*.parquet"))
+        shutil.move(str(f), str(src / f"part-{i}.parquet"))
+        shutil.rmtree(src / f"b{i}")
+
+    qvecs = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin([1, 7, 42])).collect()
+    ]
+    streamed = str(tmp_path / "stream_ivf")
+    cents = similarity.build_ivf_index(emb, streamed, nlist=8, iters=0)
+    stream_ivf_retract_ingest(
+        stream_documents_dir(spark, str(src), max_files_per_trigger=1),
+        streamed,
+    )
+    mono = str(tmp_path / "mono_ivf")
+    similarity.build_ivf_index(emb, mono, nlist=8, iters=0)
+    similarity.retract_ivf_vectors(spark, mono, dead)
+    got = [
+        tuple(r)
+        for r in similarity.probe_ivf(
+            spark, streamed, qvecs, k=10, nprobe=8, centroids=cents
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in similarity.probe_ivf(
+            spark, mono, qvecs, k=10, nprobe=8, centroids=cents
+        ).collect()
+    ]
+    assert got == want and got
+    dead_set = set(dead_ids)
+    assert not any(r[1] in dead_set for r in got)

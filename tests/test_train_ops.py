@@ -1361,3 +1361,327 @@ def test_weighted_rrf_phrase_leg_boosts_contiguous_match(spark):
     ]
     ranked = [r[2] for r in out]
     assert ranked.index(1) < ranked.index(0)
+
+
+# ----------------------------------------------------------------------
+# r16: origin provenance, single-scan writes, GC, stats, stemming
+
+
+def test_single_batch_append_created_index_still_dedups_replay(
+    spark, tmp_path
+):
+    """The r15-advice scenario: an index created purely by APPEND (a
+    streamed first micro-batch) whose ONE batch is torn after the
+    postings write and then replayed carries duplicate rows under a
+    single committed id — the replay dedup must still run (the skip is
+    only safe for overwrite builds, recorded as origin provenance on
+    the commit record). Before the fix the skipped dedup double-counted
+    tf/dl and this probe diverged from the monolithic build's."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, _LIFECYCLE_TEXTS)
+    idx = str(tmp_path / "idx")
+    # tear: the append's postings land, the totals commit record doesn't
+    bid = retrieval._batch_id_agg(docs).collect()[0]["batch_id"]
+    retrieval._postings(docs).withColumn(
+        "batch_id", F.lit(bid)
+    ).write.mode("append").partitionBy("bucket").parquet(f"{idx}/postings")
+    # replay: the full append runs again — same id, doubled rows, commit
+    retrieval.append_text_index(docs, idx)
+    assert (
+        spark.read.parquet(f"{idx}/totals").select("batch_id").distinct().count()
+        == 1
+    )
+    mono = str(tmp_path / "mono")
+    retrieval.build_text_index(docs, mono)
+    got = [tuple(r) for r in retrieval.probe_text_index(spark, idx).collect()]
+    want = [tuple(r) for r in retrieval.probe_text_index(spark, mono).collect()]
+    assert got == want and got
+    # the positional tier's marker carries the same provenance contract
+    pbid = retrieval._batch_id_agg(docs).collect()[0]["batch_id"]
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(retrieval._ANALYZERS["raw"][0]("text")).alias(
+            "pos", "term"
+        ),
+    )
+    pos = (
+        tok.groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn("batch_id", F.lit(pbid))
+        .withColumn(
+            "bucket",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+                % retrieval.TEXT_INDEX_BUCKETS
+            ).cast("int"),
+        )
+    )
+    pos.write.mode("append").partitionBy("bucket").parquet(f"{idx}/positional")
+    retrieval.append_positional_index(docs, idx)
+    got_ph = [
+        tuple(r) for r in retrieval.probe_phrase_index(spark, idx).collect()
+    ]
+    retrieval.build_positional_index(docs, mono)
+    want_ph = [
+        tuple(r) for r in retrieval.probe_phrase_index(spark, mono).collect()
+    ]
+    assert got_ph == want_ph
+
+
+def test_overwrite_build_skips_replay_dedup_append_does_not(spark, tmp_path):
+    """The provenance-gated fast path: a single-batch OVERWRITE-built
+    index reconciles without the dedup exchange; a single-batch
+    APPEND-created one keeps it (r15 advice)."""
+    docs = _docs(spark, _LIFECYCLE_TEXTS)
+    built = str(tmp_path / "built")
+    retrieval.build_text_index(docs, built)
+    plan_built = (
+        retrieval._reconciled_postings(spark, built)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "Deduplicate" not in plan_built
+    appended = str(tmp_path / "appended")
+    retrieval.append_text_index(docs, appended)
+    plan_appended = (
+        retrieval._reconciled_postings(spark, appended)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "Deduplicate" in plan_appended
+
+
+def test_index_batch_write_is_single_tokenizing_scan(spark, tmp_path):
+    """r15 verdict task 7: the batch id comes from a doc_id-only
+    aggregate (Catalyst prunes the text column — no second tokenize)
+    and the totals derived from the written postings equal the
+    reference double-scan aggregate bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    # column pruning: the id aggregate's optimized plan reads doc_id only
+    plan = (
+        retrieval._batch_id_agg(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "text" not in plan
+    idx = str(tmp_path / "idx")
+    retrieval.build_text_index(docs, idx)
+    got = spark.read.parquet(f"{idx}/totals").collect()[0]
+    ref = retrieval._batch_totals(docs).collect()[0]
+    assert (got["n_docs"], got["total_len"], got["batch_id"]) == (
+        ref["n_docs"],
+        ref["total_len"],
+        ref["batch_id"],
+    )
+    assert got["origin"] == "build"
+    # IVF twin: the vector batch id aggregate prunes to vec_id only
+    from salesforce_prefect_etl_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    id_plan = (
+        emb.agg(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("ivf"),
+                    F.min("vec_id"),
+                    F.max("vec_id"),
+                    F.count(F.lit(1)),
+                )
+            ).alias("batch_id")
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "embedding" not in id_plan
+
+
+def test_gc_index_versions_matrix(spark, tmp_path):
+    """r15 verdict task 4: keep-N GC over versioned snapshots — never
+    touches CURRENT or the previous version, ignores versions newer
+    than CURRENT (an in-flight publish), converges when interrupted,
+    and probes are identical before/after."""
+    import os as _os
+
+    from salesforce_prefect_etl_pipeline_spark.operators.dedup import (
+        gc_index_versions,
+    )
+
+    docs = _docs(spark, _LIFECYCLE_TEXTS)
+    idx = str(tmp_path / "idx")
+    _build_all_tiers(spark, docs, idx)
+    retrieval.compact_text_index(spark, idx)  # publishes v1
+    before = _all_tier_probes(spark, idx)
+    # fabricate superseded + in-flight versions around the real one
+    cur = open(_os.path.join(idx, "CURRENT")).read().strip()
+    assert cur == "v1"
+    # renumber: pretend v1..v5 exist with CURRENT=v4 (v5 in-flight)
+    vroot = _os.path.join(idx, "versions")
+    _os.rename(_os.path.join(vroot, "v1"), _os.path.join(vroot, "v4"))
+    for orphan in ("v1", "v2", "v3", "v5"):
+        _os.makedirs(_os.path.join(vroot, orphan, "postings"))
+    with open(_os.path.join(idx, "CURRENT"), "w") as f:
+        f.write("v4")
+    removed = gc_index_versions(idx, keep_n=2)
+    assert removed == ["v1", "v2"]  # v3 = previous-of-current kept
+    assert sorted(_os.listdir(vroot)) == ["v3", "v4", "v5"]
+    assert _all_tier_probes(spark, idx) == before
+    # keep_n is clamped to >= 2 (a concurrent reader may hold the
+    # previous pointer) and the re-run converges (idempotent)
+    assert gc_index_versions(idx, keep_n=1) == ["v3"]
+    assert gc_index_versions(idx, keep_n=1) == []
+    assert sorted(_os.listdir(vroot)) == ["v4", "v5"]
+    assert _all_tier_probes(spark, idx) == before
+    # flat layouts are a no-op
+    flat = str(tmp_path / "flat")
+    retrieval.build_text_index(docs, flat)
+    assert gc_index_versions(flat) == []
+
+
+def test_text_index_stats_flags_fragmentation_then_goes_quiet(
+    spark, tmp_path
+):
+    """r15 verdict task 3: the observe instrument — after streamed-style
+    appends + a retraction the report shows multi-file buckets, replay
+    dups and tombstoned postings; after compact_text_index every
+    physical signal drops to the canonical one-file-per-bucket state
+    and the LIVE columns are unchanged (compaction changes bytes, not
+    content)."""
+    from pyspark.sql import functions as F
+
+    texts = _LIFECYCLE_TEXTS * 4  # 32 docs
+    docs = _docs(spark, texts)
+    idx = str(tmp_path / "idx")
+    retrieval.build_text_index(docs.filter("doc_id < 8"), idx)
+    retrieval.build_positional_index(docs.filter("doc_id < 8"), idx)
+    for i in range(8, 32, 4):
+        b = docs.filter(f"doc_id >= {i} AND doc_id < {i + 4}")
+        retrieval.append_text_index(b, idx)
+        retrieval.append_positional_index(b, idx)
+    # a torn+replayed batch leaves replay dups on disk
+    extra = docs.filter("doc_id >= 28")
+    bid = retrieval._batch_id_agg(extra).collect()[0]["batch_id"]
+    retrieval._postings(extra).withColumn(
+        "batch_id", F.lit(bid)
+    ).write.mode("append").partitionBy("bucket").parquet(f"{idx}/postings")
+    dead = docs.filter("doc_id IN (3, 11)")
+    retrieval.retract_text_index(dead, idx)
+    report = {
+        (r["tier"], r["bucket"]): r
+        for r in retrieval.text_index_stats(spark, idx).collect()
+    }
+    post = [r for (t, _), r in report.items() if t == "postings"]
+    assert max(r["n_files"] for r in post) > 1
+    assert sum(r["n_replay_dups"] for r in post) > 0
+    assert sum(r["n_tombstoned"] for r in post) > 0
+    live_before = sorted(
+        (r["bucket"], r["n_live"], r["n_terms"], r["n_docs"]) for r in post
+    )
+
+    retrieval.compact_text_index(spark, idx)
+    after = [
+        r
+        for r in retrieval.text_index_stats(spark, idx).collect()
+        if r["tier"] == "postings"
+    ]
+    assert all(r["n_files"] == 1 for r in after)
+    assert sum(r["n_replay_dups"] for r in after) == 0
+    assert sum(r["n_tombstoned"] for r in after) == 0
+    assert all(r["n_batches"] == 1 for r in after)
+    assert (
+        sorted(
+            (r["bucket"], r["n_live"], r["n_terms"], r["n_docs"])
+            for r in after
+        )
+        == live_before
+    )
+
+
+_INFLECTION_TEXTS = [
+    "spark join slow window",
+    "sparks joined slowly windows",
+    "joining streams aggregated",
+    "the classes glasses ponies",
+    "miss pass boss plus bonus",
+]
+
+
+def test_english_light_chain_triple_twin_and_rules(spark):
+    """The stemmed analyzer's triple twin (engine Java regex / DuckDB
+    RE2 / Python re) on planted inflection pairs, plus the documented
+    rule behavior: plurals fold (sses→ss, ies→i, s dropped unless
+    ss/us), -ed/-ing strip only with a vowel left in the stem, and the
+    deliberate LIGHT divergences from full Porter (no double-consonant
+    cleanup, no y→i) land identically on every engine."""
+    from salesforce_prefect_etl_pipeline_spark.operators.text import (
+        english_light_tokens,
+        english_light_tokens_py,
+    )
+
+    docs = _docs(spark, _INFLECTION_TEXTS)
+    eng = [
+        r[0]
+        for r in docs.orderBy("doc_id")
+        .select(english_light_tokens("text"))
+        .collect()
+    ]
+    con = _duck_docs(_INFLECTION_TEXTS)
+    sql_tok = retrieval._sql_tokens("text", "english_light")
+    duck = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {sql_tok} FROM documents ORDER BY doc_id"
+        ).fetchall()
+    ]
+    py = [english_light_tokens_py(t) for t in _INFLECTION_TEXTS]
+    assert eng == duck == py
+    # inflections fold onto base terms
+    assert eng[1] == ["spark", "join", "slowly", "window"]
+    assert eng[2] == ["join", "stream", "aggregat"]
+    # plural rules
+    assert eng[3] == ["the", "class", "glass", "poni"]
+    # ss / us endings survive; plain trailing s drops
+    assert eng[4] == ["miss", "pass", "boss", "plus", "bonus"]
+
+
+def test_stemmed_bm25_probe_equals_direct_and_recalls_inflections(
+    spark, tmp_path
+):
+    """Index built with the english_light chain: probe == direct for
+    inflected query text, and the stemmed chain ranks documents the
+    unstemmed chains miss entirely."""
+    texts = [
+        "spark join slow window",
+        "spark spark joins slowed",
+        "merge batch sort",
+    ]
+    docs = _docs(spark, texts)
+    q = ((1, "Sparks, joining slowed!"),)
+    direct = [
+        tuple(r)
+        for r in retrieval.bm25_topk(
+            docs, spark, queries=q, analyzer="english_light"
+        ).collect()
+    ]
+    assert [r[2] for r in direct] == [1, 0]
+    raw = retrieval.bm25_topk(docs, spark, queries=q, analyzer="raw")
+    assert raw.count() == 0
+    idx = str(tmp_path / "idx")
+    retrieval.build_text_index(docs, idx, analyzer="english_light")
+    probed = [
+        tuple(r)
+        for r in retrieval.probe_text_index(
+            spark, idx, queries=q, analyzer="english_light"
+        ).collect()
+    ]
+    assert probed == direct
