@@ -1051,7 +1051,7 @@ def probe_ivfpq(
     queries: list[tuple[int, list[float]]],
     k: int = 10,
     nprobe: int = 4,
-    shortlist: int = 30,
+    shortlist: int = 50,
     rerank_emb: DataFrame | None = None,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,

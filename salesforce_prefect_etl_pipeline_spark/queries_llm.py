@@ -1020,7 +1020,7 @@ def _ensure_ivfpq_codes(spark, sf_dir: str, index_dir: str):
 
 
 def _ivfpq_topk_query(
-    spark, sf_dir: str, k: int = 10, nprobe: int = 4, shortlist: int = 30
+    spark, sf_dir: str, k: int = 10, nprobe: int = 4, shortlist: int = 50
 ):
     """IVFADC top-k (r15 verdict task 2 — the canonical billion-vector
     serving shape): partition-pruned probe over the persisted PQ CODES
@@ -1058,7 +1058,7 @@ def _ivfpq_topk_query(
 def _ivfpq_topk_sql(
     k: int = 10,
     nprobe: int = 4,
-    shortlist: int = 30,
+    shortlist: int = 50,
     m: int = 4,
     codes: int = 16,
     dim: int = 64,
