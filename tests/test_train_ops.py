@@ -1475,6 +1475,11 @@ def test_index_batch_write_is_single_tokenizing_scan(spark, tmp_path):
             l for l in buf.getvalue().splitlines() if "ReadSchema" in l
         )
 
+    # An earlier test may have .cache()d this table; cache replacement
+    # would swap the scan for an InMemoryRelation whose cache-BUILD
+    # FileScan reads every column, which is not the plan under test.
+    # The pruning claim is about the uncached Catalyst plan.
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
     # column pruning: the id aggregate's scan reads doc_id only
     assert "text" not in _read_schema_lines(retrieval._batch_id_agg(docs))
