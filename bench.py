@@ -170,6 +170,17 @@ HEADLINE = [
     # append_ivf_vectors plus micro-batch overhead.
     "text_bm25_retracted",
     "ann_ivf_list_stats",
+    # Round-16 rows: the IVFADC probe (a NEW serving shape — codes-only
+    # partition-pruned scan + integer ADC lookups + shortlist re-rank
+    # against the source table) and the text-tier maintenance
+    # instrument (a new column-pruned full-postings aggregation, the
+    # lexical twin of ann_ivf_list_stats). The other r16 rows
+    # recompose benched shapes: stemmed BM25 is bm25_topk plus a
+    # per-token regexp chain (the unicode-row rationale), and the
+    # streaming retractions are the retraction writes plus micro-batch
+    # overhead (the streaming_dedup_ingest exclusion rationale).
+    "ann_ivfpq_topk",
+    "text_index_stats",
 ]
 
 
@@ -273,8 +284,16 @@ def main() -> None:
     )
 
     ensure_ivf_index(spark, sf_dir)
-    # the iters=0 index too: ann_ivf_list_stats reports over it
-    ensure_ivf_index(spark, sf_dir, iters=0)
+    # the iters=0 index too: ann_ivf_list_stats reports over it, and
+    # ann_ivfpq_topk probes its derived PQ-codes component (the codes
+    # encode is index-publish maintenance, warmed untimed like every
+    # other build)
+    idx0 = ensure_ivf_index(spark, sf_dir, iters=0)
+    from salesforce_prefect_etl_pipeline_spark.queries_llm import (
+        _ensure_ivfpq_codes,
+    )
+
+    _ensure_ivfpq_codes(spark, sf_dir, idx0)
     # Same offline/online split for the LSH index: the probe row
     # measures PROBE cost, the one-time corpus signing is not timed.
     ensure_minhash_index(spark, sf_dir)
