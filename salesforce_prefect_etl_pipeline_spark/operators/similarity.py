@@ -987,8 +987,43 @@ def probe_ivf_exact_within_lists(
     )
 
 
+def ivf_residual_frame(
+    spark, lists: DataFrame, centroids: np.ndarray
+) -> DataFrame:
+    """(vec_id, list_id, embedding=residual): each stored vector minus
+    its list's centroid — the input to residual PQ encoding (IVFADC on
+    residuals, the FAISS ``IndexIVFPQ`` default). When the coarse
+    quantizer explains variance — clustered corpora, trained
+    centroids — residuals concentrate around the origin, the codebook
+    budget covers only the within-cluster spread, and reconstruction
+    error drops (law of total variance; pytest pins the gain on a
+    clustered fixture with trained books). On near-orthogonal corpora
+    the centroid explains nothing and the gain disappears — the pin's
+    honest caveat, same spirit as the PQ worst-case recall notes.
+    ``lists`` must
+    carry (vec_id, list_id, embedding); the subtraction is an exact
+    float64 op on both engines (float32 embeddings widen losslessly,
+    centroids are already float64 panel vectors), so the residual
+    replay stays bit-deterministic. Broadcast join on list_id + one
+    ``zip_with`` — no shuffle, no Python row path."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "list_id int, cent array<double>",
+    )
+    return lists.join(F.broadcast(cents_df), "list_id").select(
+        "vec_id",
+        "list_id",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("cent"),
+            lambda x, y: x - y,
+        ).alias("embedding"),
+    )
+
+
 def build_ivfpq_codes(
-    spark, index_dir: str, codebooks: np.ndarray
+    spark, index_dir: str, codebooks: np.ndarray, residual: bool = False
 ) -> None:
     """Add the IVFADC layout to a persisted IVF index (r15 verdict task
     2 — the canonical billion-vector shape, Jégou et al. TPAMI 2011):
@@ -1010,14 +1045,28 @@ def build_ivfpq_codes(
     replay duplicates and committed tombstones never reach the codes;
     probes additionally re-apply LIVE tombstones at read time, so a
     retraction AFTER the codes build disappears immediately (same
-    semantics as the lists probe)."""
+    semantics as the lists probe).
+
+    ``residual=True`` selects the FAISS-default IVFADC variant: codes
+    are trained on and encode RESIDUALS (vector minus its list's
+    centroid, :func:`ivf_residual_frame`) and land in the parallel
+    ``pqrescodes``/``pqresbooks`` components, so both layouts coexist
+    on one index. Pass residual-trained ``codebooks`` with it — the
+    caller seeds them from panel residuals the same way the plain
+    books seed from panel vectors."""
     books = np.asarray(codebooks, dtype=np.float64)
     lists = _reconciled_lists(spark, index_dir).select(
         "vec_id", "list_id", "embedding"
     )
+    if residual:
+        lists = ivf_residual_frame(
+            spark, lists, load_ivf_centroids(spark, index_dir)
+        )
+    codes_comp = "pqrescodes" if residual else "pqcodes"
+    books_comp = "pqresbooks" if residual else "pqbooks"
     enc = pq_encode(lists, books, passthrough=("list_id",))
     enc.write.mode("overwrite").partitionBy("list_id").parquet(
-        ivf_component_path(index_dir, "pqcodes")
+        ivf_component_path(index_dir, codes_comp)
     )
     m, codes, dsub = books.shape
     rows = [
@@ -1028,13 +1077,15 @@ def build_ivfpq_codes(
     spark.createDataFrame(
         rows, "subspace int, code int, c array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(
-        ivf_component_path(index_dir, "pqbooks")
+        ivf_component_path(index_dir, books_comp)
     )
 
 
-def load_pq_codebooks(spark, index_dir: str) -> np.ndarray:
+def load_pq_codebooks(
+    spark, index_dir: str, comp: str = "pqbooks"
+) -> np.ndarray:
     rows = (
-        spark.read.parquet(ivf_component_path(index_dir, "pqbooks"))
+        spark.read.parquet(ivf_component_path(index_dir, comp))
         .orderBy("subspace", "code")
         .collect()
     )
@@ -1055,6 +1106,7 @@ def probe_ivfpq(
     rerank_emb: DataFrame | None = None,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC probe (r15 verdict task 2): per query pick the nprobe
     nearest centroids driver-side (``probe_ivf``'s quantized stable
@@ -1073,7 +1125,16 @@ def probe_ivfpq(
     stages are deterministic integer arithmetic, so the whole pipeline
     SQL-replays (``ann_ivfpq_topk``); recall vs the exact scan is the
     pytest contract, and with nprobe=nlist + an uncapped shortlist the
-    re-ranked result EQUALS the exact top-k (pinned)."""
+    re-ranked result EQUALS the exact top-k (pinned).
+
+    ``residual=True`` probes the ``pqrescodes`` layout (codes over
+    vector-minus-centroid residuals, the FAISS default): the lookup
+    tables become per-(query, probed list) — the query residual
+    q − centroid_l differs per list — so the broadcast LUT relation
+    grows from n_queries to n_queries × nprobe rows (still tiny) and
+    scoring joins on (query_id, list_id). The ADC estimate then
+    approximates ||q − x||² with the coarse term cancelled, which is
+    what buys residual PQ its lower quantization error."""
     import os
 
     cents = (
@@ -1082,7 +1143,9 @@ def probe_ivfpq(
     books = (
         np.asarray(codebooks, dtype=np.float64)
         if codebooks is not None
-        else load_pq_codebooks(spark, index_dir)
+        else load_pq_codebooks(
+            spark, index_dir, "pqresbooks" if residual else "pqbooks"
+        )
     )
     m, codes, dsub = books.shape
     probe_rows = []
@@ -1098,25 +1161,54 @@ def probe_ivfpq(
     )
     probe_lists = sorted({r[1] for r in probe_rows})
     # per-query ADC lookup tables + the query vector, one broadcast
-    # relation (pq_topk's plan-size discipline: rows, not literals)
-    lut_rows = []
-    for qid, vec in queries:
-        qe = np.asarray(vec, dtype=np.float64)
-        tables = []
+    # relation (pq_topk's plan-size discipline: rows, not literals).
+    # Residual layout: one table set per (query, probed list), over
+    # the per-list query residual.
+    qvec_by_id = {int(qid): [float(v) for v in vec] for qid, vec in queries}
+
+    def _tables(qe: np.ndarray) -> list[list[int]]:
+        out = []
         for s in range(m):
             sub = qe[s * dsub : (s + 1) * dsub]
             d2 = ((books[s] - sub[None, :]) ** 2).sum(axis=1)
-            tables.append(
-                [int(x) for x in np.floor(d2 * 1e6).astype(np.int64)]
+            out.append([int(x) for x in np.floor(d2 * 1e6).astype(np.int64)])
+        return out
+
+    if residual:
+        lut_rows = [
+            (
+                qid,
+                lid,
+                qvec_by_id[qid],
+                _tables(
+                    np.asarray(qvec_by_id[qid], dtype=np.float64) - cents[lid]
+                ),
             )
-        lut_rows.append((int(qid), [float(v) for v in vec], tables))
-    lut = spark.createDataFrame(
-        lut_rows,
-        "query_id long, qvec array<float>, tables array<array<long>>",
-    )
+            for qid, lid in probe_rows
+        ]
+        lut = spark.createDataFrame(
+            lut_rows,
+            "query_id long, list_id int, qvec array<float>,"
+            " tables array<array<long>>",
+        )
+        lut_keys = ["query_id", "list_id"]
+    else:
+        lut_rows = [
+            (qid, vec_f, _tables(np.asarray(vec_f, dtype=np.float64)))
+            for qid, vec_f in qvec_by_id.items()
+        ]
+        lut = spark.createDataFrame(
+            lut_rows,
+            "query_id long, qvec array<float>, tables array<array<long>>",
+        )
+        lut_keys = ["query_id"]
     code_cols = [f"code_{s}" for s in range(m)]
     cand = (
-        spark.read.parquet(ivf_component_path(index_dir, "pqcodes"))
+        spark.read.parquet(
+            ivf_component_path(
+                index_dir, "pqrescodes" if residual else "pqcodes"
+            )
+        )
         .filter(F.col("list_id").isin(probe_lists))
         .select("vec_id", "list_id", *code_cols)
         .join(F.broadcast(probes), "list_id")
@@ -1139,7 +1231,7 @@ def probe_ivfpq(
             .distinct()
         )
         cand = cand.join(dead, "vec_id", "anti")
-    scored = cand.join(F.broadcast(lut), "query_id")
+    scored = cand.join(F.broadcast(lut), lut_keys)
     adc = None
     for s in range(m):
         term = F.element_at(

@@ -1173,6 +1173,280 @@ SELECT query_id, neighbor_id, rnk, qcos FROM (
 register_query("ann_ivfpq_topk", _ivfpq_topk_query, _ivfpq_topk_sql())
 
 
+def _panel_pq_residual_books(spark, sf_dir):
+    """Panel-seeded RESIDUAL PQ codebooks (r16): the panel rows'
+    residuals against the shared iters=0 seed centroids, seeded in md5
+    order with the coarse-seed ids EXCLUDED (their residuals are
+    exactly zero — see the inline note). On clustered corpora with a
+    variance-explaining coarse quantizer this is why FAISS's
+    IndexIVFPQ encodes residuals by default (the codebook covers only
+    within-cluster spread); on this near-orthogonal synthetic corpus
+    the layout's value is the serving shape + replay, and the
+    clustered-gain claim is pinned separately in pytest. Assignment
+    for the panel rows replays exactly (a row's list depends only on
+    that row and the centroids), so the codebook is SQL-derivable at
+    any corpus size."""
+    key = (spark.sparkContext.applicationId, sf_dir, "panel-residual")
+    books = _PQ_BOOK_CACHE.get(key)
+    if books is None:
+        import hashlib
+
+        cents = _panel_seed_cents(spark, sf_dir)
+        panel = _emb_panel(spark, sf_dir)
+        assigned = similarity.ivf_assign(panel, cents)
+        resid = similarity.ivf_residual_frame(spark, assigned, cents)
+        # the coarse seeds' residuals are identically ZERO (each seed
+        # is its own list's centroid), so seeding the residual codebook
+        # from the same md5 picks would degenerate it to 16 zero codes
+        # (all ADC distances equal -> the shortlist cut stops ranking).
+        # Residual seeds therefore take the NEXT md5 picks: exclude the
+        # coarse-seed vec_ids, then the train's own md5 order applies.
+        ids = [r.vec_id for r in panel.select("vec_id").collect()]
+        coarse = sorted(
+            ids,
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )[:_SEED_NLIST]
+        resid = resid.filter(~F.col("vec_id").isin(coarse))
+        books = similarity.train_pq_codebooks(resid, m=4, codes=16, iters=0)
+        _PQ_BOOK_CACHE[key] = books
+    return books
+
+
+def _ensure_ivfpq_residual_codes(spark, sf_dir: str, index_dir: str):
+    """Ensure the residual-IVFADC codes component (``pqrescodes``)
+    beside the iters=0 index — same derived-cache staleness rule as
+    :func:`_ensure_ivfpq_codes`, parallel component so both layouts
+    coexist on one index."""
+    books = _panel_pq_residual_books(spark, sf_dir)
+    success = os.path.join(
+        similarity.ivf_component_path(index_dir, "pqrescodes"), "_SUCCESS"
+    )
+    cent_success = os.path.join(
+        similarity.ivf_component_path(index_dir, "centroids"), "_SUCCESS"
+    )
+    if not os.path.exists(success) or os.path.getmtime(
+        success
+    ) < os.path.getmtime(cent_success):
+        similarity.build_ivfpq_codes(spark, index_dir, books, residual=True)
+    return books
+
+
+def _ivfpq_residual_topk_query(
+    spark, sf_dir: str, k: int = 10, nprobe: int = 4, shortlist: int = 50
+):
+    """Residual IVFADC top-k (r16): identical serving shape to
+    ``ann_ivfpq_topk`` — partition-pruned CODES-only scan, integer ADC
+    lookups, exact re-rank of the shortlist — but the codes quantize
+    RESIDUALS (vector minus its list's centroid), the FAISS
+    ``IndexIVFPQ`` default. The lookup tables become per-(query,
+    probed list); everything stays deterministic integer arithmetic,
+    so the full pipeline — coarse assignment, residual computation,
+    residual codebook seeding, code assignment, per-list tables,
+    shortlist, re-rank — still replays as one SQL value-hash."""
+    index_dir = ensure_ivf_index(spark, sf_dir, iters=0)
+    books = _ensure_ivfpq_residual_codes(spark, sf_dir, index_dir)
+    cents = _ivf_centroids(spark, index_dir)
+    qkey = (spark.sparkContext.applicationId, sf_dir)
+    qvecs = _QVEC_CACHE.get(qkey)
+    if qvecs is None:
+        qvecs = [
+            (r.vec_id, list(r.embedding))
+            for r in load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+            .collect()
+        ]
+        _QVEC_CACHE[qkey] = qvecs
+    return similarity.probe_ivfpq(
+        spark,
+        index_dir,
+        qvecs,
+        k=k,
+        nprobe=nprobe,
+        shortlist=shortlist,
+        rerank_emb=_emb(spark, sf_dir),
+        centroids=cents,
+        codebooks=books,
+        residual=True,
+    )
+
+
+def _ivfpq_residual_topk_sql(
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    m: int = 4,
+    codes: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the residual-IVFADC pipeline: seed centroids
+    and coarse assignment as in ``_ivfpq_topk_sql``, then residuals
+    (float64 subtraction — exact on both engines), a residual codebook
+    seeded from the PANEL rows' residuals in the same md5 order,
+    per-subspace residual code assignment over the full corpus,
+    per-(query, probed-list) lookup tables over the query residual,
+    ADC, shortlist, exact-qcos re-rank."""
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    dsub = dim // m
+    rqd = (
+        "CAST(FLOOR(list_sum(list_transform(range(1, {n}), "
+        "i -> (r.rv[{off} + i] - cb.c[{off} + i]) ^ 2"
+        ")) * 1e6) AS BIGINT)"
+    )
+    tqd = (
+        "CAST(FLOOR(list_sum(list_transform(range(1, {n}), "
+        "i -> (qr.qr[{off} + i] - cb.c[{off} + i]) ^ 2"
+        ")) * 1e6) AS BIGINT)"
+    )
+    sub_assigns = ",\n".join(
+        f"""a{s} AS (
+  SELECT vec_id, code AS code_{s} FROM (
+    SELECT r.vec_id, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY r.vec_id
+             ORDER BY {rqd.format(n=dsub + 1, off=s * dsub)} ASC,
+                      cb.code ASC
+           ) AS rr
+    FROM resid r CROSS JOIN rcb cb
+  ) WHERE rr = 1
+)"""
+        for s in range(m)
+    )
+    tables = ",\n".join(
+        f"""t{s} AS MATERIALIZED (
+  SELECT qr.query_id, qr.list_id, cb.code,
+         {tqd.format(n=dsub + 1, off=s * dsub)} AS qd
+  FROM qresid qr CROSS JOIN rcb cb
+)"""
+        for s in range(m)
+    )
+    code_joins = " ".join(f"JOIN a{s} USING (vec_id)" for s in range(1, m))
+    t_joins = " ".join(
+        f"JOIN t{s} ON t{s}.query_id = cand.query_id"
+        f" AND t{s}.list_id = cand.list_id"
+        f" AND t{s}.code = co.code_{s}"
+        for s in range(m)
+    )
+    dist_sum = " + ".join(f"t{s}.qd" for s in range(m))
+    return f"""
+WITH seeds AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c
+  FROM {_EMB_PANEL_SQL}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {codes}
+),
+cents AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+           AS list_id,
+         c
+  FROM seeds
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY CAST(FLOOR(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), c.c) * 1000000.0)
+                        AS BIGINT) DESC,
+                      c.list_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+resid AS MATERIALIZED (
+  SELECT e.vec_id, a.list_id,
+         list_transform(range(1, {dim + 1}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) - ct.c[i]) AS rv
+  FROM embeddings e
+  JOIN assigned a USING (vec_id)
+  JOIN cents ct USING (list_id)
+),
+rseeds AS MATERIALIZED (
+  -- the coarse seeds' residuals are identically zero; residual seeds
+  -- take the NEXT md5 picks (the engine filters the same ids out)
+  SELECT r.vec_id, r.rv AS c
+  FROM resid r JOIN {_EMB_PANEL_SQL} p ON p.vec_id = r.vec_id
+  WHERE r.vec_id NOT IN (SELECT vec_id FROM seeds)
+  ORDER BY md5(CAST(r.vec_id AS VARCHAR)), r.vec_id
+  LIMIT {codes}
+),
+rcb AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+           AS code,
+         c
+  FROM rseeds
+),
+{sub_assigns},
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+probe AS MATERIALIZED (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, c.list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY CAST(FLOOR(list_cosine_similarity(q.qvec, c.c)
+                        * 1000000.0) AS BIGINT) DESC,
+                      c.list_id ASC) AS r
+    FROM q CROSS JOIN cents c
+  ) WHERE r <= {nprobe}
+),
+qresid AS MATERIALIZED (
+  SELECT p.query_id, p.list_id,
+         list_transform(range(1, {dim + 1}),
+                        i -> q.qvec[i] - ct.c[i]) AS qr
+  FROM probe p
+  JOIN q USING (query_id)
+  JOIN cents ct USING (list_id)
+),
+{tables},
+co AS MATERIALIZED (
+  SELECT vec_id, {", ".join(f"code_{s}" for s in range(m))}
+  FROM a0 {code_joins}
+),
+cand AS (
+  SELECT p.query_id, p.list_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assigned a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         CAST({dist_sum} AS BIGINT) AS qdist
+  FROM cand JOIN co ON co.vec_id = cand.neighbor_id
+  {t_joins}
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY qdist ASC, neighbor_id ASC)
+              AS srk
+    FROM adc
+  ) WHERE srk <= {shortlist}
+),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         {similarity.qcos_sql('q.qvec', 'e.embedding')} AS qcos
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN embeddings e ON e.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, rnk, qcos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qcos DESC, neighbor_id ASC) AS rnk
+  FROM rr
+) WHERE rnk <= {k} ORDER BY query_id, rnk
+"""
+
+
+register_query(
+    "ann_ivfpq_residual_topk",
+    _ivfpq_residual_topk_query,
+    _ivfpq_residual_topk_sql(),
+)
+
+
 def _ivf_rebalanced_query(spark, sf_dir: str, k: int = 10, nprobe: int = 4):
     """IVF rebalance, probed (r14 verdict task 4): build the iters=0
     index over the 80% split (seeds drawn from that split only — a
