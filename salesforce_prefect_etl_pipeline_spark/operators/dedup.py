@@ -1215,6 +1215,173 @@ ORDER BY da, db
 """
 
 
+def minhash_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-band maintenance + skew report over the persisted LSH index
+    (r16) — the OBSERVE instrument whose ACT is
+    :func:`compact_minhash_index`, completing the observe→decide loop
+    for the third index family (text: ``text_index_stats`` →
+    ``compact_text_index``; vectors: ``ivf_list_stats`` →
+    ``rebalance_ivf_index``). One row per (component, band):
+
+    - ``n_files``: parquet files in the band partition (driver-side FS
+      metadata only) — the streamed-ingest fragmentation signal;
+    - ``n_rows``: physical rows (replayed appends included);
+    - ``n_entries``: distinct (doc_id, key) entries — the logical
+      band size;
+    - ``n_replay_dups``: n_rows − n_entries, the compaction payload;
+    - ``n_docs`` / ``n_keys``: distinct docs / distinct band-bucket
+      keys — bucket-count sizing for the probe join;
+    - ``max_bucket``: the largest bucket's distinct-doc count — the
+      LSH HOT-BUCKET skew signal (a banded self-join's per-key output
+      is quadratic in this; the number a 100 TB operator actually
+      watches).
+
+    ``profiles`` reports as band −1 with the key columns null. The
+    LIVE columns (n_docs, n_keys, max_bucket) are pure functions of
+    the indexed corpus — the registered row value-hashes them against
+    the signature replay (:func:`minhash_index_stats_sql`); physical
+    columns are the pytest-covered maintenance signals."""
+    import glob as _glob
+
+    def _file_counts(comp: str) -> dict[int, int]:
+        root = index_component_path(index_dir, comp)
+        out: dict[int, int] = {}
+        for d in _glob.glob(os.path.join(root, "band=*")):
+            b = int(os.path.basename(d).split("=")[1])
+            out[b] = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        return out
+
+    bands = spark.read.parquet(index_component_path(index_dir, "bands"))
+    per_bucket = bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct("doc_id").alias("sz"),
+    )
+    per_band = (
+        per_bucket.groupBy("band")
+        .agg(
+            F.sum("rows").cast("long").alias("n_rows"),
+            F.sum("sz").cast("long").alias("n_entries"),
+            F.count_distinct("key").cast("long").alias("n_keys"),
+            F.max("sz").cast("long").alias("max_bucket"),
+        )
+        .collect()
+    )
+    # distinct docs per band (a doc emits ONE key per band, so this is
+    # a second tiny rollup, not a rescan of shingles)
+    docs_per_band = {
+        r["band"]: r["n"]
+        for r in bands.groupBy("band")
+        .agg(F.count_distinct("doc_id").alias("n"))
+        .collect()
+    }
+    files = _file_counts("bands")
+    rows = [
+        (
+            "bands",
+            int(r["band"]),
+            files.get(int(r["band"]), 0),
+            r["n_rows"],
+            r["n_entries"],
+            r["n_rows"] - r["n_entries"],
+            int(docs_per_band[r["band"]]),
+            r["n_keys"],
+            r["max_bucket"],
+        )
+        for r in per_band
+    ]
+    prof = spark.read.parquet(index_component_path(index_dir, "profiles"))
+    pr = prof.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+    ).collect()[0]
+    prof_files = sum(
+        1
+        for f in os.listdir(index_component_path(index_dir, "profiles"))
+        if f.endswith(".parquet")
+    )
+    rows.append(
+        (
+            "profiles",
+            -1,
+            prof_files,
+            pr["n_rows"],
+            pr["n_docs"],
+            pr["n_rows"] - pr["n_docs"],
+            pr["n_docs"],
+            None,
+            None,
+        )
+    )
+    return spark.createDataFrame(
+        rows,
+        "component string, band int, n_files int, n_rows long, "
+        "n_entries long, n_replay_dups long, n_docs long, n_keys long, "
+        "max_bucket long",
+    ).orderBy("component", "band")
+
+
+def minhash_index_stats_sql(
+    k: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    source: str = "documents",
+) -> str:
+    """DuckDB replay of the LIVE columns of
+    :func:`minhash_index_stats` for the ``bands`` component: the
+    signature CTEs of :func:`minhash_lsh_pairs_sql`, banded WITH the
+    band index kept, then per-band distinct-doc / distinct-key /
+    max-bucket rollups. ``source`` takes the indexed-corpus predicate
+    (the registered row passes the 80% split the index build uses)."""
+    hm = f"(h % {MERSENNE_31})"
+    mins = ",\n         ".join(
+        f"MIN(({MINHASH_A[i]} * {hm} + {MINHASH_B[i]}) % {MERSENNE_31}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, CAST({j} AS INT) AS band, "
+        + hash60_sql(
+            "concat_ws(',', '"
+            + str(j)
+            + "', "
+            + ", ".join(f"h{j * rows + r}" for r in range(rows))
+            + ")"
+        )
+        + " AS key FROM sig"
+        for j in range(bands)
+    )
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, {hash60_sql('s')} AS h FROM ({_shingles_sql(k, source)})
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bandkeys AS MATERIALIZED (
+  {band_selects}
+),
+buckets AS (
+  SELECT band, key, COUNT(DISTINCT doc_id) AS sz
+  FROM bandkeys GROUP BY 1, 2
+),
+per_key AS (
+  SELECT band,
+         CAST(SUM(sz) AS BIGINT) AS n_entries,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(sz) AS BIGINT) AS max_bucket
+  FROM buckets GROUP BY band
+),
+per_doc AS (
+  SELECT band, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM bandkeys GROUP BY band
+)
+SELECT band, n_entries, n_docs, n_keys, max_bucket
+FROM per_key JOIN per_doc USING (band) ORDER BY band
+"""
+
+
 # ----------------------------------------------------------------------
 # Incremental dedup: persisted LSH index + probe
 def index_component_path(index_dir: str, comp: str) -> str:

@@ -1623,6 +1623,61 @@ def text_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     ).orderBy("tier", "bucket")
 
 
+def maybe_compact_text_index(
+    spark: SparkSession,
+    index_dir: str,
+    m: int = CHAMPION_M,
+    max_files_per_bucket: int = 64,
+    max_waste_ratio: float = 0.10,
+    max_batches: int | None = None,
+) -> dict:
+    """The DECIDE step between :func:`text_index_stats` (observe) and
+    :func:`compact_text_index` (act) — the scheduler-tick entry point
+    a production operator runs against a streamed index. Reads the
+    stats report and compacts when any bucket of any tier breaches the
+    policy SCALE.md documents:
+
+    - ``n_files > max_files_per_bucket`` (default 64): small-file read
+      amplification — probe latency grows with file count long before
+      data volume does;
+    - ``(n_replay_dups + n_tombstoned) / n_postings > max_waste_ratio``
+      (default 10%): wasted probe I/O plus tombstone anti-join width;
+    - ``n_batches > max_batches`` (opt-in): cap the committed-id list
+      probes must reconcile against (e.g. a day of micro-batches).
+
+    Returns ``{"compacted", "reasons", "n_buckets"}`` — ``reasons``
+    lists every (tier, bucket, signal, value) that fired, so the
+    decision is auditable after the fact. Probe identity across the
+    act is ``compact_text_index``'s own pytest-pinned contract; this
+    wrapper's contract (fires on the fragmented streamed fixture, goes
+    quiet right after the compact it triggers) is pinned beside it.
+    Cost when quiet: the stats scan only — FS metadata plus one
+    column-pruned aggregation, safe at any tick frequency."""
+    stats = text_index_stats(spark, index_dir).collect()
+    reasons: list[tuple] = []
+    for r in stats:
+        if r["n_files"] > max_files_per_bucket:
+            reasons.append((r["tier"], r["bucket"], "n_files", r["n_files"]))
+        waste = (r["n_replay_dups"] + r["n_tombstoned"]) / max(
+            1, r["n_postings"]
+        )
+        if waste > max_waste_ratio:
+            reasons.append(
+                (r["tier"], r["bucket"], "waste_ratio", round(waste, 4))
+            )
+        if max_batches is not None and r["n_batches"] > max_batches:
+            reasons.append(
+                (r["tier"], r["bucket"], "n_batches", r["n_batches"])
+            )
+    if reasons:
+        compact_text_index(spark, index_dir, m=m)
+    return {
+        "compacted": bool(reasons),
+        "reasons": reasons,
+        "n_buckets": len(stats),
+    }
+
+
 #: RRF constant (Cormack, Clarke & Buettcher 2009, SIGIR: k=60 is the
 #: paper's recommended damping) and the integer score quantum.
 RRF_K = 60

@@ -48,6 +48,7 @@ _PRIORITY = [
     # the 5 new r16 rows (never driver-checked; sort first), then the
     # oldest 45 (r12 TPC-H/ann/corpus/media/streaming stragglers).
     "ann_ivfpq_residual_topk",  # new (r16, late)
+    "dedup_minhash_index_stats",  # new (r16, late)
     "ann_ivfpq_topk",  # new (r16)
     "streaming_ivf_retraction",  # new (r16)
     "streaming_text_retraction",  # new (r16)

@@ -628,6 +628,36 @@ register_query(
     ),
 )
 
+
+def _minhash_index_stats_query(spark, sf_dir):
+    """LSH index maintenance + skew report (r16): per-band distinct
+    docs, bucket counts and the max hot-bucket size over the persisted
+    80%-corpus index — the observe instrument whose act is
+    compact_minhash_index, and the skew number (max_bucket drives the
+    banded self-join's per-key output quadratically) a 100 TB operator
+    actually schedules against. Live columns only — pure functions of
+    the indexed corpus, value-hashed against the signature replay; the
+    physical columns (files, replay dups) are pytest-covered."""
+    index_dir = ensure_minhash_index(spark, sf_dir)
+    return (
+        dedup.minhash_index_stats(spark, index_dir)
+        .filter(F.col("component") == "bands")
+        .select("band", "n_entries", "n_docs", "n_keys", "max_bucket")
+        .orderBy("band")
+    )
+
+
+register_query(
+    "dedup_minhash_index_stats",
+    _minhash_index_stats_query,
+    dedup.minhash_index_stats_sql(
+        source=(
+            f"(SELECT * FROM documents "
+            f"WHERE ({corpus.split_bucket_sql('doc_id')}) < {_CORPUS_PCT})"
+        )
+    ),
+)
+
 register_query(
     "ann_cosine_topk",
     lambda spark, sf_dir: similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10),

@@ -2121,3 +2121,66 @@ def test_ivfpq_residual_gain_on_clustered_corpus(spark, tmp_path):
     # spread (centers on a +-6 lattice) dwarfs within-cluster noise
     # (+-0.06) and the residual books only ever see the latter
     assert resid_err < plain_err / 10, (resid_err, plain_err)
+
+
+def test_minhash_index_stats_lifecycle(spark, docs, tmp_path):
+    """r16 observe instrument for the LSH index: fresh build is clean;
+    a replayed append doubles physical rows and shows as
+    n_replay_dups while the LIVE columns (n_docs, n_keys, max_bucket)
+    stay exactly put; compaction returns the physicals to clean with
+    the live columns still unchanged. Invariant: one key per (doc,
+    band) means n_entries == n_docs per band."""
+    from salesforce_prefect_etl_pipeline_spark.operators.corpus import (
+        split_bucket,
+    )
+    from salesforce_prefect_etl_pipeline_spark.streaming.ingest import (
+        _append_profile_to_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus_side = docs.filter(split_bucket(F.col("doc_id")) < 80)
+    dedup.build_minhash_index(corpus_side, idx)
+
+    def _bands_rows():
+        return {
+            r["band"]: r
+            for r in dedup.minhash_index_stats(spark, idx).collect()
+            if r["component"] == "bands"
+        }
+
+    clean = _bands_rows()
+    assert len(clean) == 16
+    for r in clean.values():
+        assert r["n_replay_dups"] == 0
+        assert r["n_entries"] == r["n_docs"]
+        assert r["max_bucket"] >= 1
+    live_before = {
+        b: (r["n_docs"], r["n_keys"], r["max_bucket"])
+        for b, r in clean.items()
+    }
+
+    _append_profile_to_index(dedup.minhash_profile(corpus_side, 8), idx)
+    frag = _bands_rows()
+    assert all(r["n_replay_dups"] > 0 for r in frag.values())
+    assert all(
+        frag[b]["n_rows"] == 2 * clean[b]["n_rows"] for b in clean
+    )
+    assert {
+        b: (r["n_docs"], r["n_keys"], r["max_bucket"])
+        for b, r in frag.items()
+    } == live_before
+
+    dedup.compact_minhash_index(spark, idx)
+    after = _bands_rows()
+    assert all(r["n_replay_dups"] == 0 for r in after.values())
+    assert {
+        b: (r["n_docs"], r["n_keys"], r["max_bucket"])
+        for b, r in after.items()
+    } == live_before
+    # profiles row mirrors: replay dups gone after compact
+    prof = [
+        r
+        for r in dedup.minhash_index_stats(spark, idx).collect()
+        if r["component"] == "profiles"
+    ]
+    assert len(prof) == 1 and prof[0]["n_replay_dups"] == 0

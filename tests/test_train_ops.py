@@ -1613,6 +1613,58 @@ def test_text_index_stats_flags_fragmentation_then_goes_quiet(
     )
 
 
+def test_maybe_compact_text_index_fires_then_goes_quiet(spark, tmp_path):
+    """r16: the DECIDE step — on a fragmented streamed-style index the
+    wrapper fires (auditable reasons naming tier/bucket/signal),
+    triggers the compact, leaves probe results identical, and a second
+    tick is a no-op (quiet observe scan only)."""
+    texts = _LIFECYCLE_TEXTS * 4
+    docs = _docs(spark, texts)
+    idx = str(tmp_path / "idx")
+    retrieval.build_text_index(docs.filter("doc_id < 8"), idx)
+    for i in range(8, 32, 4):
+        retrieval.append_text_index(
+            docs.filter(f"doc_id >= {i} AND doc_id < {i + 4}"), idx
+        )
+    retrieval.retract_text_index(docs.filter("doc_id IN (3, 11)"), idx)
+    before = retrieval.probe_text_index(
+        spark, idx, ((1, "spark join"),), k=5
+    ).collect()
+
+    # thresholds scaled to the small fixture: 7 batches of appends and
+    # a 2-doc retraction must breach a 3-file / 5%-waste policy
+    decision = retrieval.maybe_compact_text_index(
+        spark, idx, max_files_per_bucket=3, max_waste_ratio=0.05
+    )
+    assert decision["compacted"], decision
+    sigs = {r[2] for r in decision["reasons"]}
+    assert "waste_ratio" in sigs or "n_files" in sigs
+    assert all(len(r) == 4 for r in decision["reasons"])
+
+    after = retrieval.probe_text_index(
+        spark, idx, ((1, "spark join"),), k=5
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+    # post-compact tick: every signal under the same policy is quiet
+    second = retrieval.maybe_compact_text_index(
+        spark, idx, max_files_per_bucket=3, max_waste_ratio=0.05
+    )
+    assert second == {
+        "compacted": False,
+        "reasons": [],
+        "n_buckets": second["n_buckets"],
+    }
+    # the batch cap fires independently when opted in below 1
+    third = retrieval.maybe_compact_text_index(
+        spark, idx, max_files_per_bucket=3, max_waste_ratio=0.05,
+        max_batches=0,
+    )
+    assert third["compacted"] and {r[2] for r in third["reasons"]} == {
+        "n_batches"
+    }
+
+
 _INFLECTION_TEXTS = [
     "spark join slow window",
     "sparks joined slowly windows",
