@@ -181,6 +181,12 @@ HEADLINE = [
     # overhead (the streaming_dedup_ingest exclusion rationale).
     "ann_ivfpq_topk",
     "text_index_stats",
+    # The late-r16 rows stay out of HEADLINE (added after the r16
+    # ladder was recorded; HEADLINE changes mid-round would desync
+    # BENCH_SCALING_r16): ann_ivfpq_residual_topk is the ivfpq row's
+    # serving shape with per-list LUTs (same pruned codes scan), and
+    # dedup_minhash_index_stats recomposes the signature build cost
+    # dedup_minhash_pairs_build already times plus a two-level rollup.
 ]
 
 
