@@ -1921,6 +1921,13 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             neighbor_min, labels.doc_id == neighbor_min.src, "left"
         ).select(
             "doc_id",
+            # the round's INPUT label rides along so the convergence
+            # check below is a filter over the already-checkpointed
+            # frame instead of a join back against the previous
+            # iteration's labels (r16 optimization round, guide §2.4:
+            # one join + its shuffle removed from every round's
+            # critical path; the labels themselves are bit-identical)
+            F.col("component").alias("__old"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
             ).alias("component"),
@@ -1934,6 +1941,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             propagated.join(jump, propagated.component == F.col("__l"), "left")
             .select(
                 "doc_id",
+                "__old",
                 F.least(
                     F.col("component"), F.coalesce(F.col("__ll"), F.col("component"))
                 ).alias("component"),
@@ -1941,13 +1949,11 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("__old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("doc_id", "component")
         if changed == 0:
             converged = True
             break
@@ -2022,48 +2028,71 @@ def greedy_mis_in_id_order(
         .filter(F.col("u") < F.col("v"))
         .localCheckpoint(eager=True)
     )
-    accepted = empty
-    rejected = rejected.localCheckpoint(eager=True)
-    undecided = nodes.join(rejected, "v", "anti").localCheckpoint(eager=True)
+    # ONE (v, st) status frame instead of three disjoint id frames
+    # (r16 optimization round, guide §1.2 step 1): the three-frame form
+    # paid THREE eager localCheckpoint materializations plus an
+    # isEmpty probe per round — four sequential job latencies on the
+    # frontier's critical path; the fused frame pays one checkpoint +
+    # one probe. The accepted/rejected/undecided SETS are unchanged
+    # round for round (new_rej/new_acc are disjoint subsets of the
+    # undecided set, so the two when() marks commute with the old
+    # unions) — equivalence stays pinned by the sequential-greedy
+    # property tests.
+    status = (
+        nodes.join(rejected.withColumn("__r", F.lit(1)), "v", "left")
+        .select(
+            "v",
+            F.when(F.col("__r") == 1, F.lit("r"))
+            .otherwise(F.lit("u"))
+            .alias("st"),
+        )
+        .localCheckpoint(eager=True)
+    )
     global LAST_GREEDY_MIS_ROUNDS
     LAST_GREEDY_MIS_ROUNDS = 0
     for _ in range(max_iterations):
+        undecided = status.filter(F.col("st") == "u").select("v")
         if undecided.isEmpty():
             break
         LAST_GREEDY_MIS_ROUNDS += 1
-        st = smaller.join(undecided.select("v"), "v", "semi")
-        acc_u = accepted.select(F.col("v").alias("u"))
+        st = smaller.join(undecided, "v", "semi")
+        acc_u = status.filter(F.col("st") == "a").select(F.col("v").alias("u"))
         und_u = undecided.select(F.col("v").alias("u"))
         new_rej = st.join(acc_u, "u", "semi").select("v").distinct()
         has_und_smaller = st.join(und_u, "u", "semi").select("v").distinct()
         new_acc = undecided.join(new_rej, "v", "anti").join(
             has_und_smaller, "v", "anti"
         )
-        prev = (accepted, rejected, undecided)
-        accepted = accepted.union(new_acc).localCheckpoint(eager=True)
-        rejected = rejected.union(new_rej).localCheckpoint(eager=True)
-        undecided = (
-            undecided.join(new_acc, "v", "anti")
-            .join(new_rej, "v", "anti")
+        prev = status
+        status = (
+            status.join(new_rej.withColumn("__nr", F.lit(1)), "v", "left")
+            .join(new_acc.withColumn("__na", F.lit(1)), "v", "left")
+            .select(
+                "v",
+                F.when(F.col("__nr") == 1, F.lit("r"))
+                .when(F.col("__na") == 1, F.lit("a"))
+                .otherwise(F.col("st"))
+                .alias("st"),
+            )
             .localCheckpoint(eager=True)
         )
-        # eager checkpoints above are independent RDDs — release the
-        # previous round's blocks instead of waiting on GC (three
-        # frames per round pile up across a long frontier otherwise)
-        for f in prev:
-            f.unpersist()
+        # the eager checkpoint above is an independent RDD — release
+        # the previous round's blocks instead of waiting on GC
+        prev.unpersist()
     smaller.unpersist()
     nodes.unpersist()
-    rejected.unpersist()
-    converged = undecided.isEmpty()
-    undecided.unpersist()
+    converged = status.filter(F.col("st") == "u").isEmpty()
     if not converged:
         raise RuntimeError(
             f"greedy MIS frontier did not converge in {max_iterations} "
             "rounds — the pair graph has an ascending dependency chain "
             "longer than the budget; raise max_iterations"
         )
-    return accepted.select(F.col("v").alias("doc_id")).orderBy("doc_id")
+    return (
+        status.filter(F.col("st") == "a")
+        .select(F.col("v").alias("doc_id"))
+        .orderBy("doc_id")
+    )
 
 
 def connected_components_sql(pairs_sql: str) -> str:

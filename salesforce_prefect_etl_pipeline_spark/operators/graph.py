@@ -62,6 +62,17 @@ def pagerank_exact(
         F.col(weight).cast("long").alias("w"),
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # NOTE (r16 optimization round, measured): the loop-invariant `e` /
+    # `nodes` subtrees are re-PLANNED under every iteration (the
+    # 5-iteration nation-trade plan text carries 274 parquet scans /
+    # 342 Exchanges), but truncating them with localCheckpoint was
+    # paired-measured ~0.5-1.0 s SLOWER at sf1 (5.5→5.9 s medians,
+    # 3 order-reversed reps): the checkpointed RDD loses both
+    # statistics (size-unknown sides demote runtime broadcast choices)
+    # and output partitioning, while AQE's runtime exchange reuse
+    # already dedups the repeated fact-join subtrees. Left as-is on the
+    # evidence; `checkpoint_every` still bounds plan growth for large
+    # `iters`.
     e = e.join(outw, "src")
     nodes = (
         e.select(F.col("src").alias("node"))

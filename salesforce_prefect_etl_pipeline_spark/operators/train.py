@@ -348,15 +348,23 @@ def perceptron_train(
 
     Per epoch: one broadcast join of the sparse feature frame against
     the (dims+1)-row weight vector, one per-doc dot-product sum, one
-    dims-sized update aggregate — two shuffles on post-aggregate frames,
-    the corpus-scan-derived feature frame reused throughout (cached).
+    dims-sized update aggregate. The corpus-scan-derived feature frame
+    is cached PRE-PARTITIONED on doc_id, so the per-epoch dot-product
+    group-by and the misclassification join consume that one exchange
+    for the whole run instead of re-shuffling the feature frame every
+    epoch (the cached plan's partitioning is pinned —
+    ``canChangeCachedPlanOutputPartitioning`` is false by default); the
+    misclassified-doc frame is explicitly broadcast into the update
+    join, so the only per-epoch shuffle left is the dims-sized update
+    aggregate.
     """
-    feats = _features(docs, dims)
+    feats = _features(docs, dims).repartition("doc_id")
     feats.cache()
     # labels join into every epoch's misclassification filter — cached
-    # like feats, else each epoch re-runs the corpus tokenize +
-    # array_distinct pass that derives the weak label.
-    labels = _labels(docs)
+    # like feats (else each epoch re-runs the corpus tokenize +
+    # array_distinct pass that derives the weak label) and on the same
+    # doc_id partitioning so the join is exchange-free too.
+    labels = _labels(docs).repartition("doc_id")
     labels.cache()
     spark = docs.sparkSession
     w = spark.range(-1, dims).select(
@@ -375,7 +383,7 @@ def perceptron_train(
             .select("doc_id", "y")
         )
         upd = (
-            mis.join(feats, "doc_id")
+            feats.join(F.broadcast(mis), "doc_id")
             .groupBy("d")
             .agg(F.sum(F.col("y") * F.col("x")).alias("delta"))
         )

@@ -1837,26 +1837,39 @@ def agg_binned_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = counts.withColumn("cum", F.sum("n").over(w))
-    thresholds = (
-        counts.groupBy("l_returnflag")
-        .agg(F.sum("n").alias("tot"))
-        .select(
-            "l_returnflag",
-            F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("pct"),
-            "tot",
-        )
-        .select(
-            "l_returnflag",
-            "pct",
-            # integer ceil-division — a double `/` could land at
-            # x.9999... and truncate off-by-one
-            F.expr("CAST((tot * pct + 99) DIV 100 AS BIGINT)").alias("thr"),
-        )
+    # Per-flag total as a whole-partition window over the SAME
+    # bin-count frame (r16 optimization round, guide §2.4): the
+    # previous shape re-aggregated `counts` into a separate totals
+    # branch and broadcast-joined it back — one extra aggregation
+    # branch, one exchange, one join on the plan's critical path. Both
+    # windows share the l_returnflag partitioning, so Spark plans them
+    # over ONE exchange; thr = ceil(tot*pct/100) in bigint is computed
+    # per row after a 3-way pct explode over the bounded bin frame.
+    # Bit-identical to the join form: same cum, same integer
+    # thresholds, same filter+min.
+    wtot = Window.partitionBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "l_returnflag",
+        "bin",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(wtot).alias("tot"),
     )
     return (
-        cum.join(F.broadcast(thresholds), "l_returnflag")
-        .filter(F.col("cum") >= F.col("thr"))
+        cum.select(
+            "l_returnflag",
+            "bin",
+            "cum",
+            F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("pct"),
+            # integer ceil-division — a double `/` could land at
+            # x.9999... and truncate off-by-one
+            "tot",
+        )
+        .filter(
+            F.col("cum")
+            >= F.expr("CAST((tot * pct + 99) DIV 100 AS BIGINT)")
+        )
         .groupBy("l_returnflag", "pct")
         .agg(F.min("bin").alias("value_bin"))
         .orderBy("l_returnflag", "pct")
