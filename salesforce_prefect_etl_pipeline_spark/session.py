@@ -130,6 +130,15 @@ def get_spark(
     )
     if extra_conf:
         conf.update(extra_conf)
+    # Operator escape hatch (r16 optimization round): semicolon-separated
+    # `key=value` pairs in $SPARK_GRAFT_CONF override any default above —
+    # cluster deployments (and paired config A/B experiments) tune the
+    # session without code edits. Applied LAST: an explicit operator
+    # override beats both the local-mode defaults and caller extra_conf.
+    for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            conf[k.strip()] = v.strip()
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

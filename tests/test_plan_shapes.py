@@ -62,3 +62,51 @@ def test_containment_lsh_never_broadcasts_unbounded_sides(spark):
     plan = plan_of("broadcast_inv")
     assert plan.count("BroadcastExchange") == 1, plan[:2000]
     assert "ShuffledHashJoin" in plan, "verification join unpinned"
+
+
+def test_binned_percentiles_plan_is_join_free(spark):
+    """r16 optimization: the per-flag totals come out of the same
+    window pass as the cumulative sums (whole-partition frame), so the
+    exact-percentile plan must contain NO join of any kind — the old
+    shape's totals branch re-aggregated the bin counts and
+    broadcast-joined them back."""
+    import __spark_entry__ as e
+
+    df = e.queries()["agg_binned_percentiles"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_perceptron_epoch_agg_reuses_cached_partitioning(spark):
+    """r16 optimization: the feature frame is cached PRE-PARTITIONED on
+    doc_id, so the per-epoch dot-product group-by must consume the
+    cached partitioning — no hash Exchange may appear ABOVE the
+    InMemoryRelation in the epoch plan (the one inside the cache-build
+    plan is paid once for the whole run)."""
+    from pyspark.sql import functions as F
+
+    from salesforce_prefect_etl_pipeline_spark.operators import train as tr
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    feats = tr._features(docs, 64).repartition("doc_id")
+    feats.cache()
+    try:
+        # materialize the cache first: the cache-build plan is adaptive,
+        # so its output partitioning is only KNOWN once built — epoch 1's
+        # first action builds it, and every epoch compiled after that
+        # (the steady state this test pins) consumes the partitioning
+        feats.count()
+        w = spark.range(-1, 64).select(
+            F.col("id").alias("d"), F.lit(0).cast("long").alias("w")
+        )
+        dots = (
+            feats.join(F.broadcast(w), feats.d == w.d)
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+        )
+        plan = dots._jdf.queryExecution().executedPlan().toString()
+        above_cache = plan.split("InMemoryRelation")[0]
+        assert "Exchange hashpartitioning" not in above_cache, above_cache
+    finally:
+        feats.unpersist()
