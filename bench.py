@@ -383,6 +383,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calib_sec": {"pre": calib_pre, "post": calib_post},
     }
+    # r17 advice: a $SPARK_GRAFT_CONF session override silently changes
+    # what a recorded run measured — stamp it into the run's metadata so
+    # affected records are identifiable (empty string = clean defaults).
+    if os.environ.get("SPARK_GRAFT_CONF"):
+        sidecar["graft_conf"] = os.environ["SPARK_GRAFT_CONF"]
     repo = os.path.dirname(os.path.abspath(__file__))
     # The unstamped repo-root sidecar is the ROUND RECORD too (r15
     # advice: a RUNS=1 ladder point or an A/B rep at another sf was

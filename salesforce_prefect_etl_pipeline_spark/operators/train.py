@@ -335,6 +335,70 @@ def _labels(docs: DataFrame) -> DataFrame:
     )
 
 
+def _cached_training_frames(
+    docs: DataFrame, dims: int
+) -> tuple[DataFrame, DataFrame]:
+    """The loop-invariant perceptron inputs: (feats, labels), each cached
+    PRE-PARTITIONED on doc_id and MATERIALIZED in one job.
+
+    The repartition-before-cache pins the partitioning for the whole run
+    (``canChangeCachedPlanOutputPartitioning`` is false by default), so
+    every epoch's doc_id group-by and join consume the cache's exchange
+    instead of re-shuffling the corpus-derived frame. Materializing
+    eagerly — BEFORE any epoch plan compiles — is what makes that
+    partitioning KNOWN at compile time; otherwise the adaptive
+    cache-build plan reports unknown partitioning and every epoch plan
+    bakes in an ENSURE_REQUIREMENTS exchange over the cache (the r16
+    residual caveat). One action over a cheap union builds BOTH caches
+    inside a single job whose two stage trees run concurrently; two
+    sequential count() builds were paired-measured slower in r16.
+    """
+    feats = _features(docs, dims).repartition("doc_id")
+    feats.cache()
+    labels = _labels(docs).repartition("doc_id")
+    labels.cache()
+    feats.select("doc_id").unionAll(labels.select("doc_id")).count()
+    return feats, labels
+
+
+def _epoch_dots(feats: DataFrame, w: DataFrame) -> DataFrame:
+    """Per-doc dot products for one epoch: one broadcast join of the
+    sparse feature frame against the (dims+1)-row weight vector, one
+    per-doc sum consuming the cache's doc_id partitioning."""
+    return (
+        feats.join(F.broadcast(w), "d")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+
+
+def _epoch_update(feats: DataFrame, labels: DataFrame, w: DataFrame) -> DataFrame:
+    """One epoch's weight delta: ``sum_{misclassified} y * x`` per dim.
+
+    Both doc_id joins are pinned SHUFFLE_HASH, never broadcast: the
+    misclassified frame is UNBOUNDED (with zero-initialized weights
+    epoch 1 misclassifies every document, so ``mis`` is the whole
+    corpus's (doc_id, y) rows — a broadcast would collect the corpus to
+    the driver and die on the 8 GiB broadcast cap at scale; r17 advice).
+    Because feats, labels, and therefore dots/mis are all partitioned on
+    doc_id by the shared cache exchange, the SHJs build their bounded
+    per-partition hash tables with NO new exchange and NO sort of the
+    feature frame — the only per-epoch shuffle is the dims-sized update
+    aggregate.
+    """
+    dots = _epoch_dots(feats, w)
+    mis = (
+        labels.join(dots.hint("shuffle_hash"), "doc_id")
+        .filter(F.col("y") * F.col("dot") <= 0)
+        .select("doc_id", "y")
+    )
+    return (
+        feats.join(mis.hint("shuffle_hash"), "doc_id")
+        .groupBy("d")
+        .agg(F.sum(F.col("y") * F.col("x")).alias("delta"))
+    )
+
+
 def perceptron_train(
     docs: DataFrame, dims: int = PERCEPTRON_DIMS, epochs: int = 3
 ) -> DataFrame:
@@ -346,47 +410,22 @@ def perceptron_train(
     arithmetic, so the trained weights value-hash against the unrolled
     SQL replay at any parallelism.
 
-    Per epoch: one broadcast join of the sparse feature frame against
-    the (dims+1)-row weight vector, one per-doc dot-product sum, one
-    dims-sized update aggregate. The corpus-scan-derived feature frame
-    is cached PRE-PARTITIONED on doc_id, so the per-epoch dot-product
-    group-by and the misclassification join consume that one exchange
-    for the whole run instead of re-shuffling the feature frame every
-    epoch (the cached plan's partitioning is pinned —
-    ``canChangeCachedPlanOutputPartitioning`` is false by default); the
-    misclassified-doc frame is explicitly broadcast into the update
-    join, so the only per-epoch shuffle left is the dims-sized update
-    aggregate.
+    Distributed shape: the corpus-scan-derived feature and label frames
+    are cached doc_id-partitioned and materialized once
+    (:func:`_cached_training_frames`); each epoch is then one broadcast
+    of the (dims+1)-row weight vector, two exchange-free shuffled-hash
+    joins on the cached partitioning, and a dims-sized update aggregate
+    (:func:`_epoch_update`) — no corpus-sized shuffle or broadcast
+    anywhere in the loop.
     """
-    feats = _features(docs, dims).repartition("doc_id")
-    feats.cache()
-    # labels join into every epoch's misclassification filter — cached
-    # like feats (else each epoch re-runs the corpus tokenize +
-    # array_distinct pass that derives the weak label) and on the same
-    # doc_id partitioning so the join is exchange-free too.
-    labels = _labels(docs).repartition("doc_id")
-    labels.cache()
+    feats, labels = _cached_training_frames(docs, dims)
     spark = docs.sparkSession
     w = spark.range(-1, dims).select(
         F.col("id").alias("d"), F.lit(0).cast("long").alias("w")
     )
     trajectory = []
     for epoch in range(1, epochs + 1):
-        dots = (
-            feats.join(F.broadcast(w), "d")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-        )
-        mis = (
-            labels.join(dots, "doc_id")
-            .filter(F.col("y") * F.col("dot") <= 0)
-            .select("doc_id", "y")
-        )
-        upd = (
-            feats.join(F.broadcast(mis), "doc_id")
-            .groupBy("d")
-            .agg(F.sum(F.col("y") * F.col("x")).alias("delta"))
-        )
+        upd = _epoch_update(feats, labels, w)
         w = (
             w.join(upd, "d", "left")
             .select(

@@ -44,61 +44,59 @@ _PRUNE = {
 #: (tests/test_registry.py) fails if the list drifts from that output,
 #: so the rotation discipline is self-auditing.
 _PRIORITY = [
-    # --- round-16 window (tools/staleness.py suggested list, verbatim):
-    # the 5 new r16 rows (never driver-checked; sort first), then the
-    # oldest 45 (r12 TPC-H/ann/corpus/media/streaming stragglers).
-    "ann_ivfpq_residual_topk",  # new (r16, late)
-    "dedup_minhash_index_stats",  # new (r16, late)
-    "ann_ivfpq_topk",  # new (r16)
-    "streaming_ivf_retraction",  # new (r16)
-    "streaming_text_retraction",  # new (r16)
-    "text_bm25_stemmed_topk",  # new (r16)
-    "text_index_stats",  # new (r16)
-    "agg_mad_value_by_type",  # r12
-    "agg_mode_priority_by_segment",  # r12
-    "ann_cosine_topk",  # r12
-    "ann_ivf_probe",  # r12
-    "ann_ivf_probe_exact",  # r12
-    "ann_srp_topk",  # r12
-    "corpus_canonical_by_quality",  # r12
-    "corpus_pack_documents",  # r12
-    "corpus_pii_scan",  # r12
-    "corpus_shard_assignment",  # r12
-    "corpus_stratified_sample",  # r12
-    "corpus_training_manifest",  # r12
-    "dedup_chunk_overlap",  # r12
-    "dedup_containment_lsh_panel",  # r12
-    "dedup_simhash_pairs",  # r12
-    "emb_cluster_mix",  # r12
-    "emb_near_dup_banded",  # r12
-    "emb_near_dup_pairs",  # r12
-    "media_audio_stats",  # r12
-    "media_decode_stats",  # r12
-    "media_feature_stats",  # r12
-    "q10_returned_items",  # r12
-    "q13_customer_distribution",  # r12
-    "q14_promo_revenue",  # r12
-    "q17_small_qty_revenue",  # r12
-    "q18_large_orders",  # r12
-    "q19_disjunctive",  # r12
-    "q1_pricing_summary",  # r12
-    "q20_dominant_suppliers",  # r12
-    "q21_suppliers_kept_waiting",  # r12
-    "q22_idle_balance",  # r12
-    "q2_min_cost_supplier",  # r12
-    "q4_order_priority",  # r12
-    "q7_volume_shipping",  # r12
-    "q8_market_share",  # r12
-    "q9_product_profit",  # r12
-    "qa_profile_orders",  # r12
-    "spec_lineitem_global",  # r12
-    "spec_orders_by_missing_channel",  # r12
-    "spec_orders_by_status",  # r12
-    "sql_recursive_month_spine",  # r12
-    "streaming_click_attribution",  # r12
-    "streaming_click_attribution_outer",  # r12
+    # --- round-17 window (tools/staleness.py suggested list, verbatim):
+    # the 5 r12 streaming/window stragglers the r16 window didn't reach,
+    # then the oldest 45 (the r13 agg/corpus/dedup/sql/text cohort).
     "streaming_dedup_user_counts",  # r12
     "streaming_enriched_segment_counts",  # r12
+    "streaming_events_hourly",  # r12
+    "streaming_sessionization",  # r12
+    "window_percentile_ranks",  # r12
+    "agg_binned_percentiles",  # r13
+    "agg_distinct_suppliers_per_flag",  # r13
+    "agg_median_acctbal_by_nation",  # r13
+    "agg_stddev_acctbal_by_segment",  # r13
+    "ann_cosine_topk_np",  # r13
+    "corpus_contamination",  # r13
+    "corpus_dedup_survivor_stats",  # r13
+    "corpus_domain_mix",  # r13
+    "corpus_e2e_curation",  # r13
+    "corpus_length_filter_report",  # r13
+    "corpus_pack_stats",  # r13
+    "corpus_split_counts",  # r13
+    "corpus_token_length_histogram",  # r13
+    "corpus_url_scan",  # r13
+    "corpus_weighted_sample",  # r13
+    "cube_orders",  # r13
+    "dedup_containment_pairs",  # r13
+    "dedup_exact_groups",  # r13
+    "dedup_exact_substring",  # r13
+    "dedup_incremental_probe",  # r13
+    "dedup_jaccard_pairs",  # r13
+    "dedup_minhash_lsh",  # r13
+    "dedup_near_dup_clusters",  # r13
+    "emb_cluster_sample",  # r13
+    "emb_pq_codes_panel",  # r13
+    "emb_semdedup_prune_panel",  # r13
+    "spec_orders_missing_metric",  # r13
+    "sql_correlated_exists",  # r13
+    "sql_embedding_dim_stats",  # r13
+    "sql_in_subquery_having",  # r13
+    "sql_orders_above_avg",  # r13
+    "sql_q5_local_supplier",  # r13
+    "text_bigram_counts",  # r13
+    "text_bm25_appended",  # r13
+    "text_bm25_champion",  # r13
+    "text_bm25_indexed",  # r13
+    "text_bm25_topk",  # r13
+    "text_bpe_encode",  # r13
+    "text_bpe_token_estimate",  # r13
+    "text_bpe_train_merges",  # r13
+    "text_chunk_fingerprints",  # r13
+    "text_cms_top_tokens",  # r13
+    "text_perceptron_quality",  # r13
+    "text_phrase_indexed",  # r13
+    "text_phrase_search",  # r13
 ]
 
 

@@ -135,10 +135,22 @@ def get_spark(
     # cluster deployments (and paired config A/B experiments) tune the
     # session without code edits. Applied LAST: an explicit operator
     # override beats both the local-mode defaults and caller extra_conf.
+    _overrides = []
     for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
         if "=" in pair:
             k, v = pair.split("=", 1)
             conf[k.strip()] = v.strip()
+            _overrides.append(f"{k.strip()}={v.strip()}")
+    if _overrides:
+        # Visible in every run's stderr (r17 advice): a forgotten env
+        # override silently contaminating a recorded bench/correctness
+        # run must be identifiable from the run's own output.
+        import sys as _sys
+
+        print(
+            f"# SPARK_GRAFT_CONF overrides applied: {'; '.join(_overrides)}",
+            file=_sys.stderr,
+        )
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -78,35 +78,56 @@ def test_binned_percentiles_plan_is_join_free(spark):
 
 
 def test_perceptron_epoch_agg_reuses_cached_partitioning(spark):
-    """r16 optimization: the feature frame is cached PRE-PARTITIONED on
-    doc_id, so the per-epoch dot-product group-by must consume the
-    cached partitioning — no hash Exchange may appear ABOVE the
-    InMemoryRelation in the epoch plan (the one inside the cache-build
-    plan is paid once for the whole run)."""
+    """r16 optimization, rebuilt on the PRODUCTION code path (r17
+    advice — the old test hand-reconstructed the epoch plan, so it kept
+    passing even if train.py drifted): _cached_training_frames
+    materializes both caches doc_id-partitioned, so the per-epoch
+    dot-product group-by built by _epoch_dots must consume the cached
+    partitioning — no hash Exchange above the InMemoryRelation."""
     from pyspark.sql import functions as F
 
     from salesforce_prefect_etl_pipeline_spark.operators import train as tr
     from salesforce_prefect_etl_pipeline_spark.plans import load_table
 
     docs = load_table(spark, SF_SMALL, "documents")
-    feats = tr._features(docs, 64).repartition("doc_id")
-    feats.cache()
+    feats, labels = tr._cached_training_frames(docs, 64)
     try:
-        # materialize the cache first: the cache-build plan is adaptive,
-        # so its output partitioning is only KNOWN once built — epoch 1's
-        # first action builds it, and every epoch compiled after that
-        # (the steady state this test pins) consumes the partitioning
-        feats.count()
         w = spark.range(-1, 64).select(
             F.col("id").alias("d"), F.lit(0).cast("long").alias("w")
         )
-        dots = (
-            feats.join(F.broadcast(w), feats.d == w.d)
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-        )
+        dots = tr._epoch_dots(feats, w)
         plan = dots._jdf.queryExecution().executedPlan().toString()
         above_cache = plan.split("InMemoryRelation")[0]
         assert "Exchange hashpartitioning" not in above_cache, above_cache
     finally:
         feats.unpersist()
+        labels.unpersist()
+
+
+def test_perceptron_epoch_update_never_broadcasts_unbounded_sides(spark):
+    """r17 advice: with zero-initialized weights, epoch 1 misclassifies
+    EVERY document, so the misclassified frame (and the labels frame it
+    derives from) is corpus-sized — broadcasting either dies on the
+    8 GiB broadcast cap at scale. The epoch update plan must contain
+    exactly ONE BroadcastExchange (the (dims+1)-row weight vector) and
+    pin both doc_id joins to ShuffledHashJoin, which consume the cached
+    doc_id partitioning with no new Exchange."""
+    from salesforce_prefect_etl_pipeline_spark.operators import train as tr
+    from salesforce_prefect_etl_pipeline_spark.plans import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    feats, labels = tr._cached_training_frames(docs, 64)
+    try:
+        w = feats.sparkSession.range(-1, 64).selectExpr(
+            "id as d", "cast(0 as long) as w"
+        )
+        upd = tr._epoch_update(feats, labels, w)
+        plan = upd._jdf.queryExecution().executedPlan().toString()
+        above_cache = plan.split("InMemoryRelation")[0]
+        assert plan.count("BroadcastExchange") == 1, plan[:3000]
+        assert plan.count("ShuffledHashJoin") == 2, plan[:3000]
+        # the only exchange above the caches is the dims-sized update agg
+        assert above_cache.count("Exchange hashpartitioning") <= 1, above_cache
+    finally:
+        feats.unpersist()
+        labels.unpersist()

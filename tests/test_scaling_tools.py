@@ -94,3 +94,43 @@ def test_bench_ab_paired_math():
     assert delta["q2"] == -2.5 and delta["q1"] == 0.25
     total = round(sum(med["head"].values()) - sum(med["baseline"].values()), 3)
     assert total == -2.25
+
+
+def test_rechunk_splits_single_group_files_and_guard_math(tmp_path):
+    """The r16 sf10 post-mortem guard: a one-row-group parquet file (what
+    gen_scale_data's coalesce(1) write produces) must come out of
+    rechunk_scaledata with enough groups to split, content-identical,
+    and expected_min_groups must be the matching post-condition —
+    gen_scale_data asserts it after every regeneration."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import rechunk_scaledata as rc
+
+    n = 1000
+    tbl = pa.table({"k": list(range(n)), "v": [f"x{i}" for i in range(n)]})
+    path = tmp_path / "docs.parquet"
+    pq.write_table(tbl, path, row_group_size=n)  # ONE group: the bad layout
+    assert pq.ParquetFile(path).metadata.num_row_groups == 1
+
+    rc.main([str(tmp_path)], target_groups=8, min_rows_per_group=100)
+    meta = pq.ParquetFile(path).metadata
+    want = rc.expected_min_groups(n, target_groups=8, min_rows_per_group=100)
+    assert want == 8
+    assert meta.num_row_groups >= want
+    assert pq.read_table(path).equals(tbl)  # content- and order-identical
+
+    # tiny tables stay one sane group (the MIN_ROWS_PER_GROUP floor)
+    assert rc.expected_min_groups(10_000) == 1
+    # the sf10 documents shape: 16 groups expected, 1 would fail the guard
+    assert rc.expected_min_groups(5_000_000) == 16
+
+
+def test_gen_scale_data_wires_the_layout_guard():
+    """gen_scale_data must rechunk its own output and assert the row-
+    group post-condition — the r16 regeneration skipped the separate
+    rechunk step and produced an unsplittable 57 MB-row-group fixture."""
+    src = open(os.path.join(REPO, "tools", "gen_scale_data.py")).read()
+    assert "rechunk_scaledata.main" in src
+    assert "expected_min_groups" in src
+    assert "LAYOUT GUARD" in src

@@ -30,6 +30,7 @@ Usage: python tools/gen_scale_data.py [--replicas 10]
 from __future__ import annotations
 
 import argparse
+import glob as glob_mod
 import os
 import random
 import string
@@ -160,6 +161,27 @@ def main() -> None:
         "vec_id long, embedding array<float>, label int",
     )
     write(emb_out, "embeddings")
+
+    # Layout guard (r16 post-mortem): the coalesce(1) writes above leave
+    # ONE row group per file (Spark's 128 MB parquet block), which makes
+    # big tables unsplittable — sf10's 57 MB single-group documents file
+    # serialized every text kernel and inflated the ladder point 2.4x.
+    # Rechunking is part of generation, not a separate step a caller can
+    # forget; the assert makes a silent revert impossible.
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    import rechunk_scaledata
+
+    rechunk_scaledata.main([args.out])
+    for path in sorted(glob_mod.glob(os.path.join(args.out, "*.parquet"))):
+        meta = pq.ParquetFile(path).metadata
+        want = rechunk_scaledata.expected_min_groups(meta.num_rows)
+        if meta.num_row_groups < want:
+            raise SystemExit(
+                f"LAYOUT GUARD: {path} has {meta.num_row_groups} row "
+                f"groups, expected >= {want} for {meta.num_rows} rows"
+            )
     print(f"done -> {args.out}")
 
 

@@ -47,14 +47,33 @@ def checksum(con, path: str) -> tuple:
     ).fetchone()
 
 
-def main() -> int:
-    dirs = sys.argv[1:] or [".scaledata/sf0.3", ".scaledata/sf1"]
+def expected_min_groups(
+    n_rows: int,
+    target_groups: int = TARGET_GROUPS,
+    min_rows_per_group: int = MIN_ROWS_PER_GROUP,
+) -> int:
+    """Row groups a rechunked file of ``n_rows`` must have at minimum —
+    the assertable post-condition callers (gen_scale_data) check so a
+    regenerated fixture can never silently revert to the one-57 MB-row-
+    group layout that serialized every scan at sf10 (r16 forensics)."""
+    rows_per_group = max(min_rows_per_group, n_rows // target_groups)
+    return max(1, n_rows // rows_per_group)
+
+
+def main(
+    dirs: list[str] | None = None,
+    target_groups: int = TARGET_GROUPS,
+    min_rows_per_group: int = MIN_ROWS_PER_GROUP,
+) -> int:
+    dirs = dirs if dirs is not None else (
+        sys.argv[1:] or [".scaledata/sf0.3", ".scaledata/sf1"]
+    )
     con = duckdb.connect()
     for d in dirs:
         for path in sorted(glob.glob(os.path.join(d, "*.parquet"))):
             f = pq.ParquetFile(path)
             n = f.metadata.num_rows
-            rows_per_group = max(MIN_ROWS_PER_GROUP, n // TARGET_GROUPS)
+            rows_per_group = max(min_rows_per_group, n // target_groups)
             if f.metadata.num_row_groups >= max(1, n // rows_per_group):
                 print(f"skip {path}: already {f.metadata.num_row_groups} groups")
                 continue
